@@ -1,0 +1,309 @@
+"""Analyzers (tokenization) — SURVEY.md §2.1.
+
+Mirrors IResearch's registry-driven analyzer surface (reference:
+core/analysis/analyzers.cpp `analyzers::get`; core/analysis/text_token_stream.cpp;
+token_streams.cpp — citations per SURVEY.md §0 convention, reference checkout
+was empty so upstream paths are the anchors).
+
+Pinned `text` analyzer spec (SURVEY.md §2.1.1, parity-critical):
+NFC normalize → lowercase → split on ``[^\\W_]+`` (Unicode word chars minus
+underscore) → optional stopword removal (default: none) → optional stemming
+(default: off).  Token count AFTER stopword removal feeds the norm ``dl``.
+
+All analyzers are plain callables ``list[str] -> list[list[str]]`` (batch of
+texts in, token lists out) so they run inside ``map_batches`` with the regex /
+caches compiled once at module import (per worker process) — no per-batch
+setup cost, no actor needed (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, Iterable, Sequence
+
+Tokenizer = Callable[[Sequence[str | None]], list[list[str]]]
+
+_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def _nfc_lower(text: str) -> str:
+    # ASCII fast path: NFC is identity and str.lower matches casefold for ASCII.
+    if text.isascii():
+        return text.lower()
+    return unicodedata.normalize("NFC", text).lower()
+
+
+def tokenize_text(text: str | None) -> list[str]:
+    """Pinned `text` analyzer on a single string (no stopwords, no stemming)."""
+    if text is None:
+        return []
+    return _WORD_RE.findall(_nfc_lower(text))
+
+
+class TextAnalyzer:
+    """IResearch `text` analyzer analog (ref: core/analysis/text_token_stream.cpp).
+
+    Options mirror the JSON options of the reference: case folding is always
+    "lower" (pinned), `stopwords` is an explicit set (default empty), `stemmer`
+    enables Porter stemming (default off).  The ICU break iterator is
+    approximated by the pinned regex — exact on the ASCII fixture corpora
+    (SURVEY.md §2.1.1).
+    """
+
+    def __init__(self, stopwords: Iterable[str] = (), stemmer: bool = False):
+        self.stopwords = frozenset(stopwords)
+        self.stem = porter_stem if stemmer else None
+
+    def tokenize_one(self, text: str | None) -> list[str]:
+        toks = tokenize_text(text)
+        if self.stopwords:
+            sw = self.stopwords
+            toks = [t for t in toks if t not in sw]
+        if self.stem is not None:
+            stem = self.stem
+            toks = [stem(t) for t in toks]
+        return toks
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        if not self.stopwords and self.stem is None:
+            findall = _WORD_RE.findall
+            return [
+                [] if t is None else findall(_nfc_lower(t)) for t in texts
+            ]
+        return [self.tokenize_one(t) for t in texts]
+
+
+class KeywordAnalyzer:
+    """Whole value as a single raw token (ref: token_streams.cpp
+    string_token_stream).  Nulls produce no token (field absent for the doc)."""
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [[] if t is None else [t] for t in texts]
+
+
+class DelimiterAnalyzer:
+    """Split on a literal delimiter (ref: delimited_token_stream.cpp)."""
+
+    def __init__(self, delimiter: str = ","):
+        self.delimiter = delimiter
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        d = self.delimiter
+        return [[] if t is None else [p for p in t.split(d) if p] for t in texts]
+
+
+class NgramAnalyzer:
+    """Char n-grams min..max, optional preserve-original
+    (ref: ngram_token_stream.cpp)."""
+
+    def __init__(self, min_n: int = 2, max_n: int = 3, preserve_original: bool = False):
+        if min_n < 1 or max_n < min_n:
+            raise ValueError("need 1 <= min_n <= max_n")
+        self.min_n, self.max_n = min_n, max_n
+        self.preserve_original = preserve_original
+
+    def tokenize_one(self, text: str | None) -> list[str]:
+        if text is None:
+            return []
+        out: list[str] = []
+        L = len(text)
+        # Reference emits grams ordered by start position, then length.
+        for i in range(L):
+            for n in range(self.min_n, self.max_n + 1):
+                if i + n <= L:
+                    out.append(text[i : i + n])
+        if self.preserve_original and (L < self.min_n or L > self.max_n):
+            out.append(text)
+        return out
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [self.tokenize_one(t) for t in texts]
+
+
+class NormalizingAnalyzer:
+    """Case fold + accent strip, single token out
+    (ref: text_token_normalizing_stream.cpp)."""
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            s = unicodedata.normalize("NFKD", t).lower()
+            s = "".join(c for c in s if not unicodedata.combining(c))
+            out.append([s])
+        return out
+
+
+class StemAnalyzer:
+    """Porter stemming of the whole (already tokenized? no — single) value
+    (ref: text_token_stemming_stream.cpp: stems the single input token)."""
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [[] if t is None else [porter_stem(t.lower())] for t in texts]
+
+
+class PipelineAnalyzer:
+    """Chain analyzers: each token of stage i feeds stage i+1
+    (ref: pipeline_token_stream.cpp)."""
+
+    def __init__(self, *stages: Tokenizer):
+        if not stages:
+            raise ValueError("pipeline needs >= 1 stage")
+        self.stages = stages
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        outs: list[list[str]] = [list(x) for x in self.stages[0](texts)]
+        for stage in self.stages[1:]:
+            nxt: list[list[str]] = []
+            for toks in outs:
+                sub = stage(toks)
+                nxt.append([t for ts in sub for t in ts])
+            outs = nxt
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (classic published algorithm, Porter 1980) — compact pure-py.
+# Used only when an analyzer opts in (pinned default: OFF, SURVEY.md §2.1.1).
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    # m = number of V->C transitions == count of "VC" in the C/V form string.
+    forms = "".join("C" if _is_cons(stem, i) else "V" for i in range(len(stem)))
+    return forms.count("VC")
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        w = _step1b_fix(w)
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        w = _step1b_fix(w)
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        if _measure(stem) > 1 or (_measure(stem) == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def _step1b_fix(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if _ends_double_cons(w) and w[-1] not in "lsz":
+        return w[:-1]
+    if _measure(w) == 1 and _cvc(w):
+        return w + "e"
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Registry (ref: core/analysis/analyzers.cpp REGISTER_ANALYZER) — SURVEY §2.11
+# ---------------------------------------------------------------------------
+
+ANALYZERS: dict[str, Callable[..., Tokenizer]] = {
+    "text": TextAnalyzer,
+    "keyword": KeywordAnalyzer,
+    "delimiter": DelimiterAnalyzer,
+    "ngram": NgramAnalyzer,
+    "norm": NormalizingAnalyzer,
+    "stem": StemAnalyzer,
+    "pipeline": PipelineAnalyzer,
+}
+
+
+def get_analyzer(name: str, **options) -> Tokenizer:
+    try:
+        factory = ANALYZERS[name]
+    except KeyError:
+        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}") from None
+    return factory(**options)

@@ -1,0 +1,261 @@
+"""Posting-list codec — SURVEY.md §2.3 / BASELINE.json north_star.
+
+Delta + varint compressed posting lists in blocks of BLOCK_SIZE=128 docs with
+skip metadata (last docid + byte offset per block) and block-max (WAND)
+metadata (max tf + min dl per block), mirroring the reference's packed
+posting blocks + skip lists + wand_writer (ref: core/formats/formats_10.cpp
+postings_writer/skip_writer — block size 128; citation convention SURVEY §0).
+
+Layout per term (all stored as Arrow columns in terms.parquet):
+
+- ``doc_blob`` (binary): per block, varint(doc deltas) then varint(tfs).
+  First delta of block b is relative to ``block_last_doc[b-1]`` (0 for b=0),
+  so any block decodes independently given the skip table — that is what
+  makes block skipping (WAND) possible.
+- ``pos_blob`` (binary): per block, varint of per-occurrence position deltas
+  (positions are delta-encoded within each doc, docs concatenated in order;
+  counts come from the block's tfs).  ``pos_off[b]`` = byte offset of block b.
+- ``block_last_doc``, ``block_off``, ``pos_off``, ``block_max_tf``,
+  ``block_min_dl``: int64 lists, one entry per block.
+
+Everything is vectorized numpy; no per-byte python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block (ref: formats_10.cpp block size 128)
+
+
+# ---------------------------------------------------------------------------
+# vectorized varint (LEB128, 7 bits per byte, high bit = continuation)
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to concatenated varints (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # byte index within each value's encoding
+    gid = np.repeat(np.arange(v.size), nbytes)
+    pos_in_val = np.arange(total) - np.repeat(starts, nbytes)
+    shifted = v[gid] >> (np.uint64(7) * pos_in_val.astype(np.uint64))
+    payload = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    is_last = pos_in_val == (nbytes[gid] - 1)
+    out[:] = np.where(is_last, payload, payload | 0x80)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode concatenated varints to uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = b < 128
+    ends = np.flatnonzero(is_last)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    gid = np.repeat(np.arange(n), lens)
+    pos_in_val = np.arange(b.size) - np.repeat(starts, lens)
+    vals7 = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_val.astype(np.uint64))
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(out, gid, vals7)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# posting-list encode / decode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PostingBlob:
+    doc_blob: bytes
+    pos_blob: bytes
+    block_last_doc: np.ndarray  # int64[nblocks]
+    block_off: np.ndarray       # int64[nblocks] byte offset into doc_blob
+    pos_off: np.ndarray         # int64[nblocks] byte offset into pos_blob
+    block_max_tf: np.ndarray    # int64[nblocks]
+    block_min_dl: np.ndarray    # int64[nblocks]
+    block_doc_count: np.ndarray  # int64[nblocks] docs in each block
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> PostingBlob:
+    """Encode one term's postings.
+
+    ``doc_ids`` strictly-increasing int (segment-local, >=1), ``tfs`` the term
+    frequency per doc, ``dls`` the doc's field length (for block-min-dl WAND
+    bound — SURVEY §7.4: the block score upper bound must pair max tf with
+    MIN dl since BM25 is monotone up in tf and down in dl), ``positions`` a
+    flat array of all occurrence positions (sorted per doc, docs in order;
+    len == tfs.sum()) or None to skip positions.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    assert tfs.size == n and dls.size == n
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+    starts = np.concatenate(([0], bounds[:-1]))
+
+    # deltas: first doc of each block is relative to previous block's last doc
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = np.diff(doc_ids)
+    deltas[0] = doc_ids[0]
+    prev_last = np.where(starts > 0, doc_ids[np.maximum(starts - 1, 0)], 0)
+    deltas[starts] = doc_ids[starts] - prev_last
+
+    doc_parts: list[bytes] = []
+    block_off = np.zeros(nblocks, dtype=np.int64)
+    off = 0
+    for b in range(nblocks):
+        s, e = starts[b], bounds[b]
+        block_off[b] = off
+        part = varint_encode(deltas[s:e]) + varint_encode(tfs[s:e])
+        doc_parts.append(part)
+        off += len(part)
+    doc_blob = b"".join(doc_parts)
+
+    # positions: delta within doc, block-aligned offsets
+    pos_off = np.zeros(nblocks, dtype=np.int64)
+    if positions is not None and positions.size:
+        positions = np.asarray(positions, dtype=np.int64)
+        occ_ends = np.cumsum(tfs)
+        occ_starts = occ_ends - tfs
+        # delta-encode within each doc: pos[i] - pos[i-1], reset at doc starts
+        pdelta = np.empty(positions.size, dtype=np.int64)
+        pdelta[1:] = np.diff(positions)
+        pdelta[0] = positions[0]
+        pdelta[occ_starts] = positions[occ_starts]
+        pos_parts: list[bytes] = []
+        poff = 0
+        for b in range(nblocks):
+            s, e = starts[b], bounds[b]
+            pos_off[b] = poff
+            part = varint_encode(pdelta[occ_starts[s]: occ_ends[e - 1]])
+            pos_parts.append(part)
+            poff += len(part)
+        pos_blob = b"".join(pos_parts)
+    else:
+        pos_blob = b""
+
+    block_max_tf = np.maximum.reduceat(tfs, starts)
+    block_min_dl = np.minimum.reduceat(dls, starts)
+    return PostingBlob(
+        doc_blob=doc_blob,
+        pos_blob=pos_blob,
+        block_last_doc=doc_ids[bounds - 1].astype(np.int64),
+        block_off=block_off,
+        pos_off=pos_off,
+        block_max_tf=block_max_tf.astype(np.int64),
+        block_min_dl=block_min_dl.astype(np.int64),
+        block_doc_count=(bounds - starts).astype(np.int64),
+    )
+
+
+def decode_postings(doc_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a FULL posting blob → (doc_ids, tfs).
+
+    The blob is a concatenation of per-block (deltas, tfs) varint runs; since
+    each block's first delta is relative to the previous block's last doc, the
+    concatenated delta stream cumsums to absolute ids directly when decoded in
+    order.  We decode all varints at once, then split per block by count.
+    """
+    vals = varint_decode(doc_blob).astype(np.int64)
+    n = vals.size // 2
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    doc_ids = np.empty(n, dtype=np.int64)
+    tfs = np.empty(n, dtype=np.int64)
+    vi = 0
+    for b in range(nblocks):
+        s = b * BLOCK_SIZE
+        e = min(s + BLOCK_SIZE, n)
+        cnt = e - s
+        doc_ids[s:e] = vals[vi : vi + cnt]
+        tfs[s:e] = vals[vi + cnt : vi + 2 * cnt]
+        vi += 2 * cnt
+    np.cumsum(doc_ids, out=doc_ids)
+    return doc_ids, tfs
+
+
+def decode_blocks(
+    doc_blob: bytes,
+    block_off: np.ndarray,
+    block_last_doc: np.ndarray,
+    block_doc_count: np.ndarray,
+    which: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks (``which``: sorted block indices) —
+    the skip-list read path used by WAND pruning (SURVEY §2.8)."""
+    total_bytes = len(doc_blob)
+    n_sel = int(block_doc_count[which].sum()) if which.size else 0
+    doc_ids = np.empty(n_sel, dtype=np.int64)
+    tfs = np.empty(n_sel, dtype=np.int64)
+    out = 0
+    nblocks = block_off.size
+    for b in which:
+        s_byte = int(block_off[b])
+        e_byte = int(block_off[b + 1]) if b + 1 < nblocks else total_bytes
+        vals = varint_decode(memoryview(doc_blob)[s_byte:e_byte]).astype(np.int64)
+        cnt = int(block_doc_count[b])
+        d = vals[:cnt]
+        base = int(block_last_doc[b - 1]) if b > 0 else 0
+        doc_ids[out : out + cnt] = np.cumsum(d) + base
+        tfs[out : out + cnt] = vals[cnt : 2 * cnt]
+        out += cnt
+    return doc_ids, tfs
+
+
+def decode_positions(
+    pos_blob: bytes,
+    pos_off: np.ndarray,
+    tfs_all: np.ndarray,
+    block: int,
+    nblocks: int,
+) -> np.ndarray:
+    """Decode one block's position stream → flat positions (per-doc absolute).
+
+    ``tfs_all`` is the full tf array (to know occurrence counts in the block).
+    Returns flat positions; caller splits per doc by the block's tfs.
+    """
+    s_byte = int(pos_off[block])
+    e_byte = int(pos_off[block + 1]) if block + 1 < nblocks else len(pos_blob)
+    pdelta = varint_decode(memoryview(pos_blob)[s_byte:e_byte]).astype(np.int64)
+    s_doc = block * BLOCK_SIZE
+    e_doc = min(s_doc + BLOCK_SIZE, tfs_all.size)
+    tfs = tfs_all[s_doc:e_doc]
+    # cumsum within each doc: total cumsum minus the doc-start base
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    acc = np.cumsum(pdelta)
+    base = np.zeros(pdelta.size, dtype=np.int64)
+    # subtract accumulated value at each doc start (positions reset per doc)
+    doc_base = np.concatenate(([0], acc[ends[:-1] - 1])) if tfs.size > 1 else np.array([0])
+    base = np.repeat(doc_base, tfs)
+    return acc - base

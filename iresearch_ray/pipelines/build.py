@@ -1,0 +1,226 @@
+"""Index build pipeline — SURVEY.md §3.1 (entry point 1).
+
+    ray.data.read_parquet(transcripts, columns=<pruned>)
+      → map_batches: deterministic hash(conv_id) % P partition assignment
+        (+ resume filter: rows of already-completed partitions are dropped
+         BEFORE the shuffle, so a resumed build re-reads but never re-shuffles
+         or re-indexes finished work)
+      → groupby(__part).map_groups: per-partition segment build + atomic write
+      → driver: collect tiny meta rows → manifest generation+1 (two-phase commit)
+
+The only shuffle is the partition groupby, keyed by hash(conv_id) — one
+conversation's turns always land in one segment, which preserves stable
+(conv_id, turn_idx)-local doc ids and makes per-turn text equality checks
+partition-local (SURVEY §4.2).  The postings accumulator lives entirely
+inside one map_groups task (the field_data analog) — no cross-task mutable
+state (SURVEY §3.1).
+
+Skew note (SURVEY §4.1): conv_id hash partitioning is uniform by construction
+(conv sizes are bounded: one conversation ≪ partition size), unlike term-keyed
+shuffles — term-keyed salting only matters on the consolidation path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iresearch_ray.stages.segment import (
+    IndexConfig,
+    build_segment_tables,
+    segment_content_key,
+    write_segment,
+)
+from iresearch_ray.state.manifest import commit_manifest, completed_segments, load_manifest
+
+TARGET_PARTITION_BYTES = 256 << 20  # SURVEY §4.2: P = ceil(input_bytes / 256MB)
+
+
+def hash_partition(conv_ids, num_partitions: int) -> np.ndarray:
+    """Deterministic (process- and version-independent) partition id per conv_id:
+    crc32 over the utf-8 bytes — stable for resume across runs."""
+    return np.fromiter(
+        (zlib.crc32(s.encode()) % num_partitions for s in conv_ids),
+        dtype=np.int64,
+        count=len(conv_ids),
+    )
+
+
+def _input_columns(schema_names: list[str], cfg: IndexConfig) -> list[str]:
+    wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields, "ts"]
+    return [c for c in wanted if c in schema_names]
+
+
+def _source_fingerprint(source) -> dict:
+    if isinstance(source, str):
+        source = [source]
+    if isinstance(source, (list, tuple)) and all(isinstance(s, str) for s in source):
+        files: list[tuple[str, int]] = []
+        for s in source:
+            if os.path.isdir(s):
+                for f in sorted(os.listdir(s)):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(s, f)
+                        files.append((p, os.path.getsize(p)))
+            else:
+                files.append((s, os.path.getsize(s)))
+        return {"files": files}
+    return {"files": None}
+
+
+def _num_partitions(source, ds, explicit: int | None) -> int:
+    if explicit:
+        return explicit
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        nbytes = None
+    if not nbytes:
+        return 1
+    return max(1, math.ceil(nbytes / TARGET_PARTITION_BYTES))
+
+
+def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int):
+    def build_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"meta": pa.array([], pa.string())})
+        part = int(group["__part"][0].as_py())
+        rows = group.drop_columns(["__part"])
+        t0 = time.perf_counter()
+        key = segment_content_key(rows)
+        name = f"seg-p{part:05d}-{key}"
+        terms, docs, field_stats = build_segment_tables(rows, cfg)
+        meta = write_segment(
+            index_dir,
+            name,
+            terms,
+            docs,
+            field_stats,
+            cfg,
+            lineage={"partition": part, "of_partitions": num_partitions, "rows": rows.num_rows},
+            metrics={
+                "build_secs": round(time.perf_counter() - t0, 4),
+                "tokens": field_stats.get(cfg.text_field, {}).get("total_term_freq", 0),
+            },
+        )
+        return pa.table({"meta": pa.array([json.dumps(meta)], pa.string())})
+
+    return build_group
+
+
+def build_index(
+    source,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) an index from a Parquet path / list of paths / an
+    existing ``ray.data.Dataset`` of transcript rows.  Returns the committed
+    manifest.  Does NOT call ray.init() — caller owns the session."""
+    import ray.data as rd
+
+    cfg = cfg or IndexConfig()
+    if isinstance(source, (str, list, tuple)):
+        first = source if isinstance(source, str) else source[0]
+        schema = pq.read_schema(first) if first.endswith(".parquet") else None
+        cols = _input_columns(schema.names, cfg) if schema is not None else None
+        ds = rd.read_parquet(source, columns=cols)
+    else:
+        ds = source
+
+    P = _num_partitions(source, ds, num_partitions)
+    fingerprint = _source_fingerprint(source)
+
+    # ----- resume: find completed partitions of a matching prior run -----
+    done: dict[int, dict] = {}
+    if resume:
+        prev = load_manifest(index_dir)
+        prior_ok = True
+        if prev is not None:
+            pl = prev.get("lineage", {})
+            prior_ok = (
+                pl.get("input") == fingerprint and pl.get("num_partitions") == P
+            )
+        for name, meta in completed_segments(index_dir).items():
+            lin = meta.get("lineage", {})
+            if (
+                prior_ok
+                and lin.get("of_partitions") == P
+                and isinstance(lin.get("partition"), int)
+            ):
+                done[lin["partition"]] = meta
+
+    done_parts = np.array(sorted(done), dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        part = hash_partition(batch["conv_id"].to_pylist(), P)
+        batch = batch.append_column("__part", pa.array(part, pa.int64()))
+        if done_parts.size:
+            keep = ~np.isin(part, done_parts)
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    metas_ds = ds.groupby("__part").map_groups(
+        _build_group_fn(index_dir, cfg, P), batch_format="pyarrow"
+    )
+    new_metas = [json.loads(r["meta"]) for r in metas_ds.take_all()]
+
+    all_metas = list(done.values()) + new_metas
+    manifest = commit_manifest(
+        index_dir,
+        all_metas,
+        cfg.to_json(),
+        lineage={
+            "input": fingerprint,
+            "num_partitions": P,
+            "resumed_partitions": sorted(int(p) for p in done),
+            "built_partitions": sorted(m["lineage"]["partition"] for m in new_metas),
+        },
+        metrics={
+            "docs_count": sum(m["docs_count"] for m in all_metas),
+            "segments": len(all_metas),
+            "build_secs_per_partition": {
+                str(m["lineage"]["partition"]): m["metrics"].get("build_secs")
+                for m in new_metas
+            },
+        },
+    )
+    return manifest
+
+
+def build_index_local(
+    table: pa.Table,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    num_partitions: int = 1,
+) -> dict:
+    """Pure-local (no Ray) build over an in-memory table — unit-test and
+    golden-fixture path; byte-identical segment layout to the Ray path."""
+    cfg = cfg or IndexConfig()
+    part = hash_partition(table["conv_id"].to_pylist(), num_partitions)
+    metas = []
+    build = _build_group_fn(index_dir, cfg, num_partitions)
+    for p in range(num_partitions):
+        rows = table.filter(pa.array(part == p))
+        if rows.num_rows == 0:
+            continue
+        rows = rows.append_column("__part", pa.array(np.full(rows.num_rows, p), pa.int64()))
+        out = build(rows)
+        metas.append(json.loads(out["meta"][0].as_py()))
+    return commit_manifest(
+        index_dir,
+        metas,
+        cfg.to_json(),
+        lineage={"input": {"files": None}, "num_partitions": num_partitions,
+                 "built_partitions": [m["lineage"]["partition"] for m in metas]},
+        metrics={"docs_count": sum(m["docs_count"] for m in metas), "segments": len(metas)},
+    )

@@ -1,0 +1,131 @@
+"""Query pipeline — SURVEY.md §3.2 (entry point 2).
+
+driver: manifest snapshot → global stats (cached per generation) → prepare
+each query (expansion + idf weights) → fan (query × segment) work units to a
+SegmentSearcher actor pool → driver k-way merge of per-segment top-k under
+the pinned total order (score desc, conv_id asc, turn_idx asc — SURVEY §2.6).
+
+Because the build partitions by hash(conv_id), a document exists in exactly
+one segment, so the merge is a pure k-way top-k selection (no score
+re-combination across segments).  The merge input is tiny — k rows per
+(query, segment) — so it is a driver-side sort, not a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+
+from iresearch_ray.query.exec import segment_topk
+from iresearch_ray.query.filters import Filter, Prepared, ScorerCfg, prepare
+from iresearch_ray.stages.searcher import RESULT_SCHEMA, SegmentSearcher
+from iresearch_ray.stages.segment import IndexConfig, SegmentReader
+from iresearch_ray.state.manifest import load_manifest, segment_dirs
+from iresearch_ray.state.stats import build_global_stats
+
+
+def merge_topk(frames: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Pinned tie-break merge: score desc, then global doc order
+    (conv_id, turn_idx) asc; stable for exact rank-identity."""
+    if frames.empty:
+        return frames
+    out = frames.sort_values(
+        ["query_id", "score", "conv_id", "turn_idx"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    )
+    return out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+class Searcher:
+    """Point-in-time searcher over one index generation (the
+    directory_reader snapshot analog)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        manifest = load_manifest(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = manifest
+        self.cfg = IndexConfig.from_json(manifest["config"])
+        self.stats = build_global_stats(index_dir, manifest)
+        self.seg_dirs = segment_dirs(index_dir, manifest)
+        self._readers: list[SegmentReader] | None = None
+
+    # -- prepare ----------------------------------------------------------
+    def prepare(self, flt: Filter, scorer: ScorerCfg | None = None) -> Prepared:
+        return prepare(flt, self.stats, scorer)
+
+    # -- local (in-process) execution: tests, tiny indexes ----------------
+    def _local_readers(self) -> list[SegmentReader]:
+        if self._readers is None:
+            self._readers = [SegmentReader(d) for d in self.seg_dirs]
+        return self._readers
+
+    def search_local(
+        self,
+        flt: Filter,
+        k: int = 10,
+        wand: bool = True,
+        scorer: ScorerCfg | None = None,
+    ) -> pd.DataFrame:
+        plan = self.prepare(flt, scorer).plan
+        parts = []
+        for r in self._local_readers():
+            t = segment_topk(r, plan, k, wand).to_pandas()
+            t.insert(0, "query_id", "q")
+            parts.append(t)
+        merged = merge_topk(pd.concat(parts, ignore_index=True), k)
+        return merged.drop(columns=["query_id"])
+
+    # -- distributed execution: SegmentSearcher actor pool ----------------
+    def search_ray(
+        self,
+        queries: dict[str, Filter],
+        k: int = 10,
+        wand: bool = True,
+        scorer: ScorerCfg | None = None,
+        concurrency: int | tuple[int, int] = 4,
+        batch_size: int | None = None,
+    ) -> pd.DataFrame:
+        """Run a batch of named queries; returns (query_id, conv_id,
+        turn_idx, score) with ranks merged across segments."""
+        import ray.data as rd
+
+        plans = {
+            qid: json.dumps(self.prepare(f, scorer).plan) for qid, f in queries.items()
+        }
+        # group items per segment so an actor's cached shard serves a whole
+        # batch of queries per block (cache locality, SURVEY §3.2)
+        items = [
+            {"seg_dir": d, "query_id": qid, "plan": plan, "k": k, "wand": wand}
+            for d in self.seg_dirs
+            for qid, plan in plans.items()
+        ]
+        if not items:
+            return RESULT_SCHEMA.empty_table().to_pandas()
+        if batch_size is None:
+            batch_size = max(1, len(plans))
+        ds = rd.from_items(items)
+        res = ds.map_batches(
+            SegmentSearcher,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        frames = res.to_pandas()
+        return merge_topk(frames, k)
+
+
+def search(
+    index_dir: str,
+    flt: Filter,
+    k: int = 10,
+    wand: bool = True,
+    scorer: ScorerCfg | None = None,
+) -> pd.DataFrame:
+    """Convenience one-shot local search."""
+    return Searcher(index_dir).search_local(flt, k=k, wand=wand, scorer=scorer)

@@ -1,0 +1,344 @@
+"""Per-segment query execution — SURVEY.md §2.5/§2.8 (the doc_iterator layer).
+
+The reference's pull-based iterator trees (conjunction leapfrog, disjunction
+heaps — ref: core/search/conjunction.hpp, disjunction.hpp, exclusion.hpp) are
+re-expressed as vectorized numpy set algebra over decoded posting arrays:
+union = concat + unique + bincount-sum (with leg counting for min_match),
+intersection = successive ``np.intersect1d`` ordered by ascending cost (df),
+exclusion = ``np.isin`` mask.  Rank-identity is preserved by pinned float64
+term-at-a-time accumulation and the (score desc, conv_id, turn_idx) total
+order (SURVEY §2.6 tie-break).
+
+``eval_union_wand`` is the block-max WAND analog (SURVEY §2.8, Ding & Suel
+2011 adapted to term-at-a-time): legs are processed in descending score
+upper bound; once the suffix upper bound drops strictly below the running
+k-th partial score, the candidate set is frozen and later legs decode ONLY
+the posting blocks containing surviving candidates (skip-list +
+``block_last_doc`` targeting) — an optimization, never semantic: results are
+asserted identical with wand on/off (SURVEY §5.2 item 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.functions.codec import (
+    BLOCK_SIZE,
+    decode_blocks,
+    decode_positions,
+    decode_postings,
+)
+from iresearch_ray.functions.score import bm25_tf_factor
+from iresearch_ray.stages.segment import SegmentReader
+
+_EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+
+def _tf_factor(tfs, dls, avg_dl, scorer):
+    if scorer["name"] == "tfidf":
+        # Lucene-classic with norms folded in (SURVEY §2.6); avg_dl unused
+        s = np.sqrt(tfs.astype(np.float64))
+        return s / np.sqrt(dls.astype(np.float64))
+    return bm25_tf_factor(
+        tfs.astype(np.float64), dls.astype(np.float64), avg_dl, scorer["k1"], scorer["b"]
+    )
+
+
+def _field_dls(reader: SegmentReader, field_name: str) -> np.ndarray:
+    """Norms: exact integer lengths for the analyzed text field (Norm2
+    semantics, SURVEY §2.3 pinned); constant 1 for keyword fields."""
+    cfg = reader.meta.get("config", {})
+    if field_name == cfg.get("text_field", "text"):
+        return reader.dls
+    return np.ones(reader.meta["docs_count"], dtype=np.int64)
+
+
+class _TermCursor:
+    """One leg's decoded state (lazy)."""
+
+    def __init__(self, reader: SegmentReader, node: dict):
+        self.reader = reader
+        self.node = node
+        self.row = reader.term_row(node["field"], node["term"])
+
+    @property
+    def present(self) -> bool:
+        return self.row is not None
+
+    def df(self) -> int:
+        if self.row is None:
+            return 0
+        return int(self.reader.terms["df"][self.row].as_py())
+
+    def _col(self, name: str):
+        return self.reader.terms[name][self.row].as_py()
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.row is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return decode_postings(self._col("doc_blob"))
+
+    def upper_bound(self, avg_dl: float, scorer: dict) -> float:
+        """Term-level score upper bound: max tf paired with MIN dl
+        (monotonicity argument — SURVEY §7.4 watch-list)."""
+        if self.row is None:
+            return 0.0
+        max_tf = np.array([self._col("max_tf")], dtype=np.int64)
+        min_dl = np.array([max(1, self._col("min_dl"))], dtype=np.int64)
+        return float(self.node["weight"]) * float(
+            _tf_factor(max_tf, min_dl, avg_dl, scorer)[0]
+        )
+
+    def decode_candidates(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode only blocks that can contain any of ``candidates`` (sorted),
+        then intersect — the skip-list read path."""
+        if self.row is None or candidates.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        block_last = np.asarray(self._col("block_last_doc"), dtype=np.int64)
+        block_off = np.asarray(self._col("block_off"), dtype=np.int64)
+        block_cnt = np.asarray(self._col("block_doc_count"), dtype=np.int64)
+        which = np.unique(np.searchsorted(block_last, candidates, side="left"))
+        which = which[which < block_last.size]
+        if which.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, tfs = decode_blocks(
+            self._col("doc_blob"), block_off, block_last, block_cnt, which
+        )
+        keep = np.isin(docs, candidates, assume_unique=True)
+        return docs[keep], tfs[keep]
+
+    def positions_for_docs(self, sel_docs: np.ndarray) -> list[np.ndarray]:
+        """Per-doc position arrays for the selected (sorted) docs — the
+        phrase-iterator read path (positions are block-aligned varint
+        streams, SURVEY §2.3)."""
+        all_docs, all_tfs = self.decode_all()
+        idx = np.searchsorted(all_docs, sel_docs)
+        block_of = idx // BLOCK_SIZE
+        pos_off = np.asarray(self._col("pos_off"), dtype=np.int64)
+        nblocks = pos_off.size
+        pos_blob = self._col("pos_blob")
+        cache: dict[int, np.ndarray] = {}
+        out: list[np.ndarray] = []
+        for i, b in zip(idx, block_of):
+            flat = cache.get(b)
+            if flat is None:
+                flat = decode_positions(pos_blob, pos_off, all_tfs, int(b), nblocks)
+                cache[b] = flat
+            s_doc = b * BLOCK_SIZE
+            e_doc = min(s_doc + BLOCK_SIZE, all_tfs.size)
+            tfs_blk = all_tfs[s_doc:e_doc]
+            ends = np.cumsum(tfs_blk)
+            j = i - s_doc
+            out.append(flat[ends[j] - tfs_blk[j]: ends[j]])
+        return out
+
+
+def _merge_add(
+    docs_a: np.ndarray, sc_a: np.ndarray, docs_b: np.ndarray, sc_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union of two sorted (docs, scores), summing scores on overlap."""
+    if docs_a.size == 0:
+        return docs_b, sc_b
+    if docs_b.size == 0:
+        return docs_a, sc_a
+    docs = np.concatenate([docs_a, docs_b])
+    scores = np.concatenate([sc_a, sc_b])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    summed = np.bincount(inv, weights=scores, minlength=uniq.size)
+    return uniq, summed
+
+
+def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
+    op = node["op"]
+    if op == "term":
+        cur = _TermCursor(reader, node)
+        docs, tfs = cur.decode_all()
+        if docs.size == 0:
+            return _EMPTY
+        dls = _field_dls(reader, node["field"])[docs - 1]
+        scores = node["weight"] * _tf_factor(tfs, dls, node["avg_dl"], scorer)
+        return docs, scores.astype(np.float64)
+
+    if op == "union":
+        legs = [eval_node(reader, c, scorer) for c in node["children"]]
+        legs = [(d, s) for d, s in legs if d.size]
+        if not legs:
+            return _EMPTY
+        docs = np.concatenate([d for d, _ in legs])
+        scores = np.concatenate([s for _, s in legs])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        summed = np.bincount(inv, weights=scores, minlength=uniq.size)
+        mm = int(node.get("min_match", 1))
+        if mm > 1:
+            counts = np.bincount(inv, minlength=uniq.size)
+            keep = counts >= mm
+            return uniq[keep], summed[keep]
+        return uniq, summed
+
+    if op == "and":
+        legs = [eval_node(reader, c, scorer) for c in node["children"]]
+        # leapfrog order: ascending cost == ascending posting length (§2.5)
+        legs.sort(key=lambda ds: ds[0].size)
+        docs, scores = legs[0]
+        for d2, s2 in legs[1:]:
+            docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
+            scores = scores[ia] + s2[ib]
+            if docs.size == 0:
+                return _EMPTY
+        return docs, scores
+
+    if op == "not":
+        pos_d, pos_s = eval_node(reader, node["positive"], scorer)
+        neg_d, _ = eval_node(reader, node["negative"], scorer)
+        keep = ~np.isin(pos_d, neg_d, assume_unique=True)
+        return pos_d[keep], pos_s[keep]
+
+    if op == "phrase":
+        return _eval_phrase(reader, node, scorer)
+
+    if op == "all":
+        n = reader.meta["docs_count"]
+        return (
+            np.arange(1, n + 1, dtype=np.int64),
+            np.full(n, float(node["weight"]), dtype=np.float64),
+        )
+
+    if op == "exists":
+        f = node["field"]
+        cfg = reader.meta.get("config", {})
+        if f == cfg.get("text_field", "text"):
+            mask = reader.dls > 0
+        elif f in reader.docs.column_names:
+            mask = reader.docs[f].is_valid().to_numpy(zero_copy_only=False)
+        else:
+            mask = np.zeros(reader.meta["docs_count"], dtype=bool)
+        docs = np.flatnonzero(mask).astype(np.int64) + 1
+        return docs, np.full(docs.size, float(node["weight"]), dtype=np.float64)
+
+    if op == "empty":
+        return _EMPTY
+
+    raise ValueError(f"unknown plan op {op!r}")
+
+
+def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
+    cursors = [_TermCursor(reader, {**node, "term": t}) for t in node["terms"]]
+    if any(not c.present for c in cursors):
+        return _EMPTY
+    doc_sets = [c.decode_all()[0] for c in cursors]
+    inter = doc_sets[0]
+    for d in doc_sets[1:]:
+        inter = np.intersect1d(inter, d, assume_unique=True)
+        if inter.size == 0:
+            return _EMPTY
+    pos_lists = [c.positions_for_docs(inter) for c in cursors]
+    tf_out = np.zeros(inter.size, dtype=np.int64)
+    for i in range(inter.size):
+        cand = pos_lists[0][i]
+        for j in range(1, len(cursors)):
+            if cand.size == 0:
+                break
+            cand = cand[np.isin(cand + j, pos_lists[j][i], assume_unique=True)]
+        tf_out[i] = cand.size
+    keep = tf_out > 0
+    docs = inter[keep]
+    if docs.size == 0:
+        return _EMPTY
+    dls = _field_dls(reader, node["field"])[docs - 1]
+    scores = node["weight"] * _tf_factor(tf_out[keep], dls, node["avg_dl"], scorer)
+    return docs, scores.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND (term-at-a-time upper-bound pruning) — SURVEY §2.8
+# ---------------------------------------------------------------------------
+
+def _wand_applicable(root: dict) -> bool:
+    return (
+        root["op"] == "union"
+        and int(root.get("min_match", 1)) <= 1
+        and all(c["op"] == "term" for c in root["children"])
+    )
+
+
+def eval_union_wand(
+    reader: SegmentReader, root: dict, scorer: dict, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    children = root["children"]
+    cursors = [_TermCursor(reader, c) for c in children]
+    pairs = [(c, cur) for c, cur in zip(children, cursors) if cur.present]
+    if not pairs:
+        return _EMPTY
+    avg_dl = pairs[0][0]["avg_dl"]
+    ubs = np.array([cur.upper_bound(avg_dl, scorer) for _, cur in pairs])
+    order = np.argsort(-ubs, kind="stable")
+    pairs = [pairs[i] for i in order]
+    ubs = ubs[order]
+    suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+
+    dls_all = _field_dls(reader, pairs[0][0]["field"])
+    acc_docs = np.empty(0, np.int64)
+    acc_scores = np.empty(0, np.float64)
+    candidates: np.ndarray | None = None
+
+    for i, (node, cur) in enumerate(pairs):
+        if candidates is None:
+            docs, tfs = cur.decode_all()
+        else:
+            docs, tfs = cur.decode_candidates(candidates)
+        if docs.size:
+            scores = node["weight"] * _tf_factor(tfs, dls_all[docs - 1], avg_dl, scorer)
+            acc_docs, acc_scores = _merge_add(
+                acc_docs, acc_scores, docs, scores.astype(np.float64)
+            )
+        R = float(suffix_ub[i])
+        if acc_docs.size > k and R > 0.0:
+            kth = float(np.partition(acc_scores, acc_docs.size - k)[acc_docs.size - k])
+            if R < kth:
+                keep = acc_scores + R >= kth
+                acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+                candidates = acc_docs
+        elif candidates is not None:
+            candidates = acc_docs
+    return acc_docs, acc_scores
+
+
+def segment_topk(
+    reader: SegmentReader, plan: dict, k: int, wand: bool = True
+) -> pa.Table:
+    """Evaluate one prepared plan over one segment → local top-k table
+    (conv_id, turn_idx, score) under the pinned total order."""
+    scorer = plan["scorer"]
+    root = plan["root"]
+    if wand and _wand_applicable(root):
+        docs, scores = eval_union_wand(reader, root, scorer, k)
+    else:
+        docs, scores = eval_node(reader, root, scorer)
+    if docs.size == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    if docs.size > k:
+        # keep every doc tied with the k-th largest score so the (score desc,
+        # doc order) tie-break stays exact, then sort the reduced set
+        kth = np.partition(scores, docs.size - k)[docs.size - k]
+        sel = np.flatnonzero(scores >= kth)
+        docs_s, scores_s = docs[sel], scores[sel]
+    else:
+        docs_s, scores_s = docs, scores
+    order = np.lexsort((docs_s, -scores_s))[:k]
+    top_docs = docs_s[order]
+    top_scores = scores_s[order]
+    dtab = reader.docs.take(pa.array(top_docs - 1))
+    return pa.table(
+        {
+            "conv_id": dtab["conv_id"],
+            "turn_idx": dtab["turn_idx"],
+            "score": pa.array(top_scores, pa.float64()),
+        }
+    )

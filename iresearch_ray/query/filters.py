@@ -1,0 +1,366 @@
+"""Filter AST + prepare — SURVEY.md §2.4/§2.5/§2.6.
+
+Mirrors the reference's filter tree (ref: core/search/filter.hpp — `filter`
+subclasses with `boost()`; boolean_filter.cpp And/Or/Not) and its two-phase
+query protocol: ``prepare`` runs ONCE per query against index-global state
+(stats collection + multiterm expansion against the merged term dictionary —
+ref: multiterm_query.cpp / prepare() walking all segments), producing a
+JSON-able physical *plan* that per-segment executors evaluate independently
+(SURVEY §3.2: the driver prepares, SegmentSearcher actors execute).
+
+Pinned scoring decisions (recorded per SURVEY §0 ⚠ convention):
+- multiterm expansion scores ALL matched terms, each with its own global idf
+  (`scored_terms_limit` sampling deliberately not reproduced — SURVEY §2.5).
+- fuzzy matches carry no distance-based boost (pinned; oracle matches).
+- phrase weight = boost * Σ term idfs, tf = phrase frequency (Lucene-style,
+  pinned in SURVEY §2.5 via by_phrase).
+- `all` / `exists` score = boost (constant, ref: all_filter boost score).
+- norms (dl) exist only for the analyzed text field; keyword fields have
+  constant field length 1 (single-token streams ⇒ dl==1 always).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from iresearch_ray.functions.score import B_DEFAULT, K1_DEFAULT, bm25_idf, tfidf_idf
+from iresearch_ray.state.stats import GlobalStats
+
+
+class Filter:
+    boost: float = 1.0
+
+
+@dataclass
+class Term(Filter):
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass
+class Terms(Filter):
+    """IN-set of terms with optional min-match (ref: terms_filter.cpp)."""
+
+    field: str
+    terms: tuple[str, ...]
+    min_match: int = 1
+    boost: float = 1.0
+
+
+@dataclass
+class Prefix(Filter):
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass
+class TermRange(Filter):
+    """Term range over the sorted dictionary (ref: range_filter.cpp)."""
+
+    field: str
+    low: str | None = None
+    high: str | None = None
+    include_low: bool = True
+    include_high: bool = True
+    boost: float = 1.0
+
+
+@dataclass
+class Wildcard(Filter):
+    """`%`/`_` (reference syntax) or `*`/`?` (glob) pattern
+    (ref: wildcard_filter.cpp)."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
+class Fuzzy(Filter):
+    """Levenshtein distance <= max_distance (ref: levenshtein_filter.cpp;
+    d<=4; optional transpositions = OSA distance)."""
+
+    field: str
+    term: str
+    max_distance: int = 1
+    with_transpositions: bool = False
+    boost: float = 1.0
+
+
+@dataclass
+class Phrase(Filter):
+    """Exact phrase over positions (ref: phrase_filter.cpp; v1 = fixed terms,
+    slop 0 — SURVEY §2.4 pinned)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class And(Filter):
+    children: tuple = ()
+    boost: float = 1.0
+
+
+@dataclass
+class Or(Filter):
+    children: tuple = ()
+    min_match: int = 1
+    boost: float = 1.0
+
+
+@dataclass
+class Not(Filter):
+    """positive AND NOT negative (ref: boolean_filter.cpp Not/exclusion)."""
+
+    positive: Filter = None
+    negative: Filter = None
+    boost: float = 1.0
+
+
+@dataclass
+class AllDocs(Filter):
+    boost: float = 1.0
+
+
+@dataclass
+class Exists(Filter):
+    """Docs having the field (ref: column_existence_filter.cpp)."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass
+class Empty(Filter):
+    boost: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# prepare: Filter tree + GlobalStats -> plan dict
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ScorerCfg:
+    name: str = "bm25"
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+
+    def idf(self, n: float, N: float) -> float:
+        if n <= 0 or N <= 0:
+            return 0.0
+        if self.name == "tfidf":
+            return tfidf_idf(n, N)
+        return bm25_idf(n, N)
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "k1": self.k1, "b": self.b}
+
+
+def wildcard_to_regex(pattern: str) -> re.Pattern:
+    out = []
+    for ch in pattern:
+        if ch in ("%", "*"):
+            out.append(".*")
+        elif ch in ("_", "?"):
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("".join(out), re.DOTALL)
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    lit = []
+    for ch in pattern:
+        if ch in ("%", "*", "_", "?"):
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
+def osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment (transposition-aware) edit distance with an
+    early-exit cap; plain Levenshtein when transpositions unused by caller."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if prev2 is not None and i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+            row_min = min(row_min, v)
+        if row_min > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def levenshtein_distance(a: str, b: str, cap: int) -> int:
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            row_min = min(row_min, v)
+        if row_min > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+class Prepared:
+    """prepare() output: the plan shipped to segment executors + metadata."""
+
+    def __init__(self, plan: dict):
+        self.plan = plan
+
+    def to_json(self) -> dict:
+        return self.plan
+
+
+def prepare(
+    flt: Filter, stats: GlobalStats, scorer: ScorerCfg | None = None, boost: float = 1.0
+) -> Prepared:
+    scorer = scorer or ScorerCfg()
+    root = _prepare_node(flt, stats, scorer, boost)
+    return Prepared({"scorer": scorer.to_json(), "root": root})
+
+
+def _term_leaf(field_name: str, term: str, weight_boost: float, stats: GlobalStats, scorer: ScorerCfg) -> dict:
+    N, avg_dl = stats.field(field_name)
+    n = stats.term_df(field_name, term)
+    return {
+        "op": "term",
+        "field": field_name,
+        "term": term,
+        "weight": weight_boost * scorer.idf(n, N),
+        "avg_dl": avg_dl,
+    }
+
+
+def _union_of_terms(
+    field_name: str,
+    terms_and_boosts: list[tuple[str, float]],
+    stats: GlobalStats,
+    scorer: ScorerCfg,
+    min_match: int = 1,
+) -> dict:
+    legs = [
+        _term_leaf(field_name, t, b, stats, scorer) for t, b in terms_and_boosts
+    ]
+    return {"op": "union", "children": legs, "min_match": min_match}
+
+
+def _expand_terms(field_name: str, stats: GlobalStats, mask_fn) -> list[str]:
+    terms, _dfs = stats.field_terms(field_name)
+    return [t for t in terms if mask_fn(t)]
+
+
+def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: float) -> dict:
+    boost = boost * flt.boost
+    if isinstance(flt, Term):
+        return _term_leaf(flt.field, flt.term, boost, stats, scorer)
+    if isinstance(flt, Terms):
+        return _union_of_terms(
+            flt.field, [(t, boost) for t in dict.fromkeys(flt.terms)], stats, scorer, flt.min_match
+        )
+    if isinstance(flt, Prefix):
+        terms, _ = stats.field_terms(flt.field)
+        lo = np.searchsorted(terms, flt.prefix, side="left")
+        matched = []
+        for i in range(int(lo), terms.size):
+            t = terms[i]
+            if not t.startswith(flt.prefix):
+                break
+            matched.append(t)
+        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+    if isinstance(flt, TermRange):
+        terms, _ = stats.field_terms(flt.field)
+        lo = 0
+        hi = terms.size
+        if flt.low is not None:
+            lo = int(np.searchsorted(terms, flt.low, side="left" if flt.include_low else "right"))
+        if flt.high is not None:
+            hi = int(np.searchsorted(terms, flt.high, side="right" if flt.include_high else "left"))
+        matched = list(terms[lo:hi])
+        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+    if isinstance(flt, Wildcard):
+        rx = wildcard_to_regex(flt.pattern)
+        pfx = wildcard_literal_prefix(flt.pattern)
+        terms, _ = stats.field_terms(flt.field)
+        if pfx:
+            lo = int(np.searchsorted(terms, pfx, side="left"))
+            cand = []
+            for i in range(lo, terms.size):
+                t = terms[i]
+                if not t.startswith(pfx):
+                    break
+                cand.append(t)
+        else:
+            cand = list(terms)
+        matched = [t for t in cand if rx.fullmatch(t)]
+        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+    if isinstance(flt, Fuzzy):
+        d = min(int(flt.max_distance), 4)
+        dist = osa_distance if flt.with_transpositions else levenshtein_distance
+        terms, _ = stats.field_terms(flt.field)
+        q = flt.term
+        matched = [t for t in terms if dist(q, t, d) <= d]
+        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+    if isinstance(flt, Phrase):
+        N, avg_dl = stats.field(flt.field)
+        w = boost * sum(
+            scorer.idf(stats.term_df(flt.field, t), N) for t in flt.terms
+        )
+        return {
+            "op": "phrase",
+            "field": flt.field,
+            "terms": list(flt.terms),
+            "weight": w,
+            "avg_dl": avg_dl,
+        }
+    if isinstance(flt, And):
+        return {
+            "op": "and",
+            "children": [_prepare_node(c, stats, scorer, boost) for c in flt.children],
+        }
+    if isinstance(flt, Or):
+        return {
+            "op": "union",
+            "children": [_prepare_node(c, stats, scorer, boost) for c in flt.children],
+            "min_match": flt.min_match,
+        }
+    if isinstance(flt, Not):
+        return {
+            "op": "not",
+            "positive": _prepare_node(
+                flt.positive if flt.positive is not None else AllDocs(), stats, scorer, boost
+            ),
+            "negative": _prepare_node(flt.negative, stats, scorer, 1.0),
+        }
+    if isinstance(flt, AllDocs):
+        return {"op": "all", "weight": boost}
+    if isinstance(flt, Exists):
+        return {"op": "exists", "field": flt.field, "weight": boost}
+    if isinstance(flt, Empty):
+        return {"op": "empty"}
+    raise TypeError(f"unknown filter {type(flt).__name__}")

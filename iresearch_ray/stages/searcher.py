@@ -1,0 +1,80 @@
+"""SegmentSearcher — the stateful query actor (SURVEY.md §3.2).
+
+A callable class for ``map_batches(SegmentSearcher, concurrency=N)``: segment
+tables are opened lazily and cached per actor (the load-once-per-worker
+mmap-shard analog — ref: core/store/fs_directory.cpp refcounted handles), so
+repeated queries against the same shard pay the Parquet read once.  Work
+units are (segment_dir, query_id, plan, k) rows; output is the per-segment
+top-k (query_id, conv_id, turn_idx, score).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+
+import pyarrow as pa
+
+from iresearch_ray.query.exec import segment_topk
+from iresearch_ray.stages.segment import SegmentReader
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class SegmentSearcher:
+    """Actor-pool callable; ``max_cached_segments`` bounds per-actor memory
+    (LRU eviction) so a pool can serve an index wider than worker heap."""
+
+    def __init__(self, max_cached_segments: int = 64):
+        self._readers: OrderedDict[str, SegmentReader] = OrderedDict()
+        self._max = max_cached_segments
+        self._plan_cache: dict[str, dict] = {}
+
+    def _reader(self, seg_dir: str) -> SegmentReader:
+        r = self._readers.get(seg_dir)
+        if r is None:
+            r = SegmentReader(seg_dir)
+            self._readers[seg_dir] = r
+            if len(self._readers) > self._max:
+                self._readers.popitem(last=False)
+        else:
+            self._readers.move_to_end(seg_dir)
+        return r
+
+    def _plan(self, plan_json: str) -> dict:
+        p = self._plan_cache.get(plan_json)
+        if p is None:
+            p = json.loads(plan_json)
+            if len(self._plan_cache) > 256:
+                self._plan_cache.clear()
+            self._plan_cache[plan_json] = p
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        seg_dirs = batch["seg_dir"].to_pylist()
+        qids = batch["query_id"].to_pylist()
+        plans = batch["plan"].to_pylist()
+        ks = batch["k"].to_pylist()
+        wands = batch["wand"].to_pylist()
+        for seg_dir, qid, plan_json, k, wand in zip(seg_dirs, qids, plans, ks, wands):
+            t = segment_topk(self._reader(seg_dir), self._plan(plan_json), int(k), bool(wand))
+            t = pa.table(
+                {
+                    "query_id": pa.array([qid] * t.num_rows, pa.string()),
+                    "conv_id": t["conv_id"].cast(pa.string()),
+                    "turn_idx": t["turn_idx"].cast(pa.int32()),
+                    "score": t["score"],
+                }
+            )
+            out.append(t)
+        if not out:
+            return RESULT_SCHEMA.empty_table()
+        return pa.concat_tables(out).cast(RESULT_SCHEMA)

@@ -1,0 +1,350 @@
+"""Segment build + read — SURVEY.md §2.3 / §3.1 (the field_data + flush analog).
+
+A segment is an immutable directory of Arrow/Parquet artifacts (SURVEY §1.2):
+
+    seg-<name>/
+      terms.parquet   term-ordered: field, term, df, cf, max_tf, min_dl,
+                      doc_blob, pos_blob, block_last_doc[], block_off[],
+                      pos_off[], block_max_tf[], block_min_dl[], block_doc_count[]
+      docs.parquet    docid-ordered: doc_id, conv_id, turn_idx, role, tool,
+                      ts, dl (+ text when cfg.store_text)
+      meta.json       name, docs_count, per-field stats, lineage, metrics
+
+Doc ids are segment-local, dense, starting at 1 (ref: type_limits.hpp
+doc_limits::min()==1).  Rows are always sorted by (conv_id, turn_idx) before
+id assignment — the primary-sort invariant (SURVEY §2.3 "primary-sort build")
+that makes ids deterministic and global doc order = (segment, conv, turn).
+
+Posting accumulation (ref: core/index/field_data.cpp byte_block_pool) is
+re-expressed as a single vectorized factorize/lexsort pass over the exploded
+(token, doc, position) arrays — no per-row python dict in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iresearch_ray.functions.analysis import TextAnalyzer, get_analyzer
+from iresearch_ray.functions.codec import encode_postings
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("min_dl", pa.int64()),
+        ("doc_blob", pa.large_binary()),
+        ("pos_blob", pa.large_binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_off", pa.list_(pa.int64())),
+        ("pos_off", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+        ("block_doc_count", pa.list_(pa.int64())),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    """What gets indexed and how (the ArangoSearch view-link config analog,
+    SURVEY §2.11)."""
+
+    text_field: str = "text"
+    keyword_fields: tuple[str, ...] = ("role", "tool")
+    analyzer: str = "text"
+    analyzer_opts: dict = field(default_factory=dict)
+    positions: bool = True      # needed for phrase (SURVEY §2.5)
+    store_text: bool = True     # per-turn text equality verification (B input_hint)
+    scorer: str = "bm25"
+
+    def make_analyzer(self):
+        return get_analyzer(self.analyzer, **self.analyzer_opts)
+
+    def to_json(self) -> dict:
+        return {
+            "text_field": self.text_field,
+            "keyword_fields": list(self.keyword_fields),
+            "analyzer": self.analyzer,
+            "analyzer_opts": self.analyzer_opts,
+            "positions": self.positions,
+            "store_text": self.store_text,
+            "scorer": self.scorer,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexConfig":
+        d = dict(d)
+        d["keyword_fields"] = tuple(d.get("keyword_fields", ()))
+        return IndexConfig(**d)
+
+
+def _postings_for_field(
+    field_name: str,
+    term_lists: list[list[str]],
+    doc_ids: np.ndarray,
+    dls: np.ndarray,
+    with_positions: bool,
+) -> list[dict]:
+    """Vectorized postings for one field: explode → factorize → lexsort →
+    per-term encode.  ``dls`` is the per-doc field length used for norms."""
+    lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return []
+    flat = [t for toks in term_lists for t in toks]
+    doc_rep = np.repeat(doc_ids, lens)
+    dl_rep = np.repeat(dls, lens)
+    # position of each occurrence within its doc
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+    # group by (term, doc); positions already ascending within (doc) by construction
+    order = np.lexsort((pos, doc_rep, codes))
+    codes_s, docs_s, pos_s, dl_s = codes[order], doc_rep[order], pos[order], dl_rep[order]
+    # (term, doc) run boundaries
+    new_pair = np.empty(total, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1])
+    pair_starts = np.flatnonzero(new_pair)
+    tf = np.diff(np.append(pair_starts, total))
+    pair_term = codes_s[pair_starts]
+    pair_doc = docs_s[pair_starts]
+    pair_dl = dl_s[pair_starts]
+    # term run boundaries over pairs
+    new_term = np.empty(pair_term.size, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = pair_term[1:] != pair_term[:-1]
+    term_starts = np.flatnonzero(new_term)
+    term_ends = np.append(term_starts[1:], pair_term.size)
+    occ_ends = np.cumsum(tf)
+    occ_starts = occ_ends - tf
+
+    rows = []
+    for ts_i, te_i in zip(term_starts, term_ends):
+        t_docs = pair_doc[ts_i:te_i]
+        t_tfs = tf[ts_i:te_i]
+        t_dls = pair_dl[ts_i:te_i]
+        t_pos = (
+            pos_s[occ_starts[ts_i]: occ_ends[te_i - 1]] if with_positions else None
+        )
+        blob = encode_postings(t_docs, t_tfs, t_dls, t_pos)
+        rows.append(
+            {
+                "field": field_name,
+                "term": str(uniques[pair_term[ts_i]]),
+                "df": int(t_docs.size),
+                "cf": int(t_tfs.sum()),
+                "max_tf": int(t_tfs.max()),
+                "min_dl": int(t_dls.min()),
+                "doc_blob": blob.doc_blob,
+                "pos_blob": blob.pos_blob,
+                "block_last_doc": blob.block_last_doc.tolist(),
+                "block_off": blob.block_off.tolist(),
+                "pos_off": blob.pos_off.tolist(),
+                "block_max_tf": blob.block_max_tf.tolist(),
+                "block_min_dl": blob.block_min_dl.tolist(),
+                "block_doc_count": blob.block_doc_count.tolist(),
+            }
+        )
+    return rows
+
+
+def build_segment_tables(
+    rows: pa.Table, cfg: IndexConfig
+) -> tuple[pa.Table, pa.Table, dict]:
+    """Build (terms, docs, field_stats) for one partition's rows.
+
+    ``rows`` must contain conv_id, turn_idx and the configured fields; they
+    are sorted by (conv_id, turn_idx) here for stable dense doc ids 1..n.
+    """
+    rows = rows.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    n = rows.num_rows
+    doc_ids = np.arange(1, n + 1, dtype=np.int64)
+    analyzer = cfg.make_analyzer()
+    texts = rows[cfg.text_field].to_pylist()
+    token_lists = analyzer(texts)
+    dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+
+    term_rows: list[dict] = []
+    field_stats: dict[str, dict] = {}
+
+    term_rows += _postings_for_field(
+        cfg.text_field, token_lists, doc_ids, dls, cfg.positions
+    )
+    field_stats[cfg.text_field] = {
+        # docs_with_field counts docs producing >=1 token (null/empty text has
+        # no tokens => field absent, matching the reference's field semantics)
+        "docs_with_field": int((dls > 0).sum()),
+        "total_term_freq": int(dls.sum()),
+    }
+
+    kw = get_analyzer("keyword")
+    for f in cfg.keyword_fields:
+        if f not in rows.column_names:
+            continue
+        vals = rows[f].to_pylist()
+        kw_lists = kw(vals)
+        kw_dls = np.fromiter((len(t) for t in kw_lists), dtype=np.int64, count=n)
+        term_rows += _postings_for_field(f, kw_lists, doc_ids, kw_dls, False)
+        field_stats[f] = {
+            "docs_with_field": int((kw_dls > 0).sum()),
+            "total_term_freq": int(kw_dls.sum()),
+        }
+
+    term_rows.sort(key=lambda r: (r["field"], r["term"]))
+    terms = (
+        pa.Table.from_pylist(term_rows, schema=TERMS_SCHEMA)
+        if term_rows
+        else TERMS_SCHEMA.empty_table()
+    )
+
+    doc_cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "conv_id": rows["conv_id"],
+        "turn_idx": rows["turn_idx"],
+        "dl": pa.array(dls, pa.int64()),
+    }
+    for extra in (*cfg.keyword_fields, "ts"):
+        if extra in rows.column_names:
+            doc_cols[extra] = rows[extra]
+    if cfg.store_text:
+        doc_cols[cfg.text_field] = rows[cfg.text_field]
+    docs = pa.table(doc_cols)
+    return terms, docs, field_stats
+
+
+def segment_content_key(rows: pa.Table) -> str:
+    """Deterministic content hash of a partition's doc keys — names the
+    segment dir so retries/resume are idempotent (SURVEY §4.1 retries,
+    §4.3 layout).  crc32 over the sorted (conv_id, turn_idx) key stream."""
+    t = rows.select(["conv_id", "turn_idx"]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    crc = zlib.crc32(str(t.num_rows).encode())
+    conv = t["conv_id"].to_pandas().to_numpy(dtype=object)
+    turn = t["turn_idx"].to_pandas().to_numpy()
+    joined = "\x00".join(f"{c}\x01{i}" for c, i in zip(conv, turn))
+    crc = zlib.crc32(joined.encode(), crc)
+    return f"{crc:08x}"
+
+
+def write_segment(
+    index_dir: str,
+    name: str,
+    terms: pa.Table,
+    docs: pa.Table,
+    field_stats: dict,
+    cfg: IndexConfig,
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> dict:
+    """Write a segment dir atomically (tmp + rename — the two-phase-commit
+    analog at segment granularity, SURVEY §2.3) and return its meta entry."""
+    seg_dir = os.path.join(index_dir, "segments", name)
+    if os.path.isdir(seg_dir) and os.path.exists(os.path.join(seg_dir, "meta.json")):
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            return json.load(f)  # idempotent retry / resume hit
+    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
+    pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+    meta = {
+        "name": name,
+        "docs_count": int(docs.num_rows),
+        "field_stats": field_stats,
+        "terms_count": int(terms.num_rows),
+        "min_key": [str(docs["conv_id"][0]), int(docs["turn_idx"][0].as_py())]
+        if docs.num_rows
+        else None,
+        "max_key": [str(docs["conv_id"][-1]), int(docs["turn_idx"][-1].as_py())]
+        if docs.num_rows
+        else None,
+        "bytes": sum(
+            os.path.getsize(os.path.join(tmp_dir, f))
+            for f in ("terms.parquet", "docs.parquet")
+        ),
+        "config": cfg.to_json(),
+        "lineage": lineage or {},
+        "metrics": metrics or {},
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        if not os.path.exists(os.path.join(seg_dir, "meta.json")):
+            raise
+        # concurrent retry won the rename — identical content, drop ours
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return meta
+
+
+class SegmentReader:
+    """Point-in-time reader over one segment dir (ref:
+    core/index/segment_reader.hpp).  Loads terms/docs tables lazily and keeps
+    them cached — intended to live inside a SegmentSearcher actor so the load
+    happens once per worker (SURVEY §3.2)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        self._terms: pa.Table | None = None
+        self._docs: pa.Table | None = None
+        self._meta: dict | None = None
+        self._term_index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.seg_dir, "meta.json")) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    @property
+    def terms(self) -> pa.Table:
+        if self._terms is None:
+            self._terms = pq.read_table(os.path.join(self.seg_dir, "terms.parquet"))
+        return self._terms
+
+    @property
+    def docs(self) -> pa.Table:
+        if self._docs is None:
+            self._docs = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"))
+        return self._docs
+
+    def field_terms(self, field_name: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted term strings, row indices into terms table) for a field —
+        the term-dictionary seek structure (FST analog is binary search over
+        the term-sorted column, SURVEY §2.4 by_term)."""
+        hit = self._term_index.get(field_name)
+        if hit is None:
+            fields = self.terms["field"].to_pandas().to_numpy(dtype=object)
+            idx = np.flatnonzero(fields == field_name)
+            terms = self.terms["term"].to_pandas().to_numpy(dtype=object)[idx]
+            hit = (terms, idx)
+            self._term_index[field_name] = hit
+        return hit
+
+    def term_row(self, field_name: str, term: str) -> int | None:
+        terms, idx = self.field_terms(field_name)
+        i = np.searchsorted(terms, term)
+        if i < terms.size and terms[i] == term:
+            return int(idx[i])
+        return None
+
+    @property
+    def dls(self) -> np.ndarray:
+        return self.docs["dl"].to_numpy()

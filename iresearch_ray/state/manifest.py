@@ -1,0 +1,109 @@
+"""Index manifest — the index_meta / two-phase-commit analog (SURVEY §2.3, §4.3).
+
+Layout:
+
+    index_dir/
+      manifest.json                     # current generation (atomic swap)
+      manifest-g{N}.json                # immutable per-generation snapshots
+      segments/seg-*/…                  # immutable segment dirs
+      _tmp/…                           # staged writes
+
+``manifest.json`` is only ever replaced via write-temp + ``os.rename`` —
+readers always see a complete generation (ref: index_writer start()/finish()
+two-phase commit).  Each generation records the live segment list, lineage
+(which input partitions / parent segments produced each segment) and build
+metrics per partition (B north_rule: "checkpoints per-partition segment
+lineage and build metrics for resumable builds").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_manifest(
+    index_dir: str,
+    segments: list[dict],
+    config: dict,
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> dict:
+    """Publish a new generation (the commit() analog).  ``segments`` is the
+    full live list of segment meta entries, in stable (name) order."""
+    prev = load_manifest(index_dir)
+    gen = (prev["generation"] + 1) if prev else 1
+    manifest = {
+        "generation": gen,
+        "committed_at": time.time(),
+        "config": config,
+        "segments": sorted(segments, key=lambda s: s["name"]),
+        "docs_count": sum(s["docs_count"] for s in segments),
+        "lineage": lineage or {},
+        "metrics": metrics or {},
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    _atomic_write_json(os.path.join(index_dir, f"manifest-g{gen}.json"), manifest)
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    return manifest
+
+
+def segment_dirs(index_dir: str, manifest: dict) -> list[str]:
+    return [
+        os.path.join(index_dir, "segments", s["name"]) for s in manifest["segments"]
+    ]
+
+
+def completed_segments(index_dir: str) -> dict[str, dict]:
+    """Scan segments/ for completed (meta.json present) segment dirs —
+    the resume detection path (SURVEY §4.3: crash mid-build leaves only
+    _tmp garbage; completed dirs are detected here and skipped)."""
+    seg_root = os.path.join(index_dir, "segments")
+    out: dict[str, dict] = {}
+    if not os.path.isdir(seg_root):
+        return out
+    for name in os.listdir(seg_root):
+        meta_path = os.path.join(seg_root, name, "meta.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    out[name] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+    return out
+
+
+def gc_segments(index_dir: str, manifest: dict) -> list[str]:
+    """Remove segment dirs not referenced by the current generation
+    (post-consolidation garbage collection; grace handling is the caller's
+    concern — SURVEY §3.3)."""
+    import shutil
+
+    live = {s["name"] for s in manifest["segments"]}
+    removed = []
+    seg_root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(seg_root):
+        return removed
+    for name in os.listdir(seg_root):
+        if name not in live:
+            shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+            removed.append(name)
+    return removed

@@ -1,0 +1,75 @@
+"""Analyzer unit tests — SURVEY §5.2 item 1 (pinned token streams + dl)."""
+
+from iresearch_ray.functions.analysis import (
+    DelimiterAnalyzer,
+    KeywordAnalyzer,
+    NgramAnalyzer,
+    NormalizingAnalyzer,
+    PipelineAnalyzer,
+    TextAnalyzer,
+    get_analyzer,
+    porter_stem,
+    tokenize_text,
+)
+
+
+def test_text_pinned_spec():
+    # lowercase, [^\W_]+ split, underscores are separators
+    assert tokenize_text("Quick Brown-Fox_jumps 42!") == ["quick", "brown", "fox", "jumps", "42"]
+    assert tokenize_text("") == []
+    assert tokenize_text(None) == []
+    # NFC + casefold on non-ascii
+    assert tokenize_text("Café CAFÉ")[0] == "café"
+
+
+def test_text_dl_counts():
+    a = TextAnalyzer()
+    toks = a(["quick brown fox jumps over the lazy dog", "quick quick brown cat"])
+    assert [len(t) for t in toks] == [8, 4]
+
+
+def test_text_stopwords_and_stem():
+    a = TextAnalyzer(stopwords={"the"}, stemmer=True)
+    assert a.tokenize_one("the running dogs") == ["run", "dog"]
+
+
+def test_keyword():
+    a = KeywordAnalyzer()
+    assert a(["Exact Value", None]) == [["Exact Value"], []]
+
+
+def test_delimiter():
+    a = DelimiterAnalyzer(",")
+    assert a(["a,b,,c"]) == [["a", "b", "c"]]
+
+
+def test_ngram():
+    a = NgramAnalyzer(2, 3)
+    assert a.tokenize_one("abc") == ["ab", "abc", "bc"]
+    a2 = NgramAnalyzer(2, 2, preserve_original=True)
+    assert a2.tokenize_one("abcd") == ["ab", "bc", "cd", "abcd"]
+
+
+def test_normalizing():
+    a = NormalizingAnalyzer()
+    assert a(["CÀFÉ"]) == [["cafe"]]
+
+
+def test_pipeline():
+    p = PipelineAnalyzer(DelimiterAnalyzer(","), TextAnalyzer())
+    assert p(["Hello World,Foo"]) == [["hello", "world", "foo"]]
+
+
+def test_porter_stem_classics():
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("running") == "run"
+
+
+def test_registry():
+    assert get_analyzer("text").__class__ is TextAnalyzer
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_analyzer("nope")

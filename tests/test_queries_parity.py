@@ -1,0 +1,122 @@
+"""End-to-end rank parity — SURVEY §5.2 item 5 / FIXTURES §3 query families.
+
+Engine top-k vs the brute-force oracle on a 200-conv synthetic corpus:
+identical (conv_id, turn_idx) ranks and scores to 1e-6, for every operator
+family, with WAND pruning ON and OFF (must be invariant).
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.pipelines.build import build_index_local
+from iresearch_ray.pipelines.search import Searcher
+from iresearch_ray.query import filters as F
+from iresearch_ray.query.filters import ScorerCfg
+from iresearch_ray.query.oracle import BruteForceOracle
+from iresearch_ray.sources.transcripts import HOT_HEAD, gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tbl = gen_transcripts(200)
+    d = str(tmp_path_factory.mktemp("parity_idx"))
+    build_index_local(tbl, d, num_partitions=6)
+    return Searcher(d), BruteForceOracle(tbl)
+
+
+QUERIES = {
+    # term: hot-head words and tail words (FIXTURES §3)
+    "term_hot_the": F.Term("text", "the"),
+    "term_hot_agent": F.Term("text", "agent"),
+    "term_hot_error": F.Term("text", "error"),
+    "term_tail_1": F.Term("text", "w0007"),
+    "term_tail_2": F.Term("text", "w0150"),
+    "term_missing": F.Term("text", "zzzznope"),
+    # terms IN
+    "terms_in": F.Terms("text", ("agent", "tool", "w0003", "w0042")),
+    "terms_in_mm2": F.Terms("text", ("agent", "tool", "error", "plan"), min_match=2),
+    # And
+    "and_2": F.And((F.Term("text", "agent"), F.Term("text", "tool"))),
+    "and_3": F.And((F.Term("text", "the"), F.Term("text", "a"), F.Term("text", "to"))),
+    # Or + min_match
+    "or_mm2": F.Or(
+        (
+            F.Term("text", "agent"),
+            F.Term("text", "model"),
+            F.Term("text", "plan"),
+            F.Term("text", "step"),
+        ),
+        min_match=2,
+    ),
+    # Not
+    "not_1": F.Not(F.Term("text", "the"), F.Term("text", "agent")),
+    "not_2": F.Not(F.Term("text", "error"), F.Term("text", "w0001")),
+    # prefix / range / wildcard / fuzzy
+    "prefix_w00": F.Prefix("text", "w00"),
+    "prefix_re": F.Prefix("text", "re"),
+    "prefix_tok": F.Prefix("text", "tok"),
+    "range_1": F.TermRange("text", "w0010", "w0020"),
+    "range_excl": F.TermRange("text", "plan", "run", include_high=False),
+    "wild_1": F.Wildcard("text", "w0*3"),
+    "wild_2": F.Wildcard("text", "*ndex"),
+    "wild_3": F.Wildcard("text", "b?tch"),
+    "wild_4": F.Wildcard("text", "me%"),
+    "fuzzy_1": F.Fuzzy("text", "agemt", 1),
+    "fuzzy_2": F.Fuzzy("text", "queyr", 2),
+    "fuzzy_osa": F.Fuzzy("text", "tolo", 1, with_transpositions=True),
+    # phrase
+    "phrase_2": F.Phrase("text", ("the", "a")),
+    "phrase_hot": F.Phrase("text", ("agent", "tool")),
+    # boolean nested + boost
+    "bool_boost": F.And(
+        (
+            F.Or((F.Term("text", "agent", boost=2.0), F.Phrase("text", ("the", "the")))),
+            F.Term("text", "a", boost=0.5),
+        )
+    ),
+    # keyword fields / existence
+    "kw_role": F.Term("role", "assistant"),
+    "kw_tool": F.Term("tool", "python"),
+    "exists_tool": F.Exists("tool"),
+    "all_docs": F.AllDocs(boost=3.0),
+}
+
+
+def _check(searcher, oracle, flt, k, wand, scorer=None):
+    got = searcher.search_local(flt, k=k, wand=wand, scorer=scorer)
+    want = oracle.search(flt, k=k)
+    got_rows = list(zip(got["conv_id"], got["turn_idx"].astype(int)))
+    want_rows = list(zip(want["conv_id"], want["turn_idx"].astype(int)))
+    assert got_rows == want_rows, f"rank mismatch for {flt}"
+    assert len(got) == len(want)
+    if len(got):
+        np.testing.assert_allclose(
+            got["score"].to_numpy(dtype=float), want["score"].to_numpy(dtype=float),
+            atol=1e-6, rtol=0,
+        )
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_family_parity(corpus, name):
+    searcher, oracle = corpus
+    flt = QUERIES[name]
+    _check(searcher, oracle, flt, k=10, wand=False)
+    _check(searcher, oracle, flt, k=10, wand=True)
+
+
+@pytest.mark.parametrize("k", [1, 100, 1000])
+def test_topk_sweep(corpus, k):
+    searcher, oracle = corpus
+    _check(searcher, oracle, F.Term("text", "the"), k=k, wand=True)
+    _check(searcher, oracle, F.Or(tuple(F.Term("text", t) for t in HOT_HEAD[:8])), k=k, wand=True)
+    _check(searcher, oracle, F.Or(tuple(F.Term("text", t) for t in HOT_HEAD[:8])), k=k, wand=False)
+
+
+def test_tfidf_parity(corpus):
+    searcher, oracle_unused = corpus
+    # oracle needs matching scorer cfg
+    from iresearch_ray.sources.transcripts import gen_transcripts
+
+    oracle = BruteForceOracle(gen_transcripts(200), scorer=ScorerCfg(name="tfidf"))
+    flt = F.Or((F.Term("text", "agent"), F.Term("text", "w0005")))
+    _check(searcher, oracle, flt, k=10, wand=False, scorer=ScorerCfg(name="tfidf"))
