@@ -177,29 +177,43 @@ def encode_postings(
     )
 
 
-def decode_postings(doc_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+def decode_postings(
+    doc_blob: bytes, block_doc_count: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode a FULL posting blob → (doc_ids, tfs).
 
     The blob is a concatenation of per-block (deltas, tfs) varint runs; since
     each block's first delta is relative to the previous block's last doc, the
     concatenated delta stream cumsums to absolute ids directly when decoded in
     order.  We decode all varints at once, then split per block by count.
+
+    ``block_doc_count`` must be passed for merged segments, whose blocks are
+    NOT uniformly BLOCK_SIZE at source-segment seams (the blob-concat merge,
+    SURVEY §3.3); omitted, uniform 128-doc blocks are assumed.
     """
     vals = varint_decode(doc_blob).astype(np.int64)
     n = vals.size // 2
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    if block_doc_count is None:
+        nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        counts = np.minimum(
+            np.full(nblocks, BLOCK_SIZE, dtype=np.int64),
+            n - np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE,
+        )
+    else:
+        counts = np.asarray(block_doc_count, dtype=np.int64)
     doc_ids = np.empty(n, dtype=np.int64)
     tfs = np.empty(n, dtype=np.int64)
     vi = 0
-    for b in range(nblocks):
-        s = b * BLOCK_SIZE
-        e = min(s + BLOCK_SIZE, n)
-        cnt = e - s
+    s = 0
+    for cnt in counts:
+        cnt = int(cnt)
+        e = s + cnt
         doc_ids[s:e] = vals[vi : vi + cnt]
         tfs[s:e] = vals[vi + cnt : vi + 2 * cnt]
         vi += 2 * cnt
+        s = e
     np.cumsum(doc_ids, out=doc_ids)
     return doc_ids, tfs
 
@@ -238,17 +252,24 @@ def decode_positions(
     tfs_all: np.ndarray,
     block: int,
     nblocks: int,
+    block_doc_count: np.ndarray | None = None,
 ) -> np.ndarray:
     """Decode one block's position stream → flat positions (per-doc absolute).
 
     ``tfs_all`` is the full tf array (to know occurrence counts in the block).
     Returns flat positions; caller splits per doc by the block's tfs.
+    ``block_doc_count`` as in :func:`decode_postings` (merged segments).
     """
     s_byte = int(pos_off[block])
     e_byte = int(pos_off[block + 1]) if block + 1 < nblocks else len(pos_blob)
     pdelta = varint_decode(memoryview(pos_blob)[s_byte:e_byte]).astype(np.int64)
-    s_doc = block * BLOCK_SIZE
-    e_doc = min(s_doc + BLOCK_SIZE, tfs_all.size)
+    if block_doc_count is None:
+        s_doc = block * BLOCK_SIZE
+        e_doc = min(s_doc + BLOCK_SIZE, tfs_all.size)
+    else:
+        cum = np.cumsum(np.asarray(block_doc_count, dtype=np.int64))
+        s_doc = int(cum[block - 1]) if block > 0 else 0
+        e_doc = int(cum[block])
     tfs = tfs_all[s_doc:e_doc]
     # cumsum within each doc: total cumsum minus the doc-start base
     ends = np.cumsum(tfs)

@@ -62,15 +62,15 @@ def _source_fingerprint(source) -> dict:
     if isinstance(source, str):
         source = [source]
     if isinstance(source, (list, tuple)) and all(isinstance(s, str) for s in source):
-        files: list[tuple[str, int]] = []
-        for s in source:
+        files: list[list] = []  # json-shaped (lists, not tuples) so the
+        for s in source:        # manifest round-trip compares equal on resume
             if os.path.isdir(s):
                 for f in sorted(os.listdir(s)):
                     if f.endswith(".parquet"):
                         p = os.path.join(s, f)
-                        files.append((p, os.path.getsize(p)))
+                        files.append([p, os.path.getsize(p)])
             else:
-                files.append((s, os.path.getsize(s)))
+                files.append([s, os.path.getsize(s)])
         return {"files": files}
     return {"files": None}
 

@@ -1,0 +1,86 @@
+"""Consolidation pipeline — SURVEY.md §3.3 (entry point 3).
+
+driver reads manifest → policy (pure python over segment metas) picks
+candidate sets → one Ray task per set runs the blob-concat merge
+(stages/merge.py) → driver swaps manifest entries atomically
+(generation+1) with ``{merged_from: [...]}`` lineage → optional GC of
+now-unreferenced segment dirs (readers pin by generation; default off).
+
+Old generations remain readable until gc: a Searcher opened before the
+swap keeps serving its snapshot (segment dirs are immutable).
+"""
+
+from __future__ import annotations
+
+from iresearch_ray.stages.merge import merge_segments
+from iresearch_ray.state.manifest import commit_manifest, gc_segments, load_manifest
+from iresearch_ray.state.policy import POLICIES
+
+
+def consolidate(
+    index_dir: str,
+    policy: str = "tier",
+    policy_kwargs: dict | None = None,
+    gc: bool = False,
+    repeat: bool = False,
+) -> dict:
+    """Run one (or, with ``repeat``, successive) consolidation rounds.
+    Returns the latest manifest (unchanged if the policy found nothing)."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    pick = POLICIES[policy]
+    while True:
+        sets = pick(manifest["segments"], **(policy_kwargs or {}))
+        sets = [s for s in sets if len(s) >= 2]
+        if not sets:
+            return manifest
+        gen = manifest["generation"]
+        merged_metas = _run_merges(index_dir, sets, gen)
+        merged_away = {n for s in sets for n in s}
+        survivors = [s for s in manifest["segments"] if s["name"] not in merged_away]
+        manifest = commit_manifest(
+            index_dir,
+            survivors + merged_metas,
+            manifest["config"],
+            lineage={
+                **manifest.get("lineage", {}),
+                "consolidations": manifest.get("lineage", {}).get("consolidations", [])
+                + [
+                    {"merged_from": s, "into": m["name"], "generation": gen + 1}
+                    for s, m in zip(sets, merged_metas)
+                ],
+            },
+            metrics={
+                "docs_count": sum(
+                    s["docs_count"] for s in survivors + merged_metas
+                ),
+                "segments": len(survivors) + len(merged_metas),
+                "merge_secs": {
+                    m["name"]: m["metrics"].get("merge_secs") for m in merged_metas
+                },
+            },
+        )
+        if gc:
+            gc_segments(index_dir, manifest)
+        if not repeat:
+            return manifest
+
+
+def _run_merges(index_dir: str, sets: list[list[str]], generation: int) -> list[dict]:
+    """Fan candidate sets out as Ray tasks when a session exists (each merge
+    is independent); fall back to inline execution otherwise."""
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except Exception:
+        have_ray = False
+    if have_ray and len(sets) > 1:
+        import ray
+
+        remote_merge = ray.remote(num_cpus=1)(merge_segments)
+        return ray.get(
+            [remote_merge.remote(index_dir, s, generation) for s in sets]
+        )
+    return [merge_segments(index_dir, s, generation) for s in sets]

@@ -77,7 +77,10 @@ class _TermCursor:
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self.row is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        return decode_postings(self._col("doc_blob"))
+        return decode_postings(
+            self._col("doc_blob"),
+            np.asarray(self._col("block_doc_count"), dtype=np.int64),
+        )
 
     def upper_bound(self, avg_dl: float, scorer: dict) -> float:
         """Term-level score upper bound: max tf paired with MIN dl
@@ -114,7 +117,9 @@ class _TermCursor:
         streams, SURVEY §2.3)."""
         all_docs, all_tfs = self.decode_all()
         idx = np.searchsorted(all_docs, sel_docs)
-        block_of = idx // BLOCK_SIZE
+        counts = np.asarray(self._col("block_doc_count"), dtype=np.int64)
+        cum = np.cumsum(counts)
+        block_of = np.searchsorted(cum, idx, side="right")
         pos_off = np.asarray(self._col("pos_off"), dtype=np.int64)
         nblocks = pos_off.size
         pos_blob = self._col("pos_blob")
@@ -123,10 +128,10 @@ class _TermCursor:
         for i, b in zip(idx, block_of):
             flat = cache.get(b)
             if flat is None:
-                flat = decode_positions(pos_blob, pos_off, all_tfs, int(b), nblocks)
+                flat = decode_positions(pos_blob, pos_off, all_tfs, int(b), nblocks, counts)
                 cache[b] = flat
-            s_doc = b * BLOCK_SIZE
-            e_doc = min(s_doc + BLOCK_SIZE, all_tfs.size)
+            s_doc = int(cum[b - 1]) if b > 0 else 0
+            e_doc = int(cum[b])
             tfs_blk = all_tfs[s_doc:e_doc]
             ends = np.cumsum(tfs_blk)
             j = i - s_doc
@@ -311,6 +316,14 @@ def segment_topk(
     (conv_id, turn_idx, score) under the pinned total order."""
     scorer = plan["scorer"]
     root = plan["root"]
+    if k <= 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
     if wand and _wand_applicable(root):
         docs, scores = eval_union_wand(reader, root, scorer, k)
     else:
@@ -324,21 +337,24 @@ def segment_topk(
             }
         )
     if docs.size > k:
-        # keep every doc tied with the k-th largest score so the (score desc,
-        # doc order) tie-break stays exact, then sort the reduced set
+        # keep every doc tied with the k-th largest score so the value-based
+        # tie-break below stays exact, then order the reduced set
         kth = np.partition(scores, docs.size - k)[docs.size - k]
         sel = np.flatnonzero(scores >= kth)
         docs_s, scores_s = docs[sel], scores[sel]
     else:
         docs_s, scores_s = docs, scores
-    order = np.lexsort((docs_s, -scores_s))[:k]
-    top_docs = docs_s[order]
-    top_scores = scores_s[order]
-    dtab = reader.docs.take(pa.array(top_docs - 1))
+    dtab = reader.docs.take(pa.array(docs_s - 1))
+    # pinned total order (SURVEY §2.6): score desc, then (conv_id, turn_idx)
+    # asc BY VALUE — doc-id order equals it for freshly built segments but
+    # not for concat-merged ones, so always tie-break on the values
+    conv = dtab["conv_id"].to_pandas().to_numpy(dtype=object)
+    turn = dtab["turn_idx"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv, -scores_s))[:k]
     return pa.table(
         {
-            "conv_id": dtab["conv_id"],
-            "turn_idx": dtab["turn_idx"],
-            "score": pa.array(top_scores, pa.float64()),
+            "conv_id": pa.array(conv[order], pa.string()),
+            "turn_idx": pa.array(turn[order]).cast(dtab["turn_idx"].type),
+            "score": pa.array(scores_s[order], pa.float64()),
         }
     )

@@ -1,0 +1,155 @@
+"""Segment merge — the merge_writer analog (SURVEY.md §3.3; ref:
+core/index/merge_writer.cpp doc_map remap).
+
+Doc spaces are CONCATENATED in segment-name order (the reference's behavior:
+merged doc order = (source segment order, local doc id)); the doc-id remap is
+a pure offset add per source.  Because every doc in a source shifts by the
+same offset, within-block deltas are unchanged — so posting blobs are merged
+by BYTE CONCATENATION, re-encoding only each source's first block (whose
+first delta re-bases against the previous source's last doc for that term).
+Positions blobs append completely unchanged.  This makes consolidation I/O
+bound rather than CPU bound: no full decode/re-encode of the long tail.
+
+The merged segment's blocks are therefore not uniformly 128 docs at source
+seams; all decode paths honor ``block_doc_count`` (functions/codec.py).
+
+Scale note (SURVEY §4.1 hot-term skew): this merge never shuffles by term —
+each candidate set is one task doing a k-way dictionary merge, so Zipf-hot
+terms cost sequential byte appends, not a skewed exchange.  The term-keyed
++ salted shuffle variant only pays off above ~dozens of sources; see
+pipelines/consolidate.py notes.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.functions.codec import decode_blocks, varint_encode
+from iresearch_ray.stages.segment import (
+    IndexConfig,
+    SegmentReader,
+    TERMS_SCHEMA,
+    write_segment,
+)
+
+
+def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
+    """parts: [(term-row as python dict, doc_id offset)] in segment order."""
+    out_doc = bytearray()
+    out_pos = bytearray()
+    bl_last: list[int] = []
+    bl_off: list[int] = []
+    p_off: list[int] = []
+    bl_maxtf: list[int] = []
+    bl_mindl: list[int] = []
+    bl_cnt: list[int] = []
+    prev_last = 0
+    for row, offset in parts:
+        offs = row["block_off"]
+        counts = row["block_doc_count"]
+        blob = row["doc_blob"]
+        b0_docs, b0_tfs = decode_blocks(
+            blob,
+            np.asarray(offs, dtype=np.int64),
+            np.asarray(row["block_last_doc"], dtype=np.int64),
+            np.asarray(counts, dtype=np.int64),
+            np.array([0]),
+        )
+        b0_docs = b0_docs + offset
+        deltas = np.diff(np.concatenate(([prev_last], b0_docs)))
+        enc0 = varint_encode(deltas) + varint_encode(b0_tfs)
+        rest = blob[offs[1] :] if len(offs) > 1 else b""
+        base = len(out_doc)
+        bl_off.append(base)
+        for b in range(1, len(offs)):
+            bl_off.append(base + len(enc0) + offs[b] - offs[1])
+        out_doc += enc0
+        out_doc += rest
+        bl_last += [x + offset for x in row["block_last_doc"]]
+        bl_cnt += list(counts)
+        bl_maxtf += list(row["block_max_tf"])
+        bl_mindl += list(row["block_min_dl"])
+        pos_base = len(out_pos)
+        p_off += [pos_base + x for x in row["pos_off"]]
+        out_pos += row["pos_blob"]
+        prev_last = bl_last[-1]
+    return {
+        "df": sum(r["df"] for r, _ in parts),
+        "cf": sum(r["cf"] for r, _ in parts),
+        "max_tf": max(r["max_tf"] for r, _ in parts),
+        "min_dl": min(r["min_dl"] for r, _ in parts),
+        "doc_blob": bytes(out_doc),
+        "pos_blob": bytes(out_pos),
+        "block_last_doc": bl_last,
+        "block_off": bl_off,
+        "pos_off": p_off,
+        "block_max_tf": bl_maxtf,
+        "block_min_dl": bl_mindl,
+        "block_doc_count": bl_cnt,
+    }
+
+
+def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dict:
+    """Merge the named segments into one new segment dir; returns its meta."""
+    import os
+
+    t0 = time.perf_counter()
+    seg_names = sorted(seg_names)
+    readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
+    cfg = IndexConfig.from_json(readers[0].meta["config"])
+    offsets = np.concatenate(([0], np.cumsum([r.meta["docs_count"] for r in readers])))
+
+    # --- docs: concat + dense re-id ------------------------------------
+    doc_tables = [r.docs for r in readers]
+    docs = pa.concat_tables(doc_tables, promote_options="default")
+    total = docs.num_rows
+    docs = docs.set_column(
+        docs.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array(np.arange(1, total + 1, dtype=np.int64), pa.int64()),
+    )
+
+    # --- terms: k-way dictionary merge + blob concat --------------------
+    by_key: dict[tuple[str, str], list[tuple[dict, int]]] = {}
+    for si, r in enumerate(readers):
+        t = r.terms
+        fields = t["field"].to_pylist()
+        terms = t["term"].to_pylist()
+        rows = t.to_pylist()
+        for f, tm, row in zip(fields, terms, rows):
+            by_key.setdefault((f, tm), []).append((row, int(offsets[si])))
+    term_rows = []
+    for (f, tm) in sorted(by_key):
+        merged = _concat_term_postings(by_key[(f, tm)])
+        merged["field"] = f
+        merged["term"] = tm
+        term_rows.append(merged)
+    terms = (
+        pa.Table.from_pylist(term_rows, schema=TERMS_SCHEMA)
+        if term_rows
+        else TERMS_SCHEMA.empty_table()
+    )
+
+    field_stats: dict[str, dict] = {}
+    for r in readers:
+        for fname, fs in r.meta["field_stats"].items():
+            acc = field_stats.setdefault(fname, {"docs_with_field": 0, "total_term_freq": 0})
+            acc["docs_with_field"] += fs["docs_with_field"]
+            acc["total_term_freq"] += fs["total_term_freq"]
+
+    key = zlib.crc32("|".join(seg_names).encode())
+    name = f"seg-m{generation:04d}-{key:08x}"
+    return write_segment(
+        index_dir,
+        name,
+        terms,
+        docs,
+        field_stats,
+        cfg,
+        lineage={"merged_from": seg_names},
+        metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
+    )

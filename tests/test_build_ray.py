@@ -1,0 +1,139 @@
+"""Ray-path e2e: distributed build, per-turn text equality, resume, actor
+search — SURVEY §5.2 items 6–7 + §3.1/§3.2 entry points."""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.pipelines.build import build_index
+from iresearch_ray.pipelines.search import Searcher
+from iresearch_ray.query import filters as F
+from iresearch_ray.query.oracle import BruteForceOracle
+from iresearch_ray.sources.transcripts import gen_transcripts
+from iresearch_ray.state.manifest import load_manifest
+
+
+@pytest.fixture(scope="module")
+def ray_built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rayidx")
+    src = str(root / "src")
+    os.makedirs(src)
+    tbl = gen_transcripts(120)
+    # two input files to exercise multi-file read
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), f"{src}/a.parquet")
+    pq.write_table(tbl.slice(half), f"{src}/b.parquet")
+    idx = str(root / "idx")
+    manifest = build_index([f"{src}/a.parquet", f"{src}/b.parquet"], idx, num_partitions=5)
+    return idx, tbl, manifest, src
+
+
+def test_manifest_complete(ray_built):
+    idx, tbl, manifest, _ = ray_built
+    assert manifest["docs_count"] == tbl.num_rows
+    assert manifest["generation"] == 1
+    assert len(manifest["segments"]) <= 5
+    # lineage + per-partition metrics recorded (B north_rule)
+    assert manifest["lineage"]["built_partitions"]
+    assert manifest["metrics"]["build_secs_per_partition"]
+
+
+def test_per_turn_text_equality(ray_built):
+    """B input_hint invariant: every (conv_id, turn_idx) text round-trips
+    under stable ordering."""
+    idx, tbl, manifest, _ = ray_built
+    seg_tables = [
+        pq.read_table(os.path.join(idx, "segments", s["name"], "docs.parquet"))
+        for s in manifest["segments"]
+    ]
+    got = (
+        pa.concat_tables([t.select(["conv_id", "turn_idx", "text"]) for t in seg_tables])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        tbl.select(["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_search_ray_matches_local_and_oracle(ray_built):
+    idx, tbl, _, _ = ray_built
+    s = Searcher(idx)
+    oracle = BruteForceOracle(tbl)
+    queries = {
+        "q_term": F.Term("text", "agent"),
+        "q_or": F.Or((F.Term("text", "error"), F.Term("text", "plan"))),
+        "q_phrase": F.Phrase("text", ("the", "a")),
+        "q_kw": F.Term("role", "assistant"),
+    }
+    res = s.search_ray(queries, k=10, concurrency=2)
+    for qid, flt in queries.items():
+        got = res[res["query_id"] == qid].reset_index(drop=True)
+        want = oracle.search(flt, k=10)
+        assert list(zip(got["conv_id"], got["turn_idx"].astype(int))) == list(
+            zip(want["conv_id"], want["turn_idx"].astype(int))
+        ), qid
+        local = s.search_local(flt, k=10)
+        assert got["score"].tolist() == pytest.approx(local["score"].tolist(), abs=1e-12)
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    """Kill-after-k-partitions simulation: pre-build a subset of partitions,
+    re-run, assert completed partitions are skipped and the final manifest is
+    identical to a from-scratch build (SURVEY §5.2 item 7)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tbl = gen_transcripts(80)
+    pq.write_table(tbl, f"{src}/t.parquet")
+
+    idx_full = str(tmp_path / "full")
+    m_full = build_index(f"{src}/t.parquet", idx_full, num_partitions=4)
+
+    # simulated partial failure: only some segments written, no manifest
+    idx_part = str(tmp_path / "part")
+    os.makedirs(os.path.join(idx_part, "segments"))
+    names = sorted(s["name"] for s in m_full["segments"])
+    for name in names[:2]:
+        shutil.copytree(
+            os.path.join(idx_full, "segments", name),
+            os.path.join(idx_part, "segments", name),
+        )
+
+    m_resume = build_index(f"{src}/t.parquet", idx_part, num_partitions=4)
+    assert sorted(s["name"] for s in m_resume["segments"]) == names
+    assert m_resume["docs_count"] == m_full["docs_count"]
+    # the two pre-existing partitions were skipped, the rest built
+    resumed = set(m_resume["lineage"]["resumed_partitions"])
+    built = set(m_resume["lineage"]["built_partitions"])
+    assert len(resumed) == 2 and not (resumed & built)
+    # query results identical
+    s_full, s_part = Searcher(idx_full), Searcher(idx_part)
+    a = s_full.search_local(F.Term("text", "agent"), k=10)
+    b = s_part.search_local(F.Term("text", "agent"), k=10)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rebuild_is_idempotent(ray_session, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(gen_transcripts(30), f"{src}/t.parquet")
+    idx = str(tmp_path / "idx")
+    m1 = build_index(f"{src}/t.parquet", idx, num_partitions=2)
+    m2 = build_index(f"{src}/t.parquet", idx, num_partitions=2)
+    assert m2["generation"] == 2  # new commit, same content
+    assert [s["name"] for s in m1["segments"]] == [s["name"] for s in m2["segments"]]
+    assert set(m2["lineage"]["resumed_partitions"]) == set(
+        m1["lineage"]["built_partitions"]
+    )
+    assert not m2["lineage"]["built_partitions"]

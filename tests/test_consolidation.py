@@ -1,0 +1,95 @@
+"""Consolidation lifecycle — SURVEY §5.2 item 7: index in many segments,
+consolidate to fewer, query results INVARIANT (scores exact), lineage
+recorded, old dirs GC-able."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iresearch_ray.pipelines.build import build_index_local
+from iresearch_ray.pipelines.consolidate import consolidate
+from iresearch_ray.pipelines.search import Searcher
+from iresearch_ray.query import filters as F
+from iresearch_ray.query.oracle import BruteForceOracle
+from iresearch_ray.sources.transcripts import gen_transcripts
+from iresearch_ray.state.manifest import load_manifest
+
+QUERIES = [
+    F.Term("text", "the"),
+    F.Term("text", "agent"),
+    F.Or((F.Term("text", "error"), F.Term("text", "plan"), F.Term("text", "w0004"))),
+    F.And((F.Term("text", "the"), F.Term("text", "a"))),
+    F.Phrase("text", ("the", "a")),
+    F.Prefix("text", "w00"),
+    F.Term("role", "assistant"),
+    F.Not(F.Term("text", "the"), F.Term("text", "agent")),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tbl = gen_transcripts(150)
+    d = str(tmp_path_factory.mktemp("cons_idx"))
+    build_index_local(tbl, d, num_partitions=8)
+    before = [Searcher(d).search_local(q, k=20) for q in QUERIES]
+    return d, tbl, before
+
+
+def test_count_policy_merges_all(setup):
+    d, tbl, before = setup
+    m0 = load_manifest(d)
+    assert len(m0["segments"]) == 8
+    m1 = consolidate(d, policy="count", policy_kwargs={"threshold": 2})
+    assert len(m1["segments"]) == 1
+    assert m1["generation"] == m0["generation"] + 1
+    lin = m1["lineage"]["consolidations"][-1]
+    assert len(lin["merged_from"]) == 8 and lin["into"] == m1["segments"][0]["name"]
+    # docs preserved
+    assert m1["docs_count"] == m0["docs_count"]
+
+
+def test_results_invariant_after_merge(setup):
+    d, tbl, before = setup
+    s = Searcher(d)  # fresh snapshot = post-consolidation generation
+    assert len(s.manifest["segments"]) == 1
+    oracle = BruteForceOracle(tbl)
+    for q, b in zip(QUERIES, before):
+        for wand in (False, True):
+            after = s.search_local(q, k=20, wand=wand)
+            pd.testing.assert_frame_equal(after, b)
+        want = oracle.search(q, k=20)
+        assert list(zip(after["conv_id"], after["turn_idx"].astype(int))) == list(
+            zip(want["conv_id"], want["turn_idx"].astype(int))
+        )
+        np.testing.assert_allclose(
+            after["score"].to_numpy(dtype=float),
+            want["score"].to_numpy(dtype=float),
+            atol=1e-6,
+            rtol=0,
+        )
+
+
+def test_tier_policy_shape():
+    from iresearch_ray.state.policy import tier
+
+    segs = [{"name": f"s{i}", "bytes": b} for i, b in enumerate([100, 120, 110, 90, 50_000_000])]
+    sets = tier(segs, floor_segment_bytes=64)
+    assert len(sets) == 1
+    # the four similar-sized tiny segments merge; the big one is left alone
+    assert sorted(sets[0]) == ["s0", "s1", "s2", "s3"]
+
+
+def test_gc_removes_unreferenced(setup):
+    d, _, _ = setup
+    m = load_manifest(d)
+    live = {s["name"] for s in m["segments"]}
+    seg_root = os.path.join(d, "segments")
+    on_disk = set(os.listdir(seg_root))
+    assert live <= on_disk and len(on_disk) > len(live)
+    from iresearch_ray.state.manifest import gc_segments
+
+    removed = gc_segments(d, m)
+    assert set(os.listdir(seg_root)) == live
+    assert len(removed) == len(on_disk) - len(live)
