@@ -1,0 +1,234 @@
+"""Training-data op tests — each op vs an independent brute-force oracle
+(pure python / duckdb) on the driver-generated testdata (sf0.001)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.pipelines import dataops as ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def _ds(tbl, ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprints_match_hashlib(docs_tbl, ray_session):
+    out = ops.fingerprints(_ds(docs_tbl, ray_session)).to_pandas().set_index("doc_id")
+    for r in docs_tbl.slice(0, 50).to_pylist():
+        assert out.loc[r["doc_id"], "md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+    # order sensitivity of the rolling fingerprint
+    assert ops.rolling_fingerprint(["a", "b"]) != ops.rolling_fingerprint(["b", "a"])
+
+
+def test_exact_dedup(docs_tbl, ray_session):
+    import pyarrow as pa
+
+    # inject duplicates deterministically
+    dup = docs_tbl.slice(0, 10).to_pylist()
+    for i, r in enumerate(dup):
+        r["doc_id"] = 100000 + i
+    both = pa.concat_tables([docs_tbl, pa.Table.from_pylist(dup, schema=docs_tbl.schema)])
+    out = ops.exact_dedup(_ds(both, ray_session)).to_pandas()
+    texts = both["text"].to_pylist()
+    expected = {}
+    for did, t in zip(both["doc_id"].to_pylist(), texts):
+        if t not in expected or did < expected[t]:
+            expected[t] = did
+    assert sorted(out["doc_id"]) == sorted(expected.values())
+    assert len(out) == both.num_rows - 10
+
+
+def test_token_stats_vs_duckdb(docs_tbl, ray_session):
+    out = (
+        ops.token_stats(_ds(docs_tbl, ray_session))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs_tbl)
+    oracle = con.sql(
+        """
+        SELECT doc_id,
+               len(string_split(text,' ')) AS n_tokens,
+               len(list_distinct(string_split(text,' '))) AS n_unique,
+               list_aggregate(list_transform(string_split(text,' '), x -> len(x)), 'sum') AS token_chars
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    assert (out["n_tokens"].to_numpy() == oracle["n_tokens"].to_numpy()).all()
+    assert (out["n_unique"].to_numpy() == oracle["n_unique"].to_numpy()).all()
+    assert (out["token_chars"].to_numpy() == oracle["token_chars"].to_numpy()).all()
+
+
+def test_quality_and_langid_deterministic(docs_tbl, ray_session):
+    q = ops.quality_scores(_ds(docs_tbl, ray_session)).to_pandas().sort_values("doc_id")
+    assert ((q["quality"] > 0) & (q["quality"] <= 1.0001)).all()
+    # brute-force re-check of one row
+    row = docs_tbl.slice(3, 1).to_pylist()[0]
+    toks = row["text"].split(" ")
+    dr = len(set(toks)) / len(toks)
+    sr = sum(t in ops.STOPWORDS for t in toks) / len(toks)
+    exp = round(0.5 * dr + 0.3 * (1 - sr) + 0.2 * min(len(toks), 64) / 64, 4)
+    got = float(q.set_index("doc_id").loc[row["doc_id"], "quality"])
+    assert abs(got - exp) < 1e-9
+
+    l = ops.lang_id(_ds(docs_tbl, ray_session)).to_pandas().sort_values("doc_id")
+    toks_set = toks
+    scores = {lg: sum(t in ms for t in toks_set) for lg, ms in ops.LANG_MARKERS.items()}
+    best = max(sorted(scores), key=lambda k: scores[k])
+    exp_lang = best if scores[best] > 0 else "und"
+    assert l.set_index("doc_id").loc[row["doc_id"], "pred_lang"] == exp_lang
+
+
+def _brute_jaccard_pairs(texts: dict[int, str], n: int, t: float):
+    sets = {}
+    for did, txt in texts.items():
+        toks = txt.split(" ")
+        if len(toks) < n:
+            sh = {" ".join(toks)}
+        else:
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        sets[did] = sh
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a] | sets[b]))
+            if j >= t:
+                out[(a, b)] = round(j, 4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(docs_tbl):
+    """Corpus with planted near-duplicates (suffix-perturbed copies)."""
+    import pyarrow as pa
+
+    rows = docs_tbl.slice(0, 120).to_pylist()
+    extra = []
+    for i, r in enumerate(rows[:15]):
+        c = dict(r)
+        c["doc_id"] = 200000 + i
+        c["text"] = r["text"] + " w0001 w0002"  # high-jaccard near-dup
+        extra.append(c)
+    return pa.concat_tables([pa.Table.from_pylist(rows, schema=docs_tbl.schema),
+                             pa.Table.from_pylist(extra, schema=docs_tbl.schema)])
+
+
+def test_ngram_jaccard_exact(dup_corpus, ray_session):
+    out = ops.ngram_jaccard_pairs(_ds(dup_corpus, ray_session), n=3, threshold=0.5).to_pandas()
+    texts = dict(zip(dup_corpus["doc_id"].to_pylist(), dup_corpus["text"].to_pylist()))
+    exp = _brute_jaccard_pairs(texts, 3, 0.5)
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+    assert len(exp) >= 15  # planted dups found
+
+
+def test_minhash_lsh_recall_and_precision(dup_corpus, ray_session):
+    out = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    texts = dict(zip(dup_corpus["doc_id"].to_pylist(), dup_corpus["text"].to_pylist()))
+    exp = _brute_jaccard_pairs(texts, 3, 0.5)
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    # exact precision (verified), high recall (128 perms / 32 bands @ t=0.5)
+    assert set(got) <= set(exp)
+    assert len(got) >= 0.9 * len(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_simhash_pairs_find_neardups(dup_corpus, ray_session):
+    out = ops.simhash_pairs(_ds(dup_corpus, ray_session), max_hamming=6).to_pandas()
+    planted = {(r, 200000 + i) for i, r in enumerate(dup_corpus["doc_id"].to_pylist()[:15])}
+    got = set(zip(out["a"], out["b"]))
+    # hamming-6 simhash should catch most 2-token-suffix perturbations
+    assert len(got & planted) >= 10
+    # verify reported hammings are true
+    sh = {r["doc_id"]: ops.simhash64(r["text"].split(" ")) for r in dup_corpus.to_pylist()}
+    for a, b, h in zip(out["a"], out["b"], out["hamming"]):
+        assert bin(sh[a] ^ sh[b]).count("1") == h <= 6
+
+
+def test_embedding_topk_vs_numpy(emb_tbl, ray_session):
+    mat = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb_tbl["vec_id"].to_pylist())
+    queries = mat[:3]
+    out = ops.embedding_topk(_ds(emb_tbl, ray_session), queries, k=5).to_pandas()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = nm @ qn.T
+    for qi in range(3):
+        sub = out[out["query_idx"] == qi].sort_values("rank")
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        assert list(sub["vec_id"]) == list(ids[order])
+        assert np.allclose(sub["cosine"], np.round(sims[order, qi], 4), atol=1e-4)
+
+
+def test_embedding_neardup_pairs(emb_tbl, ray_session):
+    import pyarrow as pa
+
+    # plant near-duplicate vectors (tiny deterministic perturbations) — the
+    # raw synthetic embeddings are near-orthogonal (max cosine ≈ 0.48)
+    rows = emb_tbl.to_pylist()
+    rng = np.random.default_rng(7)
+    extra = []
+    for i, r in enumerate(rows[:10]):
+        v = np.array(r["embedding"], dtype=np.float32)
+        extra.append(
+            {"vec_id": 900000 + i, "embedding": (v + 0.01 * rng.standard_normal(len(v)).astype(np.float32)).tolist(), "label": r["label"]}
+        )
+    emb_tbl = pa.concat_tables([emb_tbl, pa.Table.from_pylist(extra, schema=emb_tbl.schema)])
+    thr = 0.9
+    out = ops.embedding_neardup_pairs(_ds(emb_tbl, ray_session), threshold=thr).to_pandas()
+    mat = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb_tbl["vec_id"].to_pylist())
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in np.where(sims[i] >= thr)[0]:
+            if ids[i] < ids[j]:
+                exp.add((int(ids[i]), int(ids[j])))
+    got = set(zip(out["a"], out["b"]))
+    assert got == exp
+
+
+def test_embedding_lsh_topk_finds_near_neighbors(emb_tbl, ray_session):
+    """LSH ANN is an approximate scale path: on near-orthogonal noise it can't
+    beat brute force, so test the regime it exists for — queries with a TRUE
+    near neighbor (perturbed copies) must retrieve that neighbor at rank 1."""
+    mat = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb_tbl["vec_id"].to_pylist())
+    rng = np.random.default_rng(11)
+    src = [3, 17, 42, 99, 123]
+    queries = np.stack([mat[i] + 0.02 * rng.standard_normal(mat.shape[1]) for i in src])
+    approx = ops.embedding_lsh_topk(_ds(emb_tbl, ray_session), queries, k=5, n_planes=6).to_pandas()
+    hits = 0
+    for qi, i in enumerate(src):
+        sub = approx[approx["query_idx"] == qi].sort_values("cosine", ascending=False)
+        if len(sub) and sub.iloc[0]["vec_id"] == ids[i]:
+            hits += 1
+    assert hits >= 4  # hamming-1 multiprobe over 6 planes: ≥80% of planted neighbors
