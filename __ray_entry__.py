@@ -4,41 +4,454 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Two query families:
+
+* ``ft_*`` — the inverted-index / BM25 engine (SURVEY.md §2.4–§2.8) over the
+  ``documents`` table adapted to the transcript shape (doc_id ↦ conv_id,
+  turn_idx=0).  The SQL oracles implement the pinned BM25 spec (SURVEY §2.6:
+  idf = ln(1+(N-n+0.5)/(n+0.5)), tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl)),
+  k1=1.2 b=0.75, index-global stats) directly in DuckDB — a fully
+  independent second implementation.
+* ``dd_*`` / ``emb_*`` — training-data curation ops (dedup, near-dup,
+  similarity search, text metrics; ``iresearch_ray.pipelines.dataops``).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from iresearch_ray.pipelines.dataops import round_half_away
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+K1, B = 1.2, 0.75
+_CACHE_ROOT = "/tmp/iresearch_ray_entry"
+_SEARCHERS: dict[str, Any] = {}
+
+
+# ---------------------------------------------------------------------------
+# index bootstrap (cached per sf_dir; resume-aware so repeat calls are cheap)
+# ---------------------------------------------------------------------------
+
+
+def _searcher(sf_dir: str):
+    s = _SEARCHERS.get(sf_dir)
+    if s is not None:
+        return s
+    import ray.data as rd
+
+    from iresearch_ray import Searcher, build_index
+    from iresearch_ray.sources.transcripts import documents_as_transcripts
+
+    idx = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "idx")
+    tbl = documents_as_transcripts(sf_dir)
+    build_index(rd.from_arrow(tbl), idx, num_partitions=4, resume=True)
+    s = Searcher(idx)
+    _SEARCHERS[sf_dir] = s
+    return s
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _topk(sf_dir: str, flt, k: int = 10) -> pd.DataFrame:
+    """Run one filter through the distributed search path and convert
+    (conv_id='d%09d', turn_idx) keys back to doc_id."""
+    s = _searcher(sf_dir)
+    out = s.search_ray({"q": flt}, k=k, concurrency=2)
+    return pd.DataFrame(
+        {
+            "doc_id": out["conv_id"].str.slice(1).astype("int64"),
+            "score": round_half_away(out["score"].to_numpy(), 4),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry (flagship smoke: build → multi-query batch → merged top-k)
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from iresearch_ray.query import filters as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(sf_dir)
+    batch = {
+        "term": F.Term("text", "key"),
+        "bool": F.And((F.Term("text", "table"), F.Term("text", "join"))),
+        "phrase": F.Phrase("text", ("table", "hash")),
+        "prefix": F.Prefix("text", "s"),
+    }
+    return s.search_ray(batch, k=10, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks (shared CTE prefix)
+# ---------------------------------------------------------------------------
+
+# exploded tokens + per-doc lengths + field stats over `documents`
+_BASE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), fs AS (
+  SELECT count(*) AS N, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+)
+"""
+
+_IDF = "ln(1 + (fs.N - df.n + 0.5) / (df.n + 0.5))"
+_TFF = f"(tf.tf * ({K1}+1)) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / fs.avgdl))"
+
+
+def _sql_single_term(term: str, k: int = 10) -> str:
+    return f"""
+{_BASE}, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE w = '{term}' GROUP BY doc_id
+), df AS (SELECT count(*) AS n FROM tf)
+SELECT tf.doc_id, round({_IDF} * {_TFF}, 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN df
+ORDER BY {_IDF} * {_TFF} DESC, tf.doc_id ASC LIMIT {k}
+"""
+
+
+def _sql_multiterm(where_w: str, k: int = 10, min_match: int = 1) -> str:
+    """Union-of-terms scoring (Or / prefix / range / wildcard / fuzzy —
+    SURVEY §2.5): per (doc, term) score = idf_t · tf-factor, summed per doc;
+    min_match counts distinct matched terms."""
+    return f"""
+{_BASE}, tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok WHERE {where_w} GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS n FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         {_IDF} * {_TFF} AS s
+  FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+), agg AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS legs FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM agg
+WHERE legs >= {min_match}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _sql_and(terms: list[str], k: int = 10) -> str:
+    conds = " AND ".join(
+        f"doc_id IN (SELECT doc_id FROM tok WHERE w = '{t}')" for t in terms
+    )
+    return f"""
+{_BASE}, tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({",".join(f"'{t}'" for t in terms)}) GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS n FROM tok WHERE w IN ({",".join(f"'{t}'" for t in terms)})
+  GROUP BY w HAVING count(distinct doc_id) > 0
+), df2 AS (
+  SELECT w, count(distinct doc_id) AS n FROM tok
+  WHERE w IN ({",".join(f"'{t}'" for t in terms)}) GROUP BY w
+), scored AS (
+  SELECT tf.doc_id, ln(1 + (fs.N - df2.n + 0.5) / (df2.n + 0.5)) * {_TFF} AS s
+  FROM tf JOIN df2 ON tf.w = df2.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+), agg AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS legs FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM agg
+WHERE legs = {len(terms)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _sql_andnot(pos: str, neg: str, k: int = 10) -> str:
+    return f"""
+{_BASE}, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE w = '{pos}' GROUP BY doc_id
+), df AS (SELECT count(*) AS n FROM tf)
+SELECT tf.doc_id, round({_IDF} * {_TFF}, 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN df
+WHERE tf.doc_id NOT IN (SELECT doc_id FROM tok WHERE w = '{neg}')
+ORDER BY {_IDF} * {_TFF} DESC, tf.doc_id ASC LIMIT {k}
+"""
+
+
+def _sql_phrase(t1: str, t2: str, k: int = 10) -> str:
+    """Exact 2-term phrase: tf = count of adjacent (t1, t2) start positions;
+    weight = idf(t1) + idf(t2) (SURVEY §2.4 phrase prepare)."""
+    return f"""
+{_BASE}, lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), ptf AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(l)-1),
+             i -> l[i] = '{t1}' AND l[i+1] = '{t2}')) AS tf
+  FROM lists
+), tf AS (SELECT doc_id, tf FROM ptf WHERE tf > 0),
+d1 AS (SELECT count(distinct doc_id) AS n FROM tok WHERE w = '{t1}'),
+d2 AS (SELECT count(distinct doc_id) AS n FROM tok WHERE w = '{t2}')
+SELECT tf.doc_id,
+       round((ln(1 + (fs.N - d1.n + 0.5)/(d1.n + 0.5))
+            + ln(1 + (fs.N - d2.n + 0.5)/(d2.n + 0.5))) * {_TFF}, 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN d1 CROSS JOIN d2
+ORDER BY (ln(1 + (fs.N - d1.n + 0.5)/(d1.n + 0.5))
+        + ln(1 + (fs.N - d2.n + 0.5)/(d2.n + 0.5))) * {_TFF} DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from iresearch_ray.pipelines import dataops as ops
+    from iresearch_ray.query import filters as F
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ft_term(sf):
+        return _topk(sf, F.Term("text", "key"))
+
+    def ft_or(sf):
+        return _topk(sf, F.Or(tuple(F.Term("text", t) for t in ("join", "merge", "window"))))
+
+    def ft_and(sf):
+        return _topk(sf, F.And((F.Term("text", "table"), F.Term("text", "join"))))
+
+    def ft_andnot(sf):
+        return _topk(sf, F.Not(F.Term("text", "table"), F.Term("text", "join")))
+
+    def ft_minmatch(sf):
+        return _topk(
+            sf, F.Or(tuple(F.Term("text", t) for t in ("join", "merge", "window")), min_match=2)
+        )
+
+    def ft_phrase(sf):
+        return _topk(sf, F.Phrase("text", ("table", "hash")))
+
+    def ft_prefix(sf):
+        return _topk(sf, F.Prefix("text", "s"))
+
+    def ft_range(sf):
+        return _topk(sf, F.TermRange("text", "query", "sort"))
+
+    def ft_wildcard(sf):
+        return _topk(sf, F.Wildcard("text", "s_a%"))
+
+    def ft_fuzzy(sf):
+        return _topk(sf, F.Fuzzy("text", "tble", 1))
+
+    def ft_keyword(sf):
+        return _topk(sf, F.Term("role", "en"), k=10_000)
+
+    def ft_stats(sf):
+        s = _searcher(sf)
+        terms, dfs = s.stats.field_terms("text")
+        a = s.stats._field_arrays("text")
+        sel = [i for i, t in enumerate(terms) if t in ("key", "table", "join", "the")]
+        return pd.DataFrame(
+            {
+                "term": [str(terms[i]) for i in sel],
+                "df": [int(a["df"][i]) for i in sel],
+                "cf": [int(a["cf"][i]) for i in sel],
+            }
+        )
+
+    def dd_dedup(sf):
+        out = ops.exact_dedup(_docs_ds(sf)).to_pandas()
+        return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+    def dd_fp(sf):
+        return ops.fingerprints(_docs_ds(sf)).to_pandas()[["doc_id", "md5"]]
+
+    def dd_tokstats(sf):
+        return ops.token_stats(_docs_ds(sf)).to_pandas()
+
+    def dd_quality(sf):
+        return ops.quality_scores(_docs_ds(sf)).to_pandas()
+
+    def dd_langid(sf):
+        out = ops.lang_id(_docs_ds(sf)).to_pandas()
+        return out[["doc_id", "pred_lang"]]
+
+    def dd_jaccard(sf):
+        return ops.ngram_jaccard_pairs(_docs_ds(sf), n=3, threshold=0.5).to_pandas()
+
+    def dd_minhash(sf):  # rows-only (no SQL oracle): LSH-bucketed near-dup
+        return ops.minhash_lsh_pairs(_docs_ds(sf), threshold=0.5).to_pandas()
+
+    def dd_simhash(sf):  # rows-only: hamming<=3 simhash pairs
+        return ops.simhash_pairs(_docs_ds(sf), max_hamming=3).to_pandas()
+
+    def _qmat(sf):
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = np.asarray(t["vec_id"].to_pylist())
+        order = np.argsort(ids)[:3]
+        return np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+
+    def emb_topk(sf):
+        out = ops.embedding_topk(_emb_ds(sf), _qmat(sf), k=10).to_pandas()
+        return out[["query_idx", "vec_id", "cosine"]]
+
+    def emb_neardup(sf):
+        return ops.embedding_neardup_pairs(_emb_ds(sf), threshold=0.4).to_pandas()
+
+    def emb_lsh(sf):  # rows-only: approximate ANN scale path
+        return ops.embedding_lsh_topk(_emb_ds(sf), _qmat(sf), k=10, n_planes=6).to_pandas()[
+            ["query_idx", "vec_id", "cosine"]
+        ]
+
+    return {
+        "ft_term_topk": ft_term,
+        "ft_or_topk": ft_or,
+        "ft_and_topk": ft_and,
+        "ft_andnot_topk": ft_andnot,
+        "ft_minmatch_topk": ft_minmatch,
+        "ft_phrase_topk": ft_phrase,
+        "ft_prefix_topk": ft_prefix,
+        "ft_range_topk": ft_range,
+        "ft_wildcard_topk": ft_wildcard,
+        "ft_fuzzy_topk": ft_fuzzy,
+        "ft_keyword_topk": ft_keyword,
+        "ft_stats_df": ft_stats,
+        "dd_exact_dedup": dd_dedup,
+        "dd_fingerprints": dd_fp,
+        "dd_token_stats": dd_tokstats,
+        "dd_quality": dd_quality,
+        "dd_lang_id": dd_langid,
+        "dd_jaccard_pairs": dd_jaccard,
+        "dd_minhash_pairs": dd_minhash,
+        "dd_simhash_pairs": dd_simhash,
+        "emb_topk": emb_topk,
+        "emb_neardup_pairs": emb_neardup,
+        "emb_lsh_topk": emb_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from iresearch_ray.pipelines.dataops import LANG_MARKERS, STOPWORDS
+
+    stop_list = ",".join(f"'{s}'" for s in STOPWORDS)
+    langs = sorted(LANG_MARKERS)
+    marker_cols = ",\n  ".join(
+        f"len(list_filter(string_split(text,' '), x -> x IN ({','.join(repr(m) for m in LANG_MARKERS[lg])}))) AS s_{lg}"
+        for lg in langs
+    )
+    best_expr = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred_case = (
+        "CASE WHEN " + best_expr + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {best_expr} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+
+    return {
+        "ft_term_topk": _sql_single_term("key"),
+        "ft_or_topk": _sql_multiterm("w IN ('join','merge','window')"),
+        "ft_and_topk": _sql_and(["table", "join"]),
+        "ft_andnot_topk": _sql_andnot("table", "join"),
+        "ft_minmatch_topk": _sql_multiterm("w IN ('join','merge','window')", min_match=2),
+        "ft_phrase_topk": _sql_phrase("table", "hash"),
+        "ft_prefix_topk": _sql_multiterm("w LIKE 's%'"),
+        "ft_range_topk": _sql_multiterm("w >= 'query' AND w <= 'sort'"),
+        "ft_wildcard_topk": _sql_multiterm("w LIKE 's_a%'"),
+        "ft_fuzzy_topk": _sql_multiterm("levenshtein(w, 'tble') <= 1"),
+        # keyword field: dl = 1 for every doc, avgdl = 1 ⇒ tf-factor = 1 ⇒ score = idf
+        "ft_keyword_topk": """
+WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+fs AS (SELECT count(*) AS N FROM documents), df AS (SELECT count(*) AS n FROM m)
+SELECT m.doc_id, round(ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5)), 4) AS score
+FROM m CROSS JOIN fs CROSS JOIN df ORDER BY m.doc_id
+""",
+        "ft_stats_df": """
+SELECT w AS term, count(distinct doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+WHERE w IN ('key','table','join','the') GROUP BY w ORDER BY w
+""",
+        "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+        "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "dd_token_stats": """
+SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       len(list_distinct(string_split(text,' '))) AS n_unique,
+       list_aggregate(list_transform(string_split(text,' '), x -> len(x)), 'sum')::BIGINT AS token_chars
+FROM documents
+""",
+        "dd_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text,' ')) AS n_tokens,
+         len(list_distinct(string_split(text,' '))) AS n_unique,
+         len(list_filter(string_split(text,' '), x -> x IN ({stop_list}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_unique / n_tokens::DOUBLE, 4) AS distinct_ratio,
+       round(n_stop / n_tokens::DOUBLE, 4) AS stopword_ratio,
+       round(0.5 * (n_unique / n_tokens::DOUBLE)
+           + 0.3 * (1 - n_stop / n_tokens::DOUBLE)
+           + 0.2 * least(n_tokens, 64) / 64.0, 4) AS quality
+FROM t
+""",
+        "dd_lang_id": f"""
+WITH s AS (
+  SELECT doc_id,
+  {marker_cols}
+  FROM documents
+)
+SELECT doc_id, {pred_case} AS pred_lang FROM s
+""",
+        "dd_jaccard_pairs": """
+WITH lists AS (
+  SELECT doc_id, string_split(text,' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+  FROM lists, unnest(generate_series(1, len(l)-2)) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(c / (sa.sz + sb.sz - c)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
+""",
+        "emb_topk": """
+WITH q AS (
+  SELECT vec_id AS query_idx, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_idx, vec_id, round(cos, 4) AS cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) <= 10
+""",
+        "emb_neardup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+    }

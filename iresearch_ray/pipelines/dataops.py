@@ -40,6 +40,15 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
+def round_half_away(x, decimals: int = 4):
+    """Round half away from zero — matches SQL ROUND() (numpy's np.round is
+    half-even, which diverges from the DuckDB oracles on exact .5 ties,
+    e.g. 0.65625 → 0.6563 not 0.6562)."""
+    x = np.asarray(x, dtype=np.float64)
+    f = 10.0**decimals
+    return np.copysign(np.floor(np.abs(x) * f + 0.5) / f, x)
+
+
 def _explode_tokens(texts: pa.ChunkedArray | pa.Array):
     """Vectorized token explode: returns (flat_tokens: pa.Array,
     parent_row: np.int64[], n_tokens_per_row: np.int64[])."""
@@ -185,9 +194,9 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text", id_col: str = "
         {
             id_col: batch[id_col],
             "n_tokens": pa.array(n_tok),
-            "distinct_ratio": pa.array(np.round(distinct_ratio, 4)),
-            "stopword_ratio": pa.array(np.round(stop_ratio, 4)),
-            "quality": pa.array(np.round(score, 4)),
+            "distinct_ratio": pa.array(round_half_away(distinct_ratio, 4)),
+            "stopword_ratio": pa.array(round_half_away(stop_ratio, 4)),
+            "quality": pa.array(round_half_away(score, 4)),
         }
     )
 
@@ -316,7 +325,7 @@ def ngram_jaccard_pairs(
             {
                 "a": pa.array(a[keep]),
                 "b": pa.array(bb[keep]),
-                "jaccard": pa.array(np.round(j[keep], 4)),
+                "jaccard": pa.array(round_half_away(j[keep], 4)),
             }
         )
 
@@ -441,7 +450,7 @@ def minhash_lsh_pairs(
             if j >= threshold:
                 out_a.append(int(x))
                 out_b.append(int(y))
-                out_j.append(round(j, 4))
+                out_j.append(float(round_half_away(j, 4)))
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
@@ -617,7 +626,7 @@ def embedding_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
 
         df = g.to_pandas().sort_values(["cosine", id_col], ascending=[False, True]).head(k)
         df["rank"] = np.arange(1, len(df) + 1)
-        df["cosine"] = df["cosine"].round(4)
+        df["cosine"] = round_half_away(df["cosine"].to_numpy(), 4)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
@@ -656,7 +665,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                     if a < b:
                         out_a.append(int(a))
                         out_b.append(int(b))
-                        out_s.append(round(float(sims[i, j]), 4))
+                        out_s.append(float(round_half_away(sims[i, j], 4)))
             return pa.table(
                 {
                     "a": pa.array(out_a, pa.int64()),
@@ -732,7 +741,7 @@ def embedding_lsh_topk(
 
         df = g.to_pandas().sort_values(["cosine", id_col], ascending=[False, True])
         df = df.drop_duplicates(subset=[id_col]).head(k)
-        df["cosine"] = df["cosine"].round(4)
+        df["cosine"] = round_half_away(df["cosine"].to_numpy(), 4)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
