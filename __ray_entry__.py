@@ -73,11 +73,11 @@ def _emb_ds(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _topk(sf_dir: str, flt, k: int = 10) -> pd.DataFrame:
+def _topk(sf_dir: str, flt, k: int = 10, scorer=None) -> pd.DataFrame:
     """Run one filter through the distributed search path and convert
     (conv_id='d%09d', turn_idx) keys back to doc_id."""
     s = _searcher(sf_dir)
-    out = s.search_ray({"q": flt}, k=k, concurrency=2)
+    out = s.search_ray({"q": flt}, k=k, concurrency=2, scorer=scorer)
     return pd.DataFrame(
         {
             "doc_id": out["conv_id"].str.slice(1).astype("int64"),
@@ -263,6 +263,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_keyword(sf):
         return _topk(sf, F.Term("role", "en"), k=10_000)
 
+    def ft_tfidf(sf):
+        return _topk(sf, F.Term("text", "key"), scorer=F.ScorerCfg("tfidf"))
+
+    def ft_bm15(sf):
+        return _topk(sf, F.Term("text", "key"), scorer=F.ScorerCfg("bm25", b=0.0))
+
+    def ft_boosted(sf):
+        return _topk(
+            sf, F.Or((F.Term("text", "join", boost=2.0), F.Term("text", "merge")))
+        )
+
     def ft_stats(sf):
         s = _searcher(sf)
         terms, dfs = s.stats.field_terms("text")
@@ -332,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard_topk": ft_wildcard,
         "ft_fuzzy_topk": ft_fuzzy,
         "ft_keyword_topk": ft_keyword,
+        "ft_tfidf_topk": ft_tfidf,
+        "ft_bm15_topk": ft_bm15,
+        "ft_boosted_or_topk": ft_boosted,
         "ft_stats_df": ft_stats,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
@@ -374,6 +388,44 @@ def oracle_sql() -> dict[str, str]:
         "ft_range_topk": _sql_multiterm("w >= 'query' AND w <= 'sort'"),
         "ft_wildcard_topk": _sql_multiterm("w LIKE 's_a%'"),
         "ft_fuzzy_topk": _sql_multiterm("levenshtein(w, 'tble') <= 1"),
+        # TFIDF (Lucene-classic, SURVEY §2.6): sqrt(tf)·(1+ln(N/(n+1)))/sqrt(dl)
+        "ft_tfidf_topk": f"""
+{_BASE}, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE w = 'key' GROUP BY doc_id
+), df AS (SELECT count(*) AS n FROM tf)
+SELECT tf.doc_id,
+       round((1 + ln(fs.N / (df.n + 1.0))) * sqrt(tf.tf) / sqrt(dl.dl), 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN df
+ORDER BY (1 + ln(fs.N / (df.n + 1.0))) * sqrt(tf.tf) / sqrt(dl.dl) DESC, tf.doc_id ASC
+LIMIT 10
+""",
+        # BM15 = BM25 with b=0: tf-factor = tf·(k1+1)/(tf+k1), norms unused
+        "ft_bm15_topk": f"""
+{_BASE}, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE w = 'key' GROUP BY doc_id
+), df AS (SELECT count(*) AS n FROM tf)
+SELECT tf.doc_id,
+       round(ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2), 4) AS score
+FROM tf CROSS JOIN fs CROSS JOIN df
+ORDER BY ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5)) * (tf.tf * 2.2) / (tf.tf + 1.2) DESC,
+         tf.doc_id ASC LIMIT 10
+""",
+        # per-leg boost multiplies into the leg weight before the union sum
+        "ft_boosted_or_topk": f"""
+{_BASE}, tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('join','merge') GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS n FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         (CASE WHEN tf.w = 'join' THEN 2.0 ELSE 1.0 END)
+         * ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5)) * {_TFF} AS s
+  FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs
+)
+SELECT doc_id, round(sum(s), 4) AS score FROM scored GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+""",
         # keyword field: dl = 1 for every doc, avgdl = 1 ⇒ tf-factor = 1 ⇒ score = idf
         "ft_keyword_topk": """
 WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),

@@ -1,0 +1,301 @@
+"""Bench harness (SURVEY.md §7.1 M5) — prints ONE JSON line.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32):
+
+  build      index the deterministic synthetic transcript corpus sized to
+             the sf (≈ lineitem row count turns) → indexed turns/sec
+  query      top-k BM25 over the built index: batched throughput via the
+             SegmentSearcher actor pool + per-query p50/p95 latency
+  consolidate tier-policy merge of the built segments
+  dataops    exact dedup + minhash near-dup + quality over documents;
+             brute-force cosine top-k over embeddings
+
+--scaling: runs the SAME build job in two fresh processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated corpus and reports
+both throughputs + efficiency = (thr32/thr8)/(32/8); the sandbox stand-in
+for the N vs 4N node criterion (SURVEY §4.1), recorded in BENCH/BASELINE.md.
+
+Owns its Ray session (the ONLY script here that calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROOT = "/tmp/ire_bench/corpus"
+INDEX_ROOT = "/tmp/ire_bench/idx"
+
+QUERY_SET = [
+    ("term_hot", lambda F: F.Term("text", "the")),
+    ("term_mid", lambda F: F.Term("text", "agent")),
+    ("or3", lambda F: F.Or(tuple(F.Term("text", t) for t in ("error", "plan", "merge")))),
+    ("and2", lambda F: F.And((F.Term("text", "agent"), F.Term("text", "error")))),
+    ("minmatch", lambda F: F.Or(tuple(F.Term("text", t) for t in ("run", "test", "data")), min_match=2)),
+    ("phrase", lambda F: F.Phrase("text", ("the", "a"))),
+    ("prefix", lambda F: F.Prefix("text", "w00")),
+    ("wildcard", lambda F: F.Wildcard("text", "w%1")),
+    ("fuzzy", lambda F: F.Fuzzy("text", "agent", 1)),
+    ("keyword", lambda F: F.Term("role", "tool")),
+]
+
+
+def _n_convs_for_sf(sf_dir: str) -> int:
+    """Corpus sized to the sf: ≈ lineitem row count turns (~7.5 turns/conv)."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    return max(200, rows // 8)
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    """Deterministic transcript corpus for this sf, generated IN PARALLEL via
+    Ray tasks (cached across runs — the --scaling children reuse it, so
+    generation never pollutes build timings)."""
+    n_convs = _n_convs_for_sf(sf_dir)
+    out = os.path.join(CORPUS_ROOT, f"convs{n_convs}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    import ray
+
+    from iresearch_ray.sources.transcripts import gen_transcripts_range
+
+    @ray.remote
+    def gen_shard(start: int, end: int, path: str) -> str:
+        import pyarrow.parquet as pq
+
+        pq.write_table(gen_transcripts_range(start, end), path)
+        return path
+
+    step = max(500, n_convs // (NUM_CPUS * 4))
+    futs = [
+        gen_shard.remote(s, min(s + step, n_convs), os.path.join(out, f"part-{i:05d}.parquet"))
+        for i, s in enumerate(range(0, n_convs, step))
+    ]
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write(str(n_convs))
+    return out
+
+
+def bench_build(corpus: str, num_partitions: int = 64) -> dict:
+    import pyarrow.parquet as pq
+
+    from iresearch_ray import build_index
+
+    idx = os.path.join(INDEX_ROOT, f"cpus{NUM_CPUS}")
+    shutil.rmtree(idx, ignore_errors=True)
+    files = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    turns = sum(pq.read_metadata(f).num_rows for f in files)
+    t0 = time.perf_counter()
+    manifest = build_index(files, idx, num_partitions=num_partitions, resume=False)
+    secs = time.perf_counter() - t0
+    assert manifest["metrics"]["docs_count"] == turns
+    return {"secs": secs, "turns": turns, "turns_per_sec": turns / secs, "index_dir": idx}
+
+
+def bench_query(idx: str) -> dict:
+    import numpy as np
+
+    from iresearch_ray import Searcher
+    from iresearch_ray.query import filters as F
+
+    s = Searcher(idx)
+    batch = {name: mk(F) for name, mk in QUERY_SET}
+
+    # batched throughput through the actor pool (the distributed path)
+    t0 = time.perf_counter()
+    out = s.search_ray(batch, k=10, concurrency=8)
+    batch_secs = time.perf_counter() - t0
+
+    # per-query latency over the point-in-time snapshot (library usage path);
+    # readers are cached after the first pass — time the warm path, report both
+    lat = {}
+    for rep in range(3):
+        for name, mk in QUERY_SET:
+            t0 = time.perf_counter()
+            s.search_local(mk(F), k=10)
+            dt = time.perf_counter() - t0
+            lat.setdefault(name, []).append(dt)
+    warm = [min(v) for v in lat.values()]
+    return {
+        "batch_secs": batch_secs,
+        "batch_rows": len(out),
+        "p50_local_ms": float(np.percentile(np.array(warm) * 1e3, 50)),
+        "p95_local_ms": float(np.percentile(np.array(warm) * 1e3, 95)),
+    }
+
+
+def bench_consolidate(idx: str) -> dict:
+    from iresearch_ray.pipelines.consolidate import consolidate
+
+    t0 = time.perf_counter()
+    consolidate(idx, policy="tier", gc=True, repeat=True)
+    return {"secs": time.perf_counter() - t0}
+
+
+def bench_dataops(sf_dir: str) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from iresearch_ray.pipelines import dataops as ops
+
+    res = {}
+    t0 = time.perf_counter()
+    n = ops.exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    res["dedup_secs"] = time.perf_counter() - t0
+    res["dedup_rows"] = n
+
+    t0 = time.perf_counter()
+    ops.minhash_lsh_pairs(rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.5).count()
+    res["minhash_secs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ops.quality_scores(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    res["quality_secs"] = time.perf_counter() - t0
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(emb["embedding"].to_pylist()[:8], dtype=np.float64)
+    t0 = time.perf_counter()
+    ops.embedding_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10).count()
+    res["emb_topk_secs"] = time.perf_counter() - t0
+    return res
+
+
+def run_full() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    try:
+        corpus = ensure_corpus(SF_DIR)
+        b = bench_build(corpus)
+        c = bench_consolidate(b["index_dir"])
+        q = bench_query(b["index_dir"])
+        d = bench_dataops(SF_DIR)
+    finally:
+        ray.shutdown()
+    queries = {
+        "build_index": round(b["secs"], 3),
+        "query_batch": round(q["batch_secs"], 3),
+        "consolidate": round(c["secs"], 3),
+        "dedup": round(d["dedup_secs"], 3),
+        "minhash": round(d["minhash_secs"], 3),
+        "quality": round(d["quality_secs"], 3),
+        "emb_topk": round(d["emb_topk_secs"], 3),
+    }
+    total = sum(queries.values())
+    return {
+        "metric": "headline pipeline wall seconds (index build + BM25 top-k + consolidation + curation ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "detail": {
+            "indexed_turns": b["turns"],
+            "indexed_turns_per_sec": round(b["turns_per_sec"], 1),
+            "query_p50_local_ms": round(q["p50_local_ms"], 2),
+            "query_p95_local_ms": round(q["p95_local_ms"], 2),
+        },
+    }
+
+
+def _scale_child(cpus: int) -> None:
+    """Fresh-process build-only run (corpus must already exist)."""
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
+    try:
+        corpus = ensure_corpus(SF_DIR)
+        global NUM_CPUS
+        NUM_CPUS = cpus  # index dir per-cpus
+        b = bench_build(corpus)
+    finally:
+        ray.shutdown()
+    print(json.dumps({"cpus": cpus, "secs": b["secs"], "turns": b["turns"], "thr": b["turns_per_sec"]}))
+
+
+def run_scaling() -> dict:
+    # pre-generate the corpus once so children only time the build
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    try:
+        ensure_corpus(SF_DIR)
+    finally:
+        ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scale_child", str(cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8, thr32 = results[8]["thr"], results[32]["thr"]
+    eff = (thr32 / thr8) / (32 / 8)
+    payload = {
+        "metric": "index-build throughput scaling efficiency, 8→32 CPUs (N vs 4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "build_8cpu": round(results[8]["secs"], 3),
+            "build_32cpu": round(results[32]["secs"], 3),
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "detail": {
+            "turns": results[8]["turns"],
+            "turns_per_sec_8cpu": round(thr8, 1),
+            "turns_per_sec_32cpu": round(thr32, 1),
+            "efficiency_gate": 0.8,
+            "pass": eff >= 0.8,
+        },
+    }
+    _record_scaling(payload)
+    return payload
+
+
+def _record_scaling(p: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH baseline (measured)\n\n"
+            f"corpus: deterministic synthetic transcripts, {p['detail']['turns']} turns "
+            f"(sized to {p['sf']}); identical input + code both runs; fresh\n"
+            "processes; `ray.init(address='local', num_cpus=8)` vs `num_cpus=32`.\n\n"
+            "| run | build secs | turns/sec |\n|---|---|---|\n"
+            f"| 8 CPUs (N) | {p['queries']['build_8cpu']} | {p['detail']['turns_per_sec_8cpu']} |\n"
+            f"| 32 CPUs (4N) | {p['queries']['build_32cpu']} | {p['detail']['turns_per_sec_32cpu']} |\n\n"
+            f"**scaling efficiency = (thr32/thr8)/4 = {p['value']}** "
+            f"(gate ≥ {p['detail']['efficiency_gate']}: {'PASS' if p['detail']['pass'] else 'FAIL'})\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--_scale_child" in sys.argv:
+        _scale_child(int(sys.argv[sys.argv.index("--_scale_child") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_full()))

@@ -72,13 +72,10 @@ class Searcher:
         scorer: ScorerCfg | None = None,
     ) -> pd.DataFrame:
         plan = self.prepare(flt, scorer).plan
-        parts = []
-        for r in self._local_readers():
-            t = segment_topk(r, plan, k, wand).to_pandas()
-            t.insert(0, "query_id", "q")
-            parts.append(t)
-        merged = merge_topk(pd.concat(parts, ignore_index=True), k)
-        return merged.drop(columns=["query_id"])
+        parts = [segment_topk(r, plan, k, wand) for r in self._local_readers()]
+        merged = pa.concat_tables(parts).to_pandas()
+        merged.insert(0, "query_id", "q")
+        return merge_topk(merged, k).drop(columns=["query_id"])
 
     # -- distributed execution: SegmentSearcher actor pool ----------------
     def search_ray(

@@ -28,6 +28,7 @@ from iresearch_ray.functions.codec import (
     decode_blocks,
     decode_positions,
     decode_postings,
+    varint_decode,
 )
 from iresearch_ray.functions.score import bm25_tf_factor
 from iresearch_ray.stages.segment import SegmentReader
@@ -138,6 +139,26 @@ class _TermCursor:
             out.append(flat[ends[j] - tfs_blk[j]: ends[j]])
         return out
 
+    def flat_positions(self, sel_docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_label, position) flat arrays for the selected (sorted) docs —
+        fully vectorized: the whole pos stream is one self-delimiting varint
+        sequence with per-doc delta resets, so it decodes in one pass and
+        segments by doc with a segmented cumsum (no per-doc python loop)."""
+        all_docs, all_tfs = self.decode_all()
+        if all_docs.size == 0 or sel_docs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        deltas = varint_decode(self._col("pos_blob")).astype(np.int64)
+        # segmented cumsum: absolute positions within each doc's slice
+        starts = np.concatenate(([0], np.cumsum(all_tfs)[:-1]))
+        cs = np.cumsum(deltas)
+        base = np.repeat(cs[starts] - deltas[starts], all_tfs)
+        pos = cs - base
+        if pos.size and int(pos.max()) >= (1 << 21):
+            raise ValueError("position exceeds 2^21 — phrase key packing invalid")
+        keep = np.repeat(np.isin(all_docs, sel_docs, assume_unique=True), all_tfs)
+        doc_labels = np.repeat(all_docs, all_tfs)[keep]
+        return doc_labels, pos[keep]
+
 
 def _merge_add(
     docs_a: np.ndarray, sc_a: np.ndarray, docs_b: np.ndarray, sc_b: np.ndarray
@@ -237,15 +258,23 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
         inter = np.intersect1d(inter, d, assume_unique=True)
         if inter.size == 0:
             return _EMPTY
-    pos_lists = [c.positions_for_docs(inter) for c in cursors]
-    tf_out = np.zeros(inter.size, dtype=np.int64)
-    for i in range(inter.size):
-        cand = pos_lists[0][i]
-        for j in range(1, len(cursors)):
-            if cand.size == 0:
-                break
-            cand = cand[np.isin(cand + j, pos_lists[j][i], assume_unique=True)]
-        tf_out[i] = cand.size
+    # vectorized adjacency over flat (doc, pos) keys: key = doc<<21 | pos
+    # (positions < 2^21 per doc — enforced at encode time by dl bounds), one
+    # np.isin per phrase term instead of one per (doc, term)
+    SHIFT = np.int64(21)
+    cand_docs, cand_pos = cursors[0].flat_positions(inter)
+    cand_keys = (cand_docs << SHIFT) | cand_pos
+    for j in range(1, len(cursors)):
+        if cand_keys.size == 0:
+            return _EMPTY
+        dj, pj = cursors[j].flat_positions(inter)
+        keys_j = (dj << SHIFT) | pj
+        cand_keys = cand_keys[np.isin(cand_keys + j, keys_j, assume_unique=True)]
+    if cand_keys.size == 0:
+        return _EMPTY
+    hit_docs = cand_keys >> SHIFT
+    pos_in_inter = np.searchsorted(inter, hit_docs)
+    tf_out = np.bincount(pos_in_inter, minlength=inter.size).astype(np.int64)
     keep = tf_out > 0
     docs = inter[keep]
     if docs.size == 0:
@@ -260,9 +289,14 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
 # ---------------------------------------------------------------------------
 
 def _wand_applicable(root: dict) -> bool:
+    # WAND pays when a few high-impact legs can bound out the rest; for wide
+    # multiterm unions (prefix/wildcard expansions) the per-leg incremental
+    # merge is O(L·n) while the counting union is one concat+unique — so wide
+    # unions take the eval_node path (identical results, SURVEY §5.2 item 5)
     return (
         root["op"] == "union"
         and int(root.get("min_match", 1)) <= 1
+        and len(root["children"]) <= 16
         and all(c["op"] == "term" for c in root["children"])
     )
 
