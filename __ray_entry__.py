@@ -53,9 +53,17 @@ def _searcher(sf_dir: str):
     from iresearch_ray import Searcher, build_index
     from iresearch_ray.sources.transcripts import documents_as_transcripts
 
-    idx = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "idx")
+    from iresearch_ray.stages.segment import IndexConfig
+
+    cfg = IndexConfig(numeric_fields=("n_chars",))
+    import hashlib as _h
+
+    cfg_key = _h.md5(str(sorted(cfg.to_json().items())).encode()).hexdigest()[:8]
+    idx = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "-" + cfg_key, "idx"
+    )
     tbl = documents_as_transcripts(sf_dir)
-    build_index(rd.from_arrow(tbl), idx, num_partitions=4, resume=True)
+    build_index(rd.from_arrow(tbl), idx, cfg=cfg, num_partitions=4, resume=True)
     s = Searcher(idx)
     _SEARCHERS[sf_dir] = s
     return s
@@ -274,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, F.Or((F.Term("text", "join", boost=2.0), F.Term("text", "merge")))
         )
 
+    def ft_granular(sf):
+        return _topk(sf, F.GranularRange("n_chars", 150, 220), k=10_000)
+
     def ft_stats(sf):
         s = _searcher(sf)
         terms, dfs = s.stats.field_terms("text")
@@ -346,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_tfidf_topk": ft_tfidf,
         "ft_bm15_topk": ft_bm15,
         "ft_boosted_or_topk": ft_boosted,
+        "ft_granular_range": ft_granular,
         "ft_stats_df": ft_stats,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
@@ -432,6 +444,10 @@ WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
 fs AS (SELECT count(*) AS N FROM documents), df AS (SELECT count(*) AS n FROM m)
 SELECT m.doc_id, round(ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5)), 4) AS score
 FROM m CROSS JOIN fs CROSS JOIN df ORDER BY m.doc_id
+""",
+        # granular numeric range: constant boost score per matching doc
+        "ft_granular_range": """
+SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars BETWEEN 150 AND 220
 """,
         "ft_stats_df": """
 SELECT w AS term, count(distinct doc_id) AS df, count(*) AS cf

@@ -54,7 +54,7 @@ def hash_partition(conv_ids, num_partitions: int) -> np.ndarray:
 
 
 def _input_columns(schema_names: list[str], cfg: IndexConfig) -> list[str]:
-    wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields, "ts"]
+    wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields, *cfg.numeric_fields, "ts"]
     return [c for c in wanted if c in schema_names]
 
 

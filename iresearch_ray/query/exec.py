@@ -220,6 +220,20 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         keep = ~np.isin(pos_d, neg_d, assume_unique=True)
         return pos_d[keep], pos_s[keep]
 
+    if op == "filter_union":
+        # constant-score disjoint union (granular numeric range): decode doc
+        # lists only, score = weight for every matching doc
+        docs_list = []
+        for t in node["terms"]:
+            cur = _TermCursor(reader, {"field": node["field"], "term": t})
+            if cur.present:
+                docs_list.append(cur.decode_all()[0])
+        if not docs_list:
+            return _EMPTY
+        docs = np.concatenate(docs_list)
+        docs.sort()  # disjoint by construction — no dedupe needed
+        return docs, np.full(docs.size, float(node["weight"]), dtype=np.float64)
+
     if op == "phrase":
         return _eval_phrase(reader, node, scorer)
 

@@ -71,6 +71,23 @@ class TermRange(Filter):
 
 
 @dataclass
+class GranularRange(Filter):
+    """Numeric range over precision-trie terms (ref:
+    core/search/granular_range_filter.cpp): [low, high] decomposes into a
+    handful of contiguous term-dictionary scans, one per trie level —
+    few dict probes instead of a full scan.  Matching docs score a
+    CONSTANT boost (pinned simplification; each doc matches exactly one
+    covering term, so the union is disjoint)."""
+
+    field: str
+    low: int | None = None
+    high: int | None = None
+    include_low: bool = True
+    include_high: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class Wildcard(Filter):
     """`%`/`_` (reference syntax) or `*`/`?` (glob) pattern
     (ref: wildcard_filter.cpp)."""
@@ -319,6 +336,24 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             cand = list(terms)
         matched = [t for t in cand if rx.fullmatch(t)]
         return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+    if isinstance(flt, GranularRange):
+        from iresearch_ray.functions.numeric import range_term_bounds
+
+        INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
+        lo = INT64_MIN if flt.low is None else int(flt.low) + (0 if flt.include_low else 1)
+        hi = INT64_MAX if flt.high is None else int(flt.high) - (0 if flt.include_high else 1)
+        terms, _dfs = stats.field_terms(flt.field)
+        matched: list[str] = []
+        for lo_t, hi_t in range_term_bounds(lo, hi):
+            a = int(np.searchsorted(terms, lo_t, side="left"))
+            b = int(np.searchsorted(terms, hi_t, side="right"))
+            matched.extend(terms[a:b])
+        return {
+            "op": "filter_union",
+            "field": flt.field,
+            "terms": matched,
+            "weight": boost,
+        }
     if isinstance(flt, Fuzzy):
         d = min(int(flt.max_distance), 4)
         dist = osa_distance if flt.with_transpositions else levenshtein_distance

@@ -155,5 +155,6 @@ def documents_as_transcripts(sf_dir: str):
             "role": t["lang"],
             "text": t["text"],
             "tool": t["source"],
+            "n_chars": t["n_chars"],
         }
     )

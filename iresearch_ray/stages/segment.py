@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from iresearch_ray.functions.analysis import TextAnalyzer, get_analyzer
+from iresearch_ray.functions.numeric import trie_terms as numeric_trie_terms
 from iresearch_ray.functions.codec import encode_postings
 
 TERMS_SCHEMA = pa.schema(
@@ -62,6 +63,7 @@ class IndexConfig:
 
     text_field: str = "text"
     keyword_fields: tuple[str, ...] = ("role", "tool")
+    numeric_fields: tuple[str, ...] = ()  # precision-trie indexed (SURVEY §2.1 numeric)
     analyzer: str = "text"
     analyzer_opts: dict = field(default_factory=dict)
     positions: bool = True      # needed for phrase (SURVEY §2.5)
@@ -75,6 +77,7 @@ class IndexConfig:
         return {
             "text_field": self.text_field,
             "keyword_fields": list(self.keyword_fields),
+            "numeric_fields": list(self.numeric_fields),
             "analyzer": self.analyzer,
             "analyzer_opts": self.analyzer_opts,
             "positions": self.positions,
@@ -86,6 +89,7 @@ class IndexConfig:
     def from_json(d: dict) -> "IndexConfig":
         d = dict(d)
         d["keyword_fields"] = tuple(d.get("keyword_fields", ()))
+        d["numeric_fields"] = tuple(d.get("numeric_fields", ()))
         return IndexConfig(**d)
 
 
@@ -200,6 +204,23 @@ def build_segment_tables(
         field_stats[f] = {
             "docs_with_field": int((kw_dls > 0).sum()),
             "total_term_freq": int(kw_dls.sum()),
+        }
+
+    for f in cfg.numeric_fields:
+        if f not in rows.column_names:
+            continue
+        col = rows[f]
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        vals = np.where(valid, col.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        all_terms = numeric_trie_terms(vals)
+        num_lists = [t if ok else [] for t, ok in zip(all_terms, valid)]
+        num_dls = valid.astype(np.int64)
+        term_rows += _postings_for_field(f, num_lists, doc_ids, num_dls, False)
+        field_stats[f] = {
+            "docs_with_field": int(valid.sum()),
+            "total_term_freq": int(valid.sum()),
         }
 
     term_rows.sort(key=lambda r: (r["field"], r["term"]))
