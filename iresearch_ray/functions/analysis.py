@@ -19,6 +19,8 @@ setup cost, no actor needed (SURVEY.md §7.2).
 from __future__ import annotations
 
 import re
+
+import numpy as np
 import unicodedata
 from typing import Callable, Iterable, Sequence
 
@@ -72,6 +74,33 @@ class TextAnalyzer:
                 [] if t is None else findall(_nfc_lower(t)) for t in texts
             ]
         return [self.tokenize_one(t) for t in texts]
+
+
+def explode_text_arrow(texts):
+    """Arrow-native fast path of the pinned `text` analyzer (no stopwords, no
+    stemming): utf8_lower + RE2 split on [\\W_]+ runs entirely in C++ kernels.
+    Exact token parity with ``tokenize_text`` on ASCII input (asserted in
+    tests); returns None when the batch contains non-ASCII or nulls so the
+    caller falls back to the python path.
+
+    Returns (flat_tokens: pa.Array, parent_row: np.int64[], n_tokens_per_row:
+    np.int64[]) with empty-string tokens already removed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count or not pc.all(pc.string_is_ascii(texts)).as_py():
+        return None
+    low = pc.utf8_lower(texts)
+    split = pc.split_pattern_regex(low, r"[\W_]+")
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    n_tok = np.bincount(parent, minlength=len(texts)).astype(np.int64)
+    return flat, parent, n_tok
 
 
 class KeywordAnalyzer:

@@ -197,6 +197,137 @@ def build_index(
     return manifest
 
 
+def build_index_direct(
+    source,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Same contract as ``build_index`` but with an EXPLICIT two-stage hash
+    exchange instead of the Dataset sort-based groupby:
+
+      stage A (one Ray task per input file): read + column-prune + split rows
+        by crc32(conv_id) % P, returning P separate objects (num_returns=P)
+        so stage B fetches ONLY its partition's bytes;
+      stage B (one Ray task per partition): concat its F shard tables →
+        build + write the segment.
+
+    Rationale (SURVEY §4.1): the sort-based shuffle pays a global sort with a
+    poorly-parallelized boundary that dominates small-to-mid builds and caps
+    scaling efficiency; this exchange is the classic M×R map-side split, all
+    stages embarrassingly parallel, no ordering requirement (each partition
+    re-sorts locally by (conv_id, turn_idx) anyway).  Metadata cost is F×P
+    refs — fine up to ~10⁴ files × ~10³ partitions per job; at larger F the
+    job is split by input directory (resume makes that free).
+    """
+    import ray
+
+    cfg = cfg or IndexConfig()
+    if isinstance(source, str):
+        source = [source]
+    files: list[str] = []
+    for s in source:
+        if os.path.isdir(s):
+            files += [os.path.join(s, f) for f in sorted(os.listdir(s)) if f.endswith(".parquet")]
+        else:
+            files.append(s)
+    fingerprint = {"files": [[f, os.path.getsize(f)] for f in files]}
+
+    schema = pq.read_schema(files[0])
+    cols = _input_columns(schema.names, cfg)
+    if num_partitions:
+        P = num_partitions
+    else:
+        nbytes = sum(sz for _, sz in fingerprint["files"])
+        # parquet is ~4x smaller than in-memory arrow for text; aim partitions
+        # at TARGET_PARTITION_BYTES of in-memory rows
+        P = max(1, math.ceil(4 * nbytes / TARGET_PARTITION_BYTES))
+
+    done: dict[int, dict] = {}
+    if resume:
+        prev = load_manifest(index_dir)
+        prior_ok = prev is None or (
+            prev.get("lineage", {}).get("input") == fingerprint
+            and prev.get("lineage", {}).get("num_partitions") == P
+        )
+        if prior_ok:
+            for name, meta in completed_segments(index_dir).items():
+                lin = meta.get("lineage", {})
+                if lin.get("of_partitions") == P and isinstance(lin.get("partition"), int):
+                    done[lin["partition"]] = meta
+    done_parts = np.array(sorted(done), dtype=np.int64)
+
+    @ray.remote(num_cpus=1, num_returns=P)
+    def read_split(paths: list[str]):
+        t = pa.concat_tables(pq.read_table(f, columns=cols) for f in paths)
+        part = hash_partition(t["conv_id"].to_pylist(), P)
+        # one stable sort + P zero-copy slices beats P table.filter scans
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(P + 1))
+        out = []
+        for p in range(P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if hi == lo or p in done:
+                out.append(None)
+            else:
+                out.append(t.slice(lo, hi - lo))
+        return tuple(out) if P > 1 else out[0]
+
+    build = _build_group_fn(index_dir, cfg, P)
+
+    @ray.remote(num_cpus=1)
+    def build_part(p: int, *shards):
+        tables = [t for t in shards if t is not None and t.num_rows]
+        if not tables:
+            return None
+        rows = pa.concat_tables(tables)
+        rows = rows.append_column("__part", pa.array(np.full(rows.num_rows, p), pa.int64()))
+        out = build(rows)
+        return out["meta"][0].as_py()
+
+    # group files so stage A is O(P) tasks: F independent read tasks each
+    # returning P objects floods the object store with F×P refs (observed to
+    # collapse throughput at a few hundred files); ~P groups keeps the ref
+    # count at P² while still saturating the cluster
+    n_groups = min(len(files), max(P, 16))
+    groups: list[list[str]] = [files[i::n_groups] for i in range(n_groups)]
+    groups = [g for g in groups if g]
+    refs = [read_split.remote(g) for g in groups]  # [G][P] object refs
+    if P == 1:
+        build_refs = [] if 0 in done else [build_part.remote(0, *refs)]
+    else:
+        build_refs = [
+            build_part.remote(p, *[refs[g][p] for g in range(len(groups))])
+            for p in range(P)
+            if p not in done
+        ]
+    new_metas = [json.loads(m) for m in ray.get(build_refs) if m is not None]
+
+    all_metas = list(done.values()) + new_metas
+    return commit_manifest(
+        index_dir,
+        all_metas,
+        cfg.to_json(),
+        lineage={
+            "input": fingerprint,
+            "num_partitions": P,
+            "resumed_partitions": sorted(int(p) for p in done),
+            "built_partitions": sorted(m["lineage"]["partition"] for m in new_metas),
+        },
+        metrics={
+            "docs_count": sum(m["docs_count"] for m in all_metas),
+            "segments": len(all_metas),
+            "build_secs_per_partition": {
+                str(m["lineage"]["partition"]): m["metrics"].get("build_secs")
+                for m in new_metas
+            },
+        },
+    )
+
+
 def build_index_local(
     table: pa.Table,
     index_dir: str,

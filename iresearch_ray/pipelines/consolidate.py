@@ -12,6 +12,8 @@ swap keeps serving its snapshot (segment dirs are immutable).
 
 from __future__ import annotations
 
+import os
+
 from iresearch_ray.stages.merge import merge_segments
 from iresearch_ray.state.manifest import commit_manifest, gc_segments, load_manifest
 from iresearch_ray.state.policy import POLICIES
@@ -31,10 +33,34 @@ def consolidate(
         raise FileNotFoundError(f"no manifest in {index_dir}")
     pick = POLICIES[policy]
     while True:
-        sets = pick(manifest["segments"], **(policy_kwargs or {}))
-        sets = [s for s in sets if len(s) >= 2]
+        segs = manifest["segments"]
+        if manifest.get("tombstones"):
+            # annotate live-doc counts so docs_fill/docs_live policies see
+            # deletion pressure (SURVEY §2.3 consolidation policies)
+            from iresearch_ray.pipelines.delete import load_tombstone_keys
+
+            keys = load_tombstone_keys(index_dir, manifest)
+            convs = {c for c, _ in keys}
+            segs = [dict(s) for s in segs]
+            for sm in segs:
+                sm.setdefault("live_docs", sm["docs_count"])
+            # cheap per-segment count via docs parquet key columns
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            for sm in segs:
+                d = _os.path.join(index_dir, "segments", sm["name"], "docs.parquet")
+                t = _pq.read_table(d, columns=["conv_id", "turn_idx"])
+                pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+                sm["live_docs"] = sm["docs_count"] - sum(p in keys for p in pairs)
+        sets = pick(segs, **(policy_kwargs or {}))
+        # singleton sets are meaningful under deletion pressure (purge-only
+        # rewrite); without tombstones a 1-segment merge is a no-op — drop it
+        min_set = 1 if manifest.get("tombstones") else 2
+        sets = [s for s in sets if len(s) >= min_set]
         if not sets:
-            return manifest
+            return _maybe_clear_tombstones(index_dir, manifest)
         gen = manifest["generation"]
         merged_metas = _run_merges(index_dir, sets, gen)
         merged_away = {n for s in sets for n in s}
@@ -64,7 +90,34 @@ def consolidate(
         if gc:
             gc_segments(index_dir, manifest)
         if not repeat:
+            return _maybe_clear_tombstones(index_dir, manifest)
+
+
+def _maybe_clear_tombstones(index_dir: str, manifest: dict) -> dict:
+    """Drop the tombstone list once no live segment contains a tombstoned key
+    (all purged by merges) — keeps steady-state queries mask-free."""
+    if not manifest.get("tombstones"):
+        return manifest
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.pipelines.delete import load_tombstone_keys
+
+    keys = load_tombstone_keys(index_dir, manifest)
+    for s in manifest["segments"]:
+        d = os.path.join(index_dir, "segments", s["name"], "docs.parquet")
+        t = pq.read_table(d, columns=["conv_id", "turn_idx"])
+        if any(
+            p in keys for p in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+        ):
             return manifest
+    return commit_manifest(
+        index_dir,
+        manifest["segments"],
+        manifest["config"],
+        lineage={**manifest.get("lineage", {}), "tombstones_cleared": True},
+        metrics=manifest.get("metrics", {}),
+        tombstones=[],
+    )
 
 
 def _run_merges(index_dir: str, sets: list[list[str]], generation: int) -> list[dict]:

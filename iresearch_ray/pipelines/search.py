@@ -53,6 +53,21 @@ class Searcher:
         self.stats = build_global_stats(index_dir, manifest)
         self.seg_dirs = segment_dirs(index_dir, manifest)
         self._readers: list[SegmentReader] | None = None
+        self._tomb_keys = None  # lazy; most indexes have no deletes
+        self._masks: dict[int, object] = {}
+
+    def _deleted_for(self, i: int, reader: SegmentReader):
+        if not self.manifest.get("tombstones"):
+            return None
+        if self._tomb_keys is None:
+            from iresearch_ray.pipelines.delete import load_tombstone_keys
+
+            self._tomb_keys = load_tombstone_keys(self.index_dir, self.manifest)
+        if i not in self._masks:
+            from iresearch_ray.pipelines.delete import deleted_doc_mask
+
+            self._masks[i] = deleted_doc_mask(reader, self._tomb_keys)
+        return self._masks[i]
 
     # -- prepare ----------------------------------------------------------
     def prepare(self, flt: Filter, scorer: ScorerCfg | None = None) -> Prepared:
@@ -72,7 +87,10 @@ class Searcher:
         scorer: ScorerCfg | None = None,
     ) -> pd.DataFrame:
         plan = self.prepare(flt, scorer).plan
-        parts = [segment_topk(r, plan, k, wand) for r in self._local_readers()]
+        parts = [
+            segment_topk(r, plan, k, wand, deleted=self._deleted_for(i, r))
+            for i, r in enumerate(self._local_readers())
+        ]
         merged = pa.concat_tables(parts).to_pandas()
         merged.insert(0, "query_id", "q")
         return merge_topk(merged, k).drop(columns=["query_id"])
@@ -96,8 +114,19 @@ class Searcher:
         }
         # group items per segment so an actor's cached shard serves a whole
         # batch of queries per block (cache locality, SURVEY §3.2)
+        tombs_json = json.dumps(self.manifest.get("tombstones", []) or [])
+        if tombs_json == "[]":
+            tombs_json = ""
         items = [
-            {"seg_dir": d, "query_id": qid, "plan": plan, "k": k, "wand": wand}
+            {
+                "seg_dir": d,
+                "query_id": qid,
+                "plan": plan,
+                "k": k,
+                "wand": wand,
+                "index_dir": self.index_dir,
+                "tombstones": tombs_json,
+            }
             for d in self.seg_dirs
             for qid, plan in plans.items()
         ]

@@ -358,12 +358,24 @@ def eval_union_wand(
 
 
 def segment_topk(
-    reader: SegmentReader, plan: dict, k: int, wand: bool = True
+    reader: SegmentReader,
+    plan: dict,
+    k: int,
+    wand: bool = True,
+    deleted: np.ndarray | None = None,
 ) -> pa.Table:
     """Evaluate one prepared plan over one segment → local top-k table
-    (conv_id, turn_idx, score) under the pinned total order."""
+    (conv_id, turn_idx, score) under the pinned total order.
+
+    ``deleted`` is the document-mask side file applied at query time
+    (SURVEY §2.3): True at doc_id-1 excludes the doc from results.  WAND is
+    disabled while a mask is active — masked docs could inflate the running
+    k-th-score threshold and prune live candidates (the mask is transient:
+    consolidation purges it)."""
     scorer = plan["scorer"]
     root = plan["root"]
+    if deleted is not None:
+        wand = False
     if k <= 0:
         return pa.table(
             {
@@ -376,6 +388,9 @@ def segment_topk(
         docs, scores = eval_union_wand(reader, root, scorer, k)
     else:
         docs, scores = eval_node(reader, root, scorer)
+    if deleted is not None and docs.size:
+        keep = ~deleted[docs - 1]
+        docs, scores = docs[keep], scores[keep]
     if docs.size == 0:
         return pa.table(
             {

@@ -101,6 +101,31 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dic
     seg_names = sorted(seg_names)
     readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
     cfg = IndexConfig.from_json(readers[0].meta["config"])
+
+    # deletes present? purge by REBUILDING from the stored doc rows (the
+    # doc_map-with-drops path, ref: merge_writer doc_map remap; our blob-
+    # concat fast path is only valid for the no-drops offset remap)
+    from iresearch_ray.pipelines.delete import load_tombstone_keys
+    from iresearch_ray.state.manifest import load_manifest as _lm
+
+    man = _lm(index_dir) or {}
+    if man.get("tombstones"):
+        keys = load_tombstone_keys(index_dir, man)
+        masks = []
+        any_deleted = False
+        for r in readers:
+            conv = r.docs["conv_id"].to_pylist()
+            turn = r.docs["turn_idx"].to_pylist()
+            m = np.fromiter(((c, t) in keys for c, t in zip(conv, turn)), dtype=bool, count=len(conv))
+            masks.append(m)
+            any_deleted = any_deleted or bool(m.any())
+        if any_deleted:
+            if not cfg.store_text:
+                raise NotImplementedError(
+                    "purging deletes requires store_text=True (rebuild from stored rows)"
+                )
+            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0)
+
     offsets = np.concatenate(([0], np.cumsum([r.meta["docs_count"] for r in readers])))
 
     # --- docs: concat + dense re-id ------------------------------------
@@ -152,4 +177,32 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dic
         cfg,
         lineage={"merged_from": seg_names},
         metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
+    )
+
+
+def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0):
+    """Drop masked docs and rebuild the merged segment from stored rows —
+    correctness path for deletes; slower than blob concat, but deletes are
+    purged exactly once."""
+    import pyarrow as pa
+
+    from iresearch_ray.stages.segment import build_segment_tables
+
+    keep_tables = []
+    for r, m in zip(readers, masks):
+        t = r.docs.drop_columns([c for c in ("doc_id", "dl") if c in r.docs.column_names])
+        keep_tables.append(t.filter(pa.array(~m)))
+    rows = pa.concat_tables(keep_tables, promote_options="default")
+    terms, docs, field_stats = build_segment_tables(rows, cfg)
+    key = zlib.crc32(("|".join(seg_names) + "|purged").encode())
+    name = f"seg-m{generation:04d}-{key:08x}"
+    return write_segment(
+        index_dir,
+        name,
+        terms,
+        docs,
+        field_stats,
+        cfg,
+        lineage={"merged_from": seg_names, "purged": True},
+        metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": docs.num_rows},
     )

@@ -36,6 +36,27 @@ class SegmentSearcher:
         self._readers: OrderedDict[str, SegmentReader] = OrderedDict()
         self._max = max_cached_segments
         self._plan_cache: dict[str, dict] = {}
+        self._tomb_cache: dict[str, set] = {}
+        self._mask_cache: dict[tuple, object] = {}
+
+    def _deleted(self, seg_dir: str, index_dir: str, tombstones_json: str):
+        """Per-(segment, tombstone-list) deleted mask, cached per actor."""
+        if not tombstones_json:
+            return None
+        key = (seg_dir, tombstones_json)
+        if key in self._mask_cache:
+            return self._mask_cache[key]
+        keys = self._tomb_cache.get(tombstones_json)
+        if keys is None:
+            from iresearch_ray.pipelines.delete import load_tombstone_keys
+
+            keys = load_tombstone_keys(index_dir, {"tombstones": json.loads(tombstones_json)})
+            self._tomb_cache[tombstones_json] = keys
+        from iresearch_ray.pipelines.delete import deleted_doc_mask
+
+        mask = deleted_doc_mask(self._reader(seg_dir), keys)
+        self._mask_cache[key] = mask
+        return mask
 
     def _reader(self, seg_dir: str) -> SegmentReader:
         r = self._readers.get(seg_dir)
@@ -64,8 +85,26 @@ class SegmentSearcher:
         plans = batch["plan"].to_pylist()
         ks = batch["k"].to_pylist()
         wands = batch["wand"].to_pylist()
-        for seg_dir, qid, plan_json, k, wand in zip(seg_dirs, qids, plans, ks, wands):
-            t = segment_topk(self._reader(seg_dir), self._plan(plan_json), int(k), bool(wand))
+        idx_dirs = (
+            batch["index_dir"].to_pylist()
+            if "index_dir" in batch.column_names
+            else [""] * len(seg_dirs)
+        )
+        tombs = (
+            batch["tombstones"].to_pylist()
+            if "tombstones" in batch.column_names
+            else [""] * len(seg_dirs)
+        )
+        for seg_dir, qid, plan_json, k, wand, idx_dir, tj in zip(
+            seg_dirs, qids, plans, ks, wands, idx_dirs, tombs
+        ):
+            t = segment_topk(
+                self._reader(seg_dir),
+                self._plan(plan_json),
+                int(k),
+                bool(wand),
+                deleted=self._deleted(seg_dir, idx_dir, tj),
+            )
             t = pa.table(
                 {
                     "query_id": pa.array([qid] * t.num_rows, pa.string()),

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from iresearch_ray.functions.analysis import TextAnalyzer, get_analyzer
+from iresearch_ray.functions.analysis import TextAnalyzer, explode_text_arrow, get_analyzer
 from iresearch_ray.functions.numeric import trie_terms as numeric_trie_terms
 from iresearch_ray.functions.codec import encode_postings
 
@@ -113,6 +113,24 @@ def _postings_for_field(
     starts = np.cumsum(lens) - lens
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+    return _postings_from_codes(
+        field_name, codes, uniques, doc_rep, dl_rep, pos, with_positions
+    )
+
+
+def _postings_from_codes(
+    field_name: str,
+    codes: np.ndarray,
+    uniques,
+    doc_rep: np.ndarray,
+    dl_rep: np.ndarray,
+    pos: np.ndarray,
+    with_positions: bool,
+) -> list[dict]:
+    """Grouping + encode tail shared by the python and arrow tokenize paths:
+    ``codes`` are sorted-term integer codes per occurrence, ``uniques`` the
+    sorted term strings."""
+    total = codes.size
     # group by (term, doc); positions already ascending within (doc) by construction
     order = np.lexsort((pos, doc_rep, codes))
     codes_s, docs_s, pos_s, dl_s = codes[order], doc_rep[order], pos[order], dl_rep[order]
@@ -176,16 +194,58 @@ def build_segment_tables(
     n = rows.num_rows
     doc_ids = np.arange(1, n + 1, dtype=np.int64)
     analyzer = cfg.make_analyzer()
-    texts = rows[cfg.text_field].to_pylist()
-    token_lists = analyzer(texts)
-    dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
 
     term_rows: list[dict] = []
     field_stats: dict[str, dict] = {}
 
-    term_rows += _postings_for_field(
-        cfg.text_field, token_lists, doc_ids, dls, cfg.positions
-    )
+    # arrow-native tokenize fast path (C++ kernels) for the plain pinned
+    # analyzer on ASCII batches — token-identical to the python path
+    # (tests/test_analysis.py asserts parity); python fallback otherwise
+    exploded = None
+    if (
+        cfg.analyzer == "text"
+        and isinstance(analyzer, TextAnalyzer)
+        and not analyzer.stopwords
+        and analyzer.stem is None
+        and not os.environ.get("IRE_NO_ARROW_TOKENIZE")
+    ):
+        exploded = explode_text_arrow(rows[cfg.text_field])
+
+    if exploded is not None:
+        flat, parent, dls = exploded
+        if len(flat):
+            enc = flat.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = enc.dictionary.to_pandas().to_numpy(dtype=object)
+            # remap first-seen dictionary order to sorted-term codes
+            sort_order = np.argsort(uniq, kind="stable")
+            rank = np.empty(uniq.size, dtype=np.int64)
+            rank[sort_order] = np.arange(uniq.size)
+            codes = rank[codes]
+            uniq = uniq[sort_order]
+            # occurrence position within each doc (parent is nondecreasing)
+            run_start = np.concatenate(([0], np.flatnonzero(np.diff(parent)) + 1))
+            pos = np.arange(parent.size, dtype=np.int64) - np.repeat(
+                run_start, np.diff(np.append(run_start, parent.size))
+            )
+            term_rows += _postings_from_codes(
+                cfg.text_field,
+                codes,
+                uniq,
+                doc_ids[parent],
+                dls[parent],
+                pos,
+                cfg.positions,
+            )
+    else:
+        texts = rows[cfg.text_field].to_pylist()
+        token_lists = analyzer(texts)
+        dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+        term_rows += _postings_for_field(
+            cfg.text_field, token_lists, doc_ids, dls, cfg.positions
+        )
     field_stats[cfg.text_field] = {
         # docs_with_field counts docs producing >=1 token (null/empty text has
         # no tokens => field absent, matching the reference's field semantics)
@@ -236,7 +296,7 @@ def build_segment_tables(
         "turn_idx": rows["turn_idx"],
         "dl": pa.array(dls, pa.int64()),
     }
-    for extra in (*cfg.keyword_fields, "ts"):
+    for extra in (*cfg.keyword_fields, *cfg.numeric_fields, "ts"):
         if extra in rows.column_names:
             doc_cols[extra] = rows[extra]
     if cfg.store_text:

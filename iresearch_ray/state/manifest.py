@@ -46,17 +46,24 @@ def commit_manifest(
     config: dict,
     lineage: dict | None = None,
     metrics: dict | None = None,
+    tombstones: list[str] | None = None,
 ) -> dict:
     """Publish a new generation (the commit() analog).  ``segments`` is the
-    full live list of segment meta entries, in stable (name) order."""
+    full live list of segment meta entries, in stable (name) order.
+    ``tombstones`` is the live list of tombstone parquet file names (under
+    index_dir/tombstones/) — the document-mask side files (SURVEY §2.3);
+    None inherits the previous generation's list."""
     prev = load_manifest(index_dir)
     gen = (prev["generation"] + 1) if prev else 1
+    if tombstones is None:
+        tombstones = (prev or {}).get("tombstones", [])
     manifest = {
         "generation": gen,
         "committed_at": time.time(),
         "config": config,
         "segments": sorted(segments, key=lambda s: s["name"]),
         "docs_count": sum(s["docs_count"] for s in segments),
+        "tombstones": sorted(tombstones),
         "lineage": lineage or {},
         "metrics": metrics or {},
     }

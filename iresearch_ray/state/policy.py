@@ -31,23 +31,52 @@ def tier(
     sized = sorted(
         ((max(s.get("bytes", 0), floor_segment_bytes), s["name"]) for s in segments),
     )
-    best: tuple[float, list[str]] | None = None
-    n = len(sized)
-    for lo in range(0, n - min_segments_per_tier + 1):
-        total = 0
-        for hi in range(lo, min(n, lo + max_segments_per_tier)):
-            total += sized[hi][0]
-            count = hi - lo + 1
-            if count < min_segments_per_tier:
-                continue
-            if total > max_segments_bytes:
-                break
-            # skew score in (0,1]: 1.0 = perfectly even window; more segments
-            # of similar size beat fewer/lopsided ones
-            score = total / (count * sized[hi][0]) * (count / max_segments_per_tier)
-            if score >= min_score and (best is None or score > best[0]):
-                best = (score, [name for _, name in sized[lo : hi + 1]])
-    return [best[1]] if best else []
+
+    def best_window(rows: list[tuple[int, str]]) -> list[str] | None:
+        best: tuple[float, list[str]] | None = None
+        n = len(rows)
+        for lo in range(0, n - min_segments_per_tier + 1):
+            total = 0
+            for hi in range(lo, min(n, lo + max_segments_per_tier)):
+                total += rows[hi][0]
+                count = hi - lo + 1
+                if count < min_segments_per_tier:
+                    continue
+                if total > max_segments_bytes:
+                    break
+                # skew score in (0,1]: 1.0 = perfectly even window; more
+                # segments of similar size beat fewer/lopsided ones
+                score = total / (count * rows[hi][0]) * (count / max_segments_per_tier)
+                if score >= min_score and (best is None or score > best[0]):
+                    best = (score, [name for _, name in rows[lo : hi + 1]])
+        return best[1] if best else None
+
+    # greedily emit DISJOINT candidate sets so one consolidation round fans
+    # all of them out as parallel Ray merge tasks (a serial one-set-per-round
+    # loop wastes the cluster — SURVEY §3.3)
+    out: list[list[str]] = []
+    remaining = sized
+    while True:
+        pick = best_window(remaining)
+        if not pick:
+            return out
+        out.append(pick)
+        picked = set(pick)
+        remaining = [r for r in remaining if r[1] not in picked]
+        if len(remaining) < min_segments_per_tier:
+            return out
+
+
+def docs_fill(segments: list[dict], threshold: float = 0.85) -> list[list[str]]:
+    """Merge segments whose live-doc fraction fell below ``threshold``
+    (ref: consolidate_docs_fill — deletion-pressure policy; ``live_docs`` is
+    annotated by consolidate() from the tombstone files)."""
+    victims = [
+        s["name"]
+        for s in segments
+        if s.get("live_docs", s["docs_count"]) < threshold * s["docs_count"]
+    ]
+    return [sorted(victims)] if victims else []
 
 
 def count(segments: list[dict], threshold: int = 8) -> list[list[str]]:
@@ -71,4 +100,4 @@ def bytes_accum(segments: list[dict], byte_cap: int = MAX_SEGMENTS_BYTES) -> lis
     return [picked] if len(picked) >= 2 else []
 
 
-POLICIES = {"tier": tier, "count": count, "bytes_accum": bytes_accum}
+POLICIES = {"tier": tier, "count": count, "bytes_accum": bytes_accum, "docs_fill": docs_fill}

@@ -1,0 +1,92 @@
+"""Deletes / tombstones — SURVEY §2.3 remove-by-filter + document masks:
+query-time masking, purge-on-consolidation, docs_fill policy, tombstone
+clearing."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray import Searcher, build_index
+from iresearch_ray.pipelines.consolidate import consolidate
+from iresearch_ray.pipelines.delete import delete_by_filter, delete_keys
+from iresearch_ray.query import filters as F
+from iresearch_ray.sources.transcripts import gen_transcripts
+
+
+@pytest.fixture()
+def idx(tmp_path, ray_session):
+    import ray.data as rd
+
+    tbl = gen_transcripts(150)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tbl), d, num_partitions=4)
+    return d, tbl
+
+
+def _keys(df):
+    return set(zip(df["conv_id"], df["turn_idx"]))
+
+
+def test_delete_keys_masks_results(idx):
+    d, tbl = idx
+    s = Searcher(d)
+    before = s.search_local(F.Term("text", "agent"), k=100_000)
+    victims = list(_keys(before))[:5]
+    m = delete_keys(d, victims)
+    assert len(m["tombstones"]) == 1
+
+    s2 = Searcher(d)
+    after = s2.search_local(F.Term("text", "agent"), k=100_000)
+    assert _keys(after) == _keys(before) - set(victims)
+    # scores of surviving docs unchanged (stats still count masked docs
+    # until a merge — reference semantics)
+    merged = before.merge(after, on=["conv_id", "turn_idx"], suffixes=("_b", "_a"))
+    assert np.allclose(merged["score_b"], merged["score_a"])
+    # distributed path agrees
+    ray_out = s2.search_ray({"q": F.Term("text", "agent")}, k=100_000, concurrency=2)
+    assert _keys(ray_out) == _keys(after)
+
+
+def test_delete_by_filter_and_purge(idx):
+    d, tbl = idx
+    m = delete_by_filter(d, F.Term("role", "tool"))
+    s = Searcher(d)
+    hits = s.search_local(F.Term("role", "tool"), k=100_000)
+    assert len(hits) == 0  # all tool turns masked
+
+    # other queries still see non-tool docs
+    res = s.search_local(F.Term("text", "the"), k=100_000)
+    roles = dict(zip(zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()), tbl["role"].to_pylist()))
+    assert all(roles[(c, t)] != "tool" for c, t in _keys(res))
+
+    # purge via docs_fill (threshold 1.0: any deletion triggers rewrite)
+    m2 = consolidate(d, policy="docs_fill", policy_kwargs={"threshold": 1.01}, gc=True)
+    assert m2.get("tombstones") == []  # cleared after purge
+    s3 = Searcher(d)
+    assert len(s3.search_local(F.Term("role", "tool"), k=100_000)) == 0
+    # doc count shrank to live docs
+    n_tool = sum(r == "tool" for r in tbl["role"].to_pylist())
+    assert m2["docs_count"] == tbl.num_rows - n_tool
+    # post-purge results identical to pre-purge masked results
+    res2 = s3.search_local(F.Term("text", "the"), k=100_000)
+    assert _keys(res2) == _keys(res)
+
+
+def test_wand_parity_under_mask(idx):
+    d, _ = idx
+    s = Searcher(d)
+    before = s.search_local(F.Or((F.Term("text", "agent"), F.Term("text", "error"))), k=15)
+    delete_keys(d, list(_keys(before))[:3])
+    s2 = Searcher(d)
+    f = F.Or((F.Term("text", "agent"), F.Term("text", "error")))
+    w1 = s2.search_local(f, k=15, wand=True)
+    w0 = s2.search_local(f, k=15, wand=False)
+    assert w1.reset_index(drop=True).equals(w0.reset_index(drop=True))
+
+
+def test_delete_is_idempotent_and_versioned(idx):
+    d, _ = idx
+    m1 = delete_keys(d, [("conv-0000001", 0)])
+    g1 = m1["generation"]
+    m2 = delete_keys(d, [("conv-0000001", 0)])  # same content-hash file
+    assert len(m2["tombstones"]) == 1
+    assert m2["generation"] == g1 + 1  # new generation, same tombstone set
