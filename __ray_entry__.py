@@ -282,6 +282,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, F.Or((F.Term("text", "join", boost=2.0), F.Term("text", "merge")))
         )
 
+    def ft_exists(sf):
+        return _topk(sf, F.Exists("tool"), k=10_000)
+
+    def ft_all(sf):
+        return _topk(sf, F.AllDocs(boost=2.5), k=10_000)
+
+    def ft_ngram_sim(sf):  # rows-only: in-order LCS ratio (no clean SQL analog)
+        return _topk(sf, F.NgramSimilarity("text", ("key", "agg", "row"), threshold=0.4), k=10_000)
+
     def ft_granular(sf):
         return _topk(sf, F.GranularRange("n_chars", 150, 220), k=10_000)
 
@@ -357,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_tfidf_topk": ft_tfidf,
         "ft_bm15_topk": ft_bm15,
         "ft_boosted_or_topk": ft_boosted,
+        "ft_exists": ft_exists,
+        "ft_all_docs": ft_all,
+        "ft_ngram_similarity": ft_ngram_sim,
         "ft_granular_range": ft_granular,
         "ft_stats_df": ft_stats,
         "dd_exact_dedup": dd_dedup,
@@ -445,6 +457,12 @@ fs AS (SELECT count(*) AS N FROM documents), df AS (SELECT count(*) AS n FROM m)
 SELECT m.doc_id, round(ln(1 + (fs.N - df.n + 0.5)/(df.n + 0.5)), 4) AS score
 FROM m CROSS JOIN fs CROSS JOIN df ORDER BY m.doc_id
 """,
+        # field-existence: constant boost (1.0) per doc having the column
+        "ft_exists": """
+SELECT doc_id, 1.0 AS score FROM documents WHERE source IS NOT NULL
+""",
+        # all-docs: constant boost score
+        "ft_all_docs": "SELECT doc_id, 2.5 AS score FROM documents",
         # granular numeric range: constant boost score per matching doc
         "ft_granular_range": """
 SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars BETWEEN 150 AND 220

@@ -330,6 +330,45 @@ ANALYZERS: dict[str, Callable[..., Tokenizer]] = {
 }
 
 
+class MinHashAnalyzer:
+    """MinHash sketch tokens over a sub-analyzer's token stream (ref:
+    core/analysis/minhash_token_stream.cpp).  Emits ``num_hashes`` hex tokens
+    per value — indexing them makes near-duplicate retrieval a Terms query
+    with min_match (band collision count ∝ Jaccard similarity)."""
+
+    def __init__(self, num_hashes: int = 32, seed: int = 42, analyzer: str = "text", **sub_opts):
+        import hashlib as _hashlib
+
+        self._h = _hashlib
+        self.num_hashes = num_hashes
+        self.sub = get_analyzer(analyzer, **sub_opts)
+        rng = np.random.default_rng(seed)
+        M = (1 << 61) - 1
+        self.a = rng.integers(1, M, num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, M, num_hashes, dtype=np.uint64)
+        self.M = np.uint64(M)
+
+    def _sketch(self, toks: list[str]) -> list[str]:
+        if not toks:
+            return []
+        hs = np.fromiter(
+            (
+                int.from_bytes(self._h.md5(t.encode()).digest()[:8], "big")
+                for t in set(toks)
+            ),
+            dtype=np.uint64,
+        )
+        vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) & self.M
+        mins = vals.min(axis=1)
+        return [f"mh{i:02d}:{int(v):016x}" for i, v in enumerate(mins)]
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [self._sketch(t) for t in self.sub(texts)]
+
+
+ANALYZERS["minhash"] = MinHashAnalyzer
+
+
 def get_analyzer(name: str, **options) -> Tokenizer:
     try:
         factory = ANALYZERS[name]

@@ -93,6 +93,54 @@ def consolidate(
             return _maybe_clear_tombstones(index_dir, manifest)
 
 
+def import_index(index_dir: str, other_index_dir: str) -> dict:
+    """Bulk-attach another index's segments as new segments of this index
+    (ref: index_writer::import — SURVEY §2.3).  Segment dirs are copied
+    (immutable, content-named ⇒ collision-free); configs must match."""
+    import shutil
+
+    dst = load_manifest(index_dir)
+    src = load_manifest(other_index_dir)
+    if dst is None or src is None:
+        raise FileNotFoundError("both indexes need a manifest")
+    if dst["config"] != src["config"]:
+        raise ValueError("import requires identical index configs")
+    dst_names = {s["name"] for s in dst["segments"]}
+    imported = []
+    for sm in src["segments"]:
+        name = sm["name"]
+        if name in dst_names:
+            continue  # content-named: identical segment already present
+        s_dir = os.path.join(other_index_dir, "segments", name)
+        d_dir = os.path.join(index_dir, "segments", name)
+        if not os.path.isdir(d_dir):
+            tmp = d_dir + f".tmp.{os.getpid()}"
+            shutil.copytree(s_dir, tmp)
+            os.rename(tmp, d_dir)
+        imported.append(sm)
+    tomb = sorted(
+        set(dst.get("tombstones", [])) | set(src.get("tombstones", []))
+    )
+    for n in src.get("tombstones", []):
+        sp = os.path.join(other_index_dir, "tombstones", n)
+        dp = os.path.join(index_dir, "tombstones", n)
+        if os.path.exists(sp) and not os.path.exists(dp):
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            shutil.copyfile(sp, dp)
+    return commit_manifest(
+        index_dir,
+        dst["segments"] + imported,
+        dst["config"],
+        lineage={
+            **dst.get("lineage", {}),
+            "imported_from": other_index_dir,
+            "imported_segments": [m["name"] for m in imported],
+        },
+        metrics=dst.get("metrics", {}),
+        tombstones=tomb,
+    )
+
+
 def _maybe_clear_tombstones(index_dir: str, manifest: dict) -> dict:
     """Drop the tombstone list once no live segment contains a tombstoned key
     (all purged by merges) — keeps steady-state queries mask-free."""

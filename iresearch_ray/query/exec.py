@@ -237,6 +237,12 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
     if op == "phrase":
         return _eval_phrase(reader, node, scorer)
 
+    if op == "same_position":
+        return _eval_same_position(reader, node, scorer)
+
+    if op == "ngram_similarity":
+        return _eval_ngram_similarity(reader, node, scorer)
+
     if op == "all":
         n = reader.meta["docs_count"]
         return (
@@ -296,6 +302,94 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
     dls = _field_dls(reader, node["field"])[docs - 1]
     scores = node["weight"] * _tf_factor(tf_out[keep], dls, node["avg_dl"], scorer)
     return docs, scores.astype(np.float64)
+
+
+def _eval_same_position(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Same-position co-occurrence: phrase machinery with offset 0 — one
+    vectorized key intersection per extra term (SURVEY §2.4 phase-3)."""
+    cursors = [_TermCursor(reader, {**node, "term": t}) for t in node["terms"]]
+    if any(not c.present for c in cursors):
+        return _EMPTY
+    doc_sets = [c.decode_all()[0] for c in cursors]
+    inter = doc_sets[0]
+    for d in doc_sets[1:]:
+        inter = np.intersect1d(inter, d, assume_unique=True)
+        if inter.size == 0:
+            return _EMPTY
+    SHIFT = np.int64(21)
+    cd, cp = cursors[0].flat_positions(inter)
+    cand_keys = (cd << SHIFT) | cp
+    for j in range(1, len(cursors)):
+        if cand_keys.size == 0:
+            return _EMPTY
+        dj, pj = cursors[j].flat_positions(inter)
+        cand_keys = cand_keys[np.isin(cand_keys, (dj << SHIFT) | pj, assume_unique=True)]
+    if cand_keys.size == 0:
+        return _EMPTY
+    hit_docs = cand_keys >> SHIFT
+    tf = np.bincount(np.searchsorted(inter, hit_docs), minlength=inter.size).astype(np.int64)
+    keep = tf > 0
+    docs = inter[keep]
+    dls = _field_dls(reader, node["field"])[docs - 1]
+    scores = node["weight"] * _tf_factor(tf[keep], dls, node["avg_dl"], scorer)
+    return docs, scores.astype(np.float64)
+
+
+def _eval_ngram_similarity(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
+    """In-order match ratio (LCS over positions / n query terms) ≥ threshold
+    (SURVEY §2.4 phase-3).  Candidates come from a counting union with
+    min_match = ceil(threshold · n); the per-candidate LCS is a python loop —
+    candidate sets are already thresholded small."""
+    terms = node["terms"]
+    n = len(terms)
+    thr = node["threshold"]
+    import math as _math
+
+    mm = max(1, int(_math.ceil(thr * n)))
+    cursors = [_TermCursor(reader, {**node, "term": t}) for t in terms]
+    present = [(j, c) for j, c in enumerate(cursors) if c.present]
+    if len(present) < mm:
+        return _EMPTY
+    legs = [(j, c.decode_all()[0]) for j, c in present]
+    all_docs = np.concatenate([d for _, d in legs])
+    uniq, counts = np.unique(all_docs, return_counts=True)
+    cand = uniq[counts >= mm]
+    if cand.size == 0:
+        return _EMPTY
+    # per-candidate in-order LCS between the query term sequence and the
+    # doc's (position-sorted) matched-term sequence
+    pos_maps = {}
+    for j, c in present:
+        dlab, p = c.flat_positions(cand)
+        pos_maps[j] = (dlab, p)
+    out_docs, out_ratio = [], []
+    for doc in cand:
+        events = []  # (position, query_term_index)
+        for j, (dlab, p) in pos_maps.items():
+            sel = p[dlab == doc]
+            events.extend((int(x), j) for x in sel)
+        events.sort()
+        seq = [j for _, j in events]
+        # exact LCS(query term sequence 0..n-1, doc's matched-term sequence):
+        # classic O(len(seq)·n) DP
+        prev_row = [0] * (n + 1)
+        for x in seq:
+            cur = prev_row[:]
+            for q in range(1, n + 1):
+                if x == q - 1:
+                    cur[q] = max(cur[q], prev_row[q - 1] + 1)
+                cur[q] = max(cur[q], cur[q - 1], prev_row[q])
+            prev_row = cur
+        lcs = prev_row[n]
+        ratio = lcs / n
+        if ratio >= thr:
+            out_docs.append(int(doc))
+            out_ratio.append(ratio)
+    if not out_docs:
+        return _EMPTY
+    docs = np.array(out_docs, dtype=np.int64)
+    scores = node["weight"] * np.array(out_ratio, dtype=np.float64)
+    return docs, scores
 
 
 # ---------------------------------------------------------------------------

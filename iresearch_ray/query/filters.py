@@ -120,6 +120,30 @@ class Phrase(Filter):
 
 
 @dataclass
+class SamePosition(Filter):
+    """Terms co-occurring at the SAME position (ref:
+    core/search/same_position_filter.cpp).  tf = number of positions where
+    every term occurs; weight = sum of term idfs (phrase-style, pinned)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class NgramSimilarity(Filter):
+    """≥ threshold fraction of the query token sequence matched IN ORDER
+    (longest common subsequence over positions; ref:
+    core/search/ngram_similarity_filter.cpp).  Pinned simplification: score =
+    boost · (lcs_len / n_terms); docs kept when that ratio ≥ threshold."""
+
+    field: str
+    terms: tuple[str, ...]
+    threshold: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass
 class And(Filter):
     children: tuple = ()
     boost: float = 1.0
@@ -372,6 +396,24 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             "terms": list(flt.terms),
             "weight": w,
             "avg_dl": avg_dl,
+        }
+    if isinstance(flt, SamePosition):
+        N, avg_dl = stats.field(flt.field)
+        w = boost * sum(scorer.idf(stats.term_df(flt.field, t), N) for t in flt.terms)
+        return {
+            "op": "same_position",
+            "field": flt.field,
+            "terms": list(flt.terms),
+            "weight": w,
+            "avg_dl": avg_dl,
+        }
+    if isinstance(flt, NgramSimilarity):
+        return {
+            "op": "ngram_similarity",
+            "field": flt.field,
+            "terms": list(flt.terms),
+            "threshold": float(flt.threshold),
+            "weight": boost,
         }
     if isinstance(flt, And):
         return {
