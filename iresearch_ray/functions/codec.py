@@ -68,18 +68,26 @@ def varint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = b < 128
+    if is_last.all():  # pure 1-byte stream (small deltas / tfs) — no grouping
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     n = ends.size
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    gid = np.repeat(np.arange(n), lens)
+    if int(lens.max()) <= 2:  # ≤2-byte stream (deltas < 16384 — the common
+        # case inside 128-doc posting blocks): branch-free two-byte combine
+        low = (b[starts] & 0x7F).astype(np.uint64)
+        two = lens == 2
+        out = low
+        out[two] |= b[ends[two]].astype(np.uint64) << np.uint64(7)
+        return out
     pos_in_val = np.arange(b.size) - np.repeat(starts, lens)
     vals7 = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_val.astype(np.uint64))
-    out = np.zeros(n, dtype=np.uint64)
-    np.add.at(out, gid, vals7)
-    return out
+    # per-value 7-bit groups occupy disjoint bit ranges, so OR == ADD and
+    # bitwise_or.reduceat over the start offsets beats np.add.at by ~4x
+    return np.bitwise_or.reduceat(vals7, starts)
 
 
 # ---------------------------------------------------------------------------

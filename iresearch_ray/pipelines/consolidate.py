@@ -12,6 +12,7 @@ swap keeps serving its snapshot (segment dirs are immutable).
 
 from __future__ import annotations
 
+import json
 import os
 
 from iresearch_ray.stages.merge import merge_segments
@@ -36,29 +37,32 @@ def consolidate(
         segs = manifest["segments"]
         if manifest.get("tombstones"):
             # annotate live-doc counts so docs_fill/docs_live policies see
-            # deletion pressure (SURVEY §2.3 consolidation policies)
-            from iresearch_ray.pipelines.delete import load_tombstone_keys
-
-            keys = load_tombstone_keys(index_dir, manifest)
-            convs = {c for c, _ in keys}
-            segs = [dict(s) for s in segs]
-            for sm in segs:
-                sm.setdefault("live_docs", sm["docs_count"])
-            # cheap per-segment count via docs parquet key columns
-            import os as _os
-
+            # deletion pressure (SURVEY §2.3 consolidation policies);
+            # tombstone scope is per segment (update = delete + re-insert)
             import pyarrow.parquet as _pq
 
+            from iresearch_ray.pipelines.delete import load_tombstone_keys
+
+            segs = [dict(s) for s in segs]
             for sm in segs:
-                d = _os.path.join(index_dir, "segments", sm["name"], "docs.parquet")
-                t = _pq.read_table(d, columns=["conv_id", "turn_idx"])
-                pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-                sm["live_docs"] = sm["docs_count"] - sum(p in keys for p in pairs)
+                keys = load_tombstone_keys(index_dir, manifest, for_segment=sm["name"])
+                sm["live_docs"] = sm["docs_count"]
+                if keys:
+                    d = os.path.join(index_dir, "segments", sm["name"], "docs.parquet")
+                    t = _pq.read_table(d, columns=["conv_id", "turn_idx"])
+                    pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+                    sm["live_docs"] = sm["docs_count"] - sum(p in keys for p in pairs)
         sets = pick(segs, **(policy_kwargs or {}))
-        # singleton sets are meaningful under deletion pressure (purge-only
-        # rewrite); without tombstones a 1-segment merge is a no-op — drop it
-        min_set = 1 if manifest.get("tombstones") else 2
-        sets = [s for s in sets if len(s) >= min_set]
+        # singleton sets are meaningful ONLY as purge rewrites (deletion
+        # pressure); a 1-segment merge with nothing to purge is a no-op and,
+        # under repeat=True, an infinite loop — drop it
+        live = {sm["name"]: sm.get("live_docs", sm["docs_count"]) for sm in segs}
+        total = {sm["name"]: sm["docs_count"] for sm in segs}
+        sets = [
+            s
+            for s in sets
+            if len(s) >= 2 or (len(s) == 1 and live.get(s[0], 1) < total.get(s[0], 1))
+        ]
         if not sets:
             return _maybe_clear_tombstones(index_dir, manifest)
         gen = manifest["generation"]
@@ -118,12 +122,15 @@ def import_index(index_dir: str, other_index_dir: str) -> dict:
             shutil.copytree(s_dir, tmp)
             os.rename(tmp, d_dir)
         imported.append(sm)
-    tomb = sorted(
-        set(dst.get("tombstones", [])) | set(src.get("tombstones", []))
-    )
-    for n in src.get("tombstones", []):
-        sp = os.path.join(other_index_dir, "tombstones", n)
-        dp = os.path.join(index_dir, "tombstones", n)
+    from iresearch_ray.pipelines.delete import _entries
+
+    merged = {json.dumps(e, sort_keys=True) for e in _entries(dst)} | {
+        json.dumps(e, sort_keys=True) for e in _entries(src)
+    }
+    tomb = sorted((json.loads(e) for e in merged), key=lambda e: (e["file"], str(e["segments"])))
+    for e in _entries(src):
+        sp = os.path.join(other_index_dir, "tombstones", e["file"])
+        dp = os.path.join(index_dir, "tombstones", e["file"])
         if os.path.exists(sp) and not os.path.exists(dp):
             os.makedirs(os.path.dirname(dp), exist_ok=True)
             shutil.copyfile(sp, dp)
@@ -142,29 +149,24 @@ def import_index(index_dir: str, other_index_dir: str) -> dict:
 
 
 def _maybe_clear_tombstones(index_dir: str, manifest: dict) -> dict:
-    """Drop the tombstone list once no live segment contains a tombstoned key
-    (all purged by merges) — keeps steady-state queries mask-free."""
+    """Prune tombstone entries whose entire SCOPE was merged away (a merged
+    segment gets a new name, so scoped entries die with their sources) —
+    keeps steady-state queries mask-free without scanning any parquet."""
     if not manifest.get("tombstones"):
         return manifest
-    import pyarrow.parquet as pq
+    from iresearch_ray.pipelines.delete import _entries
 
-    from iresearch_ray.pipelines.delete import load_tombstone_keys
-
-    keys = load_tombstone_keys(index_dir, manifest)
-    for s in manifest["segments"]:
-        d = os.path.join(index_dir, "segments", s["name"], "docs.parquet")
-        t = pq.read_table(d, columns=["conv_id", "turn_idx"])
-        if any(
-            p in keys for p in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-        ):
-            return manifest
+    live_names = {s["name"] for s in manifest["segments"]}
+    kept = [e for e in _entries(manifest) if set(e["segments"]) & live_names]
+    if len(kept) == len(manifest["tombstones"]):
+        return manifest
     return commit_manifest(
         index_dir,
         manifest["segments"],
         manifest["config"],
-        lineage={**manifest.get("lineage", {}), "tombstones_cleared": True},
+        lineage={**manifest.get("lineage", {}), "tombstones_pruned": True},
         metrics=manifest.get("metrics", {}),
-        tombstones=[],
+        tombstones=kept,
     )
 
 

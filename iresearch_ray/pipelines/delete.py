@@ -61,15 +61,37 @@ def delete_keys(index_dir: str, keys: pa.Table | list[tuple[str, int]]) -> dict:
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(t, tmp)
         os.rename(tmp, path)
-    live = set(manifest.get("tombstones", [])) | {name}
+    scope = sorted(sm["name"] for sm in manifest["segments"])
+    entry = {"file": name, "segments": scope}
+    live = [e for e in _entries(manifest)]
+    if not any(e["file"] == name and e["segments"] == scope for e in live):
+        live.append(entry)
+    live = sorted(live, key=lambda e: (e["file"], e["segments"]))
     return commit_manifest(
         index_dir,
         manifest["segments"],
         manifest["config"],
         lineage={**manifest.get("lineage", {}), "last_delete": name},
-        metrics={**manifest.get("metrics", {}), "tombstoned_keys": _count_keys(index_dir, sorted(live))},
-        tombstones=sorted(live),
+        metrics={
+            **manifest.get("metrics", {}),
+            "tombstoned_keys": _count_keys(index_dir, sorted({e["file"] for e in live})),
+        },
+        tombstones=live,
     )
+
+
+def _entries(manifest: dict) -> list[dict]:
+    """Normalize tombstone entries: each is {"file", "segments"(scope)}.
+    The scope records which segments were live when the delete was issued —
+    a re-inserted key in a LATER segment (update = delete + insert) is not
+    masked, matching the reference's per-segment document masks."""
+    out = []
+    for e in manifest.get("tombstones", []):
+        if isinstance(e, str):  # legacy global-scope entry
+            out.append({"file": e, "segments": [s["name"] for s in manifest["segments"]]})
+        else:
+            out.append(e)
+    return out
 
 
 def delete_by_filter(index_dir: str, flt, k: int = 10_000_000) -> dict:
@@ -91,13 +113,83 @@ def _count_keys(index_dir: str, names: list[str]) -> int:
     return total
 
 
-def load_tombstone_keys(index_dir: str, manifest: dict) -> set[tuple[str, int]]:
-    """All live tombstoned keys (deduped across files)."""
+def load_tombstone_keys(
+    index_dir: str, manifest: dict, for_segment: str | None = None
+) -> set[tuple[str, int]]:
+    """Tombstoned keys applying to ``for_segment`` (or the union over all
+    scopes when None), deduped across files."""
     out: set[tuple[str, int]] = set()
-    for n in manifest.get("tombstones", []):
-        t = pq.read_table(os.path.join(index_dir, "tombstones", n))
+    for e in _entries(manifest):
+        if for_segment is not None and for_segment not in e["segments"]:
+            continue
+        t = pq.read_table(os.path.join(index_dir, "tombstones", e["file"]))
         out.update(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
     return out
+
+
+def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict:
+    """Update = delete + re-insert in ONE committed generation (ref:
+    index_writer: update is remove(filter)+insert in a single trx).
+    ``rows`` are full replacement turns (transcript schema).  The delete is
+    scoped to the segments live BEFORE the update, so the freshly-built
+    segment's copies stay visible."""
+    import numpy as np
+
+    from iresearch_ray.stages.segment import (
+        IndexConfig,
+        build_segment_tables,
+        segment_content_key,
+        write_segment,
+    )
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    cfg = IndexConfig.from_json(manifest["config"])
+    scope = sorted(sm["name"] for sm in manifest["segments"])
+
+    # 1) tombstone the replaced keys against the pre-update segments
+    keys = _keys_table(rows.select(["conv_id", "turn_idx"]))
+    tdir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    crc = zlib.crc32(
+        "\x00".join(
+            f"{c}\x01{i}"
+            for c, i in zip(keys["conv_id"].to_pylist(), keys["turn_idx"].to_pylist())
+        ).encode()
+    )
+    fname = f"ts-{crc:08x}.parquet"
+    path = os.path.join(tdir, fname)
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(keys, tmp)
+        os.rename(tmp, path)
+
+    # 2) build the replacement segment(s) from the new rows
+    gen = manifest["generation"] + 1
+    name = f"seg-u{gen:04d}-{segment_content_key(rows)}"
+    terms, docs, field_stats = build_segment_tables(rows, cfg)
+    meta = write_segment(
+        index_dir,
+        name,
+        terms,
+        docs,
+        field_stats,
+        cfg,
+        lineage={"update": True, "rows": rows.num_rows},
+        metrics={},
+    )
+
+    # 3) one atomic commit with both effects
+    live = _entries(manifest) + [{"file": fname, "segments": scope}]
+    return commit_manifest(
+        index_dir,
+        manifest["segments"] + [meta],
+        manifest["config"],
+        lineage={**manifest.get("lineage", {}), "last_update": name},
+        metrics=manifest.get("metrics", {}),
+        tombstones=sorted(live, key=lambda e: (e["file"], str(e["segments"]))),
+    )
 
 
 def deleted_doc_mask(reader, keys: set[tuple[str, int]]) -> np.ndarray | None:

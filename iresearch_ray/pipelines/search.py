@@ -59,14 +59,17 @@ class Searcher:
     def _deleted_for(self, i: int, reader: SegmentReader):
         if not self.manifest.get("tombstones"):
             return None
-        if self._tomb_keys is None:
-            from iresearch_ray.pipelines.delete import load_tombstone_keys
-
-            self._tomb_keys = load_tombstone_keys(self.index_dir, self.manifest)
         if i not in self._masks:
-            from iresearch_ray.pipelines.delete import deleted_doc_mask
+            import os
 
-            self._masks[i] = deleted_doc_mask(reader, self._tomb_keys)
+            from iresearch_ray.pipelines.delete import (
+                deleted_doc_mask,
+                load_tombstone_keys,
+            )
+
+            seg_name = os.path.basename(self.seg_dirs[i].rstrip("/"))
+            keys = load_tombstone_keys(self.index_dir, self.manifest, for_segment=seg_name)
+            self._masks[i] = deleted_doc_mask(reader, keys)
         return self._masks[i]
 
     # -- prepare ----------------------------------------------------------
@@ -114,7 +117,9 @@ class Searcher:
         }
         # group items per segment so an actor's cached shard serves a whole
         # batch of queries per block (cache locality, SURVEY §3.2)
-        tombs_json = json.dumps(self.manifest.get("tombstones", []) or [])
+        from iresearch_ray.pipelines.delete import _entries
+
+        tombs_json = json.dumps(_entries(self.manifest))
         if tombs_json == "[]":
             tombs_json = ""
         items = [

@@ -110,10 +110,10 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dic
 
     man = _lm(index_dir) or {}
     if man.get("tombstones"):
-        keys = load_tombstone_keys(index_dir, man)
         masks = []
         any_deleted = False
-        for r in readers:
+        for name, r in zip(seg_names, readers):
+            keys = load_tombstone_keys(index_dir, man, for_segment=name)
             conv = r.docs["conv_id"].to_pylist()
             turn = r.docs["turn_idx"].to_pylist()
             m = np.fromiter(((c, t) in keys for c, t in zip(conv, turn)), dtype=bool, count=len(conv))

@@ -40,18 +40,28 @@ class SegmentSearcher:
         self._mask_cache: dict[tuple, object] = {}
 
     def _deleted(self, seg_dir: str, index_dir: str, tombstones_json: str):
-        """Per-(segment, tombstone-list) deleted mask, cached per actor."""
+        """Per-(segment, tombstone-list) deleted mask, cached per actor.
+        Entries are pre-normalized scoped dicts ({"file", "segments"}) so the
+        mask honors per-segment delete scope (update = delete + re-insert)."""
         if not tombstones_json:
             return None
+        import os
+
+        seg_name = os.path.basename(seg_dir.rstrip("/"))
         key = (seg_dir, tombstones_json)
         if key in self._mask_cache:
             return self._mask_cache[key]
-        keys = self._tomb_cache.get(tombstones_json)
+        tkey = (tombstones_json, seg_name)
+        keys = self._tomb_cache.get(tkey)
         if keys is None:
             from iresearch_ray.pipelines.delete import load_tombstone_keys
 
-            keys = load_tombstone_keys(index_dir, {"tombstones": json.loads(tombstones_json)})
-            self._tomb_cache[tombstones_json] = keys
+            keys = load_tombstone_keys(
+                index_dir,
+                {"tombstones": json.loads(tombstones_json), "segments": []},
+                for_segment=seg_name,
+            )
+            self._tomb_cache[tkey] = keys
         from iresearch_ray.pipelines.delete import deleted_doc_mask
 
         mask = deleted_doc_mask(self._reader(seg_dir), keys)

@@ -63,7 +63,10 @@ def commit_manifest(
         "config": config,
         "segments": sorted(segments, key=lambda s: s["name"]),
         "docs_count": sum(s["docs_count"] for s in segments),
-        "tombstones": sorted(tombstones),
+        "tombstones": sorted(
+            tombstones,
+            key=lambda e: (e["file"], str(e["segments"])) if isinstance(e, dict) else (e, ""),
+        ),
         "lineage": lineage or {},
         "metrics": metrics or {},
     }

@@ -90,3 +90,47 @@ def test_delete_is_idempotent_and_versioned(idx):
     m2 = delete_keys(d, [("conv-0000001", 0)])  # same content-hash file
     assert len(m2["tombstones"]) == 1
     assert m2["generation"] == g1 + 1  # new generation, same tombstone set
+
+
+def test_update_rows_replaces_and_scopes(idx):
+    """Update = delete + re-insert in one generation; scoped tombstones must
+    NOT mask the re-inserted copies (the per-segment doc-mask semantics)."""
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.delete import update_rows
+
+    d, tbl = idx
+    victims = tbl.slice(0, 3)
+    new_rows = victims.to_pylist()
+    for r in new_rows:
+        r["text"] = "replacement text entirely unique zzzupdated"
+    m = update_rows(d, pa.Table.from_pylist(new_rows, schema=tbl.schema))
+    assert any(s["lineage"].get("update") for s in m["segments"] if "lineage" in s)
+
+    s = Searcher(d)
+    # new text is findable at the SAME keys
+    hits = s.search_local(F.Term("text", "zzzupdated"), k=100)
+    got = set(zip(hits["conv_id"], hits["turn_idx"]))
+    exp = set(zip(victims["conv_id"].to_pylist(), victims["turn_idx"].to_pylist()))
+    assert got == exp
+    # old text of those keys is gone
+    old_tokens = set(victims["text"].to_pylist()[0].split(" ")) - {"the", "a"}
+    tok = next(iter(old_tokens))
+    res = s.search_local(F.Term("text", tok), k=100_000)
+    assert not (exp & set(zip(res["conv_id"], res["turn_idx"]))) or tok in "zzzupdated"
+    # each key appears exactly once in AllDocs
+    alld = s.search_local(F.AllDocs(), k=10_000_000)
+    keys = list(zip(alld["conv_id"], alld["turn_idx"]))
+    assert len(keys) == len(set(keys)) == tbl.num_rows
+
+    # second update of the same keys layers correctly
+    for r in new_rows:
+        r["text"] = "second replacement qqqagain"
+    update_rows(d, pa.Table.from_pylist(new_rows, schema=tbl.schema))
+    s2 = Searcher(d)
+    assert len(s2.search_local(F.Term("text", "zzzupdated"), k=100)) == 0
+    hits2 = s2.search_local(F.Term("text", "qqqagain"), k=100)
+    assert set(zip(hits2["conv_id"], hits2["turn_idx"])) == exp
+    alld2 = s2.search_local(F.AllDocs(), k=10_000_000)
+    keys2 = list(zip(alld2["conv_id"], alld2["turn_idx"]))
+    assert len(keys2) == len(set(keys2)) == tbl.num_rows
