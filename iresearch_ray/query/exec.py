@@ -501,17 +501,17 @@ def segment_topk(
         docs_s, scores_s = docs[sel], scores[sel]
     else:
         docs_s, scores_s = docs, scores
-    dtab = reader.docs.take(pa.array(docs_s - 1))
+    conv_all, turn_all = reader.doc_keys
+    conv = conv_all[docs_s - 1]
+    turn = turn_all[docs_s - 1]
     # pinned total order (SURVEY §2.6): score desc, then (conv_id, turn_idx)
     # asc BY VALUE — doc-id order equals it for freshly built segments but
     # not for concat-merged ones, so always tie-break on the values
-    conv = dtab["conv_id"].to_pandas().to_numpy(dtype=object)
-    turn = dtab["turn_idx"].to_numpy(zero_copy_only=False)
     order = np.lexsort((turn, conv, -scores_s))[:k]
     return pa.table(
         {
             "conv_id": pa.array(conv[order], pa.string()),
-            "turn_idx": pa.array(turn[order]).cast(dtab["turn_idx"].type),
+            "turn_idx": pa.array(turn[order]).cast(reader.docs["turn_idx"].type),
             "score": pa.array(scores_s[order], pa.float64()),
         }
     )

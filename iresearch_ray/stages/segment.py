@@ -428,4 +428,21 @@ class SegmentReader:
 
     @property
     def dls(self) -> np.ndarray:
-        return self.docs["dl"].to_numpy()
+        d = getattr(self, "_dls", None)
+        if d is None:
+            d = self.docs["dl"].to_numpy()
+            self._dls = d
+        return d
+
+    @property
+    def doc_keys(self) -> tuple[np.ndarray, np.ndarray]:
+        """(conv_id object array, turn_idx array) cached once per reader —
+        the hot result-materialization path indexes these by position."""
+        k = getattr(self, "_doc_keys", None)
+        if k is None:
+            k = (
+                self.docs["conv_id"].to_pandas().to_numpy(dtype=object),
+                self.docs["turn_idx"].to_numpy(zero_copy_only=False),
+            )
+            self._doc_keys = k
+        return k
