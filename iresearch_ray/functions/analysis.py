@@ -366,6 +366,29 @@ class MinHashAnalyzer:
         return [self._sketch(t) for t in self.sub(texts)]
 
 
+class BooleanAnalyzer:
+    """Canonical single tokens for booleans (ref: token_streams.cpp
+    boolean_token_stream): truthy → "true", falsy → "false", None → none."""
+
+    def __call__(self, values: Sequence) -> list[list[str]]:
+        out = []
+        for v in values:
+            if v is None:
+                out.append([])
+            else:
+                out.append(["true" if v in (True, 1, "true", "True") else "false"])
+        return out
+
+
+class NullAnalyzer:
+    """Canonical single token for explicit nulls (null_token_stream)."""
+
+    def __call__(self, values: Sequence) -> list[list[str]]:
+        return [["null"] if v is None else [] for v in values]
+
+
+ANALYZERS["boolean"] = BooleanAnalyzer
+ANALYZERS["null"] = NullAnalyzer
 ANALYZERS["minhash"] = MinHashAnalyzer
 
 

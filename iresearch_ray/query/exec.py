@@ -78,9 +78,12 @@ class _TermCursor:
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self.row is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        return decode_postings(
-            self._col("doc_blob"),
-            np.asarray(self._col("block_doc_count"), dtype=np.int64),
+        return self.reader.cached_postings(
+            self.row,
+            lambda: decode_postings(
+                self._col("doc_blob"),
+                np.asarray(self._col("block_doc_count"), dtype=np.int64),
+            ),
         )
 
     def upper_bound(self, avg_dl: float, scorer: dict) -> float:

@@ -380,12 +380,36 @@ class SegmentReader:
     them cached — intended to live inside a SegmentSearcher actor so the load
     happens once per worker (SURVEY §3.2)."""
 
+    # decoded-postings cache budget per reader (hot terms decode once —
+    # the posting-cache analog of the reference's OS page cache reuse)
+    POSTING_CACHE_BYTES = 64 << 20
+
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
         self._terms: pa.Table | None = None
         self._docs: pa.Table | None = None
         self._meta: dict | None = None
         self._term_index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._posting_cache: dict[int, tuple] = {}
+        self._posting_cache_bytes = 0
+
+    def cached_postings(self, row: int, decode):
+        """LRU-ish decoded (docs, tfs) per term row, bounded by bytes."""
+        hit = self._posting_cache.get(row)
+        if hit is not None:
+            return hit
+        out = decode()
+        nbytes = sum(getattr(a, "nbytes", 0) for a in out)
+        if nbytes < self.POSTING_CACHE_BYTES // 4:
+            while (
+                self._posting_cache
+                and self._posting_cache_bytes + nbytes > self.POSTING_CACHE_BYTES
+            ):
+                _, old = self._posting_cache.popitem()
+                self._posting_cache_bytes -= sum(getattr(a, "nbytes", 0) for a in old)
+            self._posting_cache[row] = out
+            self._posting_cache_bytes += nbytes
+        return out
 
     @property
     def meta(self) -> dict:
@@ -397,13 +421,20 @@ class SegmentReader:
     @property
     def terms(self) -> pa.Table:
         if self._terms is None:
-            self._terms = pq.read_table(os.path.join(self.seg_dir, "terms.parquet"))
+            # memory_map: decompressed columns still allocate, but the raw
+            # parquet pages come off the page cache without a user-space copy
+            # (the mmap_directory analog — SURVEY §2.2)
+            self._terms = pq.read_table(
+                os.path.join(self.seg_dir, "terms.parquet"), memory_map=True
+            )
         return self._terms
 
     @property
     def docs(self) -> pa.Table:
         if self._docs is None:
-            self._docs = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"))
+            self._docs = pq.read_table(
+                os.path.join(self.seg_dir, "docs.parquet"), memory_map=True
+            )
         return self._docs
 
     def field_terms(self, field_name: str) -> tuple[np.ndarray, np.ndarray]:

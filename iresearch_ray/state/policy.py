@@ -67,6 +67,25 @@ def tier(
             return out
 
 
+def bytes_policy(segments: list[dict], threshold_bytes: int = FLOOR_SEGMENT_BYTES * 8) -> list[list[str]]:
+    """Merge all segments smaller than an absolute byte threshold (ref:
+    consolidate_bytes — size-based small-segment sweep)."""
+    small = sorted(s["name"] for s in segments if s.get("bytes", 0) < threshold_bytes)
+    return [small] if len(small) >= 2 else []
+
+
+def docs_live(segments: list[dict], threshold_docs: int = 10_000) -> list[list[str]]:
+    """Merge segments whose LIVE doc count is below an absolute threshold
+    (ref: consolidate_docs_live — sweeps up fragments and heavily-deleted
+    segments; ``live_docs`` annotated by consolidate())."""
+    small = sorted(
+        s["name"]
+        for s in segments
+        if s.get("live_docs", s["docs_count"]) < threshold_docs
+    )
+    return [small] if len(small) >= 2 else []
+
+
 def docs_fill(segments: list[dict], threshold: float = 0.85) -> list[list[str]]:
     """Merge segments whose live-doc fraction fell below ``threshold``
     (ref: consolidate_docs_fill — deletion-pressure policy; ``live_docs`` is
@@ -100,4 +119,11 @@ def bytes_accum(segments: list[dict], byte_cap: int = MAX_SEGMENTS_BYTES) -> lis
     return [picked] if len(picked) >= 2 else []
 
 
-POLICIES = {"tier": tier, "count": count, "bytes_accum": bytes_accum, "docs_fill": docs_fill}
+POLICIES = {
+    "tier": tier,
+    "count": count,
+    "bytes": bytes_policy,
+    "bytes_accum": bytes_accum,
+    "docs_live": docs_live,
+    "docs_fill": docs_fill,
+}
