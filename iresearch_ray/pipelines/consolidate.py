@@ -20,12 +20,16 @@ from iresearch_ray.state.manifest import commit_manifest, gc_segments, load_mani
 from iresearch_ray.state.policy import POLICIES
 
 
+WIDE_SET_THRESHOLD = 16  # candidate sets wider than this use the salted shuffle merge
+
+
 def consolidate(
     index_dir: str,
     policy: str = "tier",
     policy_kwargs: dict | None = None,
     gc: bool = False,
     repeat: bool = False,
+    engine: str = "auto",
 ) -> dict:
     """Run one (or, with ``repeat``, successive) consolidation rounds.
     Returns the latest manifest (unchanged if the policy found nothing)."""
@@ -66,7 +70,7 @@ def consolidate(
         if not sets:
             return _maybe_clear_tombstones(index_dir, manifest)
         gen = manifest["generation"]
-        merged_metas = _run_merges(index_dir, sets, gen)
+        merged_metas = _run_merges(index_dir, sets, gen, engine)
         merged_away = {n for s in sets for n in s}
         survivors = [s for s in manifest["segments"] if s["name"] not in merged_away]
         manifest = commit_manifest(
@@ -170,20 +174,40 @@ def _maybe_clear_tombstones(index_dir: str, manifest: dict) -> dict:
     )
 
 
-def _run_merges(index_dir: str, sets: list[list[str]], generation: int) -> list[dict]:
+def _run_merges(
+    index_dir: str, sets: list[list[str]], generation: int, engine: str = "auto"
+) -> list[dict]:
     """Fan candidate sets out as Ray tasks when a session exists (each merge
-    is independent); fall back to inline execution otherwise."""
+    is independent); WIDE sets take the salted term-shuffle merge (engine
+    "auto"/"shuffle" — SURVEY §4.1 hot-term skew), narrow sets the one-task
+    k-way blob concat."""
     try:
         import ray
 
         have_ray = ray.is_initialized()
     except Exception:
         have_ray = False
-    if have_ray and len(sets) > 1:
-        import ray
 
-        remote_merge = ray.remote(num_cpus=1)(merge_segments)
-        return ray.get(
-            [remote_merge.remote(index_dir, s, generation) for s in sets]
-        )
-    return [merge_segments(index_dir, s, generation) for s in sets]
+    def is_wide(s: list[str]) -> bool:
+        if engine == "shuffle":
+            return True
+        if engine == "tasks":
+            return False
+        return len(s) > WIDE_SET_THRESHOLD
+
+    wide = [s for s in sets if have_ray and is_wide(s)]
+    narrow = [s for s in sets if s not in wide]
+    out: list[dict] = []
+    if narrow:
+        if have_ray and len(narrow) > 1:
+            remote_merge = ray.remote(num_cpus=1)(merge_segments)
+            out += ray.get(
+                [remote_merge.remote(index_dir, s, generation) for s in narrow]
+            )
+        else:
+            out += [merge_segments(index_dir, s, generation) for s in narrow]
+    for s in wide:  # shuffle merges drive the whole cluster — run serially
+        from iresearch_ray.stages.shuffle_merge import merge_segments_shuffle
+
+        out.append(merge_segments_shuffle(index_dir, s, generation))
+    return out
