@@ -20,4 +20,4 @@ the caller (driver / bench.py / test fixtures).
 __version__ = "0.1.0"
 
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
-from iresearch_ray.pipelines.search import Searcher, search  # noqa: F401
+from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401

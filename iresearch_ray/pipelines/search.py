@@ -151,6 +151,100 @@ class Searcher:
         return merge_topk(frames, k)
 
 
+class _PoolWorker:
+    """One persistent query actor owning a SHARD of segments (segments are
+    partitioned round-robin across the pool, not replicated — pool memory =
+    index size, not index × actors)."""
+
+    def __init__(self, index_dir: str, seg_dirs: list[str], tombs_json: str):
+        import json as _json
+        import os as _os
+
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+        self.deleted = []
+        for d, r in zip(seg_dirs, self.readers):
+            if tombs_json:
+                from iresearch_ray.pipelines.delete import (
+                    deleted_doc_mask,
+                    load_tombstone_keys,
+                )
+
+                name = _os.path.basename(d.rstrip("/"))
+                keys = load_tombstone_keys(
+                    index_dir,
+                    {"tombstones": _json.loads(tombs_json), "segments": []},
+                    for_segment=name,
+                )
+                self.deleted.append(deleted_doc_mask(r, keys))
+            else:
+                self.deleted.append(None)
+
+    def run(self, plans: dict[str, str], k: int, wand: bool):
+        import json as _json
+
+        import pyarrow as _pa
+
+        out = []
+        for qid, pj in plans.items():
+            plan = _json.loads(pj)
+            for r, dmask in zip(self.readers, self.deleted):
+                t = segment_topk(r, plan, k, wand, deleted=dmask)
+                out.append(
+                    _pa.table(
+                        {
+                            "query_id": _pa.array([qid] * t.num_rows, _pa.string()),
+                            "conv_id": t["conv_id"].cast(_pa.string()),
+                            "turn_idx": t["turn_idx"].cast(_pa.int32()),
+                            "score": t["score"],
+                        }
+                    )
+                )
+        if not out:
+            return RESULT_SCHEMA.empty_table()
+        return _pa.concat_tables(out).cast(RESULT_SCHEMA)
+
+
+class QueryPool:
+    """Persistent serving pool over one index generation: N raw Ray actors
+    each caching a disjoint shard of segments (SURVEY §3.2 — the long-lived
+    alternative to per-call ``map_batches`` pools, which re-create actors and
+    re-load shards on every batch).  Query latency after warm-up is one RPC
+    round to the pool."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4, num_cpus: float = 1):
+        import ray
+
+        self.searcher = Searcher(index_dir)
+        seg_dirs = self.searcher.seg_dirs
+        num_actors = max(1, min(num_actors, max(1, len(seg_dirs))))
+        shards = [seg_dirs[i::num_actors] for i in range(num_actors)]
+        shards = [sh for sh in shards if sh]
+        tombs = json.dumps(self.searcher.manifest.get("tombstones", []) or [])
+        if tombs == "[]":
+            tombs = ""
+        worker = ray.remote(num_cpus=num_cpus)(_PoolWorker)
+        self.actors = [worker.remote(index_dir, sh, tombs) for sh in shards]
+
+    def search(self, queries: dict[str, Filter], k: int = 10, wand: bool = True,
+               scorer: ScorerCfg | None = None) -> pd.DataFrame:
+        import ray
+
+        plans = {
+            qid: json.dumps(self.searcher.prepare(f, scorer).plan)
+            for qid, f in queries.items()
+        }
+        tables = ray.get([a.run.remote(plans, k, wand) for a in self.actors])
+        frames = pa.concat_tables(tables).to_pandas()
+        return merge_topk(frames, k)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 def search(
     index_dir: str,
     flt: Filter,

@@ -137,3 +137,33 @@ def test_rebuild_is_idempotent(ray_session, tmp_path):
         m1["lineage"]["built_partitions"]
     )
     assert not m2["lineage"]["built_partitions"]
+
+
+def test_query_pool_matches_local(ray_built):
+    """Persistent QueryPool returns the same ranked results as search_local."""
+    from iresearch_ray import QueryPool, Searcher
+    from iresearch_ray.query import filters as F
+
+    idx = ray_built[0] if isinstance(ray_built, tuple) else ray_built
+    pool = QueryPool(idx, num_actors=2)
+    try:
+        s = Searcher(idx)
+        qs = {
+            "a": F.Term("text", "agent"),
+            "b": F.Or((F.Term("text", "error"), F.Term("text", "plan"))),
+            "c": F.Phrase("text", ("the", "a")),
+        }
+        out = pool.search(qs, k=12)
+        for qid, f in qs.items():
+            exp = s.search_local(f, k=12).reset_index(drop=True)
+            got = (
+                out[out["query_id"] == qid]
+                .drop(columns=["query_id"])
+                .reset_index(drop=True)
+            )
+            assert got.equals(exp), qid
+        # second call reuses live actors (warm path)
+        out2 = pool.search(qs, k=12)
+        assert out2.equals(out)
+    finally:
+        pool.shutdown()
