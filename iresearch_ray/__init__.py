@@ -21,3 +21,4 @@ __version__ = "0.1.0"
 
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401
+from iresearch_ray.pipelines.build import build_index_local  # noqa: F401

@@ -82,4 +82,27 @@ def tfidf_score(
     return s
 
 
-SCORERS = {"bm25": "bm25", "tfidf": "tfidf", "boost": "boost"}
+
+
+def tfidf_tf_factor(tf, dl, avg_dl=None, k1=None, b=None):
+    """Lucene-classic tf factor with norms folded in: sqrt(tf)/sqrt(dl)."""
+    import numpy as _np
+
+    return _np.sqrt(_np.asarray(tf, dtype=_np.float64)) / _np.sqrt(
+        _np.asarray(dl, dtype=_np.float64)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry — SURVEY §2.11 (REGISTER_SCORER analog): custom scorers plug in a
+# (idf_fn, tf_factor_fn) pair under a name usable via ScorerCfg(name=...)
+# ---------------------------------------------------------------------------
+
+SCORERS: dict[str, dict] = {
+    "bm25": {"idf": bm25_idf, "tf_factor": bm25_tf_factor},
+    "tfidf": {"idf": tfidf_idf, "tf_factor": tfidf_tf_factor},
+}
+
+
+def register_scorer(name: str, idf, tf_factor) -> None:
+    SCORERS[name] = {"idf": idf, "tf_factor": tf_factor}

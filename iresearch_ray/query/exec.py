@@ -37,10 +37,22 @@ _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
 
 
 def _tf_factor(tfs, dls, avg_dl, scorer):
-    if scorer["name"] == "tfidf":
+    name = scorer["name"]
+    if name == "tfidf":
         # Lucene-classic with norms folded in (SURVEY §2.6); avg_dl unused
         s = np.sqrt(tfs.astype(np.float64))
         return s / np.sqrt(dls.astype(np.float64))
+    if name != "bm25":
+        # custom scorer via the registry (SURVEY §2.11 REGISTER_SCORER analog)
+        from iresearch_ray.functions.score import SCORERS
+
+        return SCORERS[name]["tf_factor"](
+            tfs.astype(np.float64),
+            dls.astype(np.float64),
+            avg_dl,
+            scorer["k1"],
+            scorer["b"],
+        )
     return bm25_tf_factor(
         tfs.astype(np.float64), dls.astype(np.float64), avg_dl, scorer["k1"], scorer["b"]
     )

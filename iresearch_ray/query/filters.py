@@ -198,6 +198,10 @@ class ScorerCfg:
             return 0.0
         if self.name == "tfidf":
             return tfidf_idf(n, N)
+        if self.name != "bm25":
+            from iresearch_ray.functions.score import SCORERS
+
+            return SCORERS[self.name]["idf"](n, N)
         return bm25_idf(n, N)
 
     def to_json(self) -> dict:

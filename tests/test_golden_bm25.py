@@ -71,3 +71,25 @@ def test_boost(gold_index):
     base = s.search_local(F.Term("text", "quick"), k=10)
     boosted = s.search_local(F.Term("text", "quick", boost=2.0), k=10)
     assert (boosted["score"].to_numpy() == 2.0 * base["score"].to_numpy()).all()
+
+
+def test_custom_scorer_registry(tmp_path, ray_session):
+    """SURVEY §2.11: a registered custom scorer runs end-to-end by name."""
+    import numpy as np
+
+    from iresearch_ray import Searcher, build_index_local
+    from iresearch_ray.functions.score import register_scorer
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.sources.transcripts import gen_transcripts
+
+    register_scorer(
+        "constant2",
+        idf=lambda n, N: 2.0,
+        tf_factor=lambda tf, dl, avg_dl, k1, b: np.ones_like(np.asarray(tf, dtype=np.float64)),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(gen_transcripts(30), idx, num_partitions=2)
+    s = Searcher(idx)
+    out = s.search_local(F.Term("text", "the"), k=50, scorer=F.ScorerCfg("constant2"))
+    assert len(out) > 0
+    assert (out["score"] == 2.0).all()  # boost(1) * idf(2) * tf_factor(1)
