@@ -58,7 +58,11 @@ def _searcher(sf_dir: str):
     cfg = IndexConfig(numeric_fields=("n_chars",))
     import hashlib as _h
 
-    cfg_key = _h.md5(str(sorted(cfg.to_json().items())).encode()).hexdigest()[:8]
+    from iresearch_ray import FORMAT_VERSION
+
+    cfg_key = _h.md5(
+        (str(sorted(cfg.to_json().items())) + f"|fv{FORMAT_VERSION}").encode()
+    ).hexdigest()[:8]
     idx = os.path.join(
         _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "-" + cfg_key, "idx"
     )

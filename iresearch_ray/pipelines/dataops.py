@@ -271,6 +271,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_shingle_cap: int = 10_000,
+    combine: str = "broadcast",
 ):
     """EXACT n-gram-shingle Jaccard near-dup pairs (a, b, jaccard ≥ t), a < b.
 
@@ -289,14 +290,17 @@ def ngram_jaccard_pairs(
 
     pairs_src = shingle_explode(ds, n, text_col, id_col)
 
-    # per-doc distinct shingle counts (small side) — driver collect + broadcast
-    sizes_tbl = (
-        pairs_src.groupby(id_col)
-        .count()
-        .to_pandas()
-    )
-    sizes = dict(zip(sizes_tbl[id_col].astype(np.int64), sizes_tbl["count()"].astype(np.int64)))
-    sizes_ref = ray.put(sizes)
+    sizes_ds = pairs_src.groupby(id_col).count()
+    if combine == "broadcast":
+        # per-doc distinct shingle counts (small side): driver collect +
+        # ray.put once — right while the id→count table fits worker heaps
+        sizes_tbl = sizes_ds.to_pandas()
+        sizes = dict(
+            zip(sizes_tbl[id_col].astype(np.int64), sizes_tbl["count()"].astype(np.int64))
+        )
+        sizes_ref = ray.put(sizes)
+    else:
+        sizes_ref = None  # "join" scale path below
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -311,6 +315,36 @@ def ngram_jaccard_pairs(
         .groupby(["a", "b"])
         .count()
     )
+
+    if combine == "join":
+        # scale path: hash-join the per-doc sizes instead of broadcasting —
+        # works when the doc-count table exceeds worker heaps (100 TB regime)
+        sz_a = sizes_ds.map_batches(
+            lambda t: t.rename_columns(["a", "sz_a"]), batch_format="pyarrow"
+        )
+        sz_b = sizes_ds.map_batches(
+            lambda t: t.rename_columns(["b", "sz_b"]), batch_format="pyarrow"
+        )
+        nparts = 8
+        joined = common.join(sz_a, "inner", nparts, on=("a",)).join(
+            sz_b, "inner", nparts, on=("b",)
+        )
+
+        def jac_join(b: pa.Table) -> pa.Table:
+            inter = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sa = b["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sb = b["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+            j = inter / (sa + sb - inter)
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "a": b["a"].filter(pa.array(keep)),
+                    "b": b["b"].filter(pa.array(keep)),
+                    "jaccard": pa.array(round_half_away(j[keep], 4)),
+                }
+            )
+
+        return joined.map_batches(jac_join, batch_format="pyarrow")
 
     def to_jaccard(b: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)

@@ -232,3 +232,22 @@ def test_embedding_lsh_topk_finds_near_neighbors(emb_tbl, ray_session):
         if len(sub) and sub.iloc[0]["vec_id"] == ids[i]:
             hits += 1
     assert hits >= 4  # hamming-1 multiprobe over 6 planes: ≥80% of planted neighbors
+
+
+def test_ngram_jaccard_join_path_matches_broadcast(dup_corpus, ray_session):
+    """The hash-join combine (100TB scale path) equals the broadcast combine."""
+    a = (
+        ops.ngram_jaccard_pairs(_ds(dup_corpus, ray_session), n=3, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ops.ngram_jaccard_pairs(
+            _ds(dup_corpus, ray_session), n=3, threshold=0.5, combine="join"
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
