@@ -350,6 +350,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def emb_neardup(sf):
         return ops.embedding_neardup_pairs(_emb_ds(sf), threshold=0.4).to_pandas()
 
+    def emb_knn_labels(sf):
+        """k-NN classification flavor: label histogram of each query's
+        top-20 cosine neighbors (excluding self)."""
+        out = ops.embedding_topk(_emb_ds(sf), _qmat(sf), k=21).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+        out = out[out["vec_id"] != out["query_idx"]]
+        out = out.sort_values(["query_idx", "rank"]).groupby("query_idx").head(20)
+        out["label"] = out["vec_id"].map(labels)
+        hist = (
+            out.groupby(["query_idx", "label"]).size().reset_index(name="cnt")
+        )
+        hist["label"] = hist["label"].astype("int64")
+        return hist
+
     def emb_lsh(sf):  # rows-only: approximate ANN scale path
         return ops.embedding_lsh_topk(_emb_ds(sf), _qmat(sf), k=10, n_planes=6).to_pandas()[
             ["query_idx", "vec_id", "cosine"]
@@ -384,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
         "emb_topk": emb_topk,
+        "emb_knn_labels": emb_knn_labels,
         "emb_neardup_pairs": emb_neardup,
         "emb_lsh_topk": emb_lsh,
     }
@@ -537,6 +553,20 @@ WITH q AS (
 )
 SELECT query_idx, vec_id, round(cos, 4) AS cosine FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) <= 10
+""",
+        "emb_knn_labels": """
+WITH q AS (
+  SELECT vec_id AS query_idx, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_idx, e.vec_id, e.label,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_idx
+), top AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) <= 20
+)
+SELECT query_idx, label, count(*) AS cnt FROM top GROUP BY query_idx, label
 """,
         "emb_neardup_pairs": """
 SELECT a.vec_id AS a, b.vec_id AS b,
