@@ -36,6 +36,17 @@ from iresearch_ray.stages.segment import SegmentReader
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
 
 
+def _member_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in ``sorted_set`` (both int64, set
+    sorted+unique) via searchsorted — beats np.isin's internal sort when the
+    set is already ordered (always true for posting doc ids / phrase keys)."""
+    if sorted_set.size == 0 or values.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_set, values)
+    idx[idx == sorted_set.size] = 0
+    return sorted_set[idx] == values
+
+
 def _tf_factor(tfs, dls, avg_dl, scorer):
     name = scorer["name"]
     if name == "tfidf":
@@ -124,7 +135,7 @@ class _TermCursor:
         docs, tfs = decode_blocks(
             self._col("doc_blob"), block_off, block_last, block_cnt, which
         )
-        keep = np.isin(docs, candidates, assume_unique=True)
+        keep = _member_sorted(docs, candidates)
         return docs[keep], tfs[keep]
 
     def positions_for_docs(self, sel_docs: np.ndarray) -> list[np.ndarray]:
@@ -170,7 +181,7 @@ class _TermCursor:
         pos = cs - base
         if pos.size and int(pos.max()) >= (1 << 21):
             raise ValueError("position exceeds 2^21 — phrase key packing invalid")
-        keep = np.repeat(np.isin(all_docs, sel_docs, assume_unique=True), all_tfs)
+        keep = np.repeat(_member_sorted(all_docs, sel_docs), all_tfs)
         doc_labels = np.repeat(all_docs, all_tfs)[keep]
         return doc_labels, pos[keep]
 
@@ -232,7 +243,7 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
     if op == "not":
         pos_d, pos_s = eval_node(reader, node["positive"], scorer)
         neg_d, _ = eval_node(reader, node["negative"], scorer)
-        keep = ~np.isin(pos_d, neg_d, assume_unique=True)
+        keep = ~_member_sorted(pos_d, neg_d)
         return pos_d[keep], pos_s[keep]
 
     if op == "filter_union":
@@ -304,7 +315,7 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
             return _EMPTY
         dj, pj = cursors[j].flat_positions(inter)
         keys_j = (dj << SHIFT) | pj
-        cand_keys = cand_keys[np.isin(cand_keys + j, keys_j, assume_unique=True)]
+        cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
     if cand_keys.size == 0:
         return _EMPTY
     hit_docs = cand_keys >> SHIFT
@@ -338,7 +349,7 @@ def _eval_same_position(reader: SegmentReader, node: dict, scorer: dict) -> tupl
         if cand_keys.size == 0:
             return _EMPTY
         dj, pj = cursors[j].flat_positions(inter)
-        cand_keys = cand_keys[np.isin(cand_keys, (dj << SHIFT) | pj, assume_unique=True)]
+        cand_keys = cand_keys[_member_sorted(cand_keys, (dj << SHIFT) | pj)]
     if cand_keys.size == 0:
         return _EMPTY
     hit_docs = cand_keys >> SHIFT
