@@ -1,5 +1,13 @@
 """Index build pipeline — SURVEY.md §3.1 (entry point 1).
 
+Two physical plans with identical output (content-hash segment names prove
+it in tests/test_build_direct.py):
+
+- ``build_index`` — Dataset-native: groupby(__part).map_groups (sort-based
+  shuffle); simplest expression, used by the driver-contract corpus.
+- ``build_index_direct`` — explicit two-stage hash exchange (grouped read
+  tasks × num_returns=P); the scaling path used by bench/-scale runs.
+
     ray.data.read_parquet(transcripts, columns=<pruned>)
       → map_batches: deterministic hash(conv_id) % P partition assignment
         (+ resume filter: rows of already-completed partitions are dropped

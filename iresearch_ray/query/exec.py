@@ -5,7 +5,7 @@ heaps — ref: core/search/conjunction.hpp, disjunction.hpp, exclusion.hpp) are
 re-expressed as vectorized numpy set algebra over decoded posting arrays:
 union = concat + unique + bincount-sum (with leg counting for min_match),
 intersection = successive ``np.intersect1d`` ordered by ascending cost (df),
-exclusion = ``np.isin`` mask.  Rank-identity is preserved by pinned float64
+exclusion = a searchsorted membership mask.  Rank-identity is preserved by pinned float64
 term-at-a-time accumulation and the (score desc, conv_id, turn_idx) total
 order (SURVEY §2.6 tie-break).
 
