@@ -336,6 +336,139 @@ def build_index_direct(
     )
 
 
+def append_index(
+    source,
+    index_dir: str,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Incremental ingest (SURVEY §2.10: incremental = NEW segments +
+    consolidation, never rewriting old ones): build segments for a NEW batch
+    of transcript parquet and append them to the existing manifest in one
+    generation.  The batch is identified by a content fingerprint; resume
+    within a batch skips its completed partitions (matched by batch key, so
+    partitions of different batches can never alias).  Config comes from the
+    existing manifest.  Follow with consolidate() to fold small batch
+    segments into the tiers."""
+    import zlib as _zlib
+
+    import ray
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir} — use build_index first")
+    cfg = IndexConfig.from_json(manifest["config"])
+
+    if isinstance(source, str):
+        source = [source]
+    files: list[str] = []
+    for s_ in source:
+        if os.path.isdir(s_):
+            files += [
+                os.path.join(s_, f) for f in sorted(os.listdir(s_)) if f.endswith(".parquet")
+            ]
+        else:
+            files.append(s_)
+    fingerprint = {"files": [[f, os.path.getsize(f)] for f in files]}
+    batch_key = f"{_zlib.crc32(json.dumps(fingerprint, sort_keys=True).encode()):08x}"
+
+    schema = pq.read_schema(files[0])
+    cols = _input_columns(schema.names, cfg)
+    if num_partitions:
+        P = num_partitions
+    else:
+        nbytes = sum(sz for _, sz in fingerprint["files"])
+        P = max(1, math.ceil(4 * nbytes / TARGET_PARTITION_BYTES))
+
+    done: dict[int, dict] = {}
+    if resume:
+        for name, meta in completed_segments(index_dir).items():
+            lin = meta.get("lineage", {})
+            if (
+                lin.get("batch") == batch_key
+                and lin.get("of_partitions") == P
+                and isinstance(lin.get("partition"), int)
+            ):
+                done[lin["partition"]] = meta
+
+    @ray.remote(num_cpus=1, num_returns=P)
+    def read_split(paths: list[str]):
+        t = pa.concat_tables(pq.read_table(f, columns=cols) for f in paths)
+        part = hash_partition(t["conv_id"].to_pylist(), P)
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(P + 1))
+        out = []
+        for p in range(P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            out.append(None if hi == lo or p in done else t.slice(lo, hi - lo))
+        return tuple(out) if P > 1 else out[0]
+
+    def build_batch_part(rows: pa.Table, part: int) -> dict:
+        key = segment_content_key(rows)
+        name = f"seg-b{batch_key}-p{part:05d}-{key}"
+        terms, docs, field_stats = build_segment_tables(rows, cfg)
+        return write_segment(
+            index_dir,
+            name,
+            terms,
+            docs,
+            field_stats,
+            cfg,
+            lineage={
+                "partition": part,
+                "of_partitions": P,
+                "batch": batch_key,
+                "rows": rows.num_rows,
+            },
+            metrics={},
+        )
+
+    @ray.remote(num_cpus=1)
+    def build_part(p: int, *shards):
+        tables = [t for t in shards if t is not None and t.num_rows]
+        if not tables:
+            return None
+        return json.dumps(build_batch_part(pa.concat_tables(tables), p))
+
+    n_groups = min(len(files), max(P, 16))
+    groups = [g for g in ([files[i::n_groups] for i in range(n_groups)]) if g]
+    refs = [read_split.remote(g) for g in groups]
+    if P == 1:
+        build_refs = [] if 0 in done else [build_part.remote(0, *refs)]
+    else:
+        build_refs = [
+            build_part.remote(p, *[refs[g][p] for g in range(len(groups))])
+            for p in range(P)
+            if p not in done
+        ]
+    new_metas = [json.loads(m) for m in ray.get(build_refs) if m is not None]
+
+    batch_metas = list(done.values()) + new_metas
+    # re-appending an already-committed batch must be a no-op: segments the
+    # manifest already references (matched by content-derived name) are not
+    # added twice
+    existing = {sm["name"] for sm in manifest["segments"]}
+    batch_metas = [m for m in batch_metas if m["name"] not in existing]
+    return commit_manifest(
+        index_dir,
+        manifest["segments"] + batch_metas,
+        manifest["config"],
+        lineage={
+            **manifest.get("lineage", {}),
+            "appended_batches": manifest.get("lineage", {}).get("appended_batches", [])
+            + [{"batch": batch_key, "input": fingerprint, "num_partitions": P}],
+        },
+        metrics={
+            "docs_count": sum(
+                m["docs_count"] for m in manifest["segments"] + batch_metas
+            ),
+            "segments": len(manifest["segments"]) + len(batch_metas),
+        },
+    )
+
+
 def build_index_local(
     table: pa.Table,
     index_dir: str,

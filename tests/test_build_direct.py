@@ -57,3 +57,56 @@ def test_direct_resume_skips_done(corpus, tmp_path):
     assert sorted(s["name"] for s in m2["segments"]) == sorted(
         s["name"] for s in m1["segments"]
     )
+
+
+def test_append_index_incremental(corpus, tmp_path, ray_session):
+    """Incremental ingest: new batch → new segments appended in one
+    generation; results equal a from-scratch build over the union."""
+    import pyarrow.parquet as pq
+
+    from iresearch_ray import Searcher
+    from iresearch_ray.pipelines.build import append_index
+    from iresearch_ray.pipelines.consolidate import consolidate
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.sources.transcripts import gen_transcripts_range
+
+    idx = str(tmp_path / "inc")
+    build_index(corpus, idx, num_partitions=3)
+    base_docs = Searcher(idx).manifest["docs_count"]
+
+    batch_dir = str(tmp_path / "batch")
+    os.makedirs(batch_dir)
+    new_tbl = gen_transcripts_range(400, 460)  # conv ids disjoint from corpus (0..399)
+    pq.write_table(new_tbl, f"{batch_dir}/new.parquet")
+
+    m = append_index(batch_dir, idx, num_partitions=2)
+    assert m["docs_count"] == base_docs + new_tbl.num_rows
+    g1 = m["generation"]
+
+    # idempotent re-append of the same batch: resume skips everything
+    m2 = append_index(batch_dir, idx, num_partitions=2)
+    assert m2["docs_count"] == m["docs_count"]
+    assert {s["name"] for s in m2["segments"]} == {s["name"] for s in m["segments"]}
+
+    # appended docs queryable; old docs unaffected
+    s = Searcher(idx)
+    out = s.search_local(F.Term("text", "the"), k=10_000_000)
+    keys = set(zip(out["conv_id"], out["turn_idx"]))
+    new_keys = {
+        (c, t)
+        for c, t, txt in zip(
+            new_tbl["conv_id"].to_pylist(),
+            new_tbl["turn_idx"].to_pylist(),
+            new_tbl["text"].to_pylist(),
+        )
+        if "the" in txt.split(" ")
+    }
+    assert new_keys <= keys
+
+    # consolidation folds batch segments; results invariant
+    pre = s.search_local(F.Or((F.Term("text", "agent"), F.Term("text", "error"))), k=30)
+    consolidate(idx, policy="count", policy_kwargs={"threshold": 1}, gc=True, repeat=True)
+    post = Searcher(idx).search_local(
+        F.Or((F.Term("text", "agent"), F.Term("text", "error"))), k=30
+    )
+    assert pre.reset_index(drop=True).equals(post.reset_index(drop=True))
