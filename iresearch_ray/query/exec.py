@@ -169,21 +169,27 @@ class _TermCursor:
         """(doc_label, position) flat arrays for the selected (sorted) docs —
         fully vectorized: the whole pos stream is one self-delimiting varint
         sequence with per-doc delta resets, so it decodes in one pass and
-        segments by doc with a segmented cumsum (no per-doc python loop)."""
+        segments by doc with a segmented cumsum (no per-doc python loop).
+        The decoded (doc_label, pos) arrays are cached per term row under the
+        reader's posting-cache budget (phrase re-queries skip the decode)."""
         all_docs, all_tfs = self.decode_all()
         if all_docs.size == 0 or sel_docs.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        deltas = varint_decode(self._col("pos_blob")).astype(np.int64)
-        # segmented cumsum: absolute positions within each doc's slice
-        starts = np.concatenate(([0], np.cumsum(all_tfs)[:-1]))
-        cs = np.cumsum(deltas)
-        base = np.repeat(cs[starts] - deltas[starts], all_tfs)
-        pos = cs - base
-        if pos.size and int(pos.max()) >= (1 << 21):
-            raise ValueError("position exceeds 2^21 — phrase key packing invalid")
+
+        def _decode():
+            deltas = varint_decode(self._col("pos_blob")).astype(np.int64)
+            # segmented cumsum: absolute positions within each doc's slice
+            starts = np.concatenate(([0], np.cumsum(all_tfs)[:-1]))
+            cs = np.cumsum(deltas)
+            base = np.repeat(cs[starts] - deltas[starts], all_tfs)
+            pos = cs - base
+            if pos.size and int(pos.max()) >= (1 << 21):
+                raise ValueError("position exceeds 2^21 — phrase key packing invalid")
+            return np.repeat(all_docs, all_tfs), pos
+
+        doc_labels_all, pos_all = self.reader.cached_postings(("pos", self.row), _decode)
         keep = np.repeat(_member_sorted(all_docs, sel_docs), all_tfs)
-        doc_labels = np.repeat(all_docs, all_tfs)[keep]
-        return doc_labels, pos[keep]
+        return doc_labels_all[keep], pos_all[keep]
 
 
 def _merge_add(

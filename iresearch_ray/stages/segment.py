@@ -405,7 +405,8 @@ class SegmentReader:
                 self._posting_cache
                 and self._posting_cache_bytes + nbytes > self.POSTING_CACHE_BYTES
             ):
-                _, old = self._posting_cache.popitem()
+                oldest = next(iter(self._posting_cache))  # FIFO: evict oldest
+                old = self._posting_cache.pop(oldest)
                 self._posting_cache_bytes -= sum(getattr(a, "nbytes", 0) for a in old)
             self._posting_cache[row] = out
             self._posting_cache_bytes += nbytes
