@@ -73,3 +73,29 @@ def test_registry():
 
     with pytest.raises(KeyError):
         get_analyzer("nope")
+
+
+def test_boolean_null_analyzers():
+    from iresearch_ray.functions.analysis import get_analyzer
+
+    b = get_analyzer("boolean")
+    assert b([True, False, None, 1, "true"]) == [["true"], ["false"], [], ["true"], ["true"]]
+    n = get_analyzer("null")
+    assert n([None, "x", None]) == [["null"], [], ["null"]]
+
+
+def test_minhash_collision_tracks_jaccard():
+    """P(minhash collision) ≈ Jaccard — the property LSH banding relies on."""
+    import numpy as np
+
+    from iresearch_ray.functions.analysis import get_analyzer
+
+    mh = get_analyzer("minhash", num_hashes=256)
+    base = [f"tok{i}" for i in range(40)]
+    for overlap in (10, 20, 30, 40):
+        a = " ".join(base)
+        b = " ".join(base[:overlap] + [f"other{i}" for i in range(40 - overlap)])
+        sa, sb = mh([a, b])
+        match = len(set(sa) & set(sb)) / 256
+        jac = overlap / (80 - overlap)
+        assert abs(match - jac) < 0.12, (overlap, match, jac)
