@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_jaccard(sf):
         return ops.ngram_jaccard_pairs(_docs_ds(sf), n=3, threshold=0.5).to_pandas()
 
+    def dd_near_dedup(sf):  # rows-only: LSH cluster + keep-best survivor ids
+        out = ops.near_dedup(_docs_ds(sf), threshold=0.5).to_pandas()
+        return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
     def dd_minhash(sf):  # rows-only (no SQL oracle): LSH-bucketed near-dup
         return ops.minhash_lsh_pairs(_docs_ds(sf), threshold=0.5).to_pandas()
 
@@ -396,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_quality": dd_quality,
         "dd_lang_id": dd_langid,
         "dd_jaccard_pairs": dd_jaccard,
+        "dd_near_dedup": dd_near_dedup,
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
         "emb_topk": emb_topk,

@@ -497,6 +497,80 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering + survivor selection
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(pairs, id_col: str = "doc_id") -> dict[int, int]:
+    """Union-find over near-dup pairs → {doc_id: cluster_root}.  The pair
+    set is tiny relative to the corpus by construction (already thresholded),
+    so this runs on the driver even at 100 TB corpus scale — the heavy work
+    (finding the pairs) stayed distributed."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def near_dedup(
+    ds,
+    threshold: float = 0.5,
+    cfg: MinHashCfg | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Near-duplicate removal keeping the BEST doc per cluster: MinHash+LSH
+    verified pairs → driver union-find clusters → per cluster keep the
+    highest quality_score (ties → lowest id); singletons survive untouched.
+    Returns the survivor Dataset (original columns)."""
+    import ray
+
+    pairs_df = minhash_lsh_pairs(ds, cfg=cfg, threshold=threshold,
+                                 text_col=text_col, id_col=id_col).to_pandas()
+    roots = cluster_pairs(zip(pairs_df["a"], pairs_df["b"]), id_col)
+    if not roots:
+        return ds
+
+    # pick the survivor of each cluster by (quality desc, id asc)
+    member_ids = np.array(sorted(roots), dtype=np.int64)
+
+    def quality_of_members(b: pa.Table) -> pa.Table:
+        keep = np.isin(b[id_col].to_numpy(zero_copy_only=False), member_ids)
+        sub = b.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "quality": pa.array([], pa.float64())})
+        q = quality_score_batch(sub, text_col, id_col)
+        return q.select([id_col, "quality"])
+
+    qdf = ds.map_batches(quality_of_members, batch_format="pyarrow").to_pandas()
+    best: dict[int, tuple] = {}
+    for did, qual in zip(qdf[id_col], qdf["quality"]):
+        r = roots[int(did)]
+        cand = (-float(qual), int(did))
+        if r not in best or cand < best[r]:
+            best[r] = cand
+    survivors = {did for _, did in best.values()}
+    losers = np.array(sorted(set(roots) - survivors), dtype=np.int64)
+    losers_ref = ray.put(losers)
+
+    def drop_losers(b: pa.Table) -> pa.Table:
+        ls = ray.get(losers_ref)
+        keep = ~np.isin(b[id_col].to_numpy(zero_copy_only=False), ls)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

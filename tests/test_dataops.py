@@ -251,3 +251,29 @@ def test_ngram_jaccard_join_path_matches_broadcast(dup_corpus, ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_near_dedup_keeps_best_per_cluster(dup_corpus, ray_session):
+    out = ops.near_dedup(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    texts = dict(zip(dup_corpus["doc_id"].to_pylist(), dup_corpus["text"].to_pylist()))
+    exp_pairs = _brute_jaccard_pairs(texts, 3, 0.5)
+    # brute clusters + survivor pick by (quality desc, id asc)
+    roots = ops.cluster_pairs(exp_pairs.keys())
+    clusters = {}
+    for did, r in roots.items():
+        clusters.setdefault(r, []).append(did)
+    import pyarrow as pa
+
+    losers = set()
+    for mem in clusters.values():
+        def q(d):
+            t = ops.quality_score_batch(
+                pa.table({"doc_id": [d], "text": [texts[d]]})
+            )["quality"][0].as_py()
+            return (-t, d)
+        best = min(mem, key=q)
+        losers |= set(mem) - {best}
+    got_ids = set(out["doc_id"])
+    assert got_ids == set(texts) - losers
+    # minhash recall can miss a pair vs brute jaccard — allow tiny slack
+    assert len(got_ids) <= len(set(texts)) - len(losers) + 2
