@@ -312,16 +312,34 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
             return _EMPTY
     # vectorized adjacency over flat (doc, pos) keys: key = doc<<21 | pos
     # (positions < 2^21 per doc — enforced at encode time by dl bounds), one
-    # np.isin per phrase term instead of one per (doc, term)
+    # membership pass per phrase term instead of one per (doc, term)
     SHIFT = np.int64(21)
+    slop = int(node.get("slop", 0))
     cand_docs, cand_pos = cursors[0].flat_positions(inter)
     cand_keys = (cand_docs << SHIFT) | cand_pos
-    for j in range(1, len(cursors)):
-        if cand_keys.size == 0:
-            return _EMPTY
-        dj, pj = cursors[j].flat_positions(inter)
-        keys_j = (dj << SHIFT) | pj
-        cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
+    if slop == 0:
+        for j in range(1, len(cursors)):
+            if cand_keys.size == 0:
+                return _EMPTY
+            dj, pj = cursors[j].flat_positions(inter)
+            keys_j = (dj << SHIFT) | pj
+            cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
+    else:
+        # greedy ordered-window chain (pinned slop semantics, see Phrase):
+        # advance each candidate to the SMALLEST next-term position in
+        # (prev, prev+1+slop] — greedy earliest-match preserves every
+        # completable chain, one searchsorted pass per term
+        for j in range(1, len(cursors)):
+            if cand_keys.size == 0:
+                return _EMPTY
+            dj, pj = cursors[j].flat_positions(inter)
+            keys_j = (dj << SHIFT) | pj
+            lo = np.searchsorted(keys_j, cand_keys + 1, side="left")
+            ok = lo < keys_j.size
+            nxt = keys_j[np.minimum(lo, keys_j.size - 1)]
+            ok &= nxt <= cand_keys + 1 + slop  # same doc guaranteed: key gap
+            ok &= (nxt >> SHIFT) == (cand_keys >> SHIFT)
+            cand_keys = np.unique(nxt[ok])
     if cand_keys.size == 0:
         return _EMPTY
     hit_docs = cand_keys >> SHIFT

@@ -111,11 +111,15 @@ class Fuzzy(Filter):
 
 @dataclass
 class Phrase(Filter):
-    """Exact phrase over positions (ref: phrase_filter.cpp; v1 = fixed terms,
-    slop 0 — SURVEY §2.4 pinned)."""
+    """Phrase over positions (ref: phrase_filter.cpp).  slop=0 is the exact
+    adjacent phrase; slop>0 uses PINNED greedy ordered semantics — each next
+    term must appear within ``1+slop`` positions after the previous match
+    (documented divergence from Lucene's move-count slop; ordered-window
+    matching is the common retrieval need and stays fully vectorizable)."""
 
     field: str
     terms: tuple[str, ...]
+    slop: int = 0
     boost: float = 1.0
 
 
@@ -398,6 +402,7 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             "op": "phrase",
             "field": flt.field,
             "terms": list(flt.terms),
+            "slop": int(flt.slop),
             "weight": w,
             "avg_dl": avg_dl,
         }

@@ -79,9 +79,13 @@ def test_ngram_similarity_vs_brute(idx):
 
 
 def test_import_index(idx, tmp_path, ray_session):
+    import shutil
+
     import ray.data as rd
 
-    d, tbl = idx
+    d0, tbl = idx
+    d = str(tmp_path / "copy")
+    shutil.copytree(d0, d)  # don't mutate the shared module fixture
     other_tbl = gen_transcripts(40, seed=777)
     other = str(tmp_path / "other")
     build_index(rd.from_arrow(other_tbl), other, num_partitions=2)
@@ -125,3 +129,53 @@ def test_minhash_field_near_dup_retrieval(tmp_path, ray_session):
     keys = set(zip(out["conv_id"], out["turn_idx"]))
     assert (src["conv_id"], src["turn_idx"]) in keys
     assert ("conv-dup0000", dup["turn_idx"]) in keys
+
+
+def test_sloppy_phrase_vs_brute(idx):
+    """Pinned slop semantics: each next term within 1+slop after the previous
+    match, greedy earliest-advance (optimal by exchange argument)."""
+    d, tbl = idx
+    s = Searcher(d)
+    rows = _brute_rows(tbl)
+
+    def brute(terms, slop):
+        out = set()
+        for k, toks in rows.items():
+            for p in (i for i, t in enumerate(toks) if t == terms[0]):
+                cur, ok = p, True
+                for term in terms[1:]:
+                    nxts = [i for i, t in enumerate(toks) if t == term and cur < i <= cur + 1 + slop]
+                    if not nxts:
+                        ok = False
+                        break
+                    cur = min(nxts)
+                if ok:
+                    out.add(k)
+                    break
+        return out
+
+    for terms, slop in [(("the", "a"), 2), (("agent", "error"), 4), (("the", "a", "the"), 1)]:
+        got = s.search_local(F.Phrase("text", terms, slop=slop), k=100_000)
+        assert set(zip(got["conv_id"], got["turn_idx"])) == brute(terms, slop), (terms, slop)
+
+
+def test_actor_segment_cache_eviction(idx, ray_session):
+    """SegmentSearcher LRU keeps serving correctly when the per-actor cache
+    is smaller than the index (max_cached_segments < segments)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from iresearch_ray.stages.searcher import SegmentSearcher
+
+    d, _ = idx
+    s = Searcher(d)
+    plan = __import__("json").dumps(s.prepare(F.Term("text", "the")).plan)
+    items = [
+        {"seg_dir": sd, "query_id": "q", "plan": plan, "k": 10, "wand": True}
+        for sd in s.seg_dirs * 3  # revisit each segment repeatedly
+    ]
+    actor = SegmentSearcher(max_cached_segments=1)
+    out = actor(pa.Table.from_pylist(items))
+    exp = actor(pa.Table.from_pylist(items))  # second pass after evictions
+    assert out.equals(exp)
+    assert len(actor._readers) == 1  # cache stayed bounded
