@@ -469,6 +469,69 @@ def append_index(
     )
 
 
+def verify_text_equality(index_dir: str, source) -> dict:
+    """Per-turn text equality against the source corpus under stable
+    (conv_id, turn_idx) ordering — the end-to-end invariant pinned by the
+    BASELINE input_hint.  Compares the stored doc-table text of EVERY live
+    segment row to the source rows; returns counts and raises on mismatch."""
+    import pyarrow.compute as pc
+
+    from iresearch_ray.stages.segment import SegmentReader
+    from iresearch_ray.state.manifest import load_manifest, segment_dirs
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    cfg = IndexConfig.from_json(manifest["config"])
+    if not cfg.store_text:
+        raise ValueError("verify_text_equality requires store_text=True")
+
+    if isinstance(source, pa.Table):
+        src = source
+    else:
+        files = []
+        for s_ in [source] if isinstance(source, str) else source:
+            if os.path.isdir(s_):
+                files += [
+                    os.path.join(s_, f)
+                    for f in sorted(os.listdir(s_))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                files.append(s_)
+        src = pa.concat_tables(
+            pq.read_table(f, columns=["conv_id", "turn_idx", cfg.text_field])
+            for f in files
+        )
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    expect = {
+        (c, t): x
+        for c, t, x in zip(
+            src["conv_id"].to_pylist(),
+            src["turn_idx"].to_pylist(),
+            src[cfg.text_field].to_pylist(),
+        )
+    }
+
+    checked = 0
+    mismatches = []
+    for d in segment_dirs(index_dir, manifest):
+        r = SegmentReader(d)
+        for c, t, x in zip(
+            r.docs["conv_id"].to_pylist(),
+            r.docs["turn_idx"].to_pylist(),
+            r.docs[cfg.text_field].to_pylist(),
+        ):
+            checked += 1
+            if expect.get((c, t)) != x:
+                mismatches.append((c, t))
+    if mismatches:
+        raise AssertionError(
+            f"text mismatch for {len(mismatches)} keys, e.g. {mismatches[:3]}"
+        )
+    return {"checked": checked, "source_rows": src.num_rows, "equal": True}
+
+
 def build_index_local(
     table: pa.Table,
     index_dir: str,
