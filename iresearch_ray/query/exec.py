@@ -325,10 +325,11 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
             keys_j = (dj << SHIFT) | pj
             cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
     else:
-        # greedy ordered-window chain (pinned slop semantics, see Phrase):
-        # advance each candidate to the SMALLEST next-term position in
-        # (prev, prev+1+slop] — greedy earliest-match preserves every
-        # completable chain, one searchsorted pass per term
+        # greedy ordered-window chain: advance each candidate to the SMALLEST
+        # next-term position in (prev, prev+1+slop].  Greedy earliest-advance
+        # IS the pinned slop semantics (a documented divergence from Lucene
+        # move-count slop — see Phrase docstring); it does NOT claim to keep
+        # every completable window chain.  One searchsorted pass per term.
         for j in range(1, len(cursors)):
             if cand_keys.size == 0:
                 return _EMPTY
@@ -451,11 +452,14 @@ def _wand_applicable(root: dict) -> bool:
     # multiterm unions (prefix/wildcard expansions) the per-leg incremental
     # merge is O(L·n) while the counting union is one concat+unique — so wide
     # unions take the eval_node path (identical results, SURVEY §5.2 item 5)
+    # negative leg weights would break the WAND invariant that accumulated
+    # scores only grow (pruning could drop true top-k docs) — such unions
+    # fall back to the exact eval_node path
     return (
         root["op"] == "union"
         and int(root.get("min_match", 1)) <= 1
         and len(root["children"]) <= 16
-        and all(c["op"] == "term" for c in root["children"])
+        and all(c["op"] == "term" and c["weight"] >= 0 for c in root["children"])
     )
 
 

@@ -175,14 +175,35 @@ class BruteForceOracle:
         w = boost * sum(self._idf(flt.field, t) for t in flt.terms)
         terms = list(flt.terms)
         L = len(terms)
+        slop = int(getattr(flt, "slop", 0))
         out = {}
         for i, toks in enumerate(f["tokens"]):
             if len(toks) < L:
                 continue
-            tf = 0
-            for p in range(len(toks) - L + 1):
-                if toks[p : p + L] == terms:
-                    tf += 1
+            if slop == 0:
+                tf = 0
+                for p in range(len(toks) - L + 1):
+                    if toks[p : p + L] == terms:
+                        tf += 1
+            else:
+                # pinned greedy ordered-window slop (mirrors exec.py): each
+                # candidate chain advances to the SMALLEST next-term position
+                # in (prev, prev+1+slop]; tf = distinct final positions
+                pos_of: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    pos_of.setdefault(t, []).append(p)
+                cand = set(pos_of.get(terms[0], ()))
+                for t in terms[1:]:
+                    nxt = set()
+                    plist = pos_of.get(t, ())
+                    for prev in cand:
+                        after = [q for q in plist if prev < q <= prev + 1 + slop]
+                        if after:
+                            nxt.add(min(after))
+                    cand = nxt
+                    if not cand:
+                        break
+                tf = len(cand)
             if tf:
                 out[i] = w * self._tf_factor(tf, f["dls"][i])
         return out

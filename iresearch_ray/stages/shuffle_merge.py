@@ -11,13 +11,22 @@ term rows:
   stage 0 (narrow): read every candidate's ``terms.parquet`` with
       ``include_paths`` → attach the segment's doc-id offset + rank
       (global doc order = sorted segment-name order, SURVEY §2.3).
-  stage 1 (groupby field, term, salt): Zipf-hot terms (per-segment df ≥
-      ``hot_df_threshold`` — the term-frequency-aware sketch) are split by
+  stage 1 (groupby field, term, salt): Zipf-hot terms are split by
       ``salt = rank // ceil(n/num_salts)``; RANGE salting keeps each salt
       group a contiguous run of segments, so partial posting blobs stay
       globally ordered.  Each group blob-concats its members (doc ids
       rebased to global by the offset map — deltas inside blocks survive
       because every doc in a segment shifts equally).
+
+      Hotness is decided ONCE per (field, term) from a parallel pre-pass
+      (column-pruned + predicate-pushdown reads of every candidate's
+      ``df`` column): a term is hot iff its df reaches ``hot_df_threshold``
+      in ANY candidate segment.  A per-row (per-segment-df) decision would
+      split a mixed-hotness term into a salted group PLUS a cold salt=-1
+      group whose segment ranks interleave with the salted ranges — stage 2
+      orders partials by first rank only, so the merged postings would come
+      out doc-id-unsorted (breaking Not, WAND skips and phrase membership).
+      The global pre-pass keeps every stage-1 group a contiguous rank range.
   stage 2 (groupby field, term): ≤ num_salts partials per term merge in
       rank order into the final row.  Cold terms take this path directly
       (salt = -1 → singleton stage-1 groups).
@@ -95,18 +104,49 @@ def merge_segments_shuffle(
     run = max(1, math.ceil(n_segs / num_salts))
 
     paths = list(rank_of)
+
+    # global hotness pre-pass: (field, term) keys whose df reaches the
+    # threshold in ANY candidate — tiny by Zipf (predicate-pushdown read of
+    # just the df column), one parallel task per candidate segment
+    @ray.remote(num_cpus=1)
+    def _hot_keys(path: str, thr: int) -> set[tuple[str, str]]:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path).to_table(
+            columns=["field", "term"], filter=pads.field("df") >= thr
+        )
+        return set(zip(t["field"].to_pylist(), t["term"].to_pylist()))
+
+    hot: set[tuple[str, str]] = set()
+    for part in ray.get([_hot_keys.remote(p, hot_df_threshold) for p in paths]):
+        hot |= part
+    hot_ref = ray.put(hot)
+
     ds = rd.read_parquet(paths, include_paths=True)
 
     def tag(batch: pa.Table) -> pa.Table:
         offs = ray.get(off_ref)
         ranks = ray.get(rank_ref)
+        hot_set = ray.get(hot_ref)
         p = batch["path"].to_pylist()
         rank = np.array([ranks[x] for x in p], dtype=np.int64)
         off = np.array([offs[x] for x in p], dtype=np.int64)
-        df = batch["df"].to_numpy(zero_copy_only=False)
-        # term-frequency-aware partitioning: only hot terms pay the salt
-        # split; cold terms go straight to their final (term) group
-        salt = np.where(df >= hot_df_threshold, rank // run, -1)
+        # term-frequency-aware partitioning: only globally-hot terms pay the
+        # salt split; cold terms go straight to their final (term) group.
+        # The decision is per (field, term) — NEVER per row — so every
+        # stage-1 group is a contiguous rank range (see module docstring).
+        if hot_set:
+            is_hot = np.fromiter(
+                (
+                    (f, t) in hot_set
+                    for f, t in zip(batch["field"].to_pylist(), batch["term"].to_pylist())
+                ),
+                dtype=bool,
+                count=batch.num_rows,
+            )
+        else:
+            is_hot = np.zeros(batch.num_rows, dtype=bool)
+        salt = np.where(is_hot, rank // run, -1)
         return (
             batch.drop_columns(["path"])
             .append_column("__rank", pa.array(rank))
@@ -134,7 +174,11 @@ def merge_segments_shuffle(
     stage2 = stage1.groupby(["field", "term"]).map_groups(
         lambda g: combine(g, final=True), batch_format="pyarrow"
     )
-    parts = [pa.Table.from_batches(t.to_batches()) for t in ray.get(stage2.to_arrow_refs())]
+    # schema arg: zero-batch refs (empty stage-2 blocks) can't infer one
+    parts = [
+        pa.Table.from_batches(t.to_batches(), schema=t.schema)
+        for t in ray.get(stage2.to_arrow_refs())
+    ]
     terms = (
         pa.concat_tables([p.select(_BLOB_COLS) for p in parts if p.num_rows])
         if parts

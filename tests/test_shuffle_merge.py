@@ -1,6 +1,7 @@
 """Shuffle-based wide merge with salted hot terms — equivalence with the
 single-task k-way merge (same queries, same results)."""
 
+import pyarrow as pa
 import pytest
 
 from iresearch_ray import Searcher, build_index
@@ -48,4 +49,71 @@ def test_shuffle_merge_equals_unmerged(wide_idx):
         assert got.equals(exp.reset_index(drop=True)), q
         # wand parity holds on the concat-merged blobs too
         got0 = s.search_local(q, k=25, wand=False).reset_index(drop=True)
+        assert got.equals(got0)
+
+
+def test_shuffle_merge_mixed_hotness(tmp_path, ray_session):
+    """Regression: a term whose per-segment df straddles hot_df_threshold
+    must NOT split into interleaved salted + cold groups (the per-row
+    hotness bug).  The global pre-pass makes the decision per (field, term),
+    keeping merged postings doc-id-sorted — verified via Not queries (which
+    silently return wrong rows on unsorted postings), wand parity, and a
+    direct sortedness assertion on the merged posting arrays."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from iresearch_ray.functions.codec import decode_postings
+    from iresearch_ray.stages.segment import SegmentReader
+    from iresearch_ray.state.manifest import segment_dirs
+
+    tbl = gen_transcripts(160)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tbl), d, num_partitions=8)
+    man = load_manifest(d)
+    names = [s["name"] for s in man["segments"]]
+
+    # pick a threshold that splits the per-segment dfs of a mid-frequency term
+    target = "agent"
+    dfs = []
+    for n in names:
+        t = pq.read_table(
+            os.path.join(d, "segments", n, "terms.parquet"), columns=["field", "term", "df"]
+        )
+        sel = t.filter(
+            (pa.compute.field("field") == "text") & (pa.compute.field("term") == target)
+        )
+        dfs.append(int(sel["df"][0].as_py()) if sel.num_rows else 0)
+    thr = int(np.median(dfs)) + 1
+    assert min(dfs) < thr <= max(dfs), f"corpus no longer mixed for {target}: {dfs}"
+
+    queries = [
+        F.Not(F.Term("text", "the"), F.Term("text", target)),
+        F.Not(F.Term("text", target), F.Term("text", "error")),
+        F.Or((F.Term("text", target), F.Term("text", "the"))),
+        F.Phrase("text", ("the", target)),
+    ]
+    before = [Searcher(d).search_local(q, k=50) for q in queries]
+
+    meta = merge_segments_shuffle(d, names, man["generation"], hot_df_threshold=thr, num_salts=4)
+    commit_manifest(d, [meta], man["config"], lineage={"mixed_hotness": True})
+
+    s = Searcher(d)
+    assert len(s.seg_dirs) == 1
+    r = SegmentReader(segment_dirs(d, s.manifest)[0])
+    row = r.term_row("text", target)
+    docs, _tfs = decode_postings(
+        r.terms["doc_blob"][row].as_py(),
+        np.asarray(r.terms["block_doc_count"][row].as_py(), dtype=np.int64),
+    )
+    assert np.all(np.diff(docs) > 0), "merged postings must be strictly increasing"
+    bl = np.asarray(r.terms["block_last_doc"][row].as_py(), dtype=np.int64)
+    assert np.all(np.diff(bl) > 0), "block_last_doc must be sorted for skip targeting"
+
+    for q, exp in zip(queries, before):
+        got = s.search_local(q, k=50).reset_index(drop=True)
+        assert got.equals(exp.reset_index(drop=True)), q
+        got0 = s.search_local(q, k=50, wand=False).reset_index(drop=True)
         assert got.equals(got0)
