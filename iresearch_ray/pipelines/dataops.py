@@ -77,11 +77,30 @@ def _unique_per_row(flat: pa.Array, parent: np.ndarray, n_rows: int) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# vectorized 64-bit string hashing (shared by fingerprints / shingles /
+# minhash / simhash — NOT by md5-pinned outputs)
+# ---------------------------------------------------------------------------
+
+
+def _hash_strings(arr) -> np.ndarray:
+    """uint64 hash per string, vectorized (pandas siphash with the fixed
+    default key — deterministic across processes, C-speed; replaces the
+    per-string Python md5 loops that dominated the 100 TB map side)."""
+    import pandas as pd
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    arr = np.asarray(arr, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+# ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
 
-_ROLL_BASE = 1099511628211  # FNV prime as Rabin base
-_ROLL_MASK = 0xFFFFFFFFFFFFFFFF
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
 
 
 def md5_hex(texts: list[str | None]) -> list[str | None]:
@@ -90,18 +109,46 @@ def md5_hex(texts: list[str | None]) -> list[str | None]:
 
 def rolling_fingerprint(tokens: list[str]) -> int:
     """64-bit polynomial rolling hash over the token sequence (document
-    fingerprint; order-sensitive, unlike a bag-of-words hash)."""
-    h = 14695981039346656037
-    for t in tokens:
-        th = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        h = ((h * _ROLL_BASE) ^ th) & _ROLL_MASK
-    return h
+    fingerprint; order-sensitive, unlike a bag-of-words hash):
+    fp = Σ hash(t_i)·BASE^(k-1-i)  (mod 2^64).  The linear form is what
+    makes the batch version (``fingerprint_batch``) one reduceat pass."""
+    if not tokens:
+        return 0
+    th = _hash_strings(np.array(tokens, dtype=object))
+    k = len(tokens)
+    with np.errstate(over="ignore"):
+        pows = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(k - 1, _ROLL_BASE, dtype=np.uint64)))
+        )[::-1]
+        return int((th * pows).sum(dtype=np.uint64))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     md5s = md5_hex(texts)
-    rolls = [rolling_fingerprint(t.split(" ")) if t else 0 for t in texts]
+    flat, parent, n_tok = _explode_tokens(pc.fill_null(batch[text_col], ""))
+    th = _hash_strings(flat)
+    n_rows = batch.num_rows
+    rolls = np.zeros(n_rows, dtype=np.uint64)
+    if th.size:
+        # split_pattern yields >= 1 token per row (empty text -> [""]), so
+        # every reduceat segment is non-empty
+        max_k = int(n_tok.max())
+        with np.errstate(over="ignore"):
+            pows = (
+                np.concatenate(
+                    ([np.uint64(1)], np.cumprod(np.full(max_k - 1, _ROLL_BASE, dtype=np.uint64)))
+                )
+                if max_k > 1
+                else np.array([1], dtype=np.uint64)
+            )
+            row_start = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+            pos_in_row = np.arange(th.size, dtype=np.int64) - np.repeat(row_start, n_tok)
+            exp = np.repeat(n_tok, n_tok) - 1 - pos_in_row
+            rolls = np.add.reduceat(th * pows[exp], row_start)
+    # empty/None text pins fp=0 (matches rolling_fingerprint([]))
+    empties = np.array([not t for t in texts], dtype=bool)
+    rolls[empties] = 0
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
         "fingerprint64", pa.array(rolls, pa.uint64())
     )
@@ -235,29 +282,63 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    """Distinct 64-bit hashes of word n-gram shingles (md5-derived so the
-    value is library-stable)."""
+    """Distinct 64-bit hashes of word n-gram shingles (scalar reference —
+    same hash family as the vectorized batch path)."""
     if len(tokens) < n:
         joined = [" ".join(tokens)] if tokens else []
     else:
         joined = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
-    hs = {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in joined}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    return np.unique(_hash_strings(np.array(joined, dtype=object)))
+
+
+def _shingle_parent_hash(
+    texts: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized distinct word-shingle hashing for a batch: returns
+    (parent_row: int64[], shingle_hash: uint64[]) sorted by (parent, hash)
+    and distinct within each row.  n-gram strings are built with ONE
+    ``binary_join_element_wise`` over n offset slices of the flat token
+    array (no per-row Python loop); rows shorter than n shingle on the whole
+    text (== the space-join of their tokens under the pinned tokenizer)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    flat, parent, n_tok = _explode_tokens(texts)
+    L = len(flat)
+    parts: list[np.ndarray] = []
+    hashes: list[np.ndarray] = []
+    if L >= n:
+        valid = parent[: L - n + 1] == parent[n - 1 :]
+        if valid.any():
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(i, L - n + 1) for i in range(n)], " "
+            )
+            parts.append(parent[: L - n + 1][valid])
+            hashes.append(_hash_strings(joined.filter(pa.array(valid))))
+    short = np.flatnonzero(n_tok < n)
+    if short.size:
+        parts.append(short.astype(np.int64))
+        hashes.append(_hash_strings(texts.take(pa.array(short))))
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    p = np.concatenate(parts)
+    h = np.concatenate(hashes)
+    order = np.lexsort((h, p))
+    p, h = p[order], h[order]
+    keep = np.concatenate(([True], (p[1:] != p[:-1]) | (h[1:] != h[:-1])))
+    return p[keep], h[keep]
 
 
 def shingle_explode(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
-    """doc → (id, shingle_hash) distinct pairs + per-doc shingle count."""
+    """doc → (id, shingle_hash) distinct pairs.  Narrow, fully vectorized."""
 
     def explode(b: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for i, t in enumerate(b[text_col].to_pylist()):
-            h = _shingle_hashes((t or "").split(" "), n)
-            sh.append(h)
-            ids.append(np.full(len(h), b[id_col][i].as_py(), dtype=np.int64))
+        p, h = _shingle_parent_hash(b[text_col], n)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(ids) if ids else np.array([], np.int64)),
-                "shingle": pa.array(np.concatenate(sh) if sh else np.array([], np.uint64)),
+                id_col: pa.array(ids[p] if p.size else np.empty(0, np.int64)),
+                "shingle": pa.array(h),
             }
         )
 
@@ -270,21 +351,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hot_shingle_cap: int = 10_000,
-    combine: str = "broadcast",
+    hot_shingle_cap: int = 2_000,
+    combine: str = "join",
 ):
     """EXACT n-gram-shingle Jaccard near-dup pairs (a, b, jaccard ≥ t), a < b.
 
     Plan: explode distinct shingles (narrow) → groupby(shingle) emits candidate
     pairs sharing a shingle with multiplicity (ONE shuffle, keyed by shingle
-    hash) → groupby(pair) counts |A∩B| → jaccard from broadcast per-doc
-    shingle counts.
+    hash) → groupby(pair) counts |A∩B| → jaccard from per-doc shingle counts.
 
-    Scale: per-doc shingle-count map is broadcast (ray.put) — fine while the
-    doc-count side table fits workers (8 B/doc); beyond that swap the final
-    combine for a hash join on id.  Shingle groups larger than
+    Scale: the default combine is a distributed hash JOIN of the per-doc
+    size table (100 TB-safe); ``combine="broadcast"`` is the explicit
+    small-N option (driver collect + ray.put of the id→count map — only
+    while that side table fits worker heaps).  Shingle groups larger than
     ``hot_shingle_cap`` would emit O(cap²) pairs; they are dropped with a
-    warning (a shingle shared by >cap docs carries ~zero Jaccard signal).
+    logged warning — a shingle shared by >2k docs is boilerplate and
+    carries ~zero Jaccard signal, while one 10k-doc group would emit ~5·10⁷
+    pairs into the pair shuffle.
     """
     import ray
 
@@ -305,6 +388,14 @@ def ngram_jaccard_pairs(
     def emit_pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
         if len(ids) < 2 or len(ids) > hot_shingle_cap:
+            if len(ids) > hot_shingle_cap:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "hot shingle shared by %d docs exceeds cap %d — dropped "
+                    "(%d candidate pairs skipped)",
+                    len(ids), hot_shingle_cap, len(ids) * (len(ids) - 1) // 2,
+                )
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
@@ -317,34 +408,95 @@ def ngram_jaccard_pairs(
     )
 
     if combine == "join":
-        # scale path: hash-join the per-doc sizes instead of broadcasting —
-        # works when the doc-count table exceeds worker heaps (100 TB regime)
-        sz_a = sizes_ds.map_batches(
-            lambda t: t.rename_columns(["a", "sz_a"]), batch_format="pyarrow"
-        )
-        sz_b = sizes_ds.map_batches(
-            lambda t: t.rename_columns(["b", "sz_b"]), batch_format="pyarrow"
-        )
-        nparts = 8
-        joined = common.join(sz_a, "inner", nparts, on=("a",)).join(
-            sz_b, "inner", nparts, on=("b",)
+        # scale path: distribute the per-doc sizes to pairs with the same
+        # doc-keyed groupby co-location used by _verified_jaccard — works
+        # when the doc-count table exceeds worker heaps (100 TB regime).
+        # (Implemented over groupby, not Dataset.join: the hash-shuffle join
+        # backend deadlocks under small local clusters and its chained form
+        # spawned unbounded workers in testing.)
+        SZ_SCHEMA = pa.schema(
+            [
+                ("doc", pa.int64()),
+                ("pair_a", pa.int64()),
+                ("pair_b", pa.int64()),
+                ("side", pa.int32()),
+                ("inter", pa.int64()),
+                ("sz", pa.int64()),
+            ]
         )
 
-        def jac_join(b: pa.Table) -> pa.Table:
-            inter = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-            sa = b["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-            sb = b["sz_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-            j = inter / (sa + sb - inter)
-            keep = j >= threshold
+        def pair_need(b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = a.size
             return pa.table(
                 {
-                    "a": b["a"].filter(pa.array(keep)),
-                    "b": b["b"].filter(pa.array(keep)),
-                    "jaccard": pa.array(round_half_away(j[keep], 4)),
-                }
+                    "doc": pa.array(np.concatenate([a, bb])),
+                    "pair_a": pa.array(np.concatenate([a, a])),
+                    "pair_b": pa.array(np.concatenate([bb, bb])),
+                    "side": pa.array(np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])),
+                    "inter": pa.array(np.concatenate([c, c])),
+                    "sz": pa.nulls(2 * n, pa.int64()),
+                },
+                schema=SZ_SCHEMA,
             )
 
-        return joined.map_batches(jac_join, batch_format="pyarrow")
+        def size_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "doc": t[id_col].cast(pa.int64()),
+                    "pair_a": pa.nulls(n, pa.int64()),
+                    "pair_b": pa.nulls(n, pa.int64()),
+                    "side": pa.array(np.full(n, -1, np.int32)),
+                    "inter": pa.nulls(n, pa.int64()),
+                    "sz": t["count()"].cast(pa.int64()),
+                },
+                schema=SZ_SCHEMA,
+            )
+
+        def attach(g: pa.Table) -> pa.Table:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            own = side == -1
+            if own.all() or not own.any():
+                return SZ_SCHEMA.empty_table()
+            sz = int(g["sz"].to_numpy(zero_copy_only=False)[own][0])
+            p = g.filter(pa.array(~own))
+            return p.set_column(
+                p.schema.get_field_index("sz"), "sz",
+                pa.array(np.full(p.num_rows, sz, np.int64)),
+            )
+
+        def jac_final(g: pa.Table) -> pa.Table:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            sz = g["sz"].to_numpy(zero_copy_only=False)
+            if not (side == 0).any() or not (side == 1).any():
+                return _PAIR_SCHEMA.empty_table()
+            sa = float(sz[side == 0][0])
+            sb = float(sz[side == 1][0])
+            inter = float(g["inter"][0].as_py())
+            j = inter / (sa + sb - inter)
+            if j < threshold:
+                return _PAIR_SCHEMA.empty_table()
+            return pa.table(
+                {
+                    "a": g["pair_a"].slice(0, 1),
+                    "b": g["pair_b"].slice(0, 1),
+                    "jaccard": pa.array([float(round_half_away(j, 4))], pa.float64()),
+                },
+                schema=_PAIR_SCHEMA,
+            )
+
+        need = common.map_batches(pair_need, batch_format="pyarrow")
+        szr = sizes_ds.map_batches(size_rows, batch_format="pyarrow")
+        return (
+            need.union(szr)
+            .groupby("doc")
+            .map_groups(attach, batch_format="pyarrow")
+            .groupby(["pair_a", "pair_b"])
+            .map_groups(jac_final, batch_format="pyarrow")
+        )
 
     def to_jaccard(b: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
@@ -402,6 +554,181 @@ def minhash_signature(shingles: np.ndarray, cfg: MinHashCfg) -> np.ndarray:
     return vals.min(axis=1)
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_BUCKET_CAP = 10_000
+
+
+def minhash_band_table(
+    batch: pa.Table, cfg: MinHashCfg, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Narrow signature stage, fully vectorized: per-row minhash signature
+    via (P × S) affine perms + ``np.minimum.reduceat`` over row runs, then
+    per-band FNV-1a folds → (id, band, bucket) rows (bands × rows)."""
+    p, h = _shingle_parent_hash(batch[text_col], cfg.shingle_n)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    P = cfg.num_perm
+    if n_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    # every row yields >= 1 shingle (empty text shingles on ""), so the
+    # reduceat segments are aligned 1:1 with rows
+    row_start = np.searchsorted(p, np.arange(n_rows))
+    ab = cfg.perms()
+    sig = np.empty((P, n_rows), np.uint64)
+    with np.errstate(over="ignore"):
+        for p0 in range(0, P, 16):
+            pe = min(p0 + 16, P)
+            vals = (ab[0][p0:pe][:, None] * h[None, :] + ab[1][p0:pe][:, None]) & _MERSENNE
+            sig[p0:pe] = np.minimum.reduceat(vals, row_start, axis=1)
+        r = P // cfg.bands
+        buckets = np.empty((cfg.bands, n_rows), np.uint64)
+        for band in range(cfg.bands):
+            acc = np.full(n_rows, _FNV_OFFSET ^ np.uint64(band + 1), dtype=np.uint64)
+            for c in range(band * r, (band + 1) * r):
+                acc = (acc ^ sig[c]) * _FNV_PRIME
+            buckets[band] = acc
+    return pa.table(
+        {
+            id_col: pa.array(np.tile(ids, cfg.bands)),
+            "band": pa.array(np.repeat(np.arange(cfg.bands, dtype=np.int32), n_rows)),
+            "bucket": pa.array((buckets.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+        }
+    )
+
+
+def _emit_bucket_pairs(g: pa.Table, id_col: str, cap: int = _BUCKET_CAP) -> pa.Table:
+    ids = np.unique(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    if len(ids) < 2 or len(ids) > cap:
+        if len(ids) > cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket with %d docs exceeds cap %d — dropped (%d pairs skipped)",
+                len(ids), cap, len(ids) * (len(ids) - 1) // 2,
+            )
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+
+
+_DIST_SCHEMA = pa.schema(
+    [
+        ("doc", pa.int64()),
+        ("pair_a", pa.int64()),
+        ("pair_b", pa.int64()),
+        ("side", pa.int32()),
+        ("shingle", pa.uint64()),
+    ]
+)
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _verified_jaccard(cand, shingles, threshold: float, id_col: str):
+    """EXACT Jaccard for the candidate pair set, fully distributed — the
+    100 TB-safe replacement for the v1 broadcast-shingle-sets verify.
+
+    Doc-keyed co-location (two groupby exchanges, no joins, no driver
+    state): each candidate pair (a, b) explodes into two need-rows keyed by
+    doc; union with the shingle explode; groupby(doc) hands the doc's
+    distinct shingle set to every pair that needs it; groupby(pair)
+    computes |A∩B| / |A∪B| exactly from the two delivered sets.  Shuffle
+    volume = Σ over candidate pairs of (|A| + |B|) — proportional to the
+    LSH candidate set, never to the corpus."""
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = a.size
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, bb])),
+                "pair_a": pa.array(np.concatenate([a, a])),
+                "pair_b": pa.array(np.concatenate([bb, bb])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int32), np.ones(n, np.int32)]
+                    )
+                ),
+                "shingle": pa.nulls(2 * n, pa.uint64()),
+            },
+            schema=_DIST_SCHEMA,
+        )
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc": t[id_col].cast(pa.int64()),
+                "pair_a": pa.nulls(n, pa.int64()),
+                "pair_b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int32)),
+                "shingle": t["shingle"],
+            },
+            schema=_DIST_SCHEMA,
+        )
+
+    need = cand.map_batches(pair_rows, batch_format="pyarrow")
+    shr = shingles.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def distribute(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        own = side == -1
+        if own.all() or not own.any():
+            return _DIST_SCHEMA.empty_table()
+        sh = g["shingle"].to_numpy(zero_copy_only=False)[own].astype(np.uint64)
+        p = g.filter(pa.array(~own))
+        reps = p.num_rows
+        return pa.table(
+            {
+                "doc": pa.nulls(reps * sh.size, pa.int64()),
+                "pair_a": pa.array(
+                    np.repeat(p["pair_a"].to_numpy(zero_copy_only=False), sh.size)
+                ),
+                "pair_b": pa.array(
+                    np.repeat(p["pair_b"].to_numpy(zero_copy_only=False), sh.size)
+                ),
+                "side": pa.array(
+                    np.repeat(p["side"].to_numpy(zero_copy_only=False), sh.size)
+                ),
+                "shingle": pa.array(np.tile(sh, reps)),
+            },
+            schema=_DIST_SCHEMA,
+        )
+
+    dist = need.union(shr).groupby("doc").map_groups(distribute, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        sh = g["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        A = np.unique(sh[side == 0])
+        B = np.unique(sh[side == 1])
+        if A.size == 0 or B.size == 0:
+            return _PAIR_SCHEMA.empty_table()
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        j = inter / (A.size + B.size - inter)
+        if j < threshold:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a": g["pair_a"].slice(0, 1),
+                "b": g["pair_b"].slice(0, 1),
+                "jaccard": pa.array([float(round_half_away(j, 4))], pa.float64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    return dist.groupby(["pair_a", "pair_b"]).map_groups(finish, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     cfg: MinHashCfg | None = None,
@@ -411,89 +738,29 @@ def minhash_lsh_pairs(
 ):
     """MinHash → LSH banding → candidate pairs → EXACT Jaccard verify ≥ t.
 
-    Plan: narrow signature stage → explode (band_id, band_hash) → groupby
-    band bucket (ONE shuffle) → candidate pairs → verify with true shingle
-    sets (broadcast small side, same scale note as ngram_jaccard_pairs).
-    Output (a, b, jaccard); approximate RECALL (LSH may miss pairs), exact
-    PRECISION (verified).
+    Plan: narrow vectorized signature stage → groupby (band, bucket) emits
+    candidate pairs → groupby (a, b) dedupes → DISTRIBUTED exact
+    verification (`_verified_jaccard`: hash joins against the shingle
+    explode).  Every stage is a keyed exchange or narrow map — no
+    driver-side materialization of corpus-sized state, so the op survives
+    the 100 TB regime (the v1 broadcast-shingle-sets verify did not).
+    Output (a, b, jaccard); approximate RECALL (LSH can miss pairs — tune
+    ``cfg.bands`` up for higher recall), exact PRECISION (verified).
     """
-    import ray
-
     cfg = cfg or MinHashCfg()
-    rows_per_band = cfg.num_perm // cfg.bands
-
-    def signatures(b: pa.Table) -> pa.Table:
-        out_id, band_ids, band_hash = [], [], []
-        for i, t in enumerate(b[text_col].to_pylist()):
-            sh = _shingle_hashes((t or "").split(" "), cfg.shingle_n)
-            sig = minhash_signature(sh, cfg)
-            did = b[id_col][i].as_py()
-            for band in range(cfg.bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                # deterministic across processes (builtin hash() is salted)
-                h = int.from_bytes(
-                    hashlib.md5(band.to_bytes(4, "big") + chunk.tobytes()).digest()[:8], "big"
-                ) & 0x7FFFFFFFFFFFFFFF
-                out_id.append(did)
-                band_ids.append(band)
-                band_hash.append(h)
-        return pa.table(
-            {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "bucket": pa.array(band_hash, pa.int64()),
-            }
-        )
-
-    # broadcast true shingle sets for verification (small side)
-    shingle_sets: dict[int, np.ndarray] = {}
-    for b in shingle_explode(ds, cfg.shingle_n, text_col, id_col).iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        sh = b["shingle"].to_numpy(zero_copy_only=False)
-        for d in np.unique(ids):
-            cur = sh[ids == d]
-            shingle_sets[int(d)] = (
-                np.union1d(shingle_sets[int(d)], cur) if int(d) in shingle_sets else np.sort(cur)
-            )
-    sets_ref = ray.put(shingle_sets)
-
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
-        if len(ids) < 2 or len(ids) > 10_000:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
 
     cand = (
-        ds.map_batches(signatures, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-    )
-
-    def verify(b: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, bb):
-            sx, sy = ss[int(x)], ss[int(y)]
-            inter = len(np.intersect1d(sx, sy, assume_unique=True))
-            j = inter / (len(sx) + len(sy) - inter)
-            if j >= threshold:
-                out_a.append(int(x))
-                out_b.append(int(y))
-                out_j.append(float(round_half_away(j, 4)))
-        return pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
+        ds.map_batches(
+            lambda b: minhash_band_table(b, cfg, text_col, id_col),
+            batch_format="pyarrow",
         )
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(lambda g: _emit_bucket_pairs(g, id_col), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    shingles = shingle_explode(ds, cfg.shingle_n, text_col, id_col)
+    return _verified_jaccard(cand, shingles, threshold, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -575,26 +842,77 @@ def near_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit SimHash over tf-weighted md5 token hashes."""
-    if not tokens:
-        return 0
-    uniq, tf = np.unique(np.array(tokens, dtype=object), return_counts=True)
-    bits = np.zeros(64, dtype=np.float64)
-    for tok, w in zip(uniq, tf):
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        v = np.array([(h >> i) & 1 for i in range(64)], dtype=np.float64)
-        bits += w * (2 * v - 1)
-    out = 0
-    for i in range(64):
-        if bits[i] > 0:
-            out |= 1 << i
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_MD5_MEMO: dict[str, int] = {}
+
+
+def _md5_hash64(arr) -> np.ndarray:
+    """uint64 = first 8 bytes (big-endian) of md5 per string — the ONE
+    hash that must stay md5: the dd_simhash SQL oracle reproduces it as
+    ('0x' || substr(md5(w),1,16))::UBIGINT.  Memoized per worker process
+    (Zipf vocab ⇒ the md5 loop runs once per distinct token, not per
+    occurrence)."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    out = np.empty(len(arr), dtype=np.uint64)
+    memo = _MD5_MEMO
+    for i, s in enumerate(arr):
+        v = memo.get(s)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            if len(memo) < 4_000_000:
+                memo[s] = v
+        out[i] = v
     return out
 
 
+def _pack_sign_bits(acc: np.ndarray) -> np.ndarray:
+    """(D, 64) signed accumulators → uint64 simhash per row (bit i set iff
+    acc[:, i] > 0)."""
+    return ((acc > 0).astype(np.uint64) << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Classic 64-bit SimHash over tf-weighted token hashes (scalar
+    reference — same hash family and sign rule as ``simhash_batch``)."""
+    if not tokens:
+        return 0
+    uniq, tf = np.unique(np.array(tokens, dtype=object), return_counts=True)
+    h = _md5_hash64(uniq)
+    bits = ((h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.float64)
+    acc = ((2.0 * bits - 1.0) * tf[:, None].astype(np.float64)).sum(axis=0)
+    return int(_pack_sign_bits(acc[None, :])[0])
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    hs = [simhash64((t or "").split(" ")) for t in batch[text_col].to_pylist()]
-    return pa.table({id_col: batch[id_col], "simhash": pa.array(hs, pa.uint64())})
+    """Vectorized SimHash: token explode → per-(row, token) tf by run-length
+    over a lexsort → bit outer-product → ``np.add.reduceat`` per row.  No
+    per-token Python loop (this is the map-side hot stage of the 100 TB
+    simhash dedup job)."""
+    flat, parent, n_tok = _explode_tokens(pc.fill_null(batch[text_col], ""))
+    n_rows = batch.num_rows
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab_h = _md5_hash64(enc.dictionary)
+        th = vocab_h[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    else:
+        th = np.empty(0, np.uint64)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if th.size:
+        order = np.lexsort((th, parent))
+        p, h = parent[order], th[order]
+        new_run = np.concatenate(([True], (p[1:] != p[:-1]) | (h[1:] != h[:-1])))
+        run_idx = np.flatnonzero(new_run)
+        tf = np.diff(np.concatenate((run_idx, [p.size]))).astype(np.float64)
+        pu, hu = p[run_idx], h[run_idx]
+        bits = ((hu[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.float64)
+        w = (2.0 * bits - 1.0) * tf[:, None]
+        doc_starts = np.flatnonzero(np.concatenate(([True], pu[1:] != pu[:-1])))
+        acc = np.add.reduceat(w, doc_starts, axis=0)
+        out[pu[doc_starts]] = _pack_sign_bits(acc)
+    return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())})
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
@@ -671,10 +989,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(B, d) float64 from a list<float> column — via the flattened values
+    buffer, not to_pylist (zero Python objects)."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    widths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(widths[0]) if len(widths) else 0
+    if d and not np.all(widths == d):
+        raise ValueError("ragged embedding column")
+    return flat.reshape(-1, d) if d else np.empty((0, 0))
+
+
+_EMB_TOPK_SCHEMA = pa.schema(
+    [("query_idx", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+)
+
+
 class BruteForceTopK:
-    """Actor-pool stage: cosine top-k of every batch row against a broadcast
+    """Actor-pool stage: cosine top-k of every batch against a broadcast
     query matrix.  Queries are put in the object store ONCE (ray.put by the
-    caller) and fetched in __init__ — never re-shipped per batch."""
+    caller) and fetched in __init__ — never re-shipped per batch.  The
+    PARTIAL top-k happens inside __call__, so only Q×k rows per block leave
+    the actor (not the full B×Q score matrix)."""
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
         import ray
@@ -688,28 +1027,34 @@ class BruteForceTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vec_matrix(batch, self.vec_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return _EMB_TOPK_SCHEMA.empty_table()
         sims = _normalize(vecs) @ self.q.T  # (B, Q)
-        out_q, out_id, out_s = [], [], []
+        k = min(self.k, ids.size)
+        out_q = np.empty(self.q.shape[0] * k, np.int64)
+        out_id = np.empty_like(out_q)
+        out_s = np.empty(self.q.shape[0] * k, np.float64)
         for qi in range(self.q.shape[0]):
-            out_q.extend([qi] * len(ids))
-            out_id.extend(ids.tolist())
-            out_s.extend(sims[:, qi].tolist())
+            # exact tie-break (cosine desc, id asc) — same rule as the final
+            # reduce, so partial pruning can never flip a tied boundary
+            sel = np.lexsort((ids, -sims[:, qi]))[:k]
+            out_q[qi * k : (qi + 1) * k] = qi
+            out_id[qi * k : (qi + 1) * k] = ids[sel]
+            out_s[qi * k : (qi + 1) * k] = sims[sel, qi]
         return pa.table(
-            {
-                "query_idx": pa.array(out_q, pa.int64()),
-                self.id_col: pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-            }
+            {"query_idx": out_q, self.id_col: out_id, "cosine": out_s},
+            schema=pa.schema(
+                [("query_idx", pa.int64()), (self.id_col, pa.int64()), ("cosine", pa.float64())]
+            ),
         )
 
 
 def embedding_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Brute-force cosine top-k per query over an embedding Dataset.
-    Per-batch matmul against broadcast queries (narrow), then a tiny
-    per-query top-k reduction.  Scale path: per-batch partial top-k keeps the
-    reduce input at Q×k rows per block, so the final groupby is small."""
+    """Brute-force cosine top-k per query over an embedding Dataset:
+    per-batch matmul against broadcast queries with FUSED partial top-k
+    (narrow; Q×k rows per block), then one tiny per-query reduce."""
     import ray
 
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
@@ -722,67 +1067,85 @@ def embedding_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
         num_cpus=1,
     )
 
-    def partial_topk(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = b.to_pandas()
-        df = df.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("query_idx").head(k), preserve_index=False)
-
     def final_topk(g: pa.Table) -> pa.Table:
-        import pandas as pd
+        sims = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_idx": g["query_idx"].take(pa.array(sel)),
+                id_col: pa.array(ids[sel]),
+                "cosine": pa.array(round_half_away(sims[sel], 4)),
+                "rank": pa.array(np.arange(1, sel.size + 1, dtype=np.int64)),
+            }
+        )
 
-        df = g.to_pandas().sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        df["rank"] = np.arange(1, len(df) + 1)
-        df["cosine"] = round_half_away(df["cosine"].to_numpy(), 4)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return (
-        scored.map_batches(partial_topk, batch_format="pyarrow")
-        .groupby("query_idx")
-        .map_groups(final_topk, batch_format="pyarrow")
-    )
+    return scored.groupby("query_idx").map_groups(final_topk, batch_format="pyarrow")
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """All (a < b) pairs with cosine ≥ t.  v1: broadcast the full normalized
-    matrix (ray.put once), each batch computes its block-row of the gram
-    matrix — O(N·B) per batch, no shuffle.  Scale note: beyond
-    broadcastable N use `embedding_lsh_buckets` (hyperplane LSH) so only
-    bucket-local pairs are computed."""
+def embedding_neardup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """All (a < b) pairs with cosine ≥ t — EXACT, computed as a distributed
+    block-pair sweep: the dataset's Arrow blocks stay in the object store
+    (``to_arrow_refs``; nothing corpus-sized touches the driver) and one Ray
+    task per block pair (i ≤ j) computes that tile of the gram matrix.
+    Output (thresholded pairs) is the only thing collected.
+
+    Scale note: exact all-pairs is inherently O(N²/2) tiles — right up to
+    ~10⁷ vectors; beyond that use the hyperplane-LSH bucketing of
+    ``embedding_lsh_topk`` (exact precision, approximate recall) and accept
+    the recall trade, or pre-cluster with it and verify within buckets."""
     import ray
+    import ray.data as rd
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy().astype(np.int64)
-    mat = _normalize(np.array(full[vec_col].to_list(), dtype=np.float64))
-    ref = ray.put((ids_all, mat))
+    refs = ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
 
-    class Block:
-        def __init__(self):
-            self.ids_all, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
-            sims = vecs @ self.mat.T
-            out_a, out_b, out_s = [], [], []
-            for i, a in enumerate(ids):
-                hit = np.where(sims[i] >= threshold)[0]
-                for j in hit:
-                    b = self.ids_all[j]
-                    if a < b:
-                        out_a.append(int(a))
-                        out_b.append(int(b))
-                        out_s.append(float(round_half_away(sims[i, j], 4)))
+    @ray.remote(num_cpus=1)
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ia.size == 0 or ib.size == 0:
             return pa.table(
-                {
-                    "a": pa.array(out_a, pa.int64()),
-                    "b": pa.array(out_b, pa.int64()),
-                    "cosine": pa.array(out_s, pa.float64()),
-                }
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
             )
+        va = _normalize(_vec_matrix(ta, vec_col))
+        vb = _normalize(_vec_matrix(tb, vec_col))
+        sims = va @ vb.T
+        hit = sims >= threshold
+        if same:
+            # upper triangle by id: each unordered pair once, no self-pairs
+            hit &= ia[:, None] < ib[None, :]
+        else:
+            hit &= ia[:, None] != ib[None, :]
+        r, c = np.nonzero(hit)
+        x, y = ia[r], ib[c]
+        a = np.minimum(x, y)  # orient a < b (cross tiles carry either order)
+        b = np.maximum(x, y)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "cosine": pa.array(round_half_away(sims[r, c], 4)),
+            }
+        )
 
-    return ds.map_batches(Block, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    futs = [
+        tile.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    return rd.from_arrow(pa.concat_tables(tables))
 
 
 def embedding_lsh_topk(
@@ -813,11 +1176,13 @@ def embedding_lsh_topk(
         for w in wanted:
             probe.setdefault(w, []).append(qi)
 
+    probe_keys = np.array(sorted(probe), dtype=np.int64)
+
     def assign(b: pa.Table) -> pa.Table:
-        vecs = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
-        bk = bucket_of(vecs)
-        keep = np.array([int(x) in probe for x in bk])
-        t = b.append_column("bucket", pa.array(bk.astype(np.int64)))
+        vecs = _normalize(_vec_matrix(b, vec_col))
+        bk = bucket_of(vecs).astype(np.int64)
+        keep = np.isin(bk, probe_keys)
+        t = b.append_column("bucket", pa.array(bk))
         return t.filter(pa.array(keep))
 
     filtered = ds.map_batches(assign, batch_format="pyarrow")
@@ -828,7 +1193,7 @@ def embedding_lsh_topk(
         if not qis:
             return pa.table({"query_idx": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = _normalize(np.array(g[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(_vec_matrix(g, vec_col))
         sims = vecs @ qn[qis].T
         out_q, out_id, out_s = [], [], []
         for col, qi in enumerate(qis):
@@ -845,12 +1210,20 @@ def embedding_lsh_topk(
         )
 
     def final_topk(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.to_pandas().sort_values(["cosine", id_col], ascending=[False, True])
-        df = df.drop_duplicates(subset=[id_col]).head(k)
-        df["cosine"] = round_half_away(df["cosine"].to_numpy(), 4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        sims = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -sims))
+        # multiprobe buckets can surface the same id twice — keep best
+        _, first = np.unique(ids[order], return_index=True)
+        sel = order[np.sort(first)]
+        sel = sel[np.lexsort((ids[sel], -sims[sel]))][:k]
+        return pa.table(
+            {
+                "query_idx": g["query_idx"].take(pa.array(sel)),
+                id_col: pa.array(ids[sel]),
+                "cosine": pa.array(round_half_away(sims[sel], 4)),
+            }
+        )
 
     return (
         filtered.groupby("bucket")
