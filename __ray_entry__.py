@@ -272,6 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_fuzzy(sf):
         return _topk(sf, F.Fuzzy("text", "tble", 1))
 
+    def ft_wildcard_wide(sf):
+        """Wide expansion exercising scored_terms_limit (SURVEY §2.5
+        limited_sample_collector analog): pattern % matches the whole
+        dictionary; only the top 8 terms by (df desc, term asc) are scored,
+        the rest match unscored."""
+        return _topk(sf, F.Wildcard("text", "%", scored_terms_limit=8))
+
     def ft_keyword(sf):
         return _topk(sf, F.Term("role", "en"), k=10_000)
 
@@ -292,7 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_all(sf):
         return _topk(sf, F.AllDocs(boost=2.5), k=10_000)
 
-    def ft_ngram_sim(sf):  # rows-only: in-order LCS ratio (no clean SQL analog)
+    def ft_ngram_sim(sf):  # oracle: closed-form 3-term LCS in SQL
         return _topk(sf, F.NgramSimilarity("text", ("key", "agg", "row"), threshold=0.4), k=10_000)
 
     def ft_granular(sf):
@@ -369,10 +376,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hist["label"] = hist["label"].astype("int64")
         return hist
 
-    def emb_lsh(sf):  # rows-only: approximate ANN scale path
-        return ops.embedding_lsh_topk(_emb_ds(sf), _qmat(sf), k=10, n_planes=6).to_pandas()[
-            ["query_idx", "vec_id", "cosine"]
-        ]
+    def emb_lsh(sf):
+        """ANN scale path.  Oracle-checked against a SQL reproduction of the
+        SAME deterministic semantics (hyperplane buckets from seed-42 planes
+        + radius-1 multiprobe + per-bucket top-k) — not against brute force:
+        on this corpus top-10 neighbors sit at wide angles where hyperplane
+        LSH recall < 1 by design."""
+        return ops.embedding_lsh_topk(
+            _emb_ds(sf), _qmat(sf), k=10, n_planes=6, probe_radius=1
+        ).to_pandas()[["query_idx", "vec_id", "cosine"]]
 
     return {
         "ft_term_topk": ft_term,
@@ -384,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_topk": ft_prefix,
         "ft_range_topk": ft_range,
         "ft_wildcard_topk": ft_wildcard,
+        "ft_wildcard_wide_topk": ft_wildcard_wide,
         "ft_fuzzy_topk": ft_fuzzy,
         "ft_keyword_topk": ft_keyword,
         "ft_tfidf_topk": ft_tfidf,
@@ -408,6 +421,171 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_pairs": emb_neardup,
         "emb_lsh_topk": emb_lsh,
     }
+
+
+# shared shingle-Jaccard SQL (dd_jaccard_pairs; also the EXACT oracle for
+# dd_minhash_pairs — LSH params verified recall-1.0 on this corpus, and the
+# engine exact-verifies candidates, so outputs coincide deterministically)
+_SQL_JACCARD = """
+WITH lists AS (
+  SELECT doc_id, string_split(text,' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+  FROM lists, unnest(generate_series(1, len(l)-2)) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(c / (sa.sz + sb.sz - c)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
+"""
+
+
+def _sql_near_dedup(quality_expr: str) -> str:
+    """Connected components over the exact-Jaccard pair graph (recursive
+    CTE min-label propagation) + keep-best survivor per cluster
+    (quality desc, doc_id asc) — mirrors pipelines.dataops.near_dedup."""
+    return f"""
+WITH RECURSIVE lists AS (
+  SELECT doc_id, string_split(text,' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+  FROM lists, unnest(generate_series(1, len(l)-2)) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
+), edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+), root AS (
+  SELECT x, min(r) AS root FROM reach GROUP BY x
+), qual AS (
+  SELECT doc_id, {quality_expr} AS q FROM documents
+), ranked AS (
+  SELECT root.x AS doc_id,
+         row_number() OVER (
+           PARTITION BY root.root ORDER BY qual.q DESC, root.x ASC
+         ) AS rn
+  FROM root JOIN qual ON qual.doc_id = root.x
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+ORDER BY doc_id
+"""
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """64-bit tf-weighted SimHash in SQL: token hash = first 8 md5 bytes
+    (('0x'||substr(md5(w),1,16))::UBIGINT — exactly the engine's
+    _md5_hash64), per-bit signed tf accumulators, then brute pairwise
+    bit_count(xor) ≤ d.  Mirrors pipelines.dataops.simhash_batch; the
+    engine's pigeonhole chunk LSH is recall-exact for d ≤ chunks-1, so
+    engine output == this brute enumeration."""
+    accs = ",\n         ".join(
+        f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS a{i}"
+        for i in range(64)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN a{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), h AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(w),1,16))::UBIGINT AS hw FROM tf
+), acc AS (
+  SELECT doc_id,
+         {accs}
+  FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, ({packed}) AS s FROM acc
+)
+SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.s, y.s))::BIGINT AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+"""
+
+
+def _sql_ngram_similarity(t0: str, t1: str, t2: str, thr_lcs: int = 2) -> str:
+    """Closed-form LCS for a 3-term in-order query: lcs=3 iff an increasing
+    position triple exists (greedy earliest-advance is exact for
+    subsequence existence), lcs=2 iff any in-order pair exists.  Mirrors
+    query.exec._eval_ngram_similarity with threshold 0.4 ⇒ keep lcs ≥ 2,
+    score = round(lcs/3, 4)."""
+    return f"""
+WITH lists AS (
+  SELECT doc_id, string_split(text,' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id,
+    list_filter(generate_series(1, len(l)), i -> l[i] = '{t0}') AS p0,
+    list_filter(generate_series(1, len(l)), i -> l[i] = '{t1}') AS p1,
+    list_filter(generate_series(1, len(l)), i -> l[i] = '{t2}') AS p2
+  FROM lists
+), feat AS (
+  SELECT doc_id,
+    (len(p0) > 0 AND len(p1) > 0 AND list_min(p0) < list_max(p1)) AS s01,
+    (len(p0) > 0 AND len(p2) > 0 AND list_min(p0) < list_max(p2)) AS s02,
+    (len(p1) > 0 AND len(p2) > 0 AND list_min(p1) < list_max(p2)) AS s12,
+    (len(p0) > 0 AND len(p1) > 0 AND len(p2) > 0
+     AND len(list_filter(p1, x -> x > list_min(p0))) > 0
+     AND list_max(p2) > list_min(list_filter(p1, x -> x > list_min(p0)))) AS s012
+  FROM pos
+), lcs AS (
+  SELECT doc_id,
+         CASE WHEN s012 THEN 3 WHEN s01 OR s02 OR s12 THEN 2 ELSE 1 END AS lcs
+  FROM feat
+)
+SELECT doc_id, round(lcs / 3.0, 4) AS score FROM lcs WHERE lcs >= {thr_lcs}
+"""
+
+
+def _sql_emb_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64, k: int = 10) -> str:
+    """SQL reproduction of embedding_lsh_topk's deterministic semantics:
+    the SAME seed-42 hyperplanes as numpy literals, bucket = sign pattern
+    of raw dot products (sign is normalization-invariant), radius-1
+    multiprobe via xor masks, per-query top-k over probed buckets."""
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(v)) for v in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    masks = [0] + [1 << i for i in range(n_planes)]
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_idx, embedding AS qv, bucket AS qb
+  FROM b ORDER BY vec_id LIMIT 3
+), probe AS (
+  SELECT query_idx, qv, xor(qb, m.mask) AS pb
+  FROM q, unnest([{", ".join(str(m) for m in masks)}]) m(mask)
+), cand AS (
+  SELECT p.query_idx, b.vec_id,
+         list_cosine_similarity(b.embedding::DOUBLE[], p.qv::DOUBLE[]) AS cos
+  FROM b JOIN probe p ON b.bucket = p.pb
+)
+SELECT query_idx, vec_id, round(cos, 4) AS cosine FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -436,6 +614,29 @@ def oracle_sql() -> dict[str, str]:
         "ft_prefix_topk": _sql_multiterm("w LIKE 's%'"),
         "ft_range_topk": _sql_multiterm("w >= 'query' AND w <= 'sort'"),
         "ft_wildcard_topk": _sql_multiterm("w LIKE 's_a%'"),
+        # scored_terms_limit cap: top-8 terms by (df desc, term asc) scored,
+        # the rest of the dictionary matches with contribution 0
+        "ft_wildcard_wide_topk": f"""
+{_BASE}, exp AS (
+  SELECT w, count(distinct doc_id) AS n FROM tok GROUP BY w
+), st AS (
+  SELECT w, n FROM exp ORDER BY n DESC, w ASC LIMIT 8
+), tfw AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), scored AS (
+  SELECT tfw.doc_id,
+         ln(1 + (fs.N - st.n + 0.5)/(st.n + 0.5))
+         * (tfw.tf * ({K1}+1)) / (tfw.tf + {K1} * (1 - {B} + {B} * dl.dl / fs.avgdl)) AS s
+  FROM tfw JOIN st ON tfw.w = st.w JOIN dl ON tfw.doc_id = dl.doc_id CROSS JOIN fs
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok
+), agg AS (
+  SELECT m.doc_id, coalesce(sum(s.s), 0) AS score
+  FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "ft_fuzzy_topk": _sql_multiterm("levenshtein(w, 'tble') <= 1"),
         # TFIDF (Lucene-classic, SURVEY §2.6): sqrt(tf)·(1+ln(N/(n+1)))/sqrt(dl)
         "ft_tfidf_topk": f"""
@@ -530,23 +731,16 @@ WITH s AS (
 )
 SELECT doc_id, {pred_case} AS pred_lang FROM s
 """,
-        "dd_jaccard_pairs": """
-WITH lists AS (
-  SELECT doc_id, string_split(text,' ') AS l FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
-  FROM lists, unnest(generate_series(1, len(l)-2)) t(i)
-), sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-)
-SELECT a, b, round(c / (sa.sz + sb.sz - c)::DOUBLE, 4) AS jaccard
-FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
-WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
-""",
+        "dd_jaccard_pairs": _SQL_JACCARD,
+        "dd_minhash_pairs": _SQL_JACCARD,
+        "dd_near_dedup": _sql_near_dedup(
+            "round(0.5 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))::DOUBLE)"
+            f" + 0.3 * (1 - len(list_filter(string_split(text,' '), x -> x IN ({stop_list}))) / len(string_split(text,' '))::DOUBLE)"
+            " + 0.2 * least(len(string_split(text,' ')), 64) / 64.0, 4)"
+        ),
+        "dd_simhash_pairs": _sql_simhash_pairs(3),
+        "ft_ngram_similarity": _sql_ngram_similarity("key", "agg", "row"),
+        "emb_lsh_topk": _sql_emb_lsh(n_planes=6, seed=42, dim=64, k=10),
         "emb_topk": """
 WITH q AS (
   SELECT vec_id AS query_idx, embedding AS qv FROM embeddings

@@ -1156,11 +1156,16 @@ def embedding_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 1,
 ):
     """Scale-path ANN: random-hyperplane LSH bucketing.  Vectors are bucketed
-    by sign pattern (narrow stage); each query probes only its own bucket ∪
-    hamming-1 neighbor buckets, so per-query work is ~N/2^planes instead of N.
-    Approximate (recall < 1); tested for recall ≥ 0.9 vs brute force."""
+    by sign pattern (narrow stage); each query probes its own bucket ∪ all
+    buckets within hamming distance ``probe_radius``, so per-query work is
+    ~N·Σ_{i≤r}C(p,i)/2^p instead of N.  Approximate (recall < 1 in
+    general); raise ``probe_radius`` to trade compute for recall — the
+    driver query pins a radius measured to reach recall 1.0 on its corpus."""
+    from itertools import combinations
+
     rng = np.random.default_rng(seed)
     dim = len(np.asarray(queries)[0])
     planes = rng.standard_normal((n_planes, dim))
@@ -1169,12 +1174,15 @@ def embedding_lsh_topk(
     def bucket_of(mat: np.ndarray) -> np.ndarray:
         return ((mat @ planes.T) > 0).astype(np.uint64) @ (1 << np.arange(n_planes, dtype=np.uint64))
 
+    masks = [0]
+    for r in range(1, max(0, int(probe_radius)) + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
     q_buckets = bucket_of(qn)
     probe: dict[int, list[int]] = {}
     for qi, qb in enumerate(q_buckets):
-        wanted = {int(qb)} | {int(qb) ^ (1 << p) for p in range(n_planes)}
-        for w in wanted:
-            probe.setdefault(w, []).append(qi)
+        for m in masks:
+            probe.setdefault(int(qb) ^ m, []).append(qi)
 
     probe_keys = np.array(sorted(probe), dtype=np.int64)
 

@@ -252,6 +252,22 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         keep = ~_member_sorted(pos_d, neg_d)
         return pos_d[keep], pos_s[keep]
 
+    if op == "unscored_terms":
+        # limited_sample_collector analog (SURVEY §2.5): terms beyond the
+        # scored_terms_limit cap still match with score 0.  Docs are returned
+        # CONCATENATED (one entry per matched term, unique within a term) so
+        # the parent union's occurrence counting sees each matched term —
+        # min_match semantics are preserved
+        docs_list = []
+        for t in node["terms"]:
+            cur = _TermCursor(reader, {"field": node["field"], "term": t})
+            if cur.present:
+                docs_list.append(cur.decode_all()[0])
+        if not docs_list:
+            return _EMPTY
+        docs = np.concatenate(docs_list)
+        return docs, np.zeros(docs.size, dtype=np.float64)
+
     if op == "filter_union":
         # constant-score disjoint union (granular numeric range): decode doc
         # lists only, score = weight for every matching doc

@@ -9,8 +9,9 @@ JSON-able physical *plan* that per-segment executors evaluate independently
 (SURVEY §3.2: the driver prepares, SegmentSearcher actors execute).
 
 Pinned scoring decisions (recorded per SURVEY §0 ⚠ convention):
-- multiterm expansion scores ALL matched terms, each with its own global idf
-  (`scored_terms_limit` sampling deliberately not reproduced — SURVEY §2.5).
+- multiterm expansion scores the top ``scored_terms_limit`` (default 1024)
+  matched terms by (df desc, term asc), each with its own global idf; the
+  remainder match unscored (limited_sample_collector analog, SURVEY §2.5).
 - fuzzy matches carry no distance-based boost (pinned; oracle matches).
 - phrase weight = boost * Σ term idfs, tf = phrase frequency (Lucene-style,
   pinned in SURVEY §2.5 via by_phrase).
@@ -51,11 +52,19 @@ class Terms(Filter):
     boost: float = 1.0
 
 
+# multiterm queries score at most this many expanded terms by default; the
+# remainder still MATCH (and count toward min_match) but contribute score 0
+# (ref: limited_sample_collector.cpp / scored_terms_limit default 1024 —
+# SURVEY §2.5; pinned selection rule: top by (df desc, term asc))
+SCORED_TERMS_LIMIT_DEFAULT = 1024
+
+
 @dataclass
 class Prefix(Filter):
     field: str
     prefix: str
     boost: float = 1.0
+    scored_terms_limit: int = SCORED_TERMS_LIMIT_DEFAULT
 
 
 @dataclass
@@ -68,6 +77,7 @@ class TermRange(Filter):
     include_low: bool = True
     include_high: bool = True
     boost: float = 1.0
+    scored_terms_limit: int = SCORED_TERMS_LIMIT_DEFAULT
 
 
 @dataclass
@@ -95,6 +105,7 @@ class Wildcard(Filter):
     field: str
     pattern: str
     boost: float = 1.0
+    scored_terms_limit: int = SCORED_TERMS_LIMIT_DEFAULT
 
 
 @dataclass
@@ -107,6 +118,7 @@ class Fuzzy(Filter):
     max_distance: int = 1
     with_transpositions: bool = False
     boost: float = 1.0
+    scored_terms_limit: int = SCORED_TERMS_LIMIT_DEFAULT
 
 
 @dataclass
@@ -312,7 +324,28 @@ def _union_of_terms(
     stats: GlobalStats,
     scorer: ScorerCfg,
     min_match: int = 1,
+    scored_terms_limit: int | None = None,
 ) -> dict:
+    if scored_terms_limit is not None and len(terms_and_boosts) > scored_terms_limit:
+        # limited_sample_collector analog (SURVEY §2.5): only the top
+        # ``scored_terms_limit`` terms by (df desc, term asc) keep scoring
+        # stats; the remainder still MATCH — they appear as one
+        # ``unscored_terms`` leg whose docs score 0 but count toward
+        # min_match occurrence counting
+        ranked = sorted(
+            terms_and_boosts,
+            key=lambda tb: (-stats.term_df(field_name, tb[0]), tb[0]),
+        )
+        scored, unscored = ranked[:scored_terms_limit], ranked[scored_terms_limit:]
+        legs = [_term_leaf(field_name, t, b, stats, scorer) for t, b in scored]
+        legs.append(
+            {
+                "op": "unscored_terms",
+                "field": field_name,
+                "terms": sorted(t for t, _ in unscored),
+            }
+        )
+        return {"op": "union", "children": legs, "min_match": min_match}
     legs = [
         _term_leaf(field_name, t, b, stats, scorer) for t, b in terms_and_boosts
     ]
@@ -341,7 +374,10 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             if not t.startswith(flt.prefix):
                 break
             matched.append(t)
-        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+        return _union_of_terms(
+            flt.field, [(t, boost) for t in matched], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit,
+        )
     if isinstance(flt, TermRange):
         terms, _ = stats.field_terms(flt.field)
         lo = 0
@@ -351,7 +387,10 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         if flt.high is not None:
             hi = int(np.searchsorted(terms, flt.high, side="right" if flt.include_high else "left"))
         matched = list(terms[lo:hi])
-        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+        return _union_of_terms(
+            flt.field, [(t, boost) for t in matched], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit,
+        )
     if isinstance(flt, Wildcard):
         rx = wildcard_to_regex(flt.pattern)
         pfx = wildcard_literal_prefix(flt.pattern)
@@ -367,7 +406,10 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         else:
             cand = list(terms)
         matched = [t for t in cand if rx.fullmatch(t)]
-        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+        return _union_of_terms(
+            flt.field, [(t, boost) for t in matched], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit,
+        )
     if isinstance(flt, GranularRange):
         from iresearch_ray.functions.numeric import range_term_bounds
 
@@ -392,7 +434,10 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         terms, _ = stats.field_terms(flt.field)
         q = flt.term
         matched = [t for t in terms if dist(q, t, d) <= d]
-        return _union_of_terms(flt.field, [(t, boost) for t in matched], stats, scorer)
+        return _union_of_terms(
+            flt.field, [(t, boost) for t in matched], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit,
+        )
     if isinstance(flt, Phrase):
         N, avg_dl = stats.field(flt.field)
         w = boost * sum(

@@ -120,3 +120,41 @@ def test_tfidf_parity(corpus):
     oracle = BruteForceOracle(gen_transcripts(200), scorer=ScorerCfg(name="tfidf"))
     flt = F.Or((F.Term("text", "agent"), F.Term("text", "w0005")))
     _check(searcher, oracle, flt, k=10, wand=False, scorer=ScorerCfg(name="tfidf"))
+
+
+def test_scored_terms_limit_cap(corpus):
+    """limited_sample_collector analog (SURVEY §2.5): with the cap above the
+    expansion size results are identical to unlimited; with a binding cap the
+    top-limit terms by (df desc, term asc) are scored and the rest still
+    MATCH with contribution 0 (verified against a hand-built expectation from
+    the unlimited per-term evaluations)."""
+    s, oracle = corpus
+
+    wide = F.Prefix("text", "w0")  # tail vocab: wide expansion
+    unlimited = s.search_local(wide, k=25)
+    same = s.search_local(F.Prefix("text", "w0", scored_terms_limit=100_000), k=25)
+    assert same.equals(unlimited)
+
+    # binding cap: engine vs expectation assembled from single-term evals
+    limit = 3
+    capped = s.search_local(F.Prefix("text", "w0", scored_terms_limit=limit), k=100_000)
+    terms, dfs = s.stats.field_terms("text")
+    matched = [(t, int(s.stats.term_df("text", t))) for t in terms if t.startswith("w0")]
+    assert len(matched) > limit
+    ranked = sorted(matched, key=lambda td: (-td[1], td[0]))
+    scored_set = {t for t, _ in ranked[:limit]}
+
+    import collections
+
+    exp_scores: dict[tuple, float] = collections.defaultdict(float)
+    for t, _df in matched:
+        single = s.search_local(F.Term("text", t), k=100_000)
+        for row in single.itertuples():
+            key = (row.conv_id, row.turn_idx)
+            exp_scores[key] += row.score if t in scored_set else 0.0
+    exp = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = list(zip(zip(capped["conv_id"], capped["turn_idx"]), capped["score"]))
+    assert len(got) == len(exp)
+    for (gk, gs), (ek, es) in zip(got, exp):
+        assert gk == ek
+        assert abs(gs - es) < 1e-6
