@@ -207,6 +207,38 @@ ORDER BY {_IDF} * {_TFF} DESC, tf.doc_id ASC LIMIT {k}
 """
 
 
+def _sql_phrase_unordered(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """2-term unordered-window phrase (pinned semantics, filters.Phrase
+    ordered=False): tf = # anchors p with a distinct-position assignment in
+    [p, p+1+slop] whose min is p — for two distinct terms that is
+    |{{p∈P1: ∃q∈P2, p<q≤p+1+slop}}| + |{{p∈P2: ∃q∈P1, p<q≤p+1+slop}}|;
+    weight = idf(t1)+idf(t2)."""
+    w = 1 + slop
+    return f"""
+{_BASE}, lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), ptf AS (
+  SELECT doc_id,
+         len(list_filter(list_filter(generate_series(1, len(l)), i -> l[i] = '{t1}'),
+             p -> len(list_filter(list_filter(generate_series(1, len(l)), i -> l[i] = '{t2}'),
+                                  q -> q > p AND q <= p + {w})) > 0))
+       + len(list_filter(list_filter(generate_series(1, len(l)), i -> l[i] = '{t2}'),
+             p -> len(list_filter(list_filter(generate_series(1, len(l)), i -> l[i] = '{t1}'),
+                                  q -> q > p AND q <= p + {w})) > 0)) AS tf
+  FROM lists
+), tf AS (SELECT doc_id, tf FROM ptf WHERE tf > 0),
+d1 AS (SELECT count(distinct doc_id) AS n FROM tok WHERE w = '{t1}'),
+d2 AS (SELECT count(distinct doc_id) AS n FROM tok WHERE w = '{t2}')
+SELECT tf.doc_id,
+       round((ln(1 + (fs.N - d1.n + 0.5)/(d1.n + 0.5))
+            + ln(1 + (fs.N - d2.n + 0.5)/(d2.n + 0.5))) * {_TFF}, 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN d1 CROSS JOIN d2
+ORDER BY (ln(1 + (fs.N - d1.n + 0.5)/(d1.n + 0.5))
+        + ln(1 + (fs.N - d2.n + 0.5)/(d2.n + 0.5))) * {_TFF} DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _sql_phrase(t1: str, t2: str, k: int = 10) -> str:
     """Exact 2-term phrase: tf = count of adjacent (t1, t2) start positions;
     weight = idf(t1) + idf(t2) (SURVEY §2.4 phrase prepare)."""
@@ -259,6 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ft_phrase(sf):
         return _topk(sf, F.Phrase("text", ("table", "hash")))
+
+    def ft_phrase_slop(sf):
+        """Unordered sloppy phrase (transposition-tolerant window)."""
+        return _topk(sf, F.Phrase("text", ("table", "hash"), slop=1, ordered=False))
 
     def ft_prefix(sf):
         return _topk(sf, F.Prefix("text", "s"))
@@ -393,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_andnot_topk": ft_andnot,
         "ft_minmatch_topk": ft_minmatch,
         "ft_phrase_topk": ft_phrase,
+        "ft_phrase_slop": ft_phrase_slop,
         "ft_prefix_topk": ft_prefix,
         "ft_range_topk": ft_range,
         "ft_wildcard_topk": ft_wildcard,
@@ -611,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_andnot_topk": _sql_andnot("table", "join"),
         "ft_minmatch_topk": _sql_multiterm("w IN ('join','merge','window')", min_match=2),
         "ft_phrase_topk": _sql_phrase("table", "hash"),
+        "ft_phrase_slop": _sql_phrase_unordered("table", "hash", slop=1),
         "ft_prefix_topk": _sql_multiterm("w LIKE 's%'"),
         "ft_range_topk": _sql_multiterm("w >= 'query' AND w <= 'sort'"),
         "ft_wildcard_topk": _sql_multiterm("w LIKE 's_a%'"),

@@ -98,6 +98,13 @@ class Searcher:
         merged.insert(0, "query_id", "q")
         return merge_topk(merged, k).drop(columns=["query_id"])
 
+    def highlights(self, flt: Filter, k: int = 10, scorer: ScorerCfg | None = None) -> pd.DataFrame:
+        """Top-k with character highlight spans recomputed from the stored
+        text column (functions/highlight.py — SURVEY §2.1 offsets)."""
+        from iresearch_ray.functions.highlight import highlights as _hl
+
+        return _hl(self, flt, k=k, scorer=scorer)
+
     # -- distributed execution: SegmentSearcher actor pool ----------------
     def search_ray(
         self,

@@ -316,41 +316,129 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
     raise ValueError(f"unknown plan op {op!r}")
 
 
+def _kuhn_match(cand: list[np.ndarray], skip_slot: int, banned: int) -> bool:
+    """Perfect bipartite matching (Kuhn augmenting paths) of every slot
+    except ``skip_slot`` onto distinct positions, none equal to ``banned``.
+    Slot counts are phrase lengths (tiny), windows are ≤ n+slop wide."""
+    match: dict[int, int] = {}
+
+    def try_slot(j: int, seen: set[int]) -> bool:
+        for pos in cand[j]:
+            p = int(pos)
+            if p == banned or p in seen:
+                continue
+            seen.add(p)
+            if p not in match or try_slot(match[p], seen):
+                match[p] = j
+                return True
+        return False
+
+    for j in range(len(cand)):
+        if j == skip_slot:
+            continue
+        if not try_slot(j, set()):
+            return False
+    return True
+
+
+def _unordered_tf(pos_lists: list[np.ndarray], slop: int) -> int:
+    """tf for the pinned unordered-window semantics: number of distinct
+    anchors p such that every slot can take a DISTINCT position within
+    [p, p + n-1+slop] with min position p (i.e. p itself is used)."""
+    n = len(pos_lists)
+    w = n + slop  # window width: n-1+slop offsets past the anchor, inclusive
+    anchors = np.unique(np.concatenate(pos_lists))
+    tf = 0
+    for p in anchors:
+        cand = [pl[(pl >= p) & (pl <= p + w - 1)] for pl in pos_lists]
+        if any(c.size == 0 for c in cand):
+            continue
+        # p must be used by some slot; match the remaining slots off p
+        for j in range(n):
+            if p in cand[j] and _kuhn_match(cand, skip_slot=j, banned=int(p)):
+                tf += 1
+                break
+    return tf
+
+
 def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
-    cursors = [_TermCursor(reader, {**node, "term": t}) for t in node["terms"]]
-    if any(not c.present for c in cursors):
-        return _EMPTY
-    doc_sets = [c.decode_all()[0] for c in cursors]
-    inter = doc_sets[0]
-    for d in doc_sets[1:]:
+    parts: list[list[str]] = node.get("parts") or [[t] for t in node["terms"]]
+    # each slot = union of its expansion terms' postings (variadic parts,
+    # ref: phrase_filter.cpp); a slot with no present term kills the phrase
+    slots: list[list[_TermCursor]] = []
+    for slot_terms in parts:
+        cursors = [_TermCursor(reader, {**node, "term": t}) for t in slot_terms]
+        cursors = [c for c in cursors if c.present]
+        if not cursors:
+            return _EMPTY
+        slots.append(cursors)
+    slot_doc_sets = []
+    for cursors in slots:
+        if len(cursors) == 1:
+            slot_doc_sets.append(cursors[0].decode_all()[0])
+        else:
+            slot_doc_sets.append(np.unique(np.concatenate([c.decode_all()[0] for c in cursors])))
+    inter = slot_doc_sets[0]
+    for d in slot_doc_sets[1:]:
         inter = np.intersect1d(inter, d, assume_unique=True)
         if inter.size == 0:
             return _EMPTY
-    # vectorized adjacency over flat (doc, pos) keys: key = doc<<21 | pos
-    # (positions < 2^21 per doc — enforced at encode time by dl bounds), one
-    # membership pass per phrase term instead of one per (doc, term)
+    # flat (doc, pos) keys: key = doc<<21 | pos (positions < 2^21 per doc —
+    # enforced at encode time by dl bounds); one membership pass per slot
     SHIFT = np.int64(21)
+
+    def slot_keys(j: int) -> np.ndarray:
+        arrays = []
+        for c in slots[j]:
+            dj, pj = c.flat_positions(inter)
+            arrays.append((dj << SHIFT) | pj)
+        if len(arrays) == 1:
+            return arrays[0]
+        return np.unique(np.concatenate(arrays))
+
     slop = int(node.get("slop", 0))
-    cand_docs, cand_pos = cursors[0].flat_positions(inter)
-    cand_keys = (cand_docs << SHIFT) | cand_pos
+    ordered = bool(node.get("ordered", True))
+    n_slots = len(slots)
+
+    if not ordered and slop >= 0 and n_slots > 1:
+        # unordered window (transposition-tolerant): per-candidate-doc
+        # matching — candidate sets are already slot-intersected small
+        keys = [slot_keys(j) for j in range(n_slots)]
+        tf_out = np.zeros(inter.size, dtype=np.int64)
+        mask = np.int64((1 << 21) - 1)
+        for i, doc in enumerate(inter):
+            pls = []
+            base = np.int64(doc) << SHIFT
+            for kj in keys:
+                lo = np.searchsorted(kj, base)
+                hi = np.searchsorted(kj, base + (np.int64(1) << SHIFT))
+                pls.append((kj[lo:hi] & mask).astype(np.int64))
+            tf_out[i] = _unordered_tf(pls, slop)
+        keep = tf_out > 0
+        docs = inter[keep]
+        if docs.size == 0:
+            return _EMPTY
+        dls = _field_dls(reader, node["field"])[docs - 1]
+        scores = node["weight"] * _tf_factor(tf_out[keep], dls, node["avg_dl"], scorer)
+        return docs, scores.astype(np.float64)
+
+    cand_keys = slot_keys(0)
     if slop == 0:
-        for j in range(1, len(cursors)):
+        for j in range(1, n_slots):
             if cand_keys.size == 0:
                 return _EMPTY
-            dj, pj = cursors[j].flat_positions(inter)
-            keys_j = (dj << SHIFT) | pj
+            keys_j = slot_keys(j)
             cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
     else:
         # greedy ordered-window chain: advance each candidate to the SMALLEST
-        # next-term position in (prev, prev+1+slop].  Greedy earliest-advance
+        # next-slot position in (prev, prev+1+slop].  Greedy earliest-advance
         # IS the pinned slop semantics (a documented divergence from Lucene
         # move-count slop — see Phrase docstring); it does NOT claim to keep
-        # every completable window chain.  One searchsorted pass per term.
-        for j in range(1, len(cursors)):
+        # every completable window chain.  One searchsorted pass per slot.
+        for j in range(1, n_slots):
             if cand_keys.size == 0:
                 return _EMPTY
-            dj, pj = cursors[j].flat_positions(inter)
-            keys_j = (dj << SHIFT) | pj
+            keys_j = slot_keys(j)
             lo = np.searchsorted(keys_j, cand_keys + 1, side="left")
             ok = lo < keys_j.size
             nxt = keys_j[np.minimum(lo, keys_j.size - 1)]

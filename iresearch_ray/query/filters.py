@@ -123,16 +123,32 @@ class Fuzzy(Filter):
 
 @dataclass
 class Phrase(Filter):
-    """Phrase over positions (ref: phrase_filter.cpp).  slop=0 is the exact
-    adjacent phrase; slop>0 uses PINNED greedy ordered semantics — each next
-    term must appear within ``1+slop`` positions after the previous match
-    (documented divergence from Lucene's move-count slop; ordered-window
-    matching is the common retrieval need and stays fully vectorizable)."""
+    """Phrase over positions (ref: phrase_filter.cpp — fixed terms AND
+    variadic multiterm parts).
+
+    ``terms`` elements are either a literal term (str) or a part spec —
+    a Term/Prefix/Wildcard/Fuzzy filter whose expansion matches any term
+    in that slot (ref: by_phrase variadic prefix/wildcard/levenshtein
+    parts).
+
+    Pinned slop semantics (documented divergences from Lucene move-count
+    slop):
+    - ``ordered=True`` (default): greedy ordered chain — each next slot
+      must match within ``1+slop`` positions after the previous match,
+      candidates advance to the EARLIEST such position; tf = distinct
+      final positions.
+    - ``ordered=False``: unordered window — a match at anchor p is an
+      assignment of every slot to a DISTINCT position in
+      ``[p, p+len(parts)-1+slop]`` with min position p (transposed terms
+      match); tf = number of distinct anchors.
+    Weight = boost · Σ over slots Σ over the slot's expanded terms' idf
+    (single-term slots reduce to the classic Σ idf)."""
 
     field: str
-    terms: tuple[str, ...]
+    terms: tuple = ()
     slop: int = 0
     boost: float = 1.0
+    ordered: bool = True
 
 
 @dataclass
@@ -357,6 +373,26 @@ def _expand_terms(field_name: str, stats: GlobalStats, mask_fn) -> list[str]:
     return [t for t in terms if mask_fn(t)]
 
 
+def expand_phrase_part(part, field_name: str, stats: GlobalStats) -> list[str]:
+    """Expand one phrase slot to its term list (ref: by_phrase variadic
+    parts — phrase_filter.cpp): a literal/Term stays itself; Prefix /
+    Wildcard / Fuzzy expand against the merged dictionary."""
+    if isinstance(part, str):
+        return [part]
+    if isinstance(part, Term):
+        return [part.term]
+    if isinstance(part, Prefix):
+        return _expand_terms(field_name, stats, lambda t: t.startswith(part.prefix))
+    if isinstance(part, Wildcard):
+        rx = wildcard_to_regex(part.pattern)
+        return _expand_terms(field_name, stats, lambda t: rx.fullmatch(t) is not None)
+    if isinstance(part, Fuzzy):
+        d = min(int(part.max_distance), 4)
+        dist = osa_distance if part.with_transpositions else levenshtein_distance
+        return _expand_terms(field_name, stats, lambda t: dist(part.term, t, d) <= d)
+    raise TypeError(f"unsupported phrase part {type(part).__name__}")
+
+
 def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: float) -> dict:
     boost = boost * flt.boost
     if isinstance(flt, Term):
@@ -440,14 +476,16 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         )
     if isinstance(flt, Phrase):
         N, avg_dl = stats.field(flt.field)
+        parts = [expand_phrase_part(p, flt.field, stats) for p in flt.terms]
         w = boost * sum(
-            scorer.idf(stats.term_df(flt.field, t), N) for t in flt.terms
+            scorer.idf(stats.term_df(flt.field, t), N) for slot in parts for t in slot
         )
         return {
             "op": "phrase",
             "field": flt.field,
-            "terms": list(flt.terms),
+            "parts": parts,
             "slop": int(flt.slop),
+            "ordered": bool(flt.ordered),
             "weight": w,
             "avg_dl": avg_dl,
         }

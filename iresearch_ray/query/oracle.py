@@ -169,33 +169,57 @@ class BruteForceOracle:
             return [t for t in vocab if dist(flt.term, t, d) <= d]
         raise TypeError(type(flt).__name__)
 
+    def _expand_part(self, part, field: str) -> list[str]:
+        if isinstance(part, str):
+            return [part]
+        if isinstance(part, F.Term):
+            return [part.term]
+        return self._expand(part)
+
     def _phrase(self, flt: F.Phrase, boost: float) -> dict[int, float]:
         f = self.fields[flt.field]
         self._cur_avg = f["avg_dl"]
-        w = boost * sum(self._idf(flt.field, t) for t in flt.terms)
-        terms = list(flt.terms)
-        L = len(terms)
+        slot_sets = [set(self._expand_part(p, flt.field) or []) for p in flt.terms]
+        w = boost * sum(
+            self._idf(flt.field, t) for slot in slot_sets for t in sorted(slot)
+        )
+        L = len(slot_sets)
         slop = int(getattr(flt, "slop", 0))
+        ordered = bool(getattr(flt, "ordered", True))
         out = {}
         for i, toks in enumerate(f["tokens"]):
             if len(toks) < L:
                 continue
-            if slop == 0:
+            pls = [
+                [p for p, t in enumerate(toks) if t in slot] for slot in slot_sets
+            ]
+            if any(not pl for pl in pls):
+                continue
+            if not ordered and L > 1:
+                # independent brute enumeration of the pinned unordered
+                # window: every assignment of slots to DISTINCT positions
+                # with span <= L-1+slop; tf = number of distinct minima
+                from itertools import product
+
+                anchors = set()
+                for combo in product(*pls):
+                    if len(set(combo)) != L:
+                        continue
+                    if max(combo) - min(combo) <= L - 1 + slop:
+                        anchors.add(min(combo))
+                tf = len(anchors)
+            elif slop == 0:
                 tf = 0
                 for p in range(len(toks) - L + 1):
-                    if toks[p : p + L] == terms:
+                    if all(toks[p + j] in slot_sets[j] for j in range(L)):
                         tf += 1
             else:
                 # pinned greedy ordered-window slop (mirrors exec.py): each
-                # candidate chain advances to the SMALLEST next-term position
+                # candidate chain advances to the SMALLEST next-slot position
                 # in (prev, prev+1+slop]; tf = distinct final positions
-                pos_of: dict[str, list[int]] = {}
-                for p, t in enumerate(toks):
-                    pos_of.setdefault(t, []).append(p)
-                cand = set(pos_of.get(terms[0], ()))
-                for t in terms[1:]:
+                cand = set(pls[0])
+                for plist in pls[1:]:
                     nxt = set()
-                    plist = pos_of.get(t, ())
                     for prev in cand:
                         after = [q for q in plist if prev < q <= prev + 1 + slop]
                         if after:

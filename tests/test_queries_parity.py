@@ -67,6 +67,16 @@ QUERIES = {
     # phrase
     "phrase_2": F.Phrase("text", ("the", "a")),
     "phrase_hot": F.Phrase("text", ("agent", "tool")),
+    # ordered slop (greedy chain) + unordered window (transposition-tolerant)
+    "phrase_slop1": F.Phrase("text", ("agent", "tool"), slop=1),
+    "phrase_slop2": F.Phrase("text", ("the", "error"), slop=2),
+    "phrase_unord1": F.Phrase("text", ("agent", "tool"), slop=1, ordered=False),
+    "phrase_unord_swap": F.Phrase("text", ("tool", "agent"), slop=1, ordered=False),
+    "phrase_unord3": F.Phrase("text", ("the", "a", "to"), slop=2, ordered=False),
+    # variadic multiterm parts (prefix/wildcard/fuzzy inside the phrase)
+    "phrase_part_prefix": F.Phrase("text", ("the", F.Prefix("text", "a"))),
+    "phrase_part_wild": F.Phrase("text", (F.Wildcard("text", "t%"), "a"), slop=1),
+    "phrase_part_fuzzy": F.Phrase("text", (F.Fuzzy("text", "agnt", 1), F.Prefix("text", "t")), slop=1, ordered=False),
     # boolean nested + boost
     "bool_boost": F.And(
         (
