@@ -86,10 +86,12 @@ def _emb_ds(sf_dir: str):
 
 
 def _topk(sf_dir: str, flt, k: int = 10, scorer=None) -> pd.DataFrame:
-    """Run one filter through the distributed search path and convert
-    (conv_id='d%09d', turn_idx) keys back to doc_id."""
+    """Run one filter through the distributed serving path (cached
+    QueryPool — one RPC round per call after warm-up; identical results to
+    search_ray) and convert (conv_id='d%09d', turn_idx) keys back to
+    doc_id."""
     s = _searcher(sf_dir)
-    out = s.search_ray({"q": flt}, k=k, concurrency=2, scorer=scorer)
+    out = s.search_pooled({"q": flt}, k=k, scorer=scorer)
     return pd.DataFrame(
         {
             "doc_id": out["conv_id"].str.slice(1).astype("int64"),

@@ -34,20 +34,21 @@ BLOCK_SIZE = 128  # docs per posting block (ref: formats_10.cpp block size 128)
 # vectorized varint (LEB128, 7 bits per byte, high bit = continuation)
 # ---------------------------------------------------------------------------
 
+_VARINT_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array to concatenated varints (vectorized)."""
+    """Encode a non-negative int array to concatenated varints (vectorized).
+    LEB128 is per-value, so encode(concat(a, b)) == encode(a) + encode(b) —
+    callers batch several logical arrays into one call for throughput."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-        nz = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    if v.max() < 128:  # pure 1-byte stream (tfs / in-block deltas): memcpy
+        return v.astype(np.uint8).tobytes()
+    # bytes needed per value: ceil(bit_length/7), min 1 — via 9 threshold
+    # compares instead of a data-dependent shift loop
+    nbytes = 1 + np.searchsorted(_VARINT_THRESHOLDS, v, side="right")
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)

@@ -757,7 +757,7 @@ def minhash_lsh_pairs(
         .groupby(["band", "bucket"])
         .map_groups(lambda g: _emit_bucket_pairs(g, id_col), batch_format="pyarrow")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .count()  # native aggregate dedupe (pairs colliding in >1 band)
     )
     shingles = shingle_explode(ds, cfg.shingle_n, text_col, id_col)
     return _verified_jaccard(cand, shingles, threshold, id_col)
@@ -966,15 +966,15 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
             }
         )
 
-    def dedupe(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     return (
         ds.map_batches(explode_chunks, batch_format="pyarrow")
         .groupby(["chunk", "val"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .map_groups(dedupe, batch_format="pyarrow")
+        .min("hamming")  # native aggregate dedupe (equal hamming per dup)
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
+        )
     )
 
 

@@ -55,6 +55,7 @@ class Searcher:
         self._readers: list[SegmentReader] | None = None
         self._tomb_keys = None  # lazy; most indexes have no deletes
         self._masks: dict[int, object] = {}
+        self._pool: "QueryPool | None" = None
 
     def _deleted_for(self, i: int, reader: SegmentReader):
         if not self.manifest.get("tombstones"):
@@ -157,6 +158,29 @@ class Searcher:
         frames = res.to_pandas()
         return merge_topk(frames, k)
 
+    # -- pooled execution: cached persistent QueryPool ---------------------
+    def search_pooled(
+        self,
+        queries: dict[str, Filter],
+        k: int = 10,
+        wand: bool = True,
+        scorer: ScorerCfg | None = None,
+        num_actors: int = 4,
+    ) -> pd.DataFrame:
+        """Same results as ``search_ray`` but through a LAZILY-CREATED,
+        CACHED QueryPool: repeat callers pay one RPC round instead of a
+        fresh Ray Data job + actor-pool spin-up (which re-loads segment
+        shards on every call).  This is the serving path — use it whenever
+        the same Searcher answers more than one batch."""
+        if self._pool is None:
+            self._pool = QueryPool(self.index_dir, num_actors=num_actors, searcher=self)
+        return self._pool.search(queries, k=k, wand=wand, scorer=scorer)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
 
 class _PoolWorker:
     """One persistent query actor owning a SHARD of segments (segments are
@@ -218,10 +242,16 @@ class QueryPool:
     re-load shards on every batch).  Query latency after warm-up is one RPC
     round to the pool."""
 
-    def __init__(self, index_dir: str, num_actors: int = 4, num_cpus: float = 1):
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int = 4,
+        num_cpus: float = 1,
+        searcher: "Searcher | None" = None,
+    ):
         import ray
 
-        self.searcher = Searcher(index_dir)
+        self.searcher = searcher if searcher is not None else Searcher(index_dir)
         seg_dirs = self.searcher.seg_dirs
         num_actors = max(1, min(num_actors, max(1, len(seg_dirs))))
         shards = [seg_dirs[i::num_actors] for i in range(num_actors)]

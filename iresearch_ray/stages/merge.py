@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from iresearch_ray.functions.codec import decode_blocks, varint_encode
+from iresearch_ray.functions.codec import varint_encode
 from iresearch_ray.stages.segment import (
     IndexConfig,
     SegmentReader,
@@ -38,7 +38,14 @@ from iresearch_ray.stages.segment import (
 
 
 def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
-    """parts: [(term-row as python dict, doc_id offset)] in segment order."""
+    """parts: [(term-row as python dict, doc_id offset)] in segment order.
+
+    The offset remap only changes ONE value in each part's doc blob: the
+    very first delta (doc₀ − 0 becomes doc₀ + offset − prev_last).  Every
+    other delta, every tf and the whole positions stream are offset-
+    invariant, so the merge splices a re-encoded first varint onto the
+    untouched remainder — no block decode/re-encode at all (this is what
+    keeps consolidation I/O-bound)."""
     out_doc = bytearray()
     out_pos = bytearray()
     bl_last: list[int] = []
@@ -50,27 +57,26 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
     prev_last = 0
     for row, offset in parts:
         offs = row["block_off"]
-        counts = row["block_doc_count"]
         blob = row["doc_blob"]
-        b0_docs, b0_tfs = decode_blocks(
-            blob,
-            np.asarray(offs, dtype=np.int64),
-            np.asarray(row["block_last_doc"], dtype=np.int64),
-            np.asarray(counts, dtype=np.int64),
-            np.array([0]),
-        )
-        b0_docs = b0_docs + offset
-        deltas = np.diff(np.concatenate(([prev_last], b0_docs)))
-        enc0 = varint_encode(deltas) + varint_encode(b0_tfs)
-        rest = blob[offs[1] :] if len(offs) > 1 else b""
+        # parse the first varint (the part's first doc delta)
+        i = 0
+        while blob[i] & 0x80:
+            i += 1
+        first_len = i + 1
+        first_val = 0
+        for k in range(first_len):
+            first_val |= (blob[k] & 0x7F) << (7 * k)
+        new_first = first_val + offset - prev_last
+        enc_first = varint_encode(np.array([new_first], dtype=np.uint64))
+        shift = len(enc_first) - first_len
         base = len(out_doc)
         bl_off.append(base)
         for b in range(1, len(offs)):
-            bl_off.append(base + len(enc0) + offs[b] - offs[1])
-        out_doc += enc0
-        out_doc += rest
+            bl_off.append(base + offs[b] + shift)
+        out_doc += enc_first
+        out_doc += blob[first_len:]
         bl_last += [x + offset for x in row["block_last_doc"]]
-        bl_cnt += list(counts)
+        bl_cnt += list(row["block_doc_count"])
         bl_maxtf += list(row["block_max_tf"])
         bl_mindl += list(row["block_min_dl"])
         pos_base = len(out_pos)

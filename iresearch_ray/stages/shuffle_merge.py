@@ -174,10 +174,16 @@ def merge_segments_shuffle(
     stage2 = stage1.groupby(["field", "term"]).map_groups(
         lambda g: combine(g, final=True), batch_format="pyarrow"
     )
+    # materialize() first: to_arrow_refs() on an un-materialized plan calls
+    # schema(fetch_if_missing=True) AFTER consuming the bundles, and with
+    # schema-drifting empty blocks that re-executes the ENTIRE shuffle as a
+    # limit-1 probe (observed 2x wall time).  Materialized datasets answer
+    # schema from the cached blocks.
     # schema arg: zero-batch refs (empty stage-2 blocks) can't infer one
+    mat = stage2.materialize()
     parts = [
         pa.Table.from_batches(t.to_batches(), schema=t.schema)
-        for t in ray.get(stage2.to_arrow_refs())
+        for t in ray.get(mat.to_arrow_refs())
     ]
     terms = (
         pa.concat_tables([p.select(_BLOB_COLS) for p in parts if p.num_rows])

@@ -167,3 +167,28 @@ def test_query_pool_matches_local(ray_built):
         assert out2.equals(out)
     finally:
         pool.shutdown()
+
+
+def test_search_pooled_matches_search_ray(ray_built):
+    """Searcher.search_pooled (cached QueryPool) returns the same frame as
+    the one-shot Ray Data path, and reuses its pool across calls."""
+    from iresearch_ray import Searcher
+    from iresearch_ray.query import filters as F
+
+    idx = ray_built[0] if isinstance(ray_built, tuple) else ray_built
+    s = Searcher(idx)
+    qs = {
+        "a": F.Term("text", "agent"),
+        "b": F.Not(F.Term("text", "the"), F.Term("text", "error")),
+        "c": F.Phrase("text", ("agent", "tool"), slop=1, ordered=False),
+    }
+    try:
+        via_ds = s.search_ray(qs, k=15, concurrency=2).reset_index(drop=True)
+        via_pool = s.search_pooled(qs, k=15).reset_index(drop=True)
+        assert via_pool.equals(via_ds)
+        pool_obj = s._pool
+        assert pool_obj is not None
+        assert s.search_pooled(qs, k=15).reset_index(drop=True).equals(via_ds)
+        assert s._pool is pool_obj  # cached, not rebuilt
+    finally:
+        s.close()
