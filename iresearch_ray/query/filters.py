@@ -469,7 +469,25 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         dist = osa_distance if flt.with_transpositions else levenshtein_distance
         terms, _ = stats.field_terms(flt.field)
         q = flt.term
-        matched = [t for t in terms if dist(q, t, d) <= d]
+        # vectorized candidate pruning before the per-term DP (the
+        # parametric-DFA analog's cheap guarantees — SURVEY §2.4): length
+        # within ±d, and for short caps a shared character in the first
+        # d+1 positions (an edit can displace the match head by ≤ d)
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        arr = _pa.array(terms)
+        lens = _pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+        cand = terms[np.abs(lens - len(q)) <= d]
+        if q and d < len(q) and cand.size:
+            # soundness: with ≤d edits, the first preserved query char has
+            # index i ≤ d and lands at t[j] with j ≤ i + #insertions ≤ d,
+            # so q[:d+1] and t[:d+1] must share a character
+            head = set(q[: d + 1])
+            cand = np.array(
+                [t for t in cand if head & set(t[: d + 1])], dtype=object
+            )
+        matched = [t for t in cand if dist(q, t, d) <= d]
         return _union_of_terms(
             flt.field, [(t, boost) for t in matched], stats, scorer,
             scored_terms_limit=flt.scored_terms_limit,
