@@ -386,6 +386,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_simhash(sf):  # rows-only: hamming<=3 simhash pairs
         return ops.simhash_pairs(_docs_ds(sf), max_hamming=3).to_pandas()
 
+    def dd_bpe(sf):
+        return ops.bpe_token_stats(_docs_ds(sf)).to_pandas()
+
+    def _events_ds(sf):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf}/events.parquet")
+
+    def ev_type_stats(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.event_type_stats(_events_ds(sf)).to_pandas()
+
+    def ev_window(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.window_agg(_events_ds(sf), window_secs=600).to_pandas()
+
+    def ev_sessions(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.sessionize(_events_ds(sf)).to_pandas()
+
     def _qmat(sf):
         t = pq.read_table(f"{sf}/embeddings.parquet")
         ids = np.asarray(t["vec_id"].to_pylist())
@@ -451,7 +474,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_token_stats": dd_tokstats,
         "dd_quality": dd_quality,
         "dd_lang_id": dd_langid,
+        "dd_bpe_tokens": dd_bpe,
         "dd_jaccard_pairs": dd_jaccard,
+        "ev_type_stats": ev_type_stats,
+        "ev_window_agg": ev_window,
+        "ev_sessionize": ev_sessions,
         "dd_near_dedup": dd_near_dedup,
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
@@ -770,6 +797,39 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id, {pred_case} AS pred_lang FROM s
+""",
+        "dd_bpe_tokens": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens
+FROM documents
+""",
+        "ev_type_stats": """
+WITH g AS (
+  SELECT event_type, count(*) AS n_events, sum(value) AS s FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, round(s, 4) AS sum_value, round(s / n_events, 4) AS avg_value
+FROM g
+""",
+        "ev_window_agg": """
+SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY window_start_us, event_type
+""",
+        "ev_sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o
+), s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid FROM m
+)
+SELECT user_id, (sid - 1)::BIGINT AS session_id, count(*) AS n_events,
+       min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         "dd_jaccard_pairs": _SQL_JACCARD,
         "dd_minhash_pairs": _SQL_JACCARD,

@@ -222,6 +222,26 @@ def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(lambda b: token_stats_batch(b, text_col, id_col), batch_format="pyarrow")
 
 
+# pinned BPE-ish pre-tokenizer (RE2-safe — no lookaround — so pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all agree exactly):
+# letter runs | digit runs | runs of other non-space symbols
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token count under the pinned BPE-ish pre-tokenizer — the
+    'how many LLM tokens is this corpus' estimator.  Fully vectorized:
+    one RE2 count kernel per batch, no shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(b[text_col], ""), BPE_PATTERN
+        ).cast(pa.int64())
+        return pa.table({id_col: b[id_col], "n_bpe_tokens": n})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Pinned quality heuristic (documented in the SQL oracle too):
     distinct_ratio = n_unique/n_tokens; stopword_ratio = stop/n_tokens;

@@ -1,0 +1,172 @@
+"""Temporal event-table operators (task brief: windowed aggregates /
+sessionization — operators the reference lacks, expressed Ray-Data-first
+per SURVEY §2 custom-operator guidance: map_batches narrow stages + ONE
+keyed groupby each).
+
+Input: the ``events`` table (event_id, ts, user_id, event_type, value,
+props).  All outputs use epoch-microsecond int64 timestamps so the DuckDB
+oracles compare exactly (``epoch_us(ts)``).
+
+Scale notes
+-----------
+- ``event_type_stats``: classic map-side PARTIAL aggregation — each batch
+  collapses to ≤ |event_type| rows before the shuffle, so the exchange
+  volume is O(batches × types), never O(rows).  This is the pattern every
+  100 TB aggregate should take (SURVEY §4.1: pre-aggregate inside
+  map_batches before a groupby).
+- ``window_agg``: tumbling windows are assigned narrowly (integer division
+  on epoch micros), then the same partial-combine groupby; shuffle volume
+  O(batches × windows-touched-per-batch × types).
+- ``sessionize``: ONE shuffle keyed by user_id; per-group work is a sorted
+  diff + cumsum (vectorized).  Partitioning assumption: one user's events
+  fit one group (true at any realistic user cardinality; a pathological
+  single-user corpus would need time-sliced salting + session stitching).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from iresearch_ray.pipelines.dataops import round_half_away
+
+US = 1_000_000
+SESSION_GAP_US = 30 * 60 * US  # pinned: a >30 min gap starts a new session
+
+
+def _epoch_us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# per-type stats (partial combine → tiny groupby)
+# ---------------------------------------------------------------------------
+
+
+def _partial_type_stats(b: pa.Table) -> pa.Table:
+    g = pa.TableGroupBy(b.select(["event_type", "value"]), "event_type").aggregate(
+        [("value", "count"), ("value", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": g["event_type"],
+            "n": g["value_count"].cast(pa.int64()),
+            "sum_value": g["value_sum"],
+        }
+    )
+
+
+def event_type_stats(ds):
+    """event_type → (n_events, sum_value, avg_value).  Batch-local partial
+    aggregation, then one tiny keyed reduce."""
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = float(pc.sum(g["sum_value"]).as_py())
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "n_events": pa.array([n], pa.int64()),
+                "sum_value": pa.array([float(round_half_away(s, 4))], pa.float64()),
+                "avg_value": pa.array([float(round_half_away(s / n, 4))], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial_type_stats, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregate
+# ---------------------------------------------------------------------------
+
+
+def window_agg(ds, window_secs: int = 600):
+    """Tumbling-window (window_start_us, event_type) → (n_events,
+    sum_value).  Window assignment is a narrow integer division; the
+    groupby input is batch-local partials."""
+    w_us = window_secs * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        win = (_epoch_us(b["ts"]) // w_us) * w_us
+        t = pa.table(
+            {
+                "window_start_us": pa.array(win),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["window_start_us", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start_us": g["window_start_us"],
+                "event_type": g["event_type"],
+                "n": g["value_count"].cast(pa.int64()),
+                "sum_value": g["value_sum"],
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["n"]).as_py())
+        s = float(pc.sum(g["sum_value"]).as_py())
+        return pa.table(
+            {
+                "window_start_us": g["window_start_us"].slice(0, 1),
+                "event_type": g["event_type"].slice(0, 1),
+                "n_events": pa.array([n], pa.int64()),
+                "sum_value": pa.array([float(round_half_away(s, 4))], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start_us", "event_type"])
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(ds, gap_us: int = SESSION_GAP_US):
+    """Per-user session split on inter-event gaps > gap_us (pinned 30 min).
+    ONE shuffle keyed by user_id; sessions numbered 0.. in (ts, event_id)
+    order.  Output per session: user_id, session_id, n_events, start_us,
+    end_us, sum_value."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = _epoch_us(g["ts"])
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts))
+        ts, val = ts[order], val[order]
+        brk = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        n_sessions = starts.size
+        counts = np.diff(np.concatenate((starts, [ts.size])))
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_sessions, uid, np.int64)),
+                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(ts[np.concatenate((starts[1:] - 1, [ts.size - 1]))]),
+                "sum_value": pa.array(
+                    round_half_away(np.add.reduceat(val, starts), 4)
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

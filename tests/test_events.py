@@ -1,0 +1,100 @@
+"""Temporal event ops — engine vs independent pandas brute force (the
+driver gate additionally checks them against DuckDB SQL oracles)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from iresearch_ray.pipelines import events as ev
+from iresearch_ray.pipelines.dataops import bpe_token_stats
+
+
+@pytest.fixture(scope="module")
+def events_tbl():
+    rng = np.random.default_rng(7)
+    n = 3000
+    ts = np.sort(rng.integers(0, 5 * 86400 * 1_000_000, n))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["click", "view", "error"], n)),
+            "value": pa.array(np.round(rng.uniform(0, 20, n), 2)),
+        }
+    )
+
+
+def _ds(tbl, _ray):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_sessionize_vs_brute(events_tbl, ray_session):
+    out = ev.sessionize(_ds(events_tbl, ray_session)).to_pandas()
+    df = events_tbl.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    exp_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["tus", "event_id"])
+        brk = np.concatenate(([True], np.diff(g["tus"].to_numpy()) > ev.SESSION_GAP_US))
+        sid = np.cumsum(brk) - 1
+        for s in np.unique(sid):
+            m = g[sid == s]
+            exp_rows.append(
+                (uid, int(s), len(m), int(m["tus"].min()), int(m["tus"].max()),
+                 round(float(m["value"].sum()), 4))
+            )
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "session_id", "n_events", "start_us", "end_us", "sum_value"]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    got = out.sort_values(["user_id", "session_id"]).reset_index(drop=True).astype(exp.dtypes)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_window_agg_vs_brute(events_tbl, ray_session):
+    out = ev.window_agg(_ds(events_tbl, ray_session), window_secs=3600).to_pandas()
+    df = events_tbl.to_pandas()
+    df["w"] = (df["ts"].astype("int64") // (3600 * 1_000_000)) * (3600 * 1_000_000)
+    exp = (
+        df.groupby(["w", "event_type"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+        .rename(columns={"w": "window_start_us", "count": "n_events", "sum": "sum_value"})
+    )
+    exp["sum_value"] = exp["sum_value"].round(4)
+    exp["n_events"] = exp["n_events"].astype("int64")
+    got = out.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    exp = exp.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns].astype(exp.dtypes), exp)
+
+
+def test_type_stats_partial_combine(events_tbl, ray_session):
+    out = ev.event_type_stats(_ds(events_tbl, ray_session)).to_pandas()
+    df = events_tbl.to_pandas()
+    exp = df.groupby("event_type")["value"].agg(["count", "sum"]).reset_index()
+    got = out.set_index("event_type").sort_index()
+    for _, r in exp.iterrows():
+        assert got.loc[r["event_type"], "n_events"] == r["count"]
+        assert abs(got.loc[r["event_type"], "sum_value"] - round(r["sum"], 4)) < 1e-6
+
+
+def test_bpe_token_stats(ray_session):
+    import re
+
+    rows = [
+        {"doc_id": 0, "text": "hello world42 a-b!  c3po"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "... 123abc"},
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["text"] for r in rows]),
+    })
+    out = bpe_token_stats(_ds(tbl, ray_session)).to_pandas().set_index("doc_id")
+    from iresearch_ray.pipelines.dataops import BPE_PATTERN
+
+    for r in rows:
+        assert out.loc[r["doc_id"], "n_bpe_tokens"] == len(re.findall(BPE_PATTERN, r["text"]))
