@@ -291,6 +291,37 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
     if op == "ngram_similarity":
         return _eval_ngram_similarity(reader, node, scorer)
 
+    if op == "nested":
+        # parent/child join (ref: nested_filter.cpp) — children are turns,
+        # parents are conversations.  Child docs arrive sorted, and doc
+        # order == (conv_id, turn_idx) order, so conversations are
+        # contiguous runs; one reduceat per run merges child scores.  The
+        # parent is represented by its first matching child doc id, so the
+        # existing doc→(conv, turn) key conversion applies unchanged.
+        child_docs, child_scores = eval_node(reader, node["child"], scorer)
+        if child_docs.size == 0:
+            return _EMPTY
+        conv_all, _turn_all = reader.doc_keys
+        labels = conv_all[child_docs - 1]
+        new = np.concatenate(([True], labels[1:] != labels[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [child_docs.size])))
+        merge = node.get("score_merge", "sum")
+        if merge == "sum":
+            merged = np.add.reduceat(child_scores, starts)
+        elif merge == "max":
+            merged = np.maximum.reduceat(child_scores, starts)
+        elif merge == "min":
+            merged = np.minimum.reduceat(child_scores, starts)
+        elif merge == "avg":
+            merged = np.add.reduceat(child_scores, starts) / counts
+        else:  # "none" — constant score, reference's kNone
+            merged = np.ones(starts.size, dtype=np.float64)
+        keep = counts >= int(node.get("min_match", 1))
+        if not keep.any():
+            return _EMPTY
+        return child_docs[starts][keep], float(node["weight"]) * merged[keep]
+
     if op == "all":
         n = reader.meta["docs_count"]
         return (

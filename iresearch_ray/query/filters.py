@@ -198,6 +198,27 @@ class Not(Filter):
 
 
 @dataclass
+class Nested(Filter):
+    """Parent/child join filter (ref: core/search/nested_filter.cpp
+    ByNestedFilter) mapped to the transcript model: parent = conversation,
+    children = turns.  Matches conversations with ≥ ``min_match`` turns
+    satisfying ``child``; parent score = ``score_merge`` of the matching
+    children's scores (sum/max/min/avg like the reference's
+    ScoreMergeType; 'none' ⇒ constant boost).  The result row represents
+    the parent by its FIRST matching turn (min turn_idx), keeping the
+    pinned (score desc, conv_id, turn_idx) total order well-defined.
+
+    Partitioning assumption (SURVEY §4.2): the build co-locates a
+    conversation's turns in one segment (hash(conv_id) partitioning), so
+    per-segment grouping is globally correct with no extra exchange."""
+
+    child: Filter = None
+    min_match: int = 1
+    score_merge: str = "sum"  # sum | max | min | avg | none
+    boost: float = 1.0
+
+
+@dataclass
 class AllDocs(Filter):
     boost: float = 1.0
 
@@ -543,6 +564,16 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
                 flt.positive if flt.positive is not None else AllDocs(), stats, scorer, boost
             ),
             "negative": _prepare_node(flt.negative, stats, scorer, 1.0),
+        }
+    if isinstance(flt, Nested):
+        if flt.score_merge not in ("sum", "max", "min", "avg", "none"):
+            raise ValueError(f"unknown score_merge {flt.score_merge!r}")
+        return {
+            "op": "nested",
+            "child": _prepare_node(flt.child, stats, scorer, 1.0),
+            "min_match": int(flt.min_match),
+            "score_merge": flt.score_merge,
+            "weight": boost,
         }
     if isinstance(flt, AllDocs):
         return {"op": "all", "weight": boost}

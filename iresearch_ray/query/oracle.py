@@ -121,6 +121,28 @@ class BruteForceOracle:
             n, _ = self._eval(flt.negative, 1.0)
             out = {d: s for d, s in p.items() if d not in n}
             return out, {d: 1 for d in out}
+        if isinstance(flt, F.Nested):
+            child, _ = self._eval(flt.child, 1.0)
+            groups: dict[str, list[int]] = {}
+            for d in sorted(child):
+                groups.setdefault(self.docs["conv_id"][d], []).append(d)
+            out: dict[int, float] = {}
+            for _conv, members in groups.items():
+                if len(members) < flt.min_match:
+                    continue
+                scores = [child[d] for d in members]
+                if flt.score_merge == "sum":
+                    m = sum(scores)
+                elif flt.score_merge == "max":
+                    m = max(scores)
+                elif flt.score_merge == "min":
+                    m = min(scores)
+                elif flt.score_merge == "avg":
+                    m = sum(scores) / len(scores)
+                else:
+                    m = 1.0
+                out[members[0]] = boost * m
+            return out, {d: 1 for d in out}
         if isinstance(flt, F.AllDocs):
             out = {i: boost for i in range(len(self.docs))}
             return out, {d: 1 for d in out}

@@ -73,6 +73,11 @@ QUERIES = {
     "phrase_unord1": F.Phrase("text", ("agent", "tool"), slop=1, ordered=False),
     "phrase_unord_swap": F.Phrase("text", ("tool", "agent"), slop=1, ordered=False),
     "phrase_unord3": F.Phrase("text", ("the", "a", "to"), slop=2, ordered=False),
+    # parent/child: conversation-level matches over turn-level filters
+    "nested_sum": F.Nested(F.Term("text", "agent")),
+    "nested_mm2_max": F.Nested(F.Term("text", "error"), min_match=2, score_merge="max"),
+    "nested_avg": F.Nested(F.Or((F.Term("text", "plan"), F.Term("text", "step"))), score_merge="avg"),
+    "nested_none": F.Nested(F.Phrase("text", ("the", "a")), score_merge="none", boost=1.5),
     # variadic multiterm parts (prefix/wildcard/fuzzy inside the phrase)
     "phrase_part_prefix": F.Phrase("text", ("the", F.Prefix("text", "a"))),
     "phrase_part_wild": F.Phrase("text", (F.Wildcard("text", "t%"), "a"), slop=1),
