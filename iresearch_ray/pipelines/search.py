@@ -187,10 +187,16 @@ class _PoolWorker:
     partitioned round-robin across the pool, not replicated — pool memory =
     index size, not index × actors)."""
 
-    def __init__(self, index_dir: str, seg_dirs: list[str], tombs_json: str):
+    def __init__(self, index_dir: str, seg_dirs: list[str], tombs_json: str, cache_size: int = 256):
+        import collections
         import json as _json
         import os as _os
 
+        # proxy/caching-filter analog (SURVEY §2.5 bitset/cached iterators):
+        # per-worker LRU of fully-evaluated shard results keyed by the plan
+        # JSON — repeat queries skip evaluation entirely
+        self._cache: "collections.OrderedDict[tuple, object]" = collections.OrderedDict()
+        self._cache_size = cache_size
         self.readers = [SegmentReader(d) for d in seg_dirs]
         self.deleted = []
         for d, r in zip(seg_dirs, self.readers):
@@ -217,9 +223,21 @@ class _PoolWorker:
 
         out = []
         for qid, pj in plans.items():
-            plan = _json.loads(pj)
-            for r, dmask in zip(self.readers, self.deleted):
-                t = segment_topk(r, plan, k, wand, deleted=dmask)
+            key = (pj, k, wand)
+            cached = self._cache.get(key)
+            if cached is not None:
+                self._cache.move_to_end(key)
+                tables = cached
+            else:
+                plan = _json.loads(pj)
+                tables = [
+                    segment_topk(r, plan, k, wand, deleted=dmask)
+                    for r, dmask in zip(self.readers, self.deleted)
+                ]
+                self._cache[key] = tables
+                if len(self._cache) > self._cache_size:
+                    self._cache.popitem(last=False)
+            for t in tables:
                 out.append(
                     _pa.table(
                         {

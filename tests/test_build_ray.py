@@ -192,3 +192,23 @@ def test_search_pooled_matches_search_ray(ray_built):
         assert s._pool is pool_obj  # cached, not rebuilt
     finally:
         s.close()
+
+
+def test_pool_result_cache(ray_built):
+    """Proxy/caching-filter analog: repeat identical queries hit the
+    per-worker LRU and return identical results."""
+    from iresearch_ray import QueryPool
+    from iresearch_ray.query import filters as F
+
+    idx = ray_built[0] if isinstance(ray_built, tuple) else ray_built
+    pool = QueryPool(idx, num_actors=2)
+    try:
+        qs = {"w": F.Wildcard("text", "w00%"), "t": F.Term("text", "agent")}
+        first = pool.search(qs, k=10)
+        again = pool.search(qs, k=10)
+        assert again.equals(first)
+        # different k must NOT hit the k=10 cache entry
+        bigger = pool.search(qs, k=20)
+        assert len(bigger) >= len(first)
+    finally:
+        pool.shutdown()
