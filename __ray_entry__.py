@@ -447,6 +447,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb_ds(sf), _qmat(sf), k=10, n_planes=6, probe_radius=1
         ).to_pandas()[["query_idx", "vec_id", "cosine"]]
 
+    def emb_ivf(sf):
+        """IVF-flat ANN scale path (pinned smallest-id coarse codebook —
+        SQL-reproducible; see dataops.embedding_ivf_topk)."""
+        return ops.embedding_ivf_topk(
+            _emb_ds(sf), _qmat(sf), k=10, n_centroids=16, nprobe=4
+        ).to_pandas()[["query_idx", "vec_id", "cosine"]]
+
     return {
         "ft_term_topk": ft_term,
         "ft_or_topk": ft_or,
@@ -486,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_labels": emb_knn_labels,
         "emb_neardup_pairs": emb_neardup,
         "emb_lsh_topk": emb_lsh,
+        "emb_ivf_topk": emb_ivf,
     }
 
 
@@ -841,6 +849,37 @@ FROM s GROUP BY user_id, sid
         "dd_simhash_pairs": _sql_simhash_pairs(3),
         "ft_ngram_similarity": _sql_ngram_similarity("key", "agg", "row"),
         "emb_lsh_topk": _sql_emb_lsh(n_planes=6, seed=42, dim=64, k=10),
+        # IVF-flat: same pinned semantics as embedding_ivf_topk — coarse
+        # codebook = 16 smallest-id vectors, assignment = argmax cosine
+        # (tie -> lowest centroid idx), queries probe 4 nearest lists
+        "emb_ivf_topk": """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), q AS (
+  SELECT vec_id AS query_idx, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cidx AS lst
+  FROM embeddings e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cidx ASC
+  ) = 1
+), qprobe AS (
+  SELECT q.query_idx, q.qv, c.cidx AS lst
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_idx
+    ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cidx ASC
+  ) <= 4
+), cand AS (
+  SELECT p.query_idx, a.vec_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], p.qv::DOUBLE[]) AS cos
+  FROM assigned a JOIN qprobe p ON a.lst = p.lst
+)
+SELECT query_idx, vec_id, round(cos, 4) AS cosine FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) <= 10
+""",
         "emb_topk": """
 WITH q AS (
   SELECT vec_id AS query_idx, embedding AS qv FROM embeddings

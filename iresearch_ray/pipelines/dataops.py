@@ -1168,6 +1168,104 @@ def embedding_neardup_pairs(
     return rd.from_arrow(pa.concat_tables(tables))
 
 
+def embedding_ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-flat ANN: vectors are assigned to the nearest coarse centroid
+    (narrow stage); each query scans only its ``nprobe`` nearest inverted
+    lists, so per-query work is ~N·nprobe/n_centroids instead of N.
+
+    Pinned coarse codebook: when ``centroids`` is not given, the
+    ``n_centroids`` vectors with the SMALLEST ids — deterministic and
+    SQL-reproducible (a real deployment trains k-means offline and passes
+    ``centroids=``; the quantizer choice only moves recall, never
+    precision, since lists are scanned exactly).  Assignment tie-break:
+    lowest centroid index.  Approximate recall; exact cosine within the
+    probed lists."""
+    import ray
+
+    if centroids is None:
+        head = (
+            ds.select_columns([id_col, vec_col])
+            .sort(id_col)
+            .limit(n_centroids)
+            .to_pandas()
+        )
+        centroids = np.array(head[vec_col].to_list(), dtype=np.float64)
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    # per-query probe lists: nprobe nearest centroids (cos desc, idx asc)
+    qsims = qn @ cn.T
+    probe: dict[int, list[int]] = {}
+    for qi in range(qn.shape[0]):
+        order = np.lexsort((np.arange(cn.shape[0]), -qsims[qi]))[:nprobe]
+        for c in order:
+            probe.setdefault(int(c), []).append(qi)
+    probe_keys = np.array(sorted(probe), dtype=np.int64)
+    cn_ref = ray.put(cn)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cmat = _ray.get(cn_ref) if not isinstance(cn_ref, np.ndarray) else cn_ref
+        vecs = _normalize(_vec_matrix(b, vec_col))
+        sims = vecs @ cmat.T
+        lists = np.argmax(sims, axis=1).astype(np.int64)  # first max = lowest idx
+        keep = np.isin(lists, probe_keys)
+        return b.append_column("ivf_list", pa.array(lists)).filter(pa.array(keep))
+
+    filtered = ds.map_batches(assign, batch_format="pyarrow")
+
+    def score_list(g: pa.Table) -> pa.Table:
+        lid = int(g["ivf_list"][0].as_py())
+        qis = probe.get(lid, [])
+        if not qis:
+            return _EMB_TOPK_SCHEMA.empty_table()
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_vec_matrix(g, vec_col))
+        sims = vecs @ qn[qis].T
+        out_q, out_id, out_s = [], [], []
+        for col, qi in enumerate(qis):
+            sel = np.lexsort((ids, -sims[:, col]))[:k]
+            out_q.extend([qi] * sel.size)
+            out_id.extend(ids[sel].tolist())
+            out_s.extend(sims[sel, col].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        sims = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_idx": g["query_idx"].take(pa.array(sel)),
+                id_col: pa.array(ids[sel]),
+                "cosine": pa.array(round_half_away(sims[sel], 4)),
+            }
+        )
+
+    return (
+        filtered.groupby("ivf_list")
+        .map_groups(score_list, batch_format="pyarrow")
+        .groupby("query_idx")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
 def embedding_lsh_topk(
     ds,
     queries: np.ndarray,

@@ -277,3 +277,34 @@ def test_near_dedup_keeps_best_per_cluster(dup_corpus, ray_session):
     assert got_ids == set(texts) - losers
     # minhash recall can miss a pair vs brute jaccard — allow tiny slack
     assert len(got_ids) <= len(set(texts)) - len(losers) + 2
+
+
+def test_embedding_ivf_single_list_is_exact(emb_tbl, ray_session):
+    """With one coarse list and nprobe=1 every vector is scanned, so IVF
+    equals brute force exactly; with a real codebook the per-list cosines
+    are still true values (exact precision, approximate recall)."""
+    mat = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    brute = (
+        ops.embedding_topk(_ds(emb_tbl, ray_session), queries, k=5)
+        .to_pandas()[["query_idx", "vec_id", "cosine"]]
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+    )
+    ivf1 = (
+        ops.embedding_ivf_topk(_ds(emb_tbl, ray_session), queries, k=5,
+                               n_centroids=1, nprobe=1)
+        .to_pandas()[["query_idx", "vec_id", "cosine"]]
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+    )
+    assert ivf1.equals(brute)
+
+    ivf = ops.embedding_ivf_topk(
+        _ds(emb_tbl, ray_session), queries, k=5, n_centroids=8, nprobe=2
+    ).to_pandas()
+    ids = np.array(emb_tbl["vec_id"].to_pylist())
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    true_cos = qn @ nm.T
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for r in ivf.itertuples():
+        assert abs(r.cosine - round(float(true_cos[r.query_idx, pos[r.vec_id]]), 4)) < 1e-6
