@@ -350,7 +350,10 @@ def _shingle_parent_hash(
 
 
 def shingle_explode(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
-    """doc → (id, shingle_hash) distinct pairs.  Narrow, fully vectorized."""
+    """doc → (id, shingle_hash) distinct pairs.  Narrow, fully vectorized.
+    Projects to (id, text) first so the parquet read prunes all other
+    columns (SURVEY: prune at the read)."""
+    ds = ds.select_columns([id_col, text_col])
 
     def explode(b: pa.Table) -> pa.Table:
         p, h = _shingle_parent_hash(b[text_col], n)
@@ -770,7 +773,7 @@ def minhash_lsh_pairs(
     cfg = cfg or MinHashCfg()
 
     cand = (
-        ds.map_batches(
+        ds.select_columns([id_col, text_col]).map_batches(
             lambda b: minhash_band_table(b, cfg, text_col, id_col),
             batch_format="pyarrow",
         )
@@ -942,6 +945,8 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
     shuffle), verify hamming inside buckets, dedupe pairs."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
+
+    ds = ds.select_columns([id_col, text_col])
 
     def explode_chunks(b: pa.Table) -> pa.Table:
         sh = simhash_batch(b, text_col, id_col)

@@ -76,7 +76,8 @@ def event_type_stats(ds):
         )
 
     return (
-        ds.map_batches(_partial_type_stats, batch_format="pyarrow")
+        ds.select_columns(["event_type", "value"])
+        .map_batches(_partial_type_stats, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(finish, batch_format="pyarrow")
     )
@@ -92,6 +93,8 @@ def window_agg(ds, window_secs: int = 600):
     sum_value).  Window assignment is a narrow integer division; the
     groupby input is batch-local partials."""
     w_us = window_secs * US
+
+    ds = ds.select_columns(["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         win = (_epoch_us(b["ts"]) // w_us) * w_us
@@ -169,4 +172,8 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
