@@ -192,6 +192,67 @@ class _TermCursor:
         return doc_labels_all[keep], pos_all[keep]
 
 
+def _present_rows(reader: SegmentReader, field: str, terms: list[str]) -> list[int]:
+    """Term rows for the subset of ``terms`` present in this segment —
+    one vectorized searchsorted over the sorted dictionary."""
+    dict_terms, idx = reader.field_terms(field)
+    if dict_terms.size == 0 or not terms:
+        return []
+    q = np.array(terms, dtype=object)
+    pos = np.searchsorted(dict_terms, q)
+    pos_c = np.minimum(pos, dict_terms.size - 1)
+    ok = dict_terms[pos_c] == q
+    return [int(idx[p]) for p, o in zip(pos_c, ok) if o]
+
+
+def _eval_term_union_bulk(
+    reader: SegmentReader, node: dict, scorer: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """Wide multiterm union (prefix/wildcard/fuzzy expansions): resolve all
+    term rows with one searchsorted, decode all blobs with one bulk Arrow
+    take, then the usual counting merge — replaces per-leg _TermCursor
+    cell access, which dominates wall time past ~100 legs."""
+    children = node["children"]
+    field = children[0]["field"]
+    dict_terms, idx = reader.field_terms(field)
+    if dict_terms.size == 0:
+        return _EMPTY
+    q = np.array([c["term"] for c in children], dtype=object)
+    pos = np.searchsorted(dict_terms, q)
+    pos_c = np.minimum(pos, dict_terms.size - 1)
+    ok = dict_terms[pos_c] == q
+    if not ok.any():
+        return _EMPTY
+    rows = idx[pos_c[ok]].astype(np.int64)
+    kept = [c for c, o in zip(children, ok) if o]
+    decoded = reader.bulk_postings([int(r) for r in rows])
+    dls_all = _field_dls(reader, field)
+    avg_dl = kept[0]["avg_dl"]
+    doc_arrays, score_arrays = [], []
+    for c, r in zip(kept, rows):
+        docs, tfs = decoded[int(r)]
+        if docs.size == 0:
+            continue
+        doc_arrays.append(docs)
+        score_arrays.append(
+            (c["weight"] * _tf_factor(tfs, dls_all[docs - 1], avg_dl, scorer)).astype(
+                np.float64
+            )
+        )
+    if not doc_arrays:
+        return _EMPTY
+    docs = np.concatenate(doc_arrays)
+    scores = np.concatenate(score_arrays)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    summed = np.bincount(inv, weights=scores, minlength=uniq.size)
+    mm = int(node.get("min_match", 1))
+    if mm > 1:
+        counts = np.bincount(inv, minlength=uniq.size)
+        keep = counts >= mm
+        return uniq[keep], summed[keep]
+    return uniq, summed
+
+
 def _merge_add(
     docs_a: np.ndarray, sc_a: np.ndarray, docs_b: np.ndarray, sc_b: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -219,7 +280,14 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         return docs, scores.astype(np.float64)
 
     if op == "union":
-        legs = [eval_node(reader, c, scorer) for c in node["children"]]
+        children = node["children"]
+        if (
+            len(children) > 8
+            and all(c["op"] == "term" for c in children)
+            and len({c["field"] for c in children}) == 1
+        ):
+            return _eval_term_union_bulk(reader, node, scorer)
+        legs = [eval_node(reader, c, scorer) for c in children]
         legs = [(d, s) for d, s in legs if d.size]
         if not legs:
             return _EMPTY
@@ -258,14 +326,11 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         # CONCATENATED (one entry per matched term, unique within a term) so
         # the parent union's occurrence counting sees each matched term —
         # min_match semantics are preserved
-        docs_list = []
-        for t in node["terms"]:
-            cur = _TermCursor(reader, {"field": node["field"], "term": t})
-            if cur.present:
-                docs_list.append(cur.decode_all()[0])
-        if not docs_list:
+        rows = _present_rows(reader, node["field"], node["terms"])
+        if not rows:
             return _EMPTY
-        docs = np.concatenate(docs_list)
+        decoded = reader.bulk_postings(rows)
+        docs = np.concatenate([decoded[r][0] for r in rows])
         return docs, np.zeros(docs.size, dtype=np.float64)
 
     if op == "filter_union":

@@ -412,6 +412,35 @@ class SegmentReader:
             self._posting_cache_bytes += nbytes
         return out
 
+    def bulk_postings(self, rows: list[int]) -> dict[int, tuple]:
+        """Decoded (docs, tfs) for MANY term rows with ONE Arrow take/
+        to_pylist round-trip for the uncached blobs — the wide-multiterm
+        read path (per-row .as_py() cell access dominates wall time when a
+        wildcard expands to hundreds of terms).  Respects the posting
+        cache."""
+        from iresearch_ray.functions.codec import decode_postings
+
+        out: dict[int, tuple] = {}
+        need: list[int] = []
+        for r in dict.fromkeys(rows):
+            hit = self._posting_cache.get(r)
+            if hit is not None:
+                out[r] = hit
+            else:
+                need.append(r)
+        if need:
+            sub = self.terms.select(["doc_blob", "block_doc_count"]).take(pa.array(need))
+            blobs = sub["doc_blob"].to_pylist()
+            counts = sub["block_doc_count"].to_pylist()
+            for r, blob, cnt in zip(need, blobs, counts):
+                out[r] = self.cached_postings(
+                    r,
+                    lambda blob=blob, cnt=cnt: decode_postings(
+                        blob, np.asarray(cnt, dtype=np.int64)
+                    ),
+                )
+        return out
+
     @property
     def meta(self) -> dict:
         if self._meta is None:
