@@ -408,24 +408,24 @@ def ngram_jaccard_pairs(
     else:
         sizes_ref = None  # "join" scale path below
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
-        if len(ids) < 2 or len(ids) > hot_shingle_cap:
-            if len(ids) > hot_shingle_cap:
-                import logging
+    # coarse group key shingle % SHARDS (whole shingles per group, bounded
+    # group size); equal-shingle runs emit their pair cliques vectorized —
+    # per-shingle UDF dispatch dominated with ~1 group per distinct shingle
+    SHARDS = 1024
 
-                logging.getLogger(__name__).warning(
-                    "hot shingle shared by %d docs exceeds cap %d — dropped "
-                    "(%d candidate pairs skipped)",
-                    len(ids), hot_shingle_cap, len(ids) * (len(ids) - 1) // 2,
-                )
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = (t["shingle"].to_numpy(zero_copy_only=False) % np.uint64(SHARDS)).astype(np.int64)
+        return t.append_column("shard", pa.array(sh))
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = g["shingle"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit_run_pairs(ids, keys, cap=hot_shingle_cap)
 
     common = (
-        pairs_src.groupby("shingle")
-        .map_groups(emit_pairs, batch_format="pyarrow")
+        pairs_src.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
     )
@@ -626,19 +626,48 @@ def minhash_band_table(
     )
 
 
-def _emit_bucket_pairs(g: pa.Table, id_col: str, cap: int = _BUCKET_CAP) -> pa.Table:
-    ids = np.unique(g[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
-    if len(ids) < 2 or len(ids) > cap:
-        if len(ids) > cap:
+def _emit_run_pairs(
+    ids: np.ndarray, keys: np.ndarray, cap: int = _BUCKET_CAP
+) -> pa.Table:
+    """All (a < b) pairs within equal-``keys`` runs, vectorized: one
+    lexsort, run-length boundaries, then a loop over the (few) runs with
+    ≥2 members only.  Replaces per-bucket map_groups UDF calls — with
+    hundreds of thousands of singleton buckets the per-group Python
+    dispatch dominated the whole op (seen in ds.stats())."""
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    new = np.concatenate(([True], k[1:] != k[:-1]))
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.concatenate((starts, [k.size])))
+    out_a, out_b = [], []
+    for s, n in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        if n > cap:
             import logging
 
             logging.getLogger(__name__).warning(
-                "LSH bucket with %d docs exceeds cap %d — dropped (%d pairs skipped)",
-                len(ids), cap, len(ids) * (len(ids) - 1) // 2,
+                "bucket with %d docs exceeds cap %d — dropped (%d pairs skipped)",
+                n, cap, n * (n - 1) // 2,
             )
+            continue
+        run = i[s : s + n]
+        ia, ib = np.triu_indices(int(n), k=1)
+        out_a.append(run[ia])
+        out_b.append(run[ib])
+    if not out_a:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
+        }
+    )
+
+
+def _emit_band_pairs(g: pa.Table, id_col: str, cap: int = _BUCKET_CAP) -> pa.Table:
+    """One whole BAND's bucket pairs (coarse group → vectorized runs)."""
+    ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _emit_run_pairs(ids, buckets, cap)
 
 
 _DIST_SCHEMA = pa.schema(
@@ -772,13 +801,25 @@ def minhash_lsh_pairs(
     """
     cfg = cfg or MinHashCfg()
 
+    # group key = (band, bucket % SHARDS): COARSE enough that each group
+    # holds many whole buckets (the per-bucket UDF dispatch dominated
+    # ds.stats() with ~100k singleton groups), FINE enough that a group is
+    # ~1/(bands·SHARDS) of the exploded rows — bounded at any corpus size.
+    # bucket % SHARDS never splits a bucket, so pair emission is exact.
+    SHARDS = 256
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = t["bucket"].to_numpy(zero_copy_only=False) % SHARDS
+        return t.append_column("shard", pa.array(sh.astype(np.int64)))
+
     cand = (
         ds.select_columns([id_col, text_col]).map_batches(
             lambda b: minhash_band_table(b, cfg, text_col, id_col),
             batch_format="pyarrow",
         )
-        .groupby(["band", "bucket"])
-        .map_groups(lambda g: _emit_bucket_pairs(g, id_col), batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby(["band", "shard"])
+        .map_groups(lambda g: _emit_band_pairs(g, id_col), batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()  # native aggregate dedupe (pairs colliding in >1 band)
     )
@@ -968,33 +1009,58 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
             }
         )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    # coarse group key (chunk, val % SHARDS): whole buckets per group with
+    # bounded group size — see the minhash_lsh_pairs note on UDF dispatch
+    SHARDS = 256
+
+    def chunk_shard_pairs(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)
         hs = g["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
-        ids, hs = ids[keep], hs[keep]
-        if len(ids) < 2 or len(ids) > 10_000:
+        order = np.lexsort((ids, vals))
+        v, i, h = vals[order], ids[order], hs[order]
+        new = np.concatenate(([True], v[1:] != v[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [v.size])))
+        out_a, out_b, out_h = [], [], []
+        for s, n in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if n > _BUCKET_CAP:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "simhash bucket with %d docs exceeds cap %d — dropped", n, _BUCKET_CAP
+                )
+                continue
+            run_i, run_h = i[s : s + n], h[s : s + n]
+            ia, ib = np.triu_indices(int(n), k=1)
+            x = run_h[ia] ^ run_h[ib]
+            ham = np.array([bin(int(t)).count("1") for t in x], dtype=np.int64)
+            ok = ham <= max_hamming
+            out_a.append(run_i[ia][ok])
+            out_b.append(run_i[ib][ok])
+            out_h.append(ham[ok])
+        if not out_a:
             return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        ok = ham <= max_hamming
         return pa.table(
             {
-                "a": pa.array(ids[ia][ok]),
-                "b": pa.array(ids[ib][ok]),
-                "hamming": pa.array(ham[ok]),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = t["val"].to_numpy(zero_copy_only=False).astype(np.int64) % SHARDS
+        return t.append_column("shard", pa.array(sh))
+
     return (
         ds.map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby(["chunk", "shard"])
+        .map_groups(chunk_shard_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .min("hamming")  # native aggregate dedupe (equal hamming per dup)
         .map_batches(
