@@ -136,14 +136,20 @@ def bench_query(idx: str) -> dict:
     dataset_batch_secs = time.perf_counter() - t0
 
     # serving path: cached QueryPool (lazy-created on first call, reused
-    # after) — the number a repeat caller actually sees
+    # after).  The warm number is a cache-MISS evaluation (distinct k) so
+    # it measures query EXECUTION on warm actors; the result-cache hit is
+    # reported separately (it is a real serving feature but would make the
+    # headline trivially ~10 ms).
     t0 = time.perf_counter()
     out_pooled = s.search_pooled(batch, k=10)
     pool_cold_secs = time.perf_counter() - t0
     assert out_pooled.equals(out.reset_index(drop=True)) or len(out_pooled) == len(out)
     t0 = time.perf_counter()
-    s.search_pooled(batch, k=10)
+    s.search_pooled(batch, k=11)  # warm actors, cache miss
     batch_secs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s.search_pooled(batch, k=10)  # identical plans: LRU result-cache hit
+    batch_cached_secs = time.perf_counter() - t0
 
     # per-query latency over the point-in-time snapshot (library usage path);
     # readers are cached after the first pass — time the warm path, report both
@@ -156,16 +162,17 @@ def bench_query(idx: str) -> dict:
             lat.setdefault(name, []).append(dt)
     warm = [min(v) for v in lat.values()]
 
-    # warm per-query latency through the same cached pool — the
-    # steady-state serving number
+    # warm per-query latency through the same cached pool — k=12 keeps
+    # every measurement a cache MISS (pure warm evaluation)
     pool_lat = []
     for name, mk in QUERY_SET:
         t0 = time.perf_counter()
-        s.search_pooled({name: mk(F)}, k=10)
+        s.search_pooled({name: mk(F)}, k=12)
         pool_lat.append(time.perf_counter() - t0)
     s.close()
     return {
         "batch_secs": batch_secs,
+        "batch_cached_secs": batch_cached_secs,
         "dataset_batch_secs": dataset_batch_secs,
         "pool_cold_secs": pool_cold_secs,
         "batch_rows": len(out),
@@ -204,6 +211,14 @@ def bench_dataops(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     ops.quality_scores(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
     res["quality_secs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ops.simhash_pairs(rd.read_parquet(f"{sf_dir}/documents.parquet"), max_hamming=3).count()
+    res["simhash_secs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ops.fingerprints(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    res["fingerprints_secs"] = time.perf_counter() - t0
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     q = np.array(emb["embedding"].to_pylist()[:8], dtype=np.float64)
@@ -246,7 +261,10 @@ def run_full() -> dict:
             "indexed_turns": b["turns"],
             "indexed_turns_per_sec": round(b["turns_per_sec"], 1),
             "query_batch_dataset_secs": round(q["dataset_batch_secs"], 3),
+            "query_batch_cached_secs": round(q["batch_cached_secs"], 3),
             "query_pool_cold_secs": round(q["pool_cold_secs"], 3),
+            "dataops_simhash_secs": round(d["simhash_secs"], 3),
+            "dataops_fingerprints_secs": round(d["fingerprints_secs"], 3),
             "query_p50_local_ms": round(q["p50_local_ms"], 2),
             "query_p95_local_ms": round(q["p95_local_ms"], 2),
             "query_pool_p50_ms": round(q["pool_p50_ms"], 2),
