@@ -497,10 +497,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-# shared shingle-Jaccard SQL (dd_jaccard_pairs; also the EXACT oracle for
-# dd_minhash_pairs — LSH params verified recall-1.0 on this corpus, and the
-# engine exact-verifies candidates, so outputs coincide deterministically)
-_SQL_JACCARD = """
+# exact shingle-Jaccard SQL.  The UNCAPPED form is the oracle for
+# dd_minhash_pairs (the engine verify intersects FULL shingle sets; LSH
+# params verified recall-1.0 on this corpus, so outputs coincide
+# deterministically).  dd_jaccard_pairs uses the CAPPED form mirroring the
+# engine's hot_shingle_cap: shingles shared by more than ``cap`` docs are
+# excluded from the intersection counts (sizes stay uncapped) — exactly
+# what dropping a hot shingle group does to the candidate pipeline.
+def _sql_jaccard(cap: int | None = None) -> str:
+    hot = (
+        f"WHERE x.g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= {cap})"
+        if cap is not None
+        else ""
+    )
+    return f"""
 WITH lists AS (
   SELECT doc_id, string_split(text,' ') AS l FROM documents
 ), sh AS (
@@ -511,12 +521,16 @@ WITH lists AS (
 ), inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
   FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  {hot}
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT a, b, round(c / (sa.sz + sb.sz - c)::DOUBLE, 4) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
 """
+
+
+_SQL_JACCARD = _sql_jaccard(None)
 
 
 def _sql_near_dedup(quality_expr: str) -> str:
@@ -569,6 +583,8 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     bit_count(xor) ≤ d.  Mirrors pipelines.dataops.simhash_batch; the
     engine's pigeonhole chunk LSH is recall-exact for d ≤ chunks-1, so
     engine output == this brute enumeration."""
+    chunk_bits = 64 // (max_hamming + 1)
+    chunk_mask = (1 << chunk_bits) - 1
     accs = ",\n         ".join(
         f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS a{i}"
         for i in range(64)
@@ -590,10 +606,23 @@ WITH tok AS (
   FROM h GROUP BY doc_id
 ), sim AS (
   SELECT doc_id, ({packed}) AS s FROM acc
+), chunks AS (
+  -- pigeonhole candidate generation mirroring the engine (d+1 chunks of
+  -- 64//(d+1) bits; buckets over the cap are dropped like the engine's
+  -- _BUCKET_CAP)
+  SELECT doc_id, c.c AS chunk, (s >> (c.c * {chunk_bits})) & {chunk_mask}::UBIGINT AS val
+  FROM sim, (SELECT unnest(generate_series(0, {max_hamming})) AS c) c
+), ok AS (
+  SELECT chunk, val FROM chunks GROUP BY chunk, val HAVING count(*) <= 10000
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM chunks x
+  JOIN ok ON ok.chunk = x.chunk AND ok.val = x.val
+  JOIN chunks y ON y.chunk = x.chunk AND y.val = x.val AND x.doc_id < y.doc_id
 )
-SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.s, y.s))::BIGINT AS hamming
-FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+SELECT cand.a, cand.b, bit_count(xor(sa.s, sb.s))::BIGINT AS hamming
+FROM cand JOIN sim sa ON cand.a = sa.doc_id JOIN sim sb ON cand.b = sb.doc_id
+WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming}
 """
 
 
@@ -839,7 +868,7 @@ SELECT user_id, (sid - 1)::BIGINT AS session_id, count(*) AS n_events,
        min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
-        "dd_jaccard_pairs": _SQL_JACCARD,
+        "dd_jaccard_pairs": _sql_jaccard(cap=2000),
         "dd_minhash_pairs": _SQL_JACCARD,
         "dd_near_dedup": _sql_near_dedup(
             "round(0.5 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))::DOUBLE)"

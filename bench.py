@@ -143,7 +143,9 @@ def bench_query(idx: str) -> dict:
     t0 = time.perf_counter()
     out_pooled = s.search_pooled(batch, k=10)
     pool_cold_secs = time.perf_counter() - t0
-    assert out_pooled.equals(out.reset_index(drop=True)) or len(out_pooled) == len(out)
+    _a = out_pooled.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+    _b = out.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+    assert _a.equals(_b), "pooled vs dataset path results diverged"
     t0 = time.perf_counter()
     s.search_pooled(batch, k=11)  # warm actors, cache miss
     batch_secs = time.perf_counter() - t0

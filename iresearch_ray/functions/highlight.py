@@ -50,6 +50,8 @@ def plan_terms(node: dict, field: str) -> set[str]:
     elif op == "not":
         # only the positive side produces visible matches
         out |= plan_terms(node.get("positive", {}), field)
+    elif op == "nested":
+        out |= plan_terms(node.get("child", {}), field)
     return out
 
 
@@ -72,24 +74,39 @@ def highlights(
     to be built with store_text=True."""
     import pyarrow.compute as pc
 
+    import numpy as np
+
     plan = searcher.prepare(flt, scorer).plan
     terms = plan_terms(plan["root"], field)
     hits = searcher.search_local(flt, k=k, scorer=scorer)
     texts: list[str | None] = []
     spans: list[list[tuple[int, int]]] = []
     readers = searcher._local_readers()
-    if readers and "text" not in readers[0].docs.column_names:
+    if readers and any("text" not in r.docs.column_names for r in readers):
         raise ValueError("highlights() needs an index built with store_text=True")
+    def _key_view(r):
+        # cached (perm, sorted conv, sorted turn): concat-merged segments
+        # are NOT globally key-sorted, so binary search needs the lexsort
+        # permutation (built once per reader, O(log n) per hit after)
+        kv = getattr(r, "_hl_key_view", None)
+        if kv is None:
+            conv_all, turn_all = r.doc_keys
+            perm = np.lexsort((turn_all, conv_all))
+            kv = (perm, conv_all[perm], turn_all[perm])
+            r._hl_key_view = kv
+        return kv
+
     for row in hits.itertuples():
         text = None
         for r in readers:
-            m = pc.and_(
-                pc.equal(r.docs["conv_id"], row.conv_id),
-                pc.equal(r.docs["turn_idx"], row.turn_idx),
-            )
-            idx = pc.index(m, True).as_py()
-            if idx >= 0:
-                text = r.docs["text"][idx].as_py()
+            perm, sc, st = _key_view(r)
+            lo = int(np.searchsorted(sc, row.conv_id, side="left"))
+            hi = int(np.searchsorted(sc, row.conv_id, side="right"))
+            if lo == hi:
+                continue
+            j = lo + int(np.searchsorted(st[lo:hi], row.turn_idx))
+            if j < hi and st[j] == row.turn_idx:
+                text = r.docs["text"][int(perm[j])].as_py()
                 break
         texts.append(text)
         spans.append(highlight_text(text, terms))

@@ -171,7 +171,14 @@ class Searcher:
         CACHED QueryPool: repeat callers pay one RPC round instead of a
         fresh Ray Data job + actor-pool spin-up (which re-loads segment
         shards on every call).  This is the serving path — use it whenever
-        the same Searcher answers more than one batch."""
+        the same Searcher answers more than one batch.
+
+        Snapshot semantics (directory_reader analog): a Searcher pins the
+        manifest generation loaded at construction — later commits
+        (deletes, consolidations) are invisible to BOTH local and pooled
+        paths until a new Searcher is opened.  ``num_actors`` applies on
+        the first call only (the pool persists); call ``close()`` to tear
+        it down."""
         if self._pool is None:
             self._pool = QueryPool(self.index_dir, num_actors=num_actors, searcher=self)
         return self._pool.search(queries, k=k, wand=wand, scorer=scorer)
@@ -197,7 +204,13 @@ class _PoolWorker:
         # JSON — repeat queries skip evaluation entirely
         self._cache: "collections.OrderedDict[tuple, object]" = collections.OrderedDict()
         self._cache_size = cache_size
-        self.readers = [SegmentReader(d) for d in seg_dirs]
+        # the posting-cache budget is PER PROCESS, divided across this
+        # worker's shard readers (a worker holding 16 segments must not pin
+        # 16 x the per-reader default)
+        per_reader = max(
+            8 << 20, SegmentReader.POSTING_CACHE_BYTES // max(1, len(seg_dirs))
+        )
+        self.readers = [SegmentReader(d, cache_bytes=per_reader) for d in seg_dirs]
         self.deleted = []
         for d, r in zip(seg_dirs, self.readers):
             if tombs_json:

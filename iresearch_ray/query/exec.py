@@ -268,7 +268,9 @@ def _merge_add(
     return uniq, summed
 
 
-def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
+def eval_node(
+    reader: SegmentReader, node: dict, scorer: dict, deleted: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     op = node["op"]
     if op == "term":
         cur = _TermCursor(reader, node)
@@ -287,7 +289,7 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
             and len({c["field"] for c in children}) == 1
         ):
             return _eval_term_union_bulk(reader, node, scorer)
-        legs = [eval_node(reader, c, scorer) for c in children]
+        legs = [eval_node(reader, c, scorer, deleted) for c in children]
         legs = [(d, s) for d, s in legs if d.size]
         if not legs:
             return _EMPTY
@@ -303,7 +305,7 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         return uniq, summed
 
     if op == "and":
-        legs = [eval_node(reader, c, scorer) for c in node["children"]]
+        legs = [eval_node(reader, c, scorer, deleted) for c in node["children"]]
         # leapfrog order: ascending cost == ascending posting length (§2.5)
         legs.sort(key=lambda ds: ds[0].size)
         docs, scores = legs[0]
@@ -315,8 +317,8 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         return docs, scores
 
     if op == "not":
-        pos_d, pos_s = eval_node(reader, node["positive"], scorer)
-        neg_d, _ = eval_node(reader, node["negative"], scorer)
+        pos_d, pos_s = eval_node(reader, node["positive"], scorer, deleted)
+        neg_d, _ = eval_node(reader, node["negative"], scorer, deleted)
         keep = ~_member_sorted(pos_d, neg_d)
         return pos_d[keep], pos_s[keep]
 
@@ -363,7 +365,10 @@ def eval_node(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarr
         # contiguous runs; one reduceat per run merges child scores.  The
         # parent is represented by its first matching child doc id, so the
         # existing doc→(conv, turn) key conversion applies unchanged.
-        child_docs, child_scores = eval_node(reader, node["child"], scorer)
+        child_docs, child_scores = eval_node(reader, node["child"], scorer, deleted)
+        if deleted is not None and child_docs.size:
+            live = ~deleted[child_docs - 1]
+            child_docs, child_scores = child_docs[live], child_scores[live]
         if child_docs.size == 0:
             return _EMPTY
         conv_all, _turn_all = reader.doc_keys
@@ -458,7 +463,11 @@ def _unordered_tf(pos_lists: list[np.ndarray], slop: int) -> int:
 
 
 def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.ndarray, np.ndarray]:
-    parts: list[list[str]] = node.get("parts") or [[t] for t in node["terms"]]
+    parts: list[list[str]] = node.get("parts")
+    if parts is None:
+        parts = [[t] for t in node.get("terms", ())]
+    if not parts:
+        return _EMPTY  # empty phrase matches nothing (pinned; oracle agrees)
     # each slot = union of its expansion terms' postings (variadic parts,
     # ref: phrase_filter.cpp); a slot with no present term kills the phrase
     slots: list[list[_TermCursor]] = []
@@ -735,7 +744,7 @@ def segment_topk(
     if wand and _wand_applicable(root):
         docs, scores = eval_union_wand(reader, root, scorer, k)
     else:
-        docs, scores = eval_node(reader, root, scorer)
+        docs, scores = eval_node(reader, root, scorer, deleted)
     if deleted is not None and docs.size:
         keep = ~deleted[docs - 1]
         docs, scores = docs[keep], scores[keep]

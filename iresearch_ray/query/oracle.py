@@ -101,6 +101,20 @@ class BruteForceOracle:
             return self._union(legs, flt.min_match)
         if isinstance(flt, (F.Prefix, F.TermRange, F.Wildcard, F.Fuzzy)):
             terms = self._expand(flt)
+            limit = getattr(flt, "scored_terms_limit", None)
+            if limit is not None and len(terms) > limit:
+                # limited_sample_collector analog (mirrors filters.py):
+                # top-limit terms by (df desc, term asc) scored; the rest
+                # MATCH with score 0 and count toward min_match
+                df = self.fields[flt.field]["df"]
+                ranked = sorted(terms, key=lambda t: (-df.get(t, 0), t))
+                scored, unscored = ranked[:limit], ranked[limit:]
+                legs = [self._term_scores(flt.field, t, boost) for t in scored]
+                legs += [
+                    {d: 0.0 for d in self._term_scores(flt.field, t, 1.0)}
+                    for t in unscored
+                ]
+                return self._union(legs, 1)
             legs = [self._term_scores(flt.field, t, boost) for t in terms]
             return self._union(legs, 1)
         if isinstance(flt, F.Phrase):
@@ -199,6 +213,8 @@ class BruteForceOracle:
         return self._expand(part)
 
     def _phrase(self, flt: F.Phrase, boost: float) -> dict[int, float]:
+        if not flt.terms:
+            return {}  # empty phrase matches nothing (pinned; engine agrees)
         f = self.fields[flt.field]
         self._cur_avg = f["avg_dl"]
         slot_sets = [set(self._expand_part(p, flt.field) or []) for p in flt.terms]

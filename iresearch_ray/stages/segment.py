@@ -390,10 +390,11 @@ class SegmentReader:
     # slowly converged; LRU converges on the first pass).
     POSTING_CACHE_BYTES = 256 << 20
 
-    def __init__(self, seg_dir: str):
+    def __init__(self, seg_dir: str, cache_bytes: int | None = None):
         import collections
 
         self.seg_dir = seg_dir
+        self._cache_budget = cache_bytes if cache_bytes is not None else self.POSTING_CACHE_BYTES
         self._terms: pa.Table | None = None
         self._docs: pa.Table | None = None
         self._meta: dict | None = None
@@ -409,10 +410,10 @@ class SegmentReader:
             return hit
         out = decode()
         nbytes = sum(getattr(a, "nbytes", 0) for a in out)
-        if nbytes < self.POSTING_CACHE_BYTES // 4:
+        if nbytes < self._cache_budget // 4:
             while (
                 self._posting_cache
-                and self._posting_cache_bytes + nbytes > self.POSTING_CACHE_BYTES
+                and self._posting_cache_bytes + nbytes > self._cache_budget
             ):
                 _k, old = self._posting_cache.popitem(last=False)  # LRU evict
                 self._posting_cache_bytes -= sum(getattr(a, "nbytes", 0) for a in old)

@@ -73,6 +73,12 @@ QUERIES = {
     "phrase_unord1": F.Phrase("text", ("agent", "tool"), slop=1, ordered=False),
     "phrase_unord_swap": F.Phrase("text", ("tool", "agent"), slop=1, ordered=False),
     "phrase_unord3": F.Phrase("text", ("the", "a", "to"), slop=2, ordered=False),
+    # duplicate slot terms: unordered matching must use DISTINCT positions
+    "phrase_dup_unord": F.Phrase("text", ("the", "the"), slop=2, ordered=False),
+    "phrase_dup_exact": F.Phrase("text", ("the", "the")),
+    # scored_terms_limit interacting with min_match (unscored legs count)
+    "terms_cap_mm": F.Terms("text", ("agent", "tool", "error", "plan", "step",
+                                     "model", "run", "test", "data", "the"), min_match=2),
     # parent/child: conversation-level matches over turn-level filters
     "nested_sum": F.Nested(F.Term("text", "agent")),
     "nested_mm2_max": F.Nested(F.Term("text", "error"), min_match=2, score_merge="max"),
