@@ -44,12 +44,15 @@ class Term(Filter):
 
 @dataclass
 class Terms(Filter):
-    """IN-set of terms with optional min-match (ref: terms_filter.cpp)."""
+    """IN-set of terms with optional min-match and optional PER-TERM boosts
+    (ref: terms_filter.cpp — each term carries its own boost that multiplies
+    into that leg's weight; None entries default to 1.0)."""
 
     field: str
     terms: tuple[str, ...]
     min_match: int = 1
     boost: float = 1.0
+    boosts: tuple[float, ...] | None = None
 
 
 # multiterm queries score at most this many expanded terms by default; the
@@ -419,8 +422,15 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
     if isinstance(flt, Term):
         return _term_leaf(flt.field, flt.term, boost, stats, scorer)
     if isinstance(flt, Terms):
+        if flt.boosts is not None and len(flt.boosts) != len(flt.terms):
+            raise ValueError("Terms.boosts must match terms length")
+        per = {}
+        for i, t in enumerate(flt.terms):
+            if t not in per:  # first occurrence wins (dedup like the ref)
+                b = flt.boosts[i] if flt.boosts is not None else 1.0
+                per[t] = boost * (1.0 if b is None else float(b))
         return _union_of_terms(
-            flt.field, [(t, boost) for t in dict.fromkeys(flt.terms)], stats, scorer, flt.min_match
+            flt.field, list(per.items()), stats, scorer, flt.min_match
         )
     if isinstance(flt, Prefix):
         terms, _ = stats.field_terms(flt.field)

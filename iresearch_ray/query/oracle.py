@@ -97,7 +97,12 @@ class BruteForceOracle:
             s = self._term_scores(flt.field, flt.term, boost)
             return s, {d: 1 for d in s}
         if isinstance(flt, F.Terms):
-            legs = [self._term_scores(flt.field, t, boost) for t in dict.fromkeys(flt.terms)]
+            per = {}
+            for i, t in enumerate(flt.terms):
+                if t not in per:
+                    b = flt.boosts[i] if getattr(flt, "boosts", None) is not None else 1.0
+                    per[t] = boost * (1.0 if b is None else float(b))
+            legs = [self._term_scores(flt.field, t, w) for t, w in per.items()]
             return self._union(legs, flt.min_match)
         if isinstance(flt, (F.Prefix, F.TermRange, F.Wildcard, F.Fuzzy)):
             terms = self._expand(flt)

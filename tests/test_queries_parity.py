@@ -32,8 +32,9 @@ QUERIES = {
     "term_tail_1": F.Term("text", "w0007"),
     "term_tail_2": F.Term("text", "w0150"),
     "term_missing": F.Term("text", "zzzznope"),
-    # terms IN
+    # terms IN (+ per-term boosts, ref terms_filter)
     "terms_in": F.Terms("text", ("agent", "tool", "w0003", "w0042")),
+    "terms_boosted": F.Terms("text", ("agent", "tool", "error"), boosts=(2.0, 1.0, 0.5)),
     "terms_in_mm2": F.Terms("text", ("agent", "tool", "error", "plan"), min_match=2),
     # And
     "and_2": F.And((F.Term("text", "agent"), F.Term("text", "tool"))),
