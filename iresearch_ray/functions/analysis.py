@@ -166,6 +166,37 @@ class NormalizingAnalyzer:
         return out
 
 
+class CollationAnalyzer:
+    """Root-locale collation-key approximation, one key token per value
+    (ref: collation_token_stream.cpp — emits the ICU collation sort key).
+
+    ICU is unavailable in this environment, so the key is PINNED as a
+    documented approximation of the root locale at secondary strength:
+    NFKD → casefold → strip combining marks → NFC.  Under this key,
+    accent- and case-variants collate together and lexicographic byte
+    order of keys equals the root collation for ASCII (exact) and for
+    accent-folded Latin text (approximate — ICU tailorings like 'ß'→'ss'
+    ARE covered by casefold, but e.g. Danish 'å' > 'z' is not).  A real
+    deployment swaps in PyICU's ``Collator.getSortKey`` behind the same
+    single-token contract."""
+
+    def __init__(self, strength: str = "secondary"):
+        if strength not in ("primary", "secondary"):
+            raise ValueError("strength must be 'primary' or 'secondary'")
+        self.strength = strength
+
+    def key(self, t: str) -> str:
+        s = unicodedata.normalize("NFKD", t).casefold()
+        s = "".join(c for c in s if not unicodedata.combining(c))
+        if self.strength == "primary":
+            # primary strength also ignores punctuation/space variants
+            s = "".join(c for c in s if c.isalnum())
+        return unicodedata.normalize("NFC", s)
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [[] if t is None else [self.key(t)] for t in texts]
+
+
 class StemAnalyzer:
     """Porter stemming of the whole (already tokenized? no — single) value
     (ref: text_token_stemming_stream.cpp: stems the single input token)."""
@@ -325,6 +356,7 @@ ANALYZERS: dict[str, Callable[..., Tokenizer]] = {
     "delimiter": DelimiterAnalyzer,
     "ngram": NgramAnalyzer,
     "norm": NormalizingAnalyzer,
+    "collation": CollationAnalyzer,
     "stem": StemAnalyzer,
     "pipeline": PipelineAnalyzer,
 }

