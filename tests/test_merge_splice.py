@@ -1,0 +1,74 @@
+"""Property test for the consolidation merge splice (stages/merge.py
+_concat_term_postings): the single-varint first-delta rewrite must produce
+EXACTLY the postings that a from-scratch re-encode of the concatenated doc
+space would — across block boundaries (127/128/129), multi-byte first
+deltas, and arbitrary offsets."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iresearch_ray.functions.codec import decode_postings, encode_postings
+from iresearch_ray.stages.merge import _concat_term_postings
+
+
+def _row_from_arrays(docs: np.ndarray, tfs: np.ndarray) -> dict:
+    dls = np.full(docs.size, 10, dtype=np.int64)
+    blob = encode_postings(docs, tfs, dls, None)
+    return {
+        "df": int(docs.size),
+        "cf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "min_dl": 10,
+        "doc_blob": blob.doc_blob,
+        "pos_blob": blob.pos_blob,
+        "block_last_doc": blob.block_last_doc.tolist(),
+        "block_off": blob.block_off.tolist(),
+        "pos_off": blob.pos_off.tolist(),
+        "block_max_tf": blob.block_max_tf.tolist(),
+        "block_min_dl": blob.block_min_dl.tolist(),
+        "block_doc_count": blob.block_doc_count.tolist(),
+    }
+
+
+part_st = st.lists(
+    st.tuples(st.integers(1, 1 << 20), st.integers(1, 7)),  # (doc gap, tf)
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(parts=st.lists(part_st, min_size=1, max_size=4),
+       seg_sizes=st.lists(st.integers(0, 1 << 21), min_size=4, max_size=4))
+def test_concat_splice_equals_reencode(parts, seg_sizes):
+    rows, offsets = [], []
+    offset = 0
+    all_docs, all_tfs = [], []
+    for i, gaps in enumerate(parts):
+        gap_arr = np.array([g for g, _ in gaps], dtype=np.int64)
+        docs = np.cumsum(gap_arr)
+        tfs = np.array([t for _, t in gaps], dtype=np.int64)
+        rows.append(_row_from_arrays(docs, tfs))
+        offsets.append(offset)
+        all_docs.append(docs + offset)
+        all_tfs.append(tfs)
+        # next segment's doc space starts after this one's (plus slack)
+        offset += int(docs[-1]) + int(seg_sizes[i % len(seg_sizes)]) + 1
+    merged = _concat_term_postings(list(zip(rows, offsets)))
+
+    got_docs, got_tfs = decode_postings(
+        merged["doc_blob"], np.asarray(merged["block_doc_count"], dtype=np.int64)
+    )
+    exp_docs = np.concatenate(all_docs)
+    exp_tfs = np.concatenate(all_tfs)
+    np.testing.assert_array_equal(got_docs, exp_docs)
+    np.testing.assert_array_equal(got_tfs, exp_tfs)
+    # skip metadata must stay consistent with the decoded stream
+    bl = np.asarray(merged["block_last_doc"], dtype=np.int64)
+    cnt = np.asarray(merged["block_doc_count"], dtype=np.int64)
+    assert cnt.sum() == exp_docs.size
+    ends = np.cumsum(cnt) - 1
+    np.testing.assert_array_equal(bl, exp_docs[ends])
+    assert np.all(np.diff(got_docs) > 0)

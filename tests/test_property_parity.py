@@ -74,6 +74,7 @@ def prop_corpus(tmp_path_factory):
 @settings(
     max_examples=40,
     deadline=None,
+    derandomize=True,  # deterministic suite for reviewers; soak runs explore
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(flt=tree_st)
