@@ -71,7 +71,13 @@ class SegmentSearcher:
     def _reader(self, seg_dir: str) -> SegmentReader:
         r = self._readers.get(seg_dir)
         if r is None:
-            r = SegmentReader(seg_dir)
+            # per-actor posting-cache budget split across the cached shard
+            # readers (ephemeral Dataset-job actors hold up to _max readers;
+            # the full per-reader default would multiply past worker heaps)
+            r = SegmentReader(
+                seg_dir,
+                cache_bytes=max(8 << 20, SegmentReader.POSTING_CACHE_BYTES // self._max),
+            )
             self._readers[seg_dir] = r
             if len(self._readers) > self._max:
                 self._readers.popitem(last=False)
