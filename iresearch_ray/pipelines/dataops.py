@@ -51,9 +51,12 @@ def round_half_away(x, decimals: int = 4):
 
 def _explode_tokens(texts: pa.ChunkedArray | pa.Array):
     """Vectorized token explode: returns (flat_tokens: pa.Array,
-    parent_row: np.int64[], n_tokens_per_row: np.int64[])."""
+    parent_row: np.int64[], n_tokens_per_row: np.int64[]).  Null text is
+    pinned ≡ empty text (one "" token) — without the fill, the null rows'
+    list lengths are NaN and the int64 cast poisons every count."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     split = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(split)
     parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
@@ -558,6 +561,10 @@ class MinHashCfg:
     _ab: np.ndarray = field(default=None, repr=False)
 
     def perms(self) -> np.ndarray:
+        if self.num_perm % self.bands != 0:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must be divisible by bands ({self.bands})"
+            )
         if self._ab is None:
             rng = np.random.default_rng(self.seed)
             a = rng.integers(1, int(_MERSENNE), self.num_perm, dtype=np.uint64)
@@ -832,7 +839,7 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cluster_pairs(pairs, id_col: str = "doc_id") -> dict[int, int]:
+def cluster_pairs(pairs) -> dict[int, int]:
     """Union-find over near-dup pairs → {doc_id: cluster_root}.  The pair
     set is tiny relative to the corpus by construction (already thresholded),
     so this runs on the driver even at 100 TB corpus scale — the heavy work
@@ -867,7 +874,7 @@ def near_dedup(
 
     pairs_df = minhash_lsh_pairs(ds, cfg=cfg, threshold=threshold,
                                  text_col=text_col, id_col=id_col).to_pandas()
-    roots = cluster_pairs(zip(pairs_df["a"], pairs_df["b"]), id_col)
+    roots = cluster_pairs(zip(pairs_df["a"], pairs_df["b"]))
     if not roots:
         return ds
 
@@ -993,19 +1000,17 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
         sh = simhash_batch(b, text_col, id_col)
         ids = sh[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = sh["simhash"].to_numpy(zero_copy_only=False)
-        out_id, out_c, out_v, out_h = [], [], [], []
-        for c in range(n_chunks):
-            v = (h >> np.uint64(c * chunk_bits)) & np.uint64((1 << chunk_bits) - 1)
-            out_id.extend(ids.tolist())
-            out_c.extend([c] * len(ids))
-            out_v.extend(v.tolist())
-            out_h.extend(h.tolist())
+        n = ids.size
+        mask = np.uint64((1 << chunk_bits) - 1)
+        vals = np.concatenate(
+            [(h >> np.uint64(c * chunk_bits)) & mask for c in range(n_chunks)]
+        ) if n else np.empty(0, np.uint64)
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "chunk": pa.array(out_c, pa.int32()),
-                "val": pa.array(out_v, pa.uint64()),
-                "simhash": pa.array(out_h, pa.uint64()),
+                id_col: pa.array(np.tile(ids, n_chunks)),
+                "chunk": pa.array(np.repeat(np.arange(n_chunks, dtype=np.int32), n)),
+                "val": pa.array(vals),
+                "simhash": pa.array(np.tile(h, n_chunks)),
             }
         )
 
@@ -1394,7 +1399,9 @@ def embedding_lsh_topk(
         sims = vecs @ qn[qis].T
         out_q, out_id, out_s = [], [], []
         for col, qi in enumerate(qis):
-            order = np.argsort(-sims[:, col], kind="stable")[:k]
+            # exact (cosine desc, id asc) tie-break — same rule as the final
+            # reduce, so partial pruning can never flip a tied boundary
+            order = np.lexsort((ids, -sims[:, col]))[:k]
             out_q.extend([qi] * len(order))
             out_id.extend(ids[order].tolist())
             out_s.extend(sims[order, col].tolist())
@@ -1407,13 +1414,12 @@ def embedding_lsh_topk(
         )
 
     def final_topk(g: pa.Table) -> pa.Table:
+        # each vector lives in exactly ONE bucket (bucket_of is a function
+        # of the vector), so (query, id) appears at most once — plain
+        # pinned-tie-break selection
         sims = g["cosine"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, -sims))
-        # multiprobe buckets can surface the same id twice — keep best
-        _, first = np.unique(ids[order], return_index=True)
-        sel = order[np.sort(first)]
-        sel = sel[np.lexsort((ids[sel], -sims[sel]))][:k]
+        sel = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {
                 "query_idx": g["query_idx"].take(pa.array(sel)),

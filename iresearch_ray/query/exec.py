@@ -138,33 +138,6 @@ class _TermCursor:
         keep = _member_sorted(docs, candidates)
         return docs[keep], tfs[keep]
 
-    def positions_for_docs(self, sel_docs: np.ndarray) -> list[np.ndarray]:
-        """Per-doc position arrays for the selected (sorted) docs — the
-        phrase-iterator read path (positions are block-aligned varint
-        streams, SURVEY §2.3)."""
-        all_docs, all_tfs = self.decode_all()
-        idx = np.searchsorted(all_docs, sel_docs)
-        counts = np.asarray(self._col("block_doc_count"), dtype=np.int64)
-        cum = np.cumsum(counts)
-        block_of = np.searchsorted(cum, idx, side="right")
-        pos_off = np.asarray(self._col("pos_off"), dtype=np.int64)
-        nblocks = pos_off.size
-        pos_blob = self._col("pos_blob")
-        cache: dict[int, np.ndarray] = {}
-        out: list[np.ndarray] = []
-        for i, b in zip(idx, block_of):
-            flat = cache.get(b)
-            if flat is None:
-                flat = decode_positions(pos_blob, pos_off, all_tfs, int(b), nblocks, counts)
-                cache[b] = flat
-            s_doc = int(cum[b - 1]) if b > 0 else 0
-            e_doc = int(cum[b])
-            tfs_blk = all_tfs[s_doc:e_doc]
-            ends = np.cumsum(tfs_blk)
-            j = i - s_doc
-            out.append(flat[ends[j] - tfs_blk[j]: ends[j]])
-        return out
-
     def flat_positions(self, sel_docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(doc_label, position) flat arrays for the selected (sorted) docs —
         fully vectorized: the whole pos stream is one self-delimiting varint
@@ -305,6 +278,8 @@ def eval_node(
         return uniq, summed
 
     if op == "and":
+        if not node["children"]:
+            return _EMPTY  # empty conjunction matches nothing (pinned)
         legs = [eval_node(reader, c, scorer, deleted) for c in node["children"]]
         # leapfrog order: ascending cost == ascending posting length (§2.5)
         legs.sort(key=lambda ds: ds[0].size)
@@ -606,8 +581,16 @@ def _eval_ngram_similarity(reader: SegmentReader, node: dict, scorer: dict) -> t
     import math as _math
 
     mm = max(1, int(_math.ceil(thr * n)))
+    first_idx = {}
+    for j, t in enumerate(terms):
+        first_idx.setdefault(t, j)
     cursors = [_TermCursor(reader, {**node, "term": t}) for t in terms]
-    present = [(j, c) for j, c in enumerate(cursors) if c.present]
+    # duplicate query terms: only the FIRST slot of a term emits events —
+    # one occurrence must not satisfy several identical slots (pinned,
+    # mirrors the reference lcs mapping each position to q.index(t))
+    present = [
+        (j, c) for j, c in enumerate(cursors) if c.present and first_idx[terms[j]] == j
+    ]
     if len(present) < mm:
         return _EMPTY
     legs = [(j, c.decode_all()[0]) for j, c in present]
@@ -656,7 +639,7 @@ def _eval_ngram_similarity(reader: SegmentReader, node: dict, scorer: dict) -> t
 # block-max WAND (term-at-a-time upper-bound pruning) — SURVEY §2.8
 # ---------------------------------------------------------------------------
 
-def _wand_applicable(root: dict) -> bool:
+def _wand_applicable(root: dict, scorer: dict | None = None) -> bool:
     # WAND pays when a few high-impact legs can bound out the rest; for wide
     # multiterm unions (prefix/wildcard expansions) the per-leg incremental
     # merge is O(L·n) while the counting union is one concat+unique — so wide
@@ -664,6 +647,15 @@ def _wand_applicable(root: dict) -> bool:
     # negative leg weights would break the WAND invariant that accumulated
     # scores only grow (pruning could drop true top-k docs) — such unions
     # fall back to the exact eval_node path
+    if scorer is not None and scorer.get("name") not in ("bm25", "tfidf"):
+        # custom registry scorers may not be monotone in (tf, -dl) — the
+        # block-max upper bound would be invalid; unless the registration
+        # declares monotone=True, fall back to exact eval
+        from iresearch_ray.functions.score import SCORERS
+
+        entry = SCORERS.get(scorer.get("name"), {})
+        if not entry.get("monotone", False):
+            return False
     return (
         root["op"] == "union"
         and int(root.get("min_match", 1)) <= 1
@@ -741,7 +733,7 @@ def segment_topk(
                 "score": pa.array([], pa.float64()),
             }
         )
-    if wand and _wand_applicable(root):
+    if wand and _wand_applicable(root, scorer):
         docs, scores = eval_union_wand(reader, root, scorer, k)
     else:
         docs, scores = eval_node(reader, root, scorer, deleted)

@@ -125,6 +125,8 @@ class BruteForceOracle:
         if isinstance(flt, F.Phrase):
             return self._phrase(flt, boost), {}
         if isinstance(flt, F.And):
+            if not flt.children:
+                return {}, {}  # empty conjunction matches nothing (pinned)
             evs = [self._eval(c, boost) for c in flt.children]
             docs = set(evs[0][0])
             for e, _ in evs[1:]:

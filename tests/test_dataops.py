@@ -308,3 +308,19 @@ def test_embedding_ivf_single_list_is_exact(emb_tbl, ray_session):
     pos = {int(v): i for i, v in enumerate(ids)}
     for r in ivf.itertuples():
         assert abs(r.cosine - round(float(true_cos[r.query_idx, pos[r.vec_id]]), 4)) < 1e-6
+
+
+def test_null_text_pinned_as_empty(ray_session):
+    """Regression (round-2 review): null text must behave exactly like ''
+    (one empty token), not poison counts via a NaN->int64 cast."""
+    import pyarrow as pa
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["the cat", None, ""])})
+    ts = ops.token_stats(_ds(tbl, ray_session)).to_pandas().set_index("doc_id")
+    assert ts.loc[1, "n_tokens"] == 2
+    assert ts.loc[2, "n_tokens"] == 1 and ts.loc[3, "n_tokens"] == 1  # [''] token
+    assert (ts["n_tokens"] > 0).all()
+    q = ops.quality_scores(_ds(tbl, ray_session)).to_pandas().set_index("doc_id")
+    assert q.loc[2].equals(q.loc[3])
+    assert float(q.loc[2, "quality"]) > 0

@@ -180,3 +180,29 @@ def test_scored_terms_limit_cap(corpus):
     for (gk, gs), (ek, es) in zip(got, exp):
         assert gk == ek
         assert abs(gs - es) < 1e-6
+
+
+def test_ngram_similarity_duplicate_terms(corpus):
+    """Regression (round-2 review): a single occurrence must not satisfy
+    several identical query slots.  Pinned reference semantics: every
+    position maps to the FIRST slot of its term (q.index(t)), so for
+    ('agent','agent') the event sequence contains only index 0 and the
+    LCS can never exceed 1 — ratio caps at 0.5 regardless of tf."""
+    s, oracle = corpus
+    # nothing can reach ratio 0.75 with a duplicated 2-term query
+    got_hi = s.search_local(F.NgramSimilarity("text", ("agent", "agent"), threshold=0.75), k=10_000)
+    assert len(got_hi) == 0
+    # at threshold 0.5 every doc containing 'agent' matches with ratio 0.5
+    got_lo = s.search_local(F.NgramSimilarity("text", ("agent", "agent"), threshold=0.5), k=10_000)
+    single = s.search_local(F.Term("text", "agent"), k=10_000)
+    assert set(zip(got_lo["conv_id"], got_lo["turn_idx"].astype(int))) == set(
+        zip(single["conv_id"], single["turn_idx"].astype(int))
+    )
+    assert (got_lo["score"] - 0.5).abs().max() < 1e-9
+
+
+def test_empty_compounds_match_nothing(corpus):
+    s, oracle = corpus
+    assert len(s.search_local(F.And(()), k=10)) == 0
+    assert oracle.search(F.And(()), k=10).empty
+    assert len(s.search_local(F.Or(()), k=10)) == 0
