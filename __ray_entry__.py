@@ -409,6 +409,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ev.sessionize(_events_ds(sf)).to_pandas()
 
+    def ev_props(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.props_k_stats(_events_ds(sf)).to_pandas()
+
     def _qmat(sf):
         t = pq.read_table(f"{sf}/embeddings.parquet")
         ids = np.asarray(t["vec_id"].to_pylist())
@@ -486,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_stats": ev_type_stats,
         "ev_window_agg": ev_window,
         "ev_sessionize": ev_sessions,
+        "ev_props_k_stats": ev_props,
         "dd_near_dedup": dd_near_dedup,
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
@@ -867,6 +873,18 @@ WITH o AS (
 SELECT user_id, (sid - 1)::BIGINT AS session_id, count(*) AS n_events,
        min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "ev_props_k_stats": """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(coalesce(props, ''), '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type,
+       count(v) AS n_with_key,
+       coalesce(sum(v), 0)::BIGINT AS sum_k,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM x GROUP BY event_type
 """,
         "dd_jaccard_pairs": _sql_jaccard(cap=2000),
         "dd_minhash_pairs": _SQL_JACCARD,

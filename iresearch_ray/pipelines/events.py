@@ -137,6 +137,61 @@ def window_agg(ds, window_secs: int = 600):
 
 
 # ---------------------------------------------------------------------------
+# semi-structured props extraction
+# ---------------------------------------------------------------------------
+
+
+def props_k_stats(ds, key: str = "k"):
+    """Extract integer ``key`` from the JSON ``props`` column with ONE RE2
+    kernel per batch (pc.extract_regex — no per-row json.loads) and
+    aggregate per event_type with the same partial-combine pattern.
+    Rows whose props lack the key are counted separately (n_missing)."""
+    import re as _re
+
+    pattern = rf'"{_re.escape(key)}":\s*(?P<v>-?\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.fill_null(b["props"], ""), pattern)
+        # struct_field propagates the no-match nulls (works on chunked too)
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "v": vals,
+                "miss": pc.cast(pc.is_null(vals), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("v", "count"), ("v", "sum"), ("miss", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["v_count"].cast(pa.int64()),
+                "sum_v": pc.fill_null(g["v_sum"], 0).cast(pa.int64()),
+                "n_missing": g["miss_sum"].cast(pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "n_with_key": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
+                "sum_k": pa.array([int(pc.sum(g["sum_v"]).as_py())], pa.int64()),
+                "n_missing": pa.array([int(pc.sum(g["n_missing"]).as_py())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------
 

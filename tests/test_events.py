@@ -98,3 +98,21 @@ def test_bpe_token_stats(ray_session):
 
     for r in rows:
         assert out.loc[r["doc_id"], "n_bpe_tokens"] == len(re.findall(BPE_PATTERN, r["text"]))
+
+
+def test_props_k_stats(ray_session):
+    import pyarrow as pa
+
+    rows = [
+        {"event_type": "a", "props": '{"k": 5}'},
+        {"event_type": "a", "props": '{"k": -2}'},
+        {"event_type": "a", "props": '{"other": 1}'},
+        {"event_type": "b", "props": None},
+        {"event_type": "b", "props": '{"k": 100}'},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    out = ev.props_k_stats(_ds(tbl, ray_session)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_with_key"] == 2 and out.loc["a", "sum_k"] == 3
+    assert out.loc["a", "n_missing"] == 1
+    assert out.loc["b", "n_with_key"] == 1 and out.loc["b", "sum_k"] == 100
+    assert out.loc["b", "n_missing"] == 1
