@@ -66,8 +66,16 @@ def _searcher(sf_dir: str):
     idx = os.path.join(
         _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "-" + cfg_key, "idx"
     )
-    tbl = documents_as_transcripts(sf_dir)
-    build_index(rd.from_arrow(tbl), idx, cfg=cfg, num_partitions=4, resume=True)
+    # stage the transcript table to parquet so the build source is
+    # FINGERPRINTABLE — in-memory Datasets are never resume-adopted (their
+    # fingerprint is undefined), file sources resume across processes
+    src = os.path.join(os.path.dirname(idx), "transcripts.parquet")
+    if not os.path.exists(src):
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        tmp = src + f".tmp.{os.getpid()}"
+        pq.write_table(documents_as_transcripts(sf_dir), tmp)
+        os.replace(tmp, src)
+    build_index(src, idx, cfg=cfg, num_partitions=4, resume=True)
     s = Searcher(idx)
     _SEARCHERS[sf_dir] = s
     return s

@@ -18,7 +18,7 @@ the caller (driver / bench.py / test fixtures).
 """
 
 __version__ = "0.1.0"
-FORMAT_VERSION = 3  # bump when segment/posting layout changes (invalidates caches)
+FORMAT_VERSION = 4  # bump when segment/posting layout OR naming changes (invalidates caches)
 
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401

@@ -284,7 +284,6 @@ def decode_positions(
     ends = np.cumsum(tfs)
     starts = ends - tfs
     acc = np.cumsum(pdelta)
-    base = np.zeros(pdelta.size, dtype=np.int64)
     # subtract accumulated value at each doc start (positions reset per doc)
     doc_base = np.concatenate(([0], acc[ends[:-1] - 1])) if tfs.size > 1 else np.array([0])
     base = np.repeat(doc_base, tfs)

@@ -61,6 +61,21 @@ def hash_partition(conv_ids, num_partitions: int) -> np.ndarray:
     )
 
 
+def _expand_files(source) -> list[str]:
+    """str | list[str] (files or dirs) → flat sorted parquet file list —
+    the ONE expansion rule shared by build/append/fingerprint/verify so
+    resume fingerprints can never diverge between paths."""
+    out: list[str] = []
+    for s_ in [source] if isinstance(source, str) else list(source):
+        if os.path.isdir(s_):
+            out += [
+                os.path.join(s_, f) for f in sorted(os.listdir(s_)) if f.endswith(".parquet")
+            ]
+        else:
+            out.append(s_)
+    return out
+
+
 def _input_columns(schema_names: list[str], cfg: IndexConfig) -> list[str]:
     wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields, *cfg.numeric_fields, "ts"]
     return [c for c in wanted if c in schema_names]
@@ -70,20 +85,13 @@ def _source_fingerprint(source) -> dict:
     if isinstance(source, str):
         source = [source]
     if isinstance(source, (list, tuple)) and all(isinstance(s, str) for s in source):
-        files: list[list] = []  # json-shaped (lists, not tuples) so the
-        for s in source:        # manifest round-trip compares equal on resume
-            if os.path.isdir(s):
-                for f in sorted(os.listdir(s)):
-                    if f.endswith(".parquet"):
-                        p = os.path.join(s, f)
-                        files.append([p, os.path.getsize(p)])
-            else:
-                files.append([s, os.path.getsize(s)])
-        return {"files": files}
+        # json-shaped (lists, not tuples) so the manifest round-trip
+        # compares equal on resume
+        return {"files": [[f, os.path.getsize(f)] for f in _expand_files(list(source))]}
     return {"files": None}
 
 
-def _num_partitions(source, ds, explicit: int | None) -> int:
+def _num_partitions(ds, explicit: int | None) -> int:
     if explicit:
         return explicit
     try:
@@ -95,14 +103,14 @@ def _num_partitions(source, ds, explicit: int | None) -> int:
     return max(1, math.ceil(nbytes / TARGET_PARTITION_BYTES))
 
 
-def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int):
+def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, fingerprint: dict | None = None):
     def build_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"meta": pa.array([], pa.string())})
         part = int(group["__part"][0].as_py())
         rows = group.drop_columns(["__part"])
         t0 = time.perf_counter()
-        key = segment_content_key(rows)
+        key = segment_content_key(rows, cfg)
         name = f"seg-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
         meta = write_segment(
@@ -112,7 +120,8 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int):
             docs,
             field_stats,
             cfg,
-            lineage={"partition": part, "of_partitions": num_partitions, "rows": rows.num_rows},
+            lineage={"partition": part, "of_partitions": num_partitions,
+                     "rows": rows.num_rows, "input": fingerprint},
             metrics={
                 "build_secs": round(time.perf_counter() - t0, 4),
                 "tokens": field_stats.get(cfg.text_field, {}).get("total_term_freq", 0),
@@ -137,32 +146,33 @@ def build_index(
 
     cfg = cfg or IndexConfig()
     if isinstance(source, (str, list, tuple)):
-        first = source if isinstance(source, str) else source[0]
-        schema = pq.read_schema(first) if first.endswith(".parquet") else None
+        expanded = _expand_files(source)
+        schema = pq.read_schema(expanded[0]) if expanded else None
         cols = _input_columns(schema.names, cfg) if schema is not None else None
         ds = rd.read_parquet(source, columns=cols)
     else:
         ds = source
 
-    P = _num_partitions(source, ds, num_partitions)
+    P = _num_partitions(ds, num_partitions)
     fingerprint = _source_fingerprint(source)
 
     # ----- resume: find completed partitions of a matching prior run -----
     done: dict[int, dict] = {}
-    if resume:
-        prev = load_manifest(index_dir)
-        prior_ok = True
-        if prev is not None:
-            pl = prev.get("lineage", {})
-            prior_ok = (
-                pl.get("input") == fingerprint and pl.get("num_partitions") == P
-            )
+    if resume and fingerprint.get("files") is not None:
+        # adoption requires per-segment provenance: the segment must record
+        # THIS source fingerprint and THIS config in its own lineage/meta —
+        # orphan segments from a crashed run over different data (or a prior
+        # config) are never adopted (round-2 review fix).  In-memory Dataset
+        # sources have no fingerprint ({"files": None}) and are NEVER
+        # resume-adopted — None == None must not alias different data.
+        cfg_json = cfg.to_json()
         for name, meta in completed_segments(index_dir).items():
             lin = meta.get("lineage", {})
             if (
-                prior_ok
-                and lin.get("of_partitions") == P
+                lin.get("of_partitions") == P
                 and isinstance(lin.get("partition"), int)
+                and lin.get("input") == fingerprint
+                and meta.get("config") == cfg_json
             ):
                 done[lin["partition"]] = meta
 
@@ -178,7 +188,7 @@ def build_index(
 
     ds = ds.map_batches(assign, batch_format="pyarrow")
     metas_ds = ds.groupby("__part").map_groups(
-        _build_group_fn(index_dir, cfg, P), batch_format="pyarrow"
+        _build_group_fn(index_dir, cfg, P, fingerprint), batch_format="pyarrow"
     )
     new_metas = [json.loads(r["meta"]) for r in metas_ds.take_all()]
 
@@ -232,14 +242,7 @@ def build_index_direct(
     import ray
 
     cfg = cfg or IndexConfig()
-    if isinstance(source, str):
-        source = [source]
-    files: list[str] = []
-    for s in source:
-        if os.path.isdir(s):
-            files += [os.path.join(s, f) for f in sorted(os.listdir(s)) if f.endswith(".parquet")]
-        else:
-            files.append(s)
+    files = _expand_files(source)
     fingerprint = {"files": [[f, os.path.getsize(f)] for f in files]}
 
     schema = pq.read_schema(files[0])
@@ -254,16 +257,17 @@ def build_index_direct(
 
     done: dict[int, dict] = {}
     if resume:
-        prev = load_manifest(index_dir)
-        prior_ok = prev is None or (
-            prev.get("lineage", {}).get("input") == fingerprint
-            and prev.get("lineage", {}).get("num_partitions") == P
-        )
-        if prior_ok:
-            for name, meta in completed_segments(index_dir).items():
-                lin = meta.get("lineage", {})
-                if lin.get("of_partitions") == P and isinstance(lin.get("partition"), int):
-                    done[lin["partition"]] = meta
+        # per-segment provenance required for adoption (round-2 review fix)
+        cfg_json = cfg.to_json()
+        for name, meta in completed_segments(index_dir).items():
+            lin = meta.get("lineage", {})
+            if (
+                lin.get("of_partitions") == P
+                and isinstance(lin.get("partition"), int)
+                and lin.get("input") == fingerprint
+                and meta.get("config") == cfg_json
+            ):
+                done[lin["partition"]] = meta
     done_parts = np.array(sorted(done), dtype=np.int64)
 
     @ray.remote(num_cpus=1, num_returns=P)
@@ -284,7 +288,7 @@ def build_index_direct(
                 out.append(t.slice(lo, hi - lo))
         return tuple(out) if P > 1 else out[0]
 
-    build = _build_group_fn(index_dir, cfg, P)
+    build = _build_group_fn(index_dir, cfg, P, fingerprint)
 
     @ray.remote(num_cpus=1)
     def build_part(p: int, *shards):
@@ -359,16 +363,7 @@ def append_index(
         raise FileNotFoundError(f"no manifest in {index_dir} — use build_index first")
     cfg = IndexConfig.from_json(manifest["config"])
 
-    if isinstance(source, str):
-        source = [source]
-    files: list[str] = []
-    for s_ in source:
-        if os.path.isdir(s_):
-            files += [
-                os.path.join(s_, f) for f in sorted(os.listdir(s_)) if f.endswith(".parquet")
-            ]
-        else:
-            files.append(s_)
+    files = _expand_files(source)
     fingerprint = {"files": [[f, os.path.getsize(f)] for f in files]}
     batch_key = f"{_zlib.crc32(json.dumps(fingerprint, sort_keys=True).encode()):08x}"
 
@@ -406,7 +401,7 @@ def append_index(
         return tuple(out) if P > 1 else out[0]
 
     def build_batch_part(rows: pa.Table, part: int) -> dict:
-        key = segment_content_key(rows)
+        key = segment_content_key(rows, cfg)
         name = f"seg-b{batch_key}-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
         return write_segment(
@@ -457,8 +452,20 @@ def append_index(
         manifest["config"],
         lineage={
             **manifest.get("lineage", {}),
-            "appended_batches": manifest.get("lineage", {}).get("appended_batches", [])
-            + [{"batch": batch_key, "input": fingerprint, "num_partitions": P}],
+            # re-appending the same batch stays a true no-op: no duplicate
+            # lineage entry either (round-2 review fix)
+            "appended_batches": (
+                manifest.get("lineage", {}).get("appended_batches", [])
+                + (
+                    [{"batch": batch_key, "input": fingerprint, "num_partitions": P}]
+                    if batch_key
+                    not in {
+                        b.get("batch")
+                        for b in manifest.get("lineage", {}).get("appended_batches", [])
+                    }
+                    else []
+                )
+            ),
         },
         metrics={
             "docs_count": sum(
@@ -474,8 +481,6 @@ def verify_text_equality(index_dir: str, source) -> dict:
     (conv_id, turn_idx) ordering — the end-to-end invariant pinned by the
     BASELINE input_hint.  Compares the stored doc-table text of EVERY live
     segment row to the source rows; returns counts and raises on mismatch."""
-    import pyarrow.compute as pc
-
     from iresearch_ray.stages.segment import SegmentReader
     from iresearch_ray.state.manifest import load_manifest, segment_dirs
 
@@ -489,21 +494,10 @@ def verify_text_equality(index_dir: str, source) -> dict:
     if isinstance(source, pa.Table):
         src = source
     else:
-        files = []
-        for s_ in [source] if isinstance(source, str) else source:
-            if os.path.isdir(s_):
-                files += [
-                    os.path.join(s_, f)
-                    for f in sorted(os.listdir(s_))
-                    if f.endswith(".parquet")
-                ]
-            else:
-                files.append(s_)
         src = pa.concat_tables(
             pq.read_table(f, columns=["conv_id", "turn_idx", cfg.text_field])
-            for f in files
+            for f in _expand_files(source)
         )
-    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     expect = {
         (c, t): x
         for c, t, x in zip(
@@ -512,9 +506,15 @@ def verify_text_equality(index_dir: str, source) -> dict:
             src[cfg.text_field].to_pylist(),
         )
     }
+    if len(expect) != src.num_rows:
+        raise AssertionError(
+            f"source has duplicate (conv_id, turn_idx) keys: {src.num_rows - len(expect)}"
+        )
 
     checked = 0
+    seen: set = set()
     mismatches = []
+    dup_keys = []
     for d in segment_dirs(index_dir, manifest):
         r = SegmentReader(d)
         for c, t, x in zip(
@@ -523,11 +523,24 @@ def verify_text_equality(index_dir: str, source) -> dict:
             r.docs[cfg.text_field].to_pylist(),
         ):
             checked += 1
+            if (c, t) in seen:
+                dup_keys.append((c, t))
+            seen.add((c, t))
             if expect.get((c, t)) != x:
                 mismatches.append((c, t))
     if mismatches:
         raise AssertionError(
             f"text mismatch for {len(mismatches)} keys, e.g. {mismatches[:3]}"
+        )
+    if dup_keys:
+        raise AssertionError(
+            f"{len(dup_keys)} duplicate indexed keys, e.g. {dup_keys[:3]}"
+        )
+    if checked != src.num_rows:
+        # missing-doc blindness fix (round-2 review): equality of the rows
+        # that EXIST is not enough — every source row must be indexed
+        raise AssertionError(
+            f"indexed row count {checked} != source rows {src.num_rows}"
         )
     return {"checked": checked, "source_rows": src.num_rows, "equal": True}
 

@@ -305,18 +305,35 @@ def build_segment_tables(
     return terms, docs, field_stats
 
 
-def segment_content_key(rows: pa.Table) -> str:
-    """Deterministic content hash of a partition's doc keys — names the
-    segment dir so retries/resume are idempotent (SURVEY §4.1 retries,
-    §4.3 layout).  crc32 over the sorted (conv_id, turn_idx) key stream."""
-    t = rows.select(["conv_id", "turn_idx"]).sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending")]
-    )
+def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None) -> str:
+    """Deterministic content hash of a partition — names the segment dir so
+    retries/resume are idempotent (SURVEY §4.1 retries, §4.3 layout).
+
+    Hashes EVERY column's values (sorted by the primary key) plus the index
+    config: a resume/retry hit by name therefore guarantees the existing
+    segment was built from identical rows under identical analysis.  (The
+    v1 key hashed only (conv_id, turn_idx), so editing a turn's text or
+    changing the analyzer silently reused stale segments.)  Vectorized:
+    crc32 over the canonical string-cast column buffers, no per-row loop."""
+    import pyarrow.compute as _pc
+
+    t = rows.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     crc = zlib.crc32(str(t.num_rows).encode())
-    conv = t["conv_id"].to_pandas().to_numpy(dtype=object)
-    turn = t["turn_idx"].to_pandas().to_numpy()
-    joined = "\x00".join(f"{c}\x01{i}" for c, i in zip(conv, turn))
-    crc = zlib.crc32(joined.encode(), crc)
+    if cfg is not None:
+        crc = zlib.crc32(json.dumps(cfg.to_json(), sort_keys=True).encode(), crc)
+    for name in sorted(t.column_names):
+        col = t[name]
+        try:
+            col = _pc.cast(col, pa.string())
+        except pa.ArrowNotImplementedError:
+            col = pa.array([str(v) for v in col.to_pylist()], pa.string())
+        col = _pc.fill_null(col, "\x02null")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        crc = zlib.crc32(name.encode(), crc)
+        for buf in col.buffers()[1:]:  # offsets + data fully determine values
+            if buf is not None:
+                crc = zlib.crc32(buf, crc)
     return f"{crc:08x}"
 
 
@@ -361,6 +378,22 @@ def write_segment(
     }
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    # fsync data files + tmp dir BEFORE the publishing rename: the manifest
+    # commit is fsynced, so a committed generation must never reference
+    # segment files whose data could be lost behind it after power loss
+    for fname in ("terms.parquet", "docs.parquet"):
+        fd = os.open(os.path.join(tmp_dir, fname), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    dfd = os.open(tmp_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
     try:
         os.rename(tmp_dir, seg_dir)
@@ -371,6 +404,12 @@ def write_segment(
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        return meta
+    pfd = os.open(os.path.dirname(seg_dir), os.O_RDONLY)
+    try:
+        os.fsync(pfd)  # persist the rename itself
+    finally:
+        os.close(pfd)
     return meta
 
 

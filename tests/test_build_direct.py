@@ -110,3 +110,86 @@ def test_append_index_incremental(corpus, tmp_path, ray_session):
         F.Or((F.Term("text", "agent"), F.Term("text", "error"))), k=30
     )
     assert pre.reset_index(drop=True).equals(post.reset_index(drop=True))
+
+
+def test_resume_never_reuses_stale_content(tmp_path, ray_session):
+    """Regression (round-2 review): the segment content key covers text and
+    config, so editing a turn's text (same keys) or changing the analyzer
+    must rebuild — never silently reuse the old segment."""
+    import pyarrow as pa
+
+    from iresearch_ray import Searcher, build_index
+    from iresearch_ray.query import filters as F
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": 0, "text": "alpha beta", "role": "user", "tool": None}
+        for i in range(20)
+    ]
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(pa.Table.from_pylist(rows)), d, num_partitions=2)
+    assert len(Searcher(d).search_local(F.Term("text", "alpha"), k=50)) == 20
+
+    # same keys, new text — rebuild into the SAME dir with resume on
+    rows2 = [dict(r, text="gamma delta") for r in rows]
+    build_index(rd.from_arrow(pa.Table.from_pylist(rows2)), d, num_partitions=2, resume=True)
+    s = Searcher(d)
+    assert len(s.search_local(F.Term("text", "gamma"), k=50)) == 20
+    assert len(s.search_local(F.Term("text", "alpha"), k=50)) == 0
+
+
+def test_orphan_segments_not_adopted(tmp_path, ray_session):
+    """Regression (round-2 review): segments from a crashed run over
+    DIFFERENT data (no manifest) must not be adopted by a later build."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from iresearch_ray import Searcher, build_index
+    from iresearch_ray.pipelines.build import verify_text_equality
+    from iresearch_ray.query import filters as F
+
+    mk = lambda word: pa.Table.from_pylist(
+        [{"conv_id": f"c{i}", "turn_idx": 0, "text": f"{word} w{i:03d}", "role": "user", "tool": None}
+         for i in range(30)]
+    )
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(mk("first")), d, num_partitions=3)
+    os.remove(os.path.join(d, "manifest.json"))  # simulate crash-before-commit
+
+    tbl_b = mk("second")
+    build_index(rd.from_arrow(tbl_b), d, num_partitions=3)
+    s = Searcher(d)
+    assert len(s.search_local(F.Term("text", "second"), k=100)) == 30
+    assert len(s.search_local(F.Term("text", "first"), k=100)) == 0
+    verify_text_equality(d, tbl_b)  # full-coverage invariant holds
+
+
+def test_verify_text_equality_detects_missing_docs(tmp_path, ray_session):
+    """Regression (round-2 review): the invariant checker must fail when
+    indexed rows != source rows (missing partition), not just on text
+    mismatch of rows that exist."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from iresearch_ray import build_index
+    from iresearch_ray.pipelines.build import verify_text_equality
+
+    tbl = pa.Table.from_pylist(
+        [{"conv_id": f"c{i}", "turn_idx": 0, "text": f"t w{i:03d}", "role": "user", "tool": None}
+         for i in range(30)]
+    )
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tbl), d, num_partitions=3)
+    with open(os.path.join(d, "manifest.json")) as f:
+        man = json.load(f)
+    man["segments"] = man["segments"][:-1]  # drop one segment
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(AssertionError, match="indexed row count"):
+        verify_text_equality(d, tbl)
