@@ -13,7 +13,6 @@ the stored doc rows instead of blob-concat (requires ``store_text=True``).
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +39,28 @@ def _keys_table(keys: pa.Table | list[tuple[str, int]]) -> pa.Table:
     )
 
 
+def _write_tombstone(index_dir: str, t: pa.Table) -> str:
+    """Write a tombstone parquet under a CONTENT name and return it.
+    sha256-derived (not crc32): a 32-bit name collision between two
+    different key sets would silently drop the second delete — the
+    existence check must only ever hit for identical content."""
+    import hashlib
+
+    tdir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    h = hashlib.sha256()
+    h.update(str(t.num_rows).encode())
+    for c, i in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()):
+        h.update(f"{c}\x01{i}\x00".encode())
+    name = f"ts-{h.hexdigest()[:16]}.parquet"
+    path = os.path.join(tdir, name)
+    if not os.path.exists(path):  # idempotent (content name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.rename(tmp, path)
+    return name
+
+
 def delete_keys(index_dir: str, keys: pa.Table | list[tuple[str, int]]) -> dict:
     """Tombstone explicit (conv_id, turn_idx) keys; returns the new manifest."""
     manifest = load_manifest(index_dir)
@@ -48,19 +69,7 @@ def delete_keys(index_dir: str, keys: pa.Table | list[tuple[str, int]]) -> dict:
     t = _keys_table(keys)
     if t.num_rows == 0:
         return manifest
-    tdir = os.path.join(index_dir, "tombstones")
-    os.makedirs(tdir, exist_ok=True)
-    crc = zlib.crc32(
-        "\x00".join(
-            f"{c}\x01{i}" for c, i in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-        ).encode()
-    )
-    name = f"ts-{crc:08x}.parquet"  # content-hash name => idempotent re-delete
-    path = os.path.join(tdir, name)
-    if not os.path.exists(path):  # idempotent (content-hash name)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.rename(tmp, path)
+    name = _write_tombstone(index_dir, t)
     scope = sorted(sm["name"] for sm in manifest["segments"])
     entry = {"file": name, "segments": scope}
     live = [e for e in _entries(manifest)]
@@ -94,16 +103,24 @@ def _entries(manifest: dict) -> list[dict]:
     return out
 
 
-def delete_by_filter(index_dir: str, flt, k: int = 10_000_000) -> dict:
+def delete_by_filter(index_dir: str, flt) -> dict:
     """remove(filter) analog: evaluate the filter against the CURRENT
-    snapshot, tombstone every matching key in one transaction."""
+    snapshot and tombstone EVERY matching key in one transaction — a
+    dedicated match-keys scan (no scoring, no top-k cap: the old k-capped
+    path silently left matches beyond the cap undeleted)."""
     from iresearch_ray.pipelines.search import Searcher
+    from iresearch_ray.query.exec import eval_node
 
     s = Searcher(index_dir)
-    hits = s.search_local(flt, k=k)
-    return delete_keys(
-        index_dir, list(zip(hits["conv_id"].tolist(), hits["turn_idx"].tolist()))
-    )
+    plan = s.prepare(flt).plan
+    keys: list[tuple[str, int]] = []
+    for i, r in enumerate(s._local_readers()):
+        docs, _scores = eval_node(r, plan["root"], plan["scorer"], s._deleted_for(i, r))
+        if docs.size:
+            conv_all, turn_all = r.doc_keys
+            keys += list(zip(conv_all[docs - 1].tolist(),
+                             (int(x) for x in turn_all[docs - 1])))
+    return delete_keys(index_dir, keys)
 
 
 def _count_keys(index_dir: str, names: list[str]) -> int:
@@ -130,11 +147,11 @@ def load_tombstone_keys(
 def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict:
     """Update = delete + re-insert in ONE committed generation (ref:
     index_writer: update is remove(filter)+insert in a single trx).
-    ``rows`` are full replacement turns (transcript schema).  The delete is
+    ``rows`` are full replacement turns (transcript schema), split into
+    ``num_partitions`` replacement segments by hash(conv_id).  The delete is
     scoped to the segments live BEFORE the update, so the freshly-built
     segment's copies stay visible."""
-    import numpy as np
-
+    from iresearch_ray.pipelines.build import hash_partition
     from iresearch_ray.stages.segment import (
         IndexConfig,
         build_segment_tables,
@@ -150,43 +167,47 @@ def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict
 
     # 1) tombstone the replaced keys against the pre-update segments
     keys = _keys_table(rows.select(["conv_id", "turn_idx"]))
-    tdir = os.path.join(index_dir, "tombstones")
-    os.makedirs(tdir, exist_ok=True)
-    crc = zlib.crc32(
-        "\x00".join(
-            f"{c}\x01{i}"
-            for c, i in zip(keys["conv_id"].to_pylist(), keys["turn_idx"].to_pylist())
-        ).encode()
-    )
-    fname = f"ts-{crc:08x}.parquet"
-    path = os.path.join(tdir, fname)
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(keys, tmp)
-        os.rename(tmp, path)
+    fname = _write_tombstone(index_dir, keys)
 
-    # 2) build the replacement segment(s) from the new rows
+    # 2) build the replacement segment(s) from the new rows, split by
+    # hash(conv_id) into num_partitions segments (same rule as the build)
     gen = manifest["generation"] + 1
-    name = f"seg-u{gen:04d}-{segment_content_key(rows)}"
-    terms, docs, field_stats = build_segment_tables(rows, cfg)
-    meta = write_segment(
-        index_dir,
-        name,
-        terms,
-        docs,
-        field_stats,
-        cfg,
-        lineage={"update": True, "rows": rows.num_rows},
-        metrics={},
-    )
+    part = hash_partition(rows["conv_id"].to_pylist(), max(1, num_partitions))
+    metas = []
+    for p_idx in range(max(1, num_partitions)):
+        import numpy as _np
+
+        sel = _np.flatnonzero(part == p_idx)
+        if sel.size == 0:
+            continue
+        sub = rows.take(pa.array(sel))
+        name = f"seg-u{gen:04d}-p{p_idx:03d}-{segment_content_key(sub, cfg)}"
+        terms, docs, field_stats = build_segment_tables(sub, cfg)
+        metas.append(
+            write_segment(
+                index_dir,
+                name,
+                terms,
+                docs,
+                field_stats,
+                cfg,
+                lineage={"update": True, "rows": sub.num_rows,
+                         "partition": p_idx, "of_partitions": max(1, num_partitions)},
+                metrics={},
+            )
+        )
 
     # 3) one atomic commit with both effects
-    live = _entries(manifest) + [{"file": fname, "segments": scope}]
+    entry = {"file": fname, "segments": scope}
+    live = _entries(manifest)
+    if not any(e["file"] == fname and e["segments"] == scope for e in live):
+        live = live + [entry]
     return commit_manifest(
         index_dir,
-        manifest["segments"] + [meta],
+        manifest["segments"] + metas,
         manifest["config"],
-        lineage={**manifest.get("lineage", {}), "last_update": name},
+        lineage={**manifest.get("lineage", {}),
+                 "last_update": [m["name"] for m in metas]},
         metrics=manifest.get("metrics", {}),
         tombstones=sorted(live, key=lambda e: (e["file"], str(e["segments"]))),
     )

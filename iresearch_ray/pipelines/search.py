@@ -137,8 +137,6 @@ class Searcher:
                 "plan": plan,
                 "k": k,
                 "wand": wand,
-                "index_dir": self.index_dir,
-                "tombstones": tombs_json,
             }
             for d in self.seg_dirs
             for qid, plan in plans.items()
@@ -150,6 +148,12 @@ class Searcher:
         ds = rd.from_items(items)
         res = ds.map_batches(
             SegmentSearcher,
+            # tombstones + index_dir ship ONCE via the constructor instead of
+            # being duplicated into every (segment x query) work item
+            fn_constructor_kwargs={
+                "tombstones_json": tombs_json,
+                "index_dir": self.index_dir,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -287,7 +291,12 @@ class QueryPool:
         num_actors = max(1, min(num_actors, max(1, len(seg_dirs))))
         shards = [seg_dirs[i::num_actors] for i in range(num_actors)]
         shards = [sh for sh in shards if sh]
-        tombs = json.dumps(self.searcher.manifest.get("tombstones", []) or [])
+        from iresearch_ray.pipelines.delete import _entries
+
+        # NORMALIZED entries (legacy string tombstones carry implicit global
+        # scope — serializing the raw list dropped their scope and the pool
+        # silently served deleted docs)
+        tombs = json.dumps(_entries(self.searcher.manifest))
         if tombs == "[]":
             tombs = ""
         worker = ray.remote(num_cpus=num_cpus)(_PoolWorker)

@@ -32,12 +32,16 @@ class SegmentSearcher:
     """Actor-pool callable; ``max_cached_segments`` bounds per-actor memory
     (LRU eviction) so a pool can serve an index wider than worker heap."""
 
-    def __init__(self, max_cached_segments: int = 64):
+    def __init__(self, max_cached_segments: int = 64,
+                 tombstones_json: str = "", index_dir: str = ""):
         self._readers: OrderedDict[str, SegmentReader] = OrderedDict()
         self._max = max_cached_segments
         self._plan_cache: dict[str, dict] = {}
         self._tomb_cache: dict[str, set] = {}
         self._mask_cache: dict[tuple, object] = {}
+        # shipped once per actor (constructor) instead of per work item
+        self._tombs_json = tombstones_json or ""
+        self._index_dir = index_dir or ""
 
     def _deleted(self, seg_dir: str, index_dir: str, tombstones_json: str):
         """Per-(segment, tombstone-list) deleted mask, cached per actor.
@@ -104,12 +108,12 @@ class SegmentSearcher:
         idx_dirs = (
             batch["index_dir"].to_pylist()
             if "index_dir" in batch.column_names
-            else [""] * len(seg_dirs)
+            else [self._index_dir] * len(seg_dirs)
         )
         tombs = (
             batch["tombstones"].to_pylist()
             if "tombstones" in batch.column_names
-            else [""] * len(seg_dirs)
+            else [self._tombs_json] * len(seg_dirs)
         )
         for seg_dir, qid, plan_json, k, wand, idx_dir, tj in zip(
             seg_dirs, qids, plans, ks, wands, idx_dirs, tombs

@@ -23,13 +23,36 @@ import os
 import time
 
 
-def _atomic_write_json(path: str, obj: dict) -> None:
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _atomic_write_json(path: str, obj: dict, exclusive: bool = False) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)
+    if exclusive:
+        # publish-once: a concurrent committer racing to the same generation
+        # must FAIL LOUDLY, not silently clobber (single-writer discipline
+        # is the contract; this turns a violation into an error)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"manifest generation conflict: {os.path.basename(path)} already "
+                "committed by a concurrent writer — reload the manifest and retry"
+            ) from None
+        os.unlink(tmp)
+    else:
+        os.rename(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")  # persist the rename itself
 
 
 def load_manifest(index_dir: str) -> dict | None:
@@ -54,7 +77,19 @@ def commit_manifest(
     index_dir/tombstones/) — the document-mask side files (SURVEY §2.3);
     None inherits the previous generation's list."""
     prev = load_manifest(index_dir)
-    gen = (prev["generation"] + 1) if prev else 1
+    # next generation = 1 + max(published pointer, any on-disk generation
+    # file): after a crash between the g-file and the manifest.json pointer
+    # (or a deleted pointer), recovery must not re-claim an existing
+    # generation number — the exclusive create below would refuse it
+    disk_gen = 0
+    if os.path.isdir(index_dir):
+        for f in os.listdir(index_dir):
+            if f.startswith("manifest-g") and f.endswith(".json"):
+                try:
+                    disk_gen = max(disk_gen, int(f[len("manifest-g"):-len(".json")]))
+                except ValueError:
+                    pass
+    gen = max(prev["generation"] if prev else 0, disk_gen) + 1
     if tombstones is None:
         tombstones = (prev or {}).get("tombstones", [])
     manifest = {
@@ -71,7 +106,9 @@ def commit_manifest(
         "metrics": metrics or {},
     }
     os.makedirs(index_dir, exist_ok=True)
-    _atomic_write_json(os.path.join(index_dir, f"manifest-g{gen}.json"), manifest)
+    _atomic_write_json(
+        os.path.join(index_dir, f"manifest-g{gen}.json"), manifest, exclusive=True
+    )
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest
 
@@ -116,4 +153,13 @@ def gc_segments(index_dir: str, manifest: dict) -> list[str]:
         if name not in live:
             shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
             removed.append(name)
+    # stale per-generation stats caches go with their generations
+    # (not counted in the returned segment list)
+    gen = manifest.get("generation")
+    for f in os.listdir(index_dir):
+        if f.startswith("stats-g") and f.endswith(".parquet") and f != f"stats-g{gen}.parquet":
+            try:
+                os.unlink(os.path.join(index_dir, f))
+            except OSError:
+                pass
     return removed

@@ -30,7 +30,23 @@ from iresearch_ray.state.manifest import segment_dirs
 RAY_MERGE_THRESHOLD = 64  # above this many segments, merge dictionaries via Ray
 
 _STATS_COLS = ["field", "term", "df", "cf", "max_tf", "min_dl"]
-_cache: dict[tuple[str, int], "GlobalStats"] = {}
+_STATS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("min_dl", pa.int64()),
+    ]
+)
+# bounded per-process LRU: long-lived serving processes open a new Searcher
+# per committed generation; unbounded caching leaked one term dictionary
+# per consolidation forever
+_CACHE_MAX = 8
+import collections as _collections
+
+_cache: "_collections.OrderedDict[tuple[str, int], GlobalStats]" = _collections.OrderedDict()
 
 
 class GlobalStats:
@@ -75,6 +91,8 @@ class GlobalStats:
 
 
 def _merge_term_tables(tables: list[pa.Table]) -> pa.Table:
+    if not tables:
+        return _STATS_SCHEMA.empty_table()
     merged = pa.concat_tables(tables)
     if merged.num_rows == 0:
         return merged
@@ -120,6 +138,7 @@ def build_global_stats(index_dir: str, manifest: dict) -> GlobalStats:
     key = (os.path.abspath(index_dir), gen)
     hit = _cache.get(key)
     if hit is not None:
+        _cache.move_to_end(key)
         return hit
 
     field_stats: dict[str, dict] = {}
@@ -150,4 +169,6 @@ def build_global_stats(index_dir: str, manifest: dict) -> GlobalStats:
 
     stats = GlobalStats(field_stats, term_table)
     _cache[key] = stats
+    while len(_cache) > _CACHE_MAX:
+        _cache.popitem(last=False)
     return stats
