@@ -189,7 +189,17 @@ def build_segment_tables(
 
     ``rows`` must contain conv_id, turn_idx and the configured fields; they
     are sorted by (conv_id, turn_idx) here for stable dense doc ids 1..n.
+    Key columns are normalized to the pinned transcript types (conv_id
+    string, turn_idx int32) so every segment of an index shares one doc
+    schema — mixed-width keys from ad-hoc update batches would otherwise
+    break cross-segment result concat.
     """
+    i = rows.schema.get_field_index("turn_idx")
+    if rows.schema.field(i).type != pa.int32():
+        rows = rows.set_column(i, "turn_idx", rows["turn_idx"].cast(pa.int32()))
+    i = rows.schema.get_field_index("conv_id")
+    if rows.schema.field(i).type != pa.string():
+        rows = rows.set_column(i, "conv_id", rows["conv_id"].cast(pa.string()))
     rows = rows.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     n = rows.num_rows
     doc_ids = np.arange(1, n + 1, dtype=np.int64)
