@@ -72,8 +72,6 @@ def highlights(
     (conv_id, turn_idx, score, text, spans) where spans = [(start, end), …]
     for every token matching a query term of ``field``.  Requires the index
     to be built with store_text=True."""
-    import pyarrow.compute as pc
-
     import numpy as np
 
     plan = searcher.prepare(flt, scorer).plan
@@ -82,8 +80,13 @@ def highlights(
     texts: list[str | None] = []
     spans: list[list[tuple[int, int]]] = []
     readers = searcher._local_readers()
-    if readers and any("text" not in r.docs.column_names for r in readers):
-        raise ValueError("highlights() needs an index built with store_text=True")
+    # the stored column carries the configured text field's name
+    stored_col = field
+    if readers and any(stored_col not in r.docs.column_names for r in readers):
+        raise ValueError(
+            f"highlights() needs the index built with store_text=True "
+            f"(stored column {stored_col!r} missing)"
+        )
     def _key_view(r):
         # cached (perm, sorted conv, sorted turn): concat-merged segments
         # are NOT globally key-sorted, so binary search needs the lexsort
@@ -106,7 +109,7 @@ def highlights(
                 continue
             j = lo + int(np.searchsorted(st[lo:hi], row.turn_idx))
             if j < hi and st[j] == row.turn_idx:
-                text = r.docs["text"][int(perm[j])].as_py()
+                text = r.docs[stored_col][int(perm[j])].as_py()
                 break
         texts.append(text)
         spans.append(highlight_text(text, terms))

@@ -38,6 +38,10 @@ SESSION_GAP_US = 30 * 60 * US  # pinned: a >30 min gap starts a new session
 def _epoch_us(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # fail fast: a null ts would silently become float64 NaN (breaking
+        # the int64 epoch contract, NaN window groups, and merged sessions)
+        raise ValueError("events.ts contains nulls — filter them before temporal ops")
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
@@ -54,7 +58,9 @@ def _partial_type_stats(b: pa.Table) -> pa.Table:
         {
             "event_type": g["event_type"],
             "n": g["value_count"].cast(pa.int64()),
-            "sum_value": g["value_sum"],
+            # all-null partials sum to null — pin 0 so finish() never
+            # float()s a None (counts track non-null values)
+            "sum_value": pc.fill_null(g["value_sum"], 0.0),
         }
     )
 
@@ -65,13 +71,14 @@ def event_type_stats(ds):
 
     def finish(g: pa.Table) -> pa.Table:
         n = int(pc.sum(g["n"]).as_py())
-        s = float(pc.sum(g["sum_value"]).as_py())
+        s = float(pc.sum(g["sum_value"]).as_py() or 0.0)
+        avg = s / n if n else 0.0
         return pa.table(
             {
                 "event_type": g["event_type"].slice(0, 1),
                 "n_events": pa.array([n], pa.int64()),
                 "sum_value": pa.array([float(round_half_away(s, 4))], pa.float64()),
-                "avg_value": pa.array([float(round_half_away(s / n, 4))], pa.float64()),
+                "avg_value": pa.array([float(round_half_away(avg, 4))], pa.float64()),
             }
         )
 
@@ -113,13 +120,13 @@ def window_agg(ds, window_secs: int = 600):
                 "window_start_us": g["window_start_us"],
                 "event_type": g["event_type"],
                 "n": g["value_count"].cast(pa.int64()),
-                "sum_value": g["value_sum"],
+                "sum_value": pc.fill_null(g["value_sum"], 0.0),
             }
         )
 
     def finish(g: pa.Table) -> pa.Table:
         n = int(pc.sum(g["n"]).as_py())
-        s = float(pc.sum(g["sum_value"]).as_py())
+        s = float(pc.sum(g["sum_value"]).as_py() or 0.0)
         return pa.table(
             {
                 "window_start_us": g["window_start_us"].slice(0, 1),

@@ -76,6 +76,17 @@ class BruteForceOracle:
         s = self.scorer
         if s.name == "tfidf":
             return math.sqrt(tf) / math.sqrt(dl)
+        if s.name != "bm25":
+            import numpy as _np
+
+            from iresearch_ray.functions.score import SCORERS
+
+            return float(
+                SCORERS[s.name]["tf_factor"](
+                    _np.array([float(tf)]), _np.array([float(dl)]),
+                    self._cur_avg, s.k1, s.b,
+                )[0]
+            )
         return (tf * (s.k1 + 1.0)) / (tf + s.k1 * (1.0 - s.b + s.b * dl / self._cur_avg))
 
     def _term_scores(self, field: str, term: str, boost: float) -> dict[int, float]:
@@ -124,6 +135,52 @@ class BruteForceOracle:
             return self._union(legs, 1)
         if isinstance(flt, F.Phrase):
             return self._phrase(flt, boost), {}
+        if isinstance(flt, F.GranularRange):
+            col = self.docs[flt.field]
+            lo = float("-inf") if flt.low is None else flt.low + (0 if flt.include_low else 1)
+            hi = float("inf") if flt.high is None else flt.high - (0 if flt.include_high else 1)
+            out = {
+                i: boost
+                for i, v in enumerate(col)
+                if v is not None and not pd.isna(v) and lo <= v <= hi
+            }
+            return out, {d: 1 for d in out}
+        if isinstance(flt, F.SamePosition):
+            f = self.fields[flt.field]
+            self._cur_avg = f["avg_dl"]
+            w = boost * sum(self._idf(flt.field, t) for t in flt.terms)
+            out = {}
+            # one token per position (word fields): distinct terms can never
+            # share a position, so the filter degenerates to "all terms
+            # identical" with tf = that term's occurrence count — exactly
+            # the engine's key-intersection result on these fields
+            for i, toks in enumerate(f["tokens"]):
+                tf = toks.count(flt.terms[0]) if len(set(flt.terms)) == 1 else 0
+                if tf:
+                    out[i] = w * self._tf_factor(tf, f["dls"][i])
+            return out, {}
+        if isinstance(flt, F.NgramSimilarity):
+            f = self.fields[flt.field]
+            n = len(flt.terms)
+            first_idx = {}
+            for j, t in enumerate(flt.terms):
+                first_idx.setdefault(t, j)
+            out = {}
+            for i, toks in enumerate(f["tokens"]):
+                seq = [first_idx[t] for t in toks if t in first_idx]
+                # LCS(query 0..n-1, seq) — classic DP
+                prev = [0] * (n + 1)
+                for x in seq:
+                    cur = prev[:]
+                    for q in range(1, n + 1):
+                        if x == q - 1:
+                            cur[q] = max(cur[q], prev[q - 1] + 1)
+                        cur[q] = max(cur[q], cur[q - 1], prev[q])
+                    prev = cur
+                ratio = prev[n] / n
+                if ratio >= flt.threshold:
+                    out[i] = boost * ratio
+            return out, {}
         if isinstance(flt, F.And):
             if not flt.children:
                 return {}, {}  # empty conjunction matches nothing (pinned)
@@ -217,7 +274,11 @@ class BruteForceOracle:
             return [part]
         if isinstance(part, F.Term):
             return [part.term]
-        return self._expand(part)
+        # expansion is against the PHRASE's field (engine semantics:
+        # expand_phrase_part ignores the part's own field attribute)
+        import dataclasses
+
+        return self._expand(dataclasses.replace(part, field=field))
 
     def _phrase(self, flt: F.Phrase, boost: float) -> dict[int, float]:
         if not flt.terms:

@@ -73,11 +73,15 @@ class AudioDecode:
             samples.append(x)
             rates.append(sr)
         flat = np.concatenate(samples) if samples else np.array([], np.float32)
-        offsets = np.concatenate(([0], np.cumsum([len(s) for s in samples]))).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum([len(s) for s in samples]))).astype(np.int64)
         return pa.table(
             {
                 "item_id": batch["item_id"],
-                "samples": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.float32())),
+                # large_list: int64 offsets — a batch of long clips can
+                # exceed 2^31 total samples, which would wrap int32 offsets
+                "samples": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat, pa.float32())
+                ),
                 "sample_rate": pa.array(rates, pa.int32()),
                 "n_samples": pa.array([len(s) for s in samples], pa.int64()),
             }
@@ -108,11 +112,13 @@ class AudioResample:
                 out.append(np.interp(t_new, t_old, x).astype(np.float32))
             rates_out.append(self.target)
         flat = np.concatenate(out) if out else np.array([], np.float32)
-        offsets = np.concatenate(([0], np.cumsum([len(s) for s in out]))).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum([len(s) for s in out]))).astype(np.int64)
         return pa.table(
             {
                 "item_id": batch["item_id"],
-                "samples": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.float32())),
+                "samples": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat, pa.float32())
+                ),
                 "sample_rate": pa.array(rates_out, pa.int32()),
                 "n_samples": pa.array([len(s) for s in out], pa.int64()),
             }

@@ -80,6 +80,10 @@ QUERIES = {
     # scored_terms_limit interacting with min_match (unscored legs count)
     "terms_cap_mm": F.Terms("text", ("agent", "tool", "error", "plan", "step",
                                      "model", "run", "test", "data", "the"), min_match=2),
+    # same-position + in-order ngram similarity (oracle-backed since r2 rev4)
+    "samepos_dup": F.SamePosition("text", ("agent", "agent")),
+    "ngram_sim_3": F.NgramSimilarity("text", ("agent", "tool", "error"), threshold=0.4),
+    "ngram_sim_hi": F.NgramSimilarity("text", ("the", "a", "to"), threshold=0.9),
     # parent/child: conversation-level matches over turn-level filters
     "nested_sum": F.Nested(F.Term("text", "agent")),
     "nested_mm2_max": F.Nested(F.Term("text", "error"), min_match=2, score_merge="max"),
