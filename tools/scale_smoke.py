@@ -1,0 +1,72 @@
+"""10M-turn single-shot scale smoke (results recorded in BASELINE.md).
+
+Generates a ~10M-turn deterministic transcript corpus in parallel (cached
+under /tmp/ire_bench), builds the index with the direct hash-exchange plan,
+runs a FULL epoch compaction (tier repeat=True — deliberately extreme: it
+collapses 128 segments to 1), and serves a warm query.  Owns its Ray
+session.  Usage: python tools/scale_smoke.py
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
+import shutil
+import time
+
+import ray
+
+ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+import pyarrow.parquet as pq
+
+from iresearch_ray.pipelines.build import build_index_direct
+from iresearch_ray.pipelines.consolidate import consolidate
+from iresearch_ray import Searcher
+from iresearch_ray.query import filters as F
+from iresearch_ray.sources.transcripts import gen_transcripts_range
+
+N_CONVS = 1_333_334
+out = f"/tmp/ire_bench/corpus/convs{N_CONVS}"
+marker = os.path.join(out, "_DONE")
+if not os.path.exists(marker):
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    @ray.remote
+    def gen(s, e, p):
+        pq.write_table(gen_transcripts_range(s, e), p)
+        return p
+
+    step = 12_000
+    t0 = time.time()
+    ray.get([
+        gen.remote(s, min(s + step, N_CONVS), os.path.join(out, f"part-{i:05d}.parquet"))
+        for i, s in enumerate(range(0, N_CONVS, step))
+    ])
+    open(marker, "w").write(str(N_CONVS))
+    print("gen secs", round(time.time() - t0, 1))
+
+files = sorted(os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet"))
+turns = sum(pq.read_metadata(f).num_rows for f in files)
+idx = "/tmp/ire_bench/idx_smoke10m"
+shutil.rmtree(idx, ignore_errors=True)
+t0 = time.time()
+m = build_index_direct(files, idx, num_partitions=128, resume=False)
+bsecs = time.time() - t0
+print(f"SMOKE build: {turns} turns in {round(bsecs,1)}s = {round(turns/bsecs,0)} turns/s")
+assert m["metrics"]["docs_count"] == turns
+
+t0 = time.time()
+consolidate(idx, policy="tier", gc=True, repeat=True)
+csecs = time.time() - t0
+print(f"SMOKE consolidate: {round(csecs,1)}s; segments={len(Searcher(idx).seg_dirs)}")
+
+s = Searcher(idx)
+batch = {"hot": F.Term("text", "the"), "phrase": F.Phrase("text", ("the", "a")),
+         "nested": F.Nested(F.Term("text", "error"), min_match=2)}
+s.search_pooled(batch, k=10)  # warm
+t0 = time.time()
+r = s.search_pooled({"hot2": F.Term("text", "agent")}, k=10)
+print(f"SMOKE warm query: {round((time.time()-t0)*1e3,1)} ms, rows {len(r)}")
+s.close()
+ray.shutdown()
