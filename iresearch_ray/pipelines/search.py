@@ -169,7 +169,7 @@ class Searcher:
         k: int = 10,
         wand: bool = True,
         scorer: ScorerCfg | None = None,
-        num_actors: int = 4,
+        num_actors: int = 8,
     ) -> pd.DataFrame:
         """Same results as ``search_ray`` but through a LAZILY-CREATED,
         CACHED QueryPool: repeat callers pay one RPC round instead of a
@@ -280,7 +280,7 @@ class QueryPool:
     def __init__(
         self,
         index_dir: str,
-        num_actors: int = 4,
+        num_actors: int = 8,
         num_cpus: float = 1,
         searcher: "Searcher | None" = None,
     ):
@@ -288,7 +288,13 @@ class QueryPool:
 
         self.searcher = searcher if searcher is not None else Searcher(index_dir)
         seg_dirs = self.searcher.seg_dirs
-        num_actors = max(1, min(num_actors, max(1, len(seg_dirs))))
+        # cap by schedulable CPUs: requesting more num_cpus=1 actors than the
+        # cluster has would deadlock the first ray.get on small clusters
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", num_actors))
+        except Exception:
+            cluster_cpus = num_actors
+        num_actors = max(1, min(num_actors, max(1, len(seg_dirs)), max(1, cluster_cpus)))
         shards = [seg_dirs[i::num_actors] for i in range(num_actors)]
         shards = [sh for sh in shards if sh]
         from iresearch_ray.pipelines.delete import _entries
