@@ -7,17 +7,21 @@ etc.).  Each stage is an actor-pool ``map_batches`` class: expensive setup
 transforms one Arrow batch.  Use small ``batch_size`` for large payloads so
 batch × concurrency fits the worker heap (task brief "memory-aware").
 
-The sandbox has no image/audio libraries, so REAL decoding is stubbed:
+Decoders, by honesty level:
 
-* ``decoder="fake"`` (default) — a clearly-marked DETERMINISTIC FAKE that
-  derives pixel/sample arrays from an md5 stream over the payload bytes.
+* ``decoder="ppm"`` (images) / ``"ppm_stream"`` (video) — REAL decodes with
+  zero external libraries: binary PPM (P6) header parse + frombuffer, and a
+  concatenated-P6 video container for frame sampling.  Round-trip tested
+  against genuine bytes.  (Audio is likewise fully real — stages/audio.py.)
+* ``decoder="fake"`` (default for compressed formats) — a clearly-marked
+  DETERMINISTIC FAKE deriving pixels from an md5 stream over the payload.
   Output shapes/dtypes are exactly what a real decoder would produce, so
   every downstream stage (resize, feature extract, frame sample) and all
   Ray plumbing (schema, fixed-size-list layout, actor signature) is real
   and tested.
 * ``decoder="pil"`` / ``"libav"`` — raise ``NotImplementedError`` unless the
   library import succeeds (it won't in this container) — the seam where a
-  real deployment plugs in Pillow / PyAV.
+  real deployment plugs in Pillow / PyAV for JPEG/PNG/mp4.
 
 Suggested usage::
 
@@ -53,6 +57,63 @@ VIDEO_SCHEMA = pa.schema(
 )
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes — a REAL image container
+    writable/parsable with zero external libraries."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → (h, w, 3) uint8 — a REAL decode: header
+    parse (whitespace/comment-tolerant) + one frombuffer.  Raises on
+    malformed input.  Returns the pixels; trailing bytes (e.g. the next
+    frame of a concatenated-PPM stream) are ignored by the caller contract
+    via decode_ppm_stream."""
+    px, _end = _decode_ppm_at(payload, 0)
+    return px
+
+
+def _decode_ppm_at(buf: bytes, off: int) -> tuple[np.ndarray, int]:
+    if buf[off : off + 2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = off + 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    n = w * h * 3
+    data = buf[pos : pos + n]
+    if len(data) != n:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3), pos + n
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated-PPM video container (the pinned raw 'video' format):
+    back-to-back P6 frames → list of (h, w, 3) uint8 frames.  Real
+    container parsing, zero external libraries."""
+    frames: list[np.ndarray] = []
+    off = 0
+    while off < len(payload):
+        px, off = _decode_ppm_at(payload, off)
+        frames.append(px)
+    return frames
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
     """DETERMINISTIC FAKE decode: md5-keyed byte stream shaped (h, w, c).
     NOT a real image decode — stands in for PIL.Image.open in this
@@ -80,9 +141,10 @@ class ImageDecode:
                 self._pil = Image
             except ImportError as e:  # pragma: no cover - no PIL in container
                 raise NotImplementedError(
-                    "real image decode needs Pillow; use decoder='fake' here"
+                    "real image decode needs Pillow; use decoder='fake' or "
+                    "'ppm' (real, dependency-free) here"
                 ) from e
-        elif decoder != "fake":
+        elif decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -90,6 +152,14 @@ class ImageDecode:
         for payload in batch["payload"].to_pylist():
             if self.decoder == "fake":
                 px = _fake_pixels(payload or b"", self.h, self.w)
+            elif self.decoder == "ppm":
+                # REAL decode (P6 container); dimensions come from the
+                # header and must match the declared tensor shape
+                px = decode_ppm(payload or b"")
+                if px.shape != (self.h, self.w, 3):
+                    raise ValueError(
+                        f"PPM is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                    )
             else:  # pragma: no cover
                 raise NotImplementedError
             pixels.append(px.ravel())
@@ -162,17 +232,33 @@ class ImageFeatures:
 
 class FrameSample:
     """Video payload → every k-th frame as an image-shaped row (flat_map
-    style: output rows ≠ input rows).  Frames come from the fake decoder;
-    a real deployment swaps in PyAV keyframe extraction."""
+    style: output rows ≠ input rows).  ``decoder="ppm_stream"`` REALLY
+    parses the pinned concatenated-PPM container (back-to-back P6 frames,
+    zero external libs); ``"fake"`` keeps the deterministic stand-in; a
+    real deployment swaps in PyAV keyframe extraction for mp4/webm."""
 
-    def __init__(self, every: int = 10, height: int = 8, width: int = 8):
+    def __init__(self, every: int = 10, height: int = 8, width: int = 8,
+                 decoder: str = "fake"):
         self.every = every
         self.h, self.w = height, width
+        if decoder not in ("fake", "ppm_stream"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, fidx = [], [], []
         for i in range(batch.num_rows):
             payload = batch["payload"][i].as_py() or b""
+            if self.decoder == "ppm_stream":
+                all_frames = decode_ppm_stream(payload)
+                for f in range(0, len(all_frames), self.every):
+                    px = all_frames[f]
+                    if px.shape != (self.h, self.w, 3):
+                        raise ValueError("frame shape mismatch")
+                    ids.append(batch["item_id"][i].as_py())
+                    fidx.append(f)
+                    frames.append(px.ravel())
+                continue
             n_frames = int(batch["n_frames"][i].as_py())
             for f in range(0, n_frames, self.every):
                 # frame f = fake-decode of payload salted with the frame index
@@ -193,6 +279,48 @@ class FrameSample:
                 "width": pa.array([self.w] * len(ids), pa.int32()),
             }
         )
+
+
+def synth_ppm_table(n: int, h: int = 8, w: int = 8, seed: int = 42) -> tuple:
+    """REAL-PPM image corpus: payload = genuine P6 bytes of seeded pixels."""
+    rng = np.random.default_rng(seed)
+    payloads, pix = [], []
+    for _ in range(n):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pix.append(px)
+        payloads.append(encode_ppm(px))
+    t = pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+        }
+    )
+    return t, pix
+
+
+def synth_ppm_video_table(n: int, n_frames: int = 12, h: int = 8, w: int = 8, seed: int = 9) -> pa.Table:
+    """REAL concatenated-PPM video corpus."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for _ in range(n):
+        payloads.append(
+            b"".join(
+                encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+                for _ in range(n_frames)
+            )
+        )
+    return pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-ppm-stream"] * n, pa.string()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array([10.0] * n, pa.float32()),
+        }
+    )
 
 
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
