@@ -57,7 +57,21 @@ def _write_tombstone(index_dir: str, t: pa.Table) -> str:
     if not os.path.exists(path):  # idempotent (content name)
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(t, tmp)
+        # fsync file + dir before/after the publishing rename: the manifest
+        # commit is fsynced, so a committed generation must never reference
+        # a tombstone whose contents could be lost behind it on power loss
+        # (same durability contract as write_segment / _atomic_write_json)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.rename(tmp, path)
+        dfd = os.open(tdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     return name
 
 
@@ -115,7 +129,13 @@ def delete_by_filter(index_dir: str, flt) -> dict:
     plan = s.prepare(flt).plan
     keys: list[tuple[str, int]] = []
     for i, r in enumerate(s._local_readers()):
-        docs, _scores = eval_node(r, plan["root"], plan["scorer"], s._deleted_for(i, r))
+        dmask = s._deleted_for(i, r)
+        docs, _scores = eval_node(r, plan["root"], plan["scorer"], dmask)
+        # eval_node only honors the mask for Nested — drop already-tombstoned
+        # matches here so tombstone files stop accumulating dead keys
+        # (output was unchanged either way; this enforces the masking intent)
+        if dmask is not None and docs.size:
+            docs = docs[~dmask[docs - 1]]
         if docs.size:
             conv_all, turn_all = r.doc_keys
             keys += list(zip(conv_all[docs - 1].tolist(),

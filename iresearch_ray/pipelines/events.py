@@ -51,8 +51,11 @@ def _epoch_us(col) -> np.ndarray:
 
 
 def _partial_type_stats(b: pa.Table) -> pa.Table:
+    # count mode="all": n_events must be count(*) like the DuckDB oracle —
+    # the default "only_valid" would drop null-value events from the count
+    # (and from the avg denominator)
     g = pa.TableGroupBy(b.select(["event_type", "value"]), "event_type").aggregate(
-        [("value", "count"), ("value", "sum")]
+        [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
     )
     return pa.table(
         {
@@ -112,8 +115,9 @@ def window_agg(ds, window_secs: int = 600):
                 "value": b["value"],
             }
         )
+        # count(*) semantics (mode="all") to match the oracle on null values
         g = pa.TableGroupBy(t, ["window_start_us", "event_type"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
         )
         return pa.table(
             {
