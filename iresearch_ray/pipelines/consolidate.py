@@ -52,10 +52,15 @@ def consolidate(
                 keys = load_tombstone_keys(index_dir, manifest, for_segment=sm["name"])
                 sm["live_docs"] = sm["docs_count"]
                 if keys:
-                    d = os.path.join(index_dir, "segments", sm["name"], "docs.parquet")
-                    t = _pq.read_table(d, columns=["conv_id", "turn_idx"])
-                    pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-                    sm["live_docs"] = sm["docs_count"] - sum(p in keys for p in pairs)
+                    from iresearch_ray.stages.segment import docs_paths
+
+                    d = os.path.join(index_dir, "segments", sm["name"])
+                    dead = 0
+                    for p in docs_paths(d):
+                        t = _pq.read_table(p, columns=["conv_id", "turn_idx"])
+                        pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+                        dead += sum(pr in keys for pr in pairs)
+                    sm["live_docs"] = sm["docs_count"] - dead
         sets = pick(segs, **(policy_kwargs or {}))
         # singleton sets are meaningful ONLY as purge rewrites (deletion
         # pressure); a 1-segment merge with nothing to purge is a no-op and,

@@ -10,6 +10,14 @@ A segment is an immutable directory of Arrow/Parquet artifacts (SURVEY §1.2):
                       ts, dl (+ text when cfg.store_text)
       meta.json       name, docs_count, per-field stats, lineage, metrics
 
+Either table may instead be a DIRECTORY of ordered part files
+(``terms/part-00000.parquet`` …): the wide shuffle merge writes term-range
+partitions and doc-rank partitions directly from its Ray tasks, so the
+final segment never funnels through one process (SURVEY §3.3/§4.1).
+Parts concatenated in filename order are exactly the single-file table
+(term-sorted / doc-id-sorted); ``terms_paths``/``docs_paths`` are the one
+place that resolves the layout.
+
 Doc ids are segment-local, dense, starting at 1 (ref: type_limits.hpp
 doc_limits::min()==1).  Rows are always sorted by (conv_id, turn_idx) before
 id assignment — the primary-sort invariant (SURVEY §2.3 "primary-sort build")
@@ -347,6 +355,84 @@ def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None) -> str
     return f"{crc:08x}"
 
 
+def terms_paths(seg_dir: str) -> list[str]:
+    """Ordered parquet paths of the segment's terms table — a single
+    ``terms.parquet`` or the ``terms/part-*.parquet`` range partitions
+    (concat in this order = the term-sorted table)."""
+    p = os.path.join(seg_dir, "terms.parquet")
+    if os.path.exists(p):
+        return [p]
+    d = os.path.join(seg_dir, "terms")
+    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def docs_paths(seg_dir: str) -> list[str]:
+    """Ordered parquet paths of the segment's docs table (single file or
+    rank partitions; concat in this order = the doc-id-sorted table)."""
+    p = os.path.join(seg_dir, "docs.parquet")
+    if os.path.exists(p):
+        return [p]
+    d = os.path.join(seg_dir, "docs")
+    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def publish_segment_dir(
+    index_dir: str,
+    name: str,
+    tmp_dir: str,
+    meta: dict,
+    fsync_data: bool = True,
+) -> dict:
+    """Atomically publish a fully-written tmp segment dir: write+fsync
+    meta.json, fsync data files/dirs, rename into ``segments/`` and fsync
+    the parent (the two-phase-commit analog at segment granularity,
+    SURVEY §2.3).  ``fsync_data=False`` when the writers (e.g. distributed
+    merge tasks) already fsynced their own part files — only the
+    directories are synced then.  Concurrent-retry safe: losing the rename
+    to an identical-content winner is a success."""
+    seg_dir = os.path.join(index_dir, "segments", name)
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    # fsync BEFORE the publishing rename: the manifest commit is fsynced, so
+    # a committed generation must never reference segment files whose data
+    # could be lost behind it after power loss
+    for root, dirs, files in os.walk(tmp_dir):
+        if fsync_data:
+            for fname in files:
+                if fname != "meta.json":
+                    _fsync_path(os.path.join(root, fname))
+        for dname in dirs:
+            _fsync_path(os.path.join(root, dname))
+    _fsync_path(tmp_dir)
+    os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        if not os.path.exists(os.path.join(seg_dir, "meta.json")):
+            raise
+        # concurrent retry won the rename — identical content, drop ours
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return meta
+    pfd = os.open(os.path.dirname(seg_dir), os.O_RDONLY)
+    try:
+        os.fsync(pfd)  # persist the rename itself
+    finally:
+        os.close(pfd)
+    return meta
+
+
 def write_segment(
     index_dir: str,
     name: str,
@@ -357,8 +443,7 @@ def write_segment(
     lineage: dict | None = None,
     metrics: dict | None = None,
 ) -> dict:
-    """Write a segment dir atomically (tmp + rename — the two-phase-commit
-    analog at segment granularity, SURVEY §2.3) and return its meta entry."""
+    """Write a single-file segment dir atomically and return its meta entry."""
     seg_dir = os.path.join(index_dir, "segments", name)
     if os.path.isdir(seg_dir) and os.path.exists(os.path.join(seg_dir, "meta.json")):
         with open(os.path.join(seg_dir, "meta.json")) as f:
@@ -386,41 +471,7 @@ def write_segment(
         "lineage": lineage or {},
         "metrics": metrics or {},
     }
-    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    # fsync data files + tmp dir BEFORE the publishing rename: the manifest
-    # commit is fsynced, so a committed generation must never reference
-    # segment files whose data could be lost behind it after power loss
-    for fname in ("terms.parquet", "docs.parquet"):
-        fd = os.open(os.path.join(tmp_dir, fname), os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-    dfd = os.open(tmp_dir, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
-    os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
-    try:
-        os.rename(tmp_dir, seg_dir)
-    except OSError:
-        if not os.path.exists(os.path.join(seg_dir, "meta.json")):
-            raise
-        # concurrent retry won the rename — identical content, drop ours
-        import shutil
-
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        return meta
-    pfd = os.open(os.path.dirname(seg_dir), os.O_RDONLY)
-    try:
-        os.fsync(pfd)  # persist the rename itself
-    finally:
-        os.close(pfd)
-    return meta
+    return publish_segment_dir(index_dir, name, tmp_dir, meta)
 
 
 class SegmentReader:
@@ -511,18 +562,20 @@ class SegmentReader:
         if self._terms is None:
             # memory_map: decompressed columns still allocate, but the raw
             # parquet pages come off the page cache without a user-space copy
-            # (the mmap_directory analog — SURVEY §2.2)
-            self._terms = pq.read_table(
-                os.path.join(self.seg_dir, "terms.parquet"), memory_map=True
-            )
+            # (the mmap_directory analog — SURVEY §2.2).  Multi-part layout
+            # (range-partitioned shuffle-merge output) concats in part order,
+            # which IS the global (field, term) order.
+            paths = terms_paths(self.seg_dir)
+            tables = [pq.read_table(p, memory_map=True) for p in paths]
+            self._terms = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         return self._terms
 
     @property
     def docs(self) -> pa.Table:
         if self._docs is None:
-            self._docs = pq.read_table(
-                os.path.join(self.seg_dir, "docs.parquet"), memory_map=True
-            )
+            paths = docs_paths(self.seg_dir)
+            tables = [pq.read_table(p, memory_map=True) for p in paths]
+            self._docs = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         return self._docs
 
     def field_terms(self, field_name: str) -> tuple[np.ndarray, np.ndarray]:

@@ -6,35 +6,54 @@ and term-frequency-aware partitioning").
 for tier-policy sets of ≤10 segments.  When a consolidation spans MANY
 segments (wide rebuilds, epoch compactions of 100s of shards), a single
 task would pull every dictionary+blob; this module instead SHUFFLES the
-term rows:
+term rows AND writes the merged segment distributed — the driver never
+holds a corpus-sized table (round-2 review: the old path materialized the
+entire merged terms+docs on the driver; now stage-2 tasks write
+term-range parquet partitions and per-source tasks write doc-rank
+partitions, the driver finalizes metadata only):
 
-  stage 0 (narrow): read every candidate's ``terms.parquet`` with
+  stage 0 (narrow): read every candidate's term parts with
       ``include_paths`` → attach the segment's doc-id offset + rank
-      (global doc order = sorted segment-name order, SURVEY §2.3).
-  stage 1 (groupby field, term, salt): Zipf-hot terms are split by
+      (global doc order = sorted segment-name order, SURVEY §2.3) + a
+      TERM-RANGE shard id from sampled (field, term) quantile boundaries.
+  stage 1 (groupby shard, salt): Zipf-hot terms are split by
       ``salt = rank // ceil(n/num_salts)``; RANGE salting keeps each salt
       group a contiguous run of segments, so partial posting blobs stay
-      globally ordered.  Each group blob-concats its members (doc ids
-      rebased to global by the offset map — deltas inside blocks survive
-      because every doc in a segment shifts equally).
+      globally ordered.  The group UDF runs ONCE PER SHARD (thousands of
+      terms), sorts by (field, term, rank) and splices equal-(field, term)
+      runs — not once per term (the singleton-group dispatch hot spot the
+      round-2 review flagged; same coarse-shard pattern as dataops pair
+      emission).  Blob concat rebases doc ids to global via the offset map
+      (deltas inside blocks survive because every doc in a segment shifts
+      equally).
 
       Hotness is decided ONCE per (field, term) from a parallel pre-pass
       (column-pruned + predicate-pushdown reads of every candidate's
       ``df`` column): a term is hot iff its df reaches ``hot_df_threshold``
       in ANY candidate segment.  A per-row (per-segment-df) decision would
       split a mixed-hotness term into a salted group PLUS a cold salt=-1
-      group whose segment ranks interleave with the salted ranges — stage 2
-      orders partials by first rank only, so the merged postings would come
-      out doc-id-unsorted (breaking Not, WAND skips and phrase membership).
-      The global pre-pass keeps every stage-1 group a contiguous rank range.
-  stage 2 (groupby field, term): ≤ num_salts partials per term merge in
-      rank order into the final row.  Cold terms take this path directly
-      (salt = -1 → singleton stage-1 groups).
+      group whose segment ranks interleave with the salted ranges — the
+      final merge orders partials by first rank only, so the merged
+      postings would come out doc-id-unsorted (breaking Not, WAND skips
+      and phrase membership).  The global pre-pass keeps every stage-1
+      group a contiguous rank range.
+  stage 2 (groupby shard): ≤ num_salts partials per term merge in rank
+      order, then the task WRITES its shard's term-range part file
+      (``terms/part-{shard:05d}.parquet``) straight into the tmp segment
+      dir — parts in shard order are exactly the (field, term)-sorted
+      table (range partitioning), so no global concat or sort is ever
+      needed.  Cold terms arrive fully merged (singleton runs).
 
-Doc tables concat in rank order (ids = offset + local), so the merged
-segment is identical to the task-merge output; the equivalence is asserted
-in tests.  Deletes route to the rebuild path (merge_segments) — masked
-drops invalidate blob concat.
+Doc tables are rebased + written as ``docs/part-{rank:05d}.parquet`` by
+one Ray task per source segment (ids = offset + local), so the merged
+segment is identical to the task-merge output when concatenated; the
+equivalence is asserted in tests.  Deletes route to the rebuild path
+(merge_segments) — masked drops invalidate blob concat.
+
+Partitioning assumptions at cluster scale: the segment store is shared
+storage (every task can write the tmp segment dir — true of any real
+multi-node deployment); shard count scales with cluster CPUs so one
+shard's blob volume stays bounded.
 """
 
 from __future__ import annotations
@@ -47,6 +66,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from iresearch_ray.stages.merge import _concat_term_postings
@@ -54,10 +74,76 @@ from iresearch_ray.stages.segment import (
     IndexConfig,
     SegmentReader,
     TERMS_SCHEMA,
-    write_segment,
+    docs_paths,
+    publish_segment_dir,
+    terms_paths,
 )
 
 _BLOB_COLS = [f.name for f in TERMS_SCHEMA]
+_STAGE_SCHEMA = pa.schema(
+    list(TERMS_SCHEMA)
+    + [
+        pa.field("__rank", pa.int64()),
+        pa.field("__off", pa.int64()),
+        pa.field("__salt", pa.int64()),
+        pa.field("__shard", pa.int64()),
+    ]
+)
+_STATS_OUT_SCHEMA = pa.schema(
+    [("shard", pa.int64()), ("terms", pa.int64()), ("bytes", pa.int64())]
+)
+
+
+def _combined_key(field_col, term_col):
+    """field + \\x00 + term — one binary key whose byte order equals the
+    (field, term) tuple order (utf-8 is order-preserving, \\x00 sorts below
+    every utf-8 byte)."""
+    return pc.binary_join_element_wise(field_col, term_col, "\x00")
+
+
+def _atomic_part_write(table: pa.Table, path: str) -> int:
+    """Write + fsync a part file via tmp+rename (task-retry idempotent:
+    the content is deterministic per shard, so a re-run overwrites with
+    identical bytes).  Returns the file size."""
+    tmp = f"{path}.inprog.{os.getpid()}"
+    pq.write_table(table, tmp)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def _merge_runs(group: pa.Table, shard: int) -> list[dict]:
+    """Splice equal-(field, term) runs of a rank-sorted shard table —
+    ONE to_pylist per shard, vectorized run detection, per-run byte
+    splice (the unavoidable work)."""
+    g = group.sort_by(
+        [("field", "ascending"), ("term", "ascending"), ("__rank", "ascending")]
+    )
+    fields = g["field"].to_pandas().to_numpy(dtype=object)
+    terms = g["term"].to_pandas().to_numpy(dtype=object)
+    n = len(fields)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    rows = g.to_pylist()
+    out: list[dict] = []
+    for s, e in zip(starts, ends):
+        parts = [(rows[j], int(rows[j]["__off"])) for j in range(s, e)]
+        merged = _concat_term_postings(parts)
+        merged["field"] = fields[s]
+        merged["term"] = terms[s]
+        merged["__rank"] = rows[s]["__rank"]
+        merged["__off"] = 0  # partial blobs now carry GLOBAL doc ids
+        merged["__salt"] = -1
+        merged["__shard"] = shard
+        out.append(merged)
+    return out
 
 
 def merge_segments_shuffle(
@@ -66,16 +152,26 @@ def merge_segments_shuffle(
     generation: int,
     hot_df_threshold: int = 10_000,
     num_salts: int = 8,
+    num_output_parts: int | None = None,
 ) -> dict:
     """Merge the named segments into one via a term-keyed Ray shuffle with
-    range-salted hot terms.  Same output contract as merge_segments."""
+    range-salted hot terms and a fully distributed segment write.  Same
+    output contract as merge_segments."""
     import ray
     import ray.data as rd
 
     t0 = time.perf_counter()
     seg_names = sorted(seg_names)
+    key = zlib.crc32(("|".join(seg_names) + "|shuffle").encode())
+    name = f"seg-s{generation:04d}-{key:08x}"
+    final_dir = os.path.join(index_dir, "segments", name)
+    if os.path.exists(os.path.join(final_dir, "meta.json")):
+        with open(os.path.join(final_dir, "meta.json")) as f:
+            return json.load(f)  # idempotent retry / resume hit
+
     seg_root = os.path.join(index_dir, "segments")
-    readers = [SegmentReader(os.path.join(seg_root, n)) for n in seg_names]
+    seg_dirs = [os.path.join(seg_root, n) for n in seg_names]
+    readers = [SegmentReader(d) for d in seg_dirs]
     cfg = IndexConfig.from_json(readers[0].meta["config"])
 
     from iresearch_ray.state.manifest import load_manifest
@@ -84,8 +180,8 @@ def merge_segments_shuffle(
     if man.get("tombstones"):
         from iresearch_ray.pipelines.delete import load_tombstone_keys
 
-        for name, r in zip(seg_names, readers):
-            keys = load_tombstone_keys(index_dir, man, for_segment=name)
+        for sname in seg_names:
+            keys = load_tombstone_keys(index_dir, man, for_segment=sname)
             if keys:
                 # masked drops need the rebuild path
                 from iresearch_ray.stages.merge import merge_segments
@@ -95,133 +191,219 @@ def merge_segments_shuffle(
     counts = [r.meta["docs_count"] for r in readers]
     offsets = np.concatenate(([0], np.cumsum(counts)))
     total = int(offsets[-1])
-    rank_of = {
-        os.path.join(seg_root, n, "terms.parquet"): i for i, n in enumerate(seg_names)
-    }
-    off_ref = ray.put({p: int(offsets[i]) for p, i in rank_of.items()})
-    rank_ref = ray.put(rank_of)
+    # every term part path of a segment shares its rank/offset (sources may
+    # themselves be multi-part shuffle-merge outputs)
+    rank_of: dict[str, int] = {}
+    off_of: dict[str, int] = {}
+    paths: list[str] = []
+    for i, d in enumerate(seg_dirs):
+        for p in terms_paths(d):
+            rank_of[p] = i
+            off_of[p] = int(offsets[i])
+            paths.append(p)
     n_segs = len(seg_names)
     run = max(1, math.ceil(n_segs / num_salts))
+    if num_output_parts is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_output_parts = max(4, min(256, ncpu, 2 * n_segs))
 
-    paths = list(rank_of)
-
-    # global hotness pre-pass: (field, term) keys whose df reaches the
-    # threshold in ANY candidate — tiny by Zipf (predicate-pushdown read of
-    # just the df column), one parallel task per candidate segment
+    # ---- parallel pre-passes over the narrow dictionary columns ----------
+    # (a) global hotness: (field, term) keys whose df reaches the threshold
+    #     in ANY candidate — tiny by Zipf (predicate-pushdown df read)
+    # (b) term-range boundaries: strided sample of combined keys → quantile
+    #     boundaries so output shards are balanced by dictionary rows
     @ray.remote(num_cpus=1)
-    def _hot_keys(path: str, thr: int) -> set[tuple[str, str]]:
+    def _prepass(path: str, thr: int) -> tuple[list[str], list[str]]:
         import pyarrow.dataset as pads
 
-        t = pads.dataset(path).to_table(
+        hot_t = pads.dataset(path).to_table(
             columns=["field", "term"], filter=pads.field("df") >= thr
         )
-        return set(zip(t["field"].to_pylist(), t["term"].to_pylist()))
+        hot_keys = _combined_key(hot_t["field"], hot_t["term"]).to_pylist()
+        kt = pq.read_table(path, columns=["field", "term"])
+        keys = _combined_key(kt["field"], kt["term"])
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        stride = max(1, kt.num_rows // 256)
+        sample = keys.take(pa.array(np.arange(0, kt.num_rows, stride))).to_pylist()
+        return hot_keys, sample
 
-    hot: set[tuple[str, str]] = set()
-    for part in ray.get([_hot_keys.remote(p, hot_df_threshold) for p in paths]):
-        hot |= part
-    hot_ref = ray.put(hot)
+    hot: set[str] = set()
+    samples: list[str] = []
+    for hk, sm in ray.get([_prepass.remote(p, hot_df_threshold) for p in paths]):
+        hot.update(hk)
+        samples.extend(sm)
+    samples.sort()
+    P = max(1, min(num_output_parts, len(samples) or 1))
+    bounds = sorted(
+        {samples[(len(samples) * i) // P] for i in range(1, P)}
+    ) if samples else []
+    bounds_np = np.asarray(bounds, dtype=object)
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()) if hot else None)
+    rank_ref = ray.put(rank_of)
+    off_ref = ray.put(off_of)
 
+    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}")
+    terms_dir = os.path.join(tmp_dir, "terms")
+    docs_dir = os.path.join(tmp_dir, "docs")
+    os.makedirs(terms_dir, exist_ok=True)
+    os.makedirs(docs_dir, exist_ok=True)
+
+    # ---- docs: one task per source segment writes its rank partition -----
+    doc_schemas = [pq.read_schema(docs_paths(d)[0]) for d in seg_dirs]
+    unified = pa.unify_schemas(doc_schemas)
+
+    @ray.remote(num_cpus=1)
+    def _write_docs_part(seg_dir: str, rank: int, offset: int) -> dict:
+        t = pa.concat_tables(
+            [pq.read_table(p) for p in docs_paths(seg_dir)], promote_options="default"
+        )
+        cols = {}
+        for f in unified:
+            if f.name in t.column_names:
+                c = t[f.name]
+                cols[f.name] = c if c.type == f.type else c.cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        t = pa.table(cols)
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(np.arange(offset + 1, offset + t.num_rows + 1, dtype=np.int64)),
+        )
+        path = os.path.join(docs_dir, f"part-{rank:05d}.parquet")
+        nbytes = _atomic_part_write(t, path)
+        first = (
+            [str(t["conv_id"][0].as_py()), int(t["turn_idx"][0].as_py())]
+            if t.num_rows
+            else None
+        )
+        last = (
+            [str(t["conv_id"][-1].as_py()), int(t["turn_idx"][-1].as_py())]
+            if t.num_rows
+            else None
+        )
+        return {"rows": t.num_rows, "bytes": nbytes, "first": first, "last": last}
+
+    doc_refs = [
+        _write_docs_part.remote(d, i, int(offsets[i])) for i, d in enumerate(seg_dirs)
+    ]
+
+    # ---- terms: tag → (shard, salt) partial merge → (shard) final + write -
     ds = rd.read_parquet(paths, include_paths=True)
 
     def tag(batch: pa.Table) -> pa.Table:
-        offs = ray.get(off_ref)
         ranks = ray.get(rank_ref)
-        hot_set = ray.get(hot_ref)
-        p = batch["path"].to_pylist()
-        rank = np.array([ranks[x] for x in p], dtype=np.int64)
-        off = np.array([offs[x] for x in p], dtype=np.int64)
+        offs = ray.get(off_ref)
+        hot_arr = ray.get(hot_ref)
+        pcol = batch["path"]
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        enc = pcol.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()  # few uniques per batch
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.asarray([ranks[u] for u in uniq], dtype=np.int64)[codes]
+        off = np.asarray([offs[u] for u in uniq], dtype=np.int64)[codes]
+        keys = _combined_key(batch["field"], batch["term"])
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        shard = (
+            np.searchsorted(
+                bounds_np, keys.to_pandas().to_numpy(dtype=object), side="right"
+            ).astype(np.int64)
+            if bounds_np.size
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        )
         # term-frequency-aware partitioning: only globally-hot terms pay the
-        # salt split; cold terms go straight to their final (term) group.
+        # salt split; cold terms go straight to their final merge group.
         # The decision is per (field, term) — NEVER per row — so every
         # stage-1 group is a contiguous rank range (see module docstring).
-        if hot_set:
-            is_hot = np.fromiter(
-                (
-                    (f, t) in hot_set
-                    for f, t in zip(batch["field"].to_pylist(), batch["term"].to_pylist())
-                ),
-                dtype=bool,
-                count=batch.num_rows,
-            )
+        if hot_arr is not None:
+            is_hot = pc.is_in(keys, value_set=hot_arr).to_numpy(zero_copy_only=False)
         else:
             is_hot = np.zeros(batch.num_rows, dtype=bool)
         salt = np.where(is_hot, rank // run, -1)
-        return (
+        out = (
             batch.drop_columns(["path"])
             .append_column("__rank", pa.array(rank))
             .append_column("__off", pa.array(off))
             .append_column("__salt", pa.array(salt))
+            .append_column("__shard", pa.array(shard))
         )
+        return out.select(_STAGE_SCHEMA.names)
 
-    def combine(group: pa.Table, final: bool) -> pa.Table:
-        rows = group.sort_by([("__rank", "ascending")]).to_pylist()
-        parts = [(r, int(r["__off"])) for r in rows]
-        merged = _concat_term_postings(parts)
-        merged["field"] = rows[0]["field"]
-        merged["term"] = rows[0]["term"]
-        out = {k: [merged[k]] for k in _BLOB_COLS}
-        out["__rank"] = [rows[0]["__rank"]]
-        out["__off"] = [0]  # partial blobs already carry GLOBAL doc ids
-        out["__salt"] = [-1]
-        return pa.table(out)
+    def combine_partial(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _STAGE_SCHEMA.empty_table()
+        shard = int(group["__shard"][0].as_py())
+        return pa.Table.from_pylist(_merge_runs(group, shard), schema=_STAGE_SCHEMA)
+
+    def finalize_write(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _STATS_OUT_SCHEMA.empty_table()
+        shard = int(group["__shard"][0].as_py())
+        rows = _merge_runs(group, shard)  # emitted in (field, term) order
+        t = pa.Table.from_pylist(
+            [{k: r[k] for k in _BLOB_COLS} for r in rows], schema=TERMS_SCHEMA
+        )
+        path = os.path.join(terms_dir, f"part-{shard:05d}.parquet")
+        nbytes = _atomic_part_write(t, path)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "terms": pa.array([t.num_rows], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            }
+        )
 
     stage1 = (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby(["field", "term", "__salt"])
-        .map_groups(lambda g: combine(g, final=False), batch_format="pyarrow")
+        .groupby(["__shard", "__salt"])
+        .map_groups(combine_partial, batch_format="pyarrow")
     )
-    stage2 = stage1.groupby(["field", "term"]).map_groups(
-        lambda g: combine(g, final=True), batch_format="pyarrow"
+    stage2 = stage1.groupby("__shard").map_groups(
+        finalize_write, batch_format="pyarrow"
     )
-    # materialize() first: to_arrow_refs() on an un-materialized plan calls
-    # schema(fetch_if_missing=True) AFTER consuming the bundles, and with
-    # schema-drifting empty blocks that re-executes the ENTIRE shuffle as a
-    # limit-1 probe (observed 2x wall time).  Materialized datasets answer
-    # schema from the cached blocks.
-    # schema arg: zero-batch refs (empty stage-2 blocks) can't infer one
-    mat = stage2.materialize()
-    parts = [
-        pa.Table.from_batches(t.to_batches(), schema=t.schema)
-        for t in ray.get(mat.to_arrow_refs())
-    ]
-    terms = (
-        pa.concat_tables([p.select(_BLOB_COLS) for p in parts if p.num_rows])
-        if parts
-        else TERMS_SCHEMA.empty_table()
-    )
-    if terms.num_rows:
-        terms = terms.cast(TERMS_SCHEMA).sort_by(
-            [("field", "ascending"), ("term", "ascending")]
+    shard_stats = [r for r in stage2.take_all()]  # tiny: one row per shard
+    terms_count = int(sum(r["terms"] for r in shard_stats))
+    terms_bytes = int(sum(r["bytes"] for r in shard_stats))
+    if not shard_stats:  # degenerate: no terms at all
+        _atomic_part_write(
+            TERMS_SCHEMA.empty_table(), os.path.join(terms_dir, "part-00000.parquet")
         )
-    else:
-        terms = TERMS_SCHEMA.empty_table()
 
-    # docs: concat in rank order with dense global ids
-    doc_tables = [r.docs for r in readers]
-    docs = pa.concat_tables(doc_tables, promote_options="default")
-    docs = docs.set_column(
-        docs.schema.get_field_index("doc_id"),
-        "doc_id",
-        pa.array(np.arange(1, total + 1, dtype=np.int64), pa.int64()),
-    )
+    doc_stats = ray.get(doc_refs)
+    docs_bytes = int(sum(d["bytes"] for d in doc_stats))
+    nonempty = [d for d in doc_stats if d["rows"]]
 
     field_stats: dict[str, dict] = {}
     for r in readers:
         for fname, fs in r.meta["field_stats"].items():
-            acc = field_stats.setdefault(fname, {"docs_with_field": 0, "total_term_freq": 0})
+            acc = field_stats.setdefault(
+                fname, {"docs_with_field": 0, "total_term_freq": 0}
+            )
             acc["docs_with_field"] += fs["docs_with_field"]
             acc["total_term_freq"] += fs["total_term_freq"]
 
-    key = zlib.crc32(("|".join(seg_names) + "|shuffle").encode())
-    name = f"seg-s{generation:04d}-{key:08x}"
-    return write_segment(
-        index_dir,
-        name,
-        terms,
-        docs,
-        field_stats,
-        cfg,
-        lineage={"merged_from": seg_names, "engine": "shuffle", "num_salts": num_salts},
-        metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
-    )
+    meta = {
+        "name": name,
+        "docs_count": total,
+        "field_stats": field_stats,
+        "terms_count": terms_count,
+        "min_key": nonempty[0]["first"] if nonempty else None,
+        "max_key": nonempty[-1]["last"] if nonempty else None,
+        "bytes": terms_bytes + docs_bytes,
+        "config": cfg.to_json(),
+        "lineage": {
+            "merged_from": seg_names,
+            "engine": "shuffle",
+            "num_salts": num_salts,
+            "num_output_parts": num_output_parts,
+        },
+        "metrics": {"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
+    }
+    # metadata-only finalize: parts were written + fsynced by the tasks
+    return publish_segment_dir(index_dir, name, tmp_dir, meta, fsync_data=False)

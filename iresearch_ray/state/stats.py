@@ -154,7 +154,9 @@ def build_global_stats(index_dir: str, manifest: dict) -> GlobalStats:
     if os.path.exists(cache_path):
         term_table = pq.read_table(cache_path)
     else:
-        paths = [os.path.join(d, "terms.parquet") for d in segment_dirs(index_dir, manifest)]
+        from iresearch_ray.stages.segment import terms_paths
+
+        paths = [p for d in segment_dirs(index_dir, manifest) for p in terms_paths(d)]
         if len(paths) == 0:
             term_table = _merge_term_tables([])
         elif len(paths) > RAY_MERGE_THRESHOLD:

@@ -117,3 +117,57 @@ def test_shuffle_merge_mixed_hotness(tmp_path, ray_session):
         assert got.equals(exp.reset_index(drop=True)), q
         got0 = s.search_local(q, k=50, wand=False).reset_index(drop=True)
         assert got.equals(got0)
+
+
+def test_shuffle_merge_byte_identical_to_task_merge(tmp_path, ray_session):
+    """The distributed-write shuffle merge must produce EXACTLY the task
+    merge's tables (same term rows, same blobs, same docs) — and it must
+    do so via the multi-part layout (terms/ + docs/ directories), i.e.
+    without a driver-side whole-table write."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from iresearch_ray.stages.merge import merge_segments
+    from iresearch_ray.stages.segment import SegmentReader, docs_paths, terms_paths
+
+    tbl = gen_transcripts(200)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(tbl), d, num_partitions=9)
+    man = load_manifest(d)
+    names = [s["name"] for s in man["segments"]]
+
+    m_task = merge_segments(d, names, man["generation"])
+    m_shuf = merge_segments_shuffle(
+        d, names, man["generation"] + 1, hot_df_threshold=40, num_salts=3,
+        num_output_parts=5,
+    )
+    seg_root = os.path.join(d, "segments")
+    r_task = SegmentReader(os.path.join(seg_root, m_task["name"]))
+    r_shuf = SegmentReader(os.path.join(seg_root, m_shuf["name"]))
+
+    # distributed layout actually used (no single-file driver write)
+    shuf_dir = os.path.join(seg_root, m_shuf["name"])
+    assert not os.path.exists(os.path.join(shuf_dir, "terms.parquet"))
+    assert len(terms_paths(shuf_dir)) > 1
+    assert len(docs_paths(shuf_dir)) == 9
+
+    t1 = r_task.terms.combine_chunks()
+    t2 = r_shuf.terms.combine_chunks()
+    assert t1.schema.equals(t2.schema)
+    assert t1.num_rows == t2.num_rows
+    assert t1.equals(t2), "terms tables differ between task and shuffle merge"
+    d1 = r_task.docs.combine_chunks()
+    d2 = r_shuf.docs.combine_chunks()
+    # task merge may order columns differently after promote; compare by name
+    assert sorted(d1.column_names) == sorted(d2.column_names)
+    assert d1.select(sorted(d1.column_names)).equals(
+        d2.select(sorted(d2.column_names))
+    ), "docs tables differ"
+    assert m_task["docs_count"] == m_shuf["docs_count"]
+    assert m_task["field_stats"] == m_shuf["field_stats"]
+    assert m_task["terms_count"] == m_shuf["terms_count"]
+    assert np.array_equal(
+        d1["doc_id"].to_numpy(), np.arange(1, d1.num_rows + 1)
+    )
