@@ -346,9 +346,19 @@ def prepare(
     return Prepared({"scorer": scorer.to_json(), "root": root})
 
 
-def _term_leaf(field_name: str, term: str, weight_boost: float, stats: GlobalStats, scorer: ScorerCfg) -> dict:
+def _term_leaf(
+    field_name: str,
+    term: str,
+    weight_boost: float,
+    stats: GlobalStats,
+    scorer: ScorerCfg,
+    df: int | None = None,
+) -> dict:
+    """``df`` may be threaded in by expansions that already read it —
+    avoids a second dictionary probe per matched term (which in lazy-stats
+    mode would be one parquet pushdown EACH)."""
     N, avg_dl = stats.field(field_name)
-    n = stats.term_df(field_name, term)
+    n = stats.term_df(field_name, term) if df is None else int(df)
     return {
         "op": "term",
         "field": field_name,
@@ -365,7 +375,14 @@ def _union_of_terms(
     scorer: ScorerCfg,
     min_match: int = 1,
     scored_terms_limit: int | None = None,
+    dfs=None,
 ) -> dict:
+    """``dfs``: per-term df aligned with ``terms_and_boosts`` (from the
+    expansion's dictionary read); batch-probed in ONE shot when absent."""
+    terms_list = [t for t, _ in terms_and_boosts]
+    if dfs is None:
+        dfs = stats.term_dfs(field_name, terms_list)
+    by_term = {t: int(d) for t, d in zip(terms_list, dfs)}
     if scored_terms_limit is not None and len(terms_and_boosts) > scored_terms_limit:
         # limited_sample_collector analog (SURVEY §2.5): only the top
         # ``scored_terms_limit`` terms by (df desc, term asc) keep scoring
@@ -374,10 +391,13 @@ def _union_of_terms(
         # min_match occurrence counting
         ranked = sorted(
             terms_and_boosts,
-            key=lambda tb: (-stats.term_df(field_name, tb[0]), tb[0]),
+            key=lambda tb: (-by_term[tb[0]], tb[0]),
         )
         scored, unscored = ranked[:scored_terms_limit], ranked[scored_terms_limit:]
-        legs = [_term_leaf(field_name, t, b, stats, scorer) for t, b in scored]
+        legs = [
+            _term_leaf(field_name, t, b, stats, scorer, df=by_term[t])
+            for t, b in scored
+        ]
         legs.append(
             {
                 "op": "unscored_terms",
@@ -387,14 +407,33 @@ def _union_of_terms(
         )
         return {"op": "union", "children": legs, "min_match": min_match}
     legs = [
-        _term_leaf(field_name, t, b, stats, scorer) for t, b in terms_and_boosts
+        _term_leaf(field_name, t, b, stats, scorer, df=by_term[t])
+        for t, b in terms_and_boosts
     ]
     return {"op": "union", "children": legs, "min_match": min_match}
 
 
-def _expand_terms(field_name: str, stats: GlobalStats, mask_fn) -> list[str]:
-    terms, _dfs = stats.field_terms(field_name)
-    return [t for t in terms if mask_fn(t)]
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix — the
+    exclusive upper bound of the dictionary range [prefix, upper).  None
+    when no such bound exists (all-max-codepoint prefix)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
+def _expand_terms(field_name: str, stats: GlobalStats, mask_fn):
+    """(terms, dfs) of dictionary terms passing ``mask_fn`` — streamed scan
+    (lazy stats never materialize the vocabulary on the driver)."""
+
+    def batch_fn(terms, _dfs):
+        return np.fromiter(
+            (mask_fn(t) for t in terms), dtype=bool, count=len(terms)
+        )
+
+    return stats.match_terms(field_name, batch_fn)
 
 
 def expand_phrase_part(part, field_name: str, stats: GlobalStats) -> list[str]:
@@ -406,14 +445,21 @@ def expand_phrase_part(part, field_name: str, stats: GlobalStats) -> list[str]:
     if isinstance(part, Term):
         return [part.term]
     if isinstance(part, Prefix):
-        return _expand_terms(field_name, stats, lambda t: t.startswith(part.prefix))
+        terms, _ = stats.terms_in_range(field_name, part.prefix, _prefix_upper(part.prefix))
+        return list(terms)
     if isinstance(part, Wildcard):
         rx = wildcard_to_regex(part.pattern)
-        return _expand_terms(field_name, stats, lambda t: rx.fullmatch(t) is not None)
+        pfx = wildcard_literal_prefix(part.pattern)
+        if pfx:
+            cand, _ = stats.terms_in_range(field_name, pfx, _prefix_upper(pfx))
+            return [t for t in cand if rx.fullmatch(t)]
+        terms, _ = _expand_terms(field_name, stats, lambda t: rx.fullmatch(t) is not None)
+        return list(terms)
     if isinstance(part, Fuzzy):
         d = min(int(part.max_distance), 4)
         dist = osa_distance if part.with_transpositions else levenshtein_distance
-        return _expand_terms(field_name, stats, lambda t: dist(part.term, t, d) <= d)
+        terms, _ = _expand_terms(field_name, stats, lambda t: dist(part.term, t, d) <= d)
+        return list(terms)
     raise TypeError(f"unsupported phrase part {type(part).__name__}")
 
 
@@ -433,49 +479,40 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             flt.field, list(per.items()), stats, scorer, flt.min_match
         )
     if isinstance(flt, Prefix):
-        terms, _ = stats.field_terms(flt.field)
-        lo = np.searchsorted(terms, flt.prefix, side="left")
-        matched = []
-        for i in range(int(lo), terms.size):
-            t = terms[i]
-            if not t.startswith(flt.prefix):
-                break
-            matched.append(t)
+        # range read [prefix, next(prefix)) — row-group-pruned pushdown in
+        # lazy-stats mode, never a full-dictionary scan
+        terms, dfs = stats.terms_in_range(flt.field, flt.prefix, _prefix_upper(flt.prefix))
         return _union_of_terms(
-            flt.field, [(t, boost) for t in matched], stats, scorer,
-            scored_terms_limit=flt.scored_terms_limit,
+            flt.field, [(t, boost) for t in terms], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit, dfs=dfs,
         )
     if isinstance(flt, TermRange):
-        terms, _ = stats.field_terms(flt.field)
-        lo = 0
-        hi = terms.size
-        if flt.low is not None:
-            lo = int(np.searchsorted(terms, flt.low, side="left" if flt.include_low else "right"))
-        if flt.high is not None:
-            hi = int(np.searchsorted(terms, flt.high, side="right" if flt.include_high else "left"))
-        matched = list(terms[lo:hi])
+        terms, dfs = stats.terms_in_range(
+            flt.field, flt.low, flt.high,
+            include_low=flt.include_low, include_high=flt.include_high,
+        )
         return _union_of_terms(
-            flt.field, [(t, boost) for t in matched], stats, scorer,
-            scored_terms_limit=flt.scored_terms_limit,
+            flt.field, [(t, boost) for t in terms], stats, scorer,
+            scored_terms_limit=flt.scored_terms_limit, dfs=dfs,
         )
     if isinstance(flt, Wildcard):
         rx = wildcard_to_regex(flt.pattern)
         pfx = wildcard_literal_prefix(flt.pattern)
-        terms, _ = stats.field_terms(flt.field)
         if pfx:
-            lo = int(np.searchsorted(terms, pfx, side="left"))
-            cand = []
-            for i in range(lo, terms.size):
-                t = terms[i]
-                if not t.startswith(pfx):
-                    break
-                cand.append(t)
+            cand, cdfs = stats.terms_in_range(flt.field, pfx, _prefix_upper(pfx))
+            keep = np.fromiter(
+                (rx.fullmatch(t) is not None for t in cand), dtype=bool, count=len(cand)
+            )
+            matched, dfs = cand[keep], cdfs[keep]
         else:
-            cand = list(terms)
-        matched = [t for t in cand if rx.fullmatch(t)]
+            # no literal head: streamed full-field scan (lazy mode holds one
+            # record batch + matches, not the vocabulary)
+            matched, dfs = _expand_terms(
+                flt.field, stats, lambda t: rx.fullmatch(t) is not None
+            )
         return _union_of_terms(
             flt.field, [(t, boost) for t in matched], stats, scorer,
-            scored_terms_limit=flt.scored_terms_limit,
+            scored_terms_limit=flt.scored_terms_limit, dfs=dfs,
         )
     if isinstance(flt, GranularRange):
         from iresearch_ray.functions.numeric import range_term_bounds
@@ -483,12 +520,12 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
         lo = INT64_MIN if flt.low is None else int(flt.low) + (0 if flt.include_low else 1)
         hi = INT64_MAX if flt.high is None else int(flt.high) - (0 if flt.include_high else 1)
-        terms, _dfs = stats.field_terms(flt.field)
         matched: list[str] = []
         for lo_t, hi_t in range_term_bounds(lo, hi):
-            a = int(np.searchsorted(terms, lo_t, side="left"))
-            b = int(np.searchsorted(terms, hi_t, side="right"))
-            matched.extend(terms[a:b])
+            ts, _ = stats.terms_in_range(
+                flt.field, lo_t, hi_t, include_low=True, include_high=True
+            )
+            matched.extend(ts)
         return {
             "op": "filter_union",
             "field": flt.field,
@@ -498,36 +535,43 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
     if isinstance(flt, Fuzzy):
         d = min(int(flt.max_distance), 4)
         dist = osa_distance if flt.with_transpositions else levenshtein_distance
-        terms, _ = stats.field_terms(flt.field)
         q = flt.term
-        # vectorized candidate pruning before the per-term DP (the
-        # parametric-DFA analog's cheap guarantees — SURVEY §2.4): length
-        # within ±d, and for short caps a shared character in the first
-        # d+1 positions (an edit can displace the match head by ≤ d)
-        import pyarrow as _pa
-        import pyarrow.compute as _pc
+        head = set(q[: d + 1])
+        head_prune = bool(q) and d < len(q)
 
-        arr = _pa.array(terms)
-        lens = _pc.utf8_length(arr).to_numpy(zero_copy_only=False)
-        cand = terms[np.abs(lens - len(q)) <= d]
-        if q and d < len(q) and cand.size:
-            # soundness: with ≤d edits, the first preserved query char has
-            # index i ≤ d and lands at t[j] with j ≤ i + #insertions ≤ d,
-            # so q[:d+1] and t[:d+1] must share a character
-            head = set(q[: d + 1])
-            cand = np.array(
-                [t for t in cand if head & set(t[: d + 1])], dtype=object
-            )
-        matched = [t for t in cand if dist(q, t, d) <= d]
+        def fuzzy_batch(terms, _dfs):
+            # vectorized candidate pruning before the per-term DP (the
+            # parametric-DFA analog's cheap guarantees — SURVEY §2.4):
+            # length within ±d, and for short caps a shared character in
+            # the first d+1 positions (an edit can displace the match head
+            # by ≤ d).  Soundness of the head prune: with ≤d edits, the
+            # first preserved query char has index i ≤ d and lands at t[j]
+            # with j ≤ i + #insertions ≤ d, so q[:d+1] and t[:d+1] must
+            # share a character.
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            lens = _pc.utf8_length(_pa.array(terms)).to_numpy(zero_copy_only=False)
+            keep = np.abs(lens - len(q)) <= d
+            for i in np.flatnonzero(keep):
+                t = terms[i]
+                if head_prune and not (head & set(t[: d + 1])):
+                    keep[i] = False
+                elif dist(q, t, d) > d:
+                    keep[i] = False
+            return keep
+
+        matched, dfs = stats.match_terms(flt.field, fuzzy_batch)
         return _union_of_terms(
             flt.field, [(t, boost) for t in matched], stats, scorer,
-            scored_terms_limit=flt.scored_terms_limit,
+            scored_terms_limit=flt.scored_terms_limit, dfs=dfs,
         )
     if isinstance(flt, Phrase):
         N, avg_dl = stats.field(flt.field)
         parts = [expand_phrase_part(p, flt.field, stats) for p in flt.terms]
+        slot_terms = [t for slot in parts for t in slot]
         w = boost * sum(
-            scorer.idf(stats.term_df(flt.field, t), N) for slot in parts for t in slot
+            scorer.idf(int(n), N) for n in stats.term_dfs(flt.field, slot_terms)
         )
         return {
             "op": "phrase",
@@ -540,7 +584,9 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         }
     if isinstance(flt, SamePosition):
         N, avg_dl = stats.field(flt.field)
-        w = boost * sum(scorer.idf(stats.term_df(flt.field, t), N) for t in flt.terms)
+        w = boost * sum(
+            scorer.idf(int(n), N) for n in stats.term_dfs(flt.field, list(flt.terms))
+        )
         return {
             "op": "same_position",
             "field": flt.field,

@@ -7,13 +7,27 @@ field_collector/term_collector).  Here:
 - field stats (N = docs_with_field, total_term_freq ⇒ avg_dl) are summed from
   the per-segment meta.json entries — O(#segments), no data read.
 - the global term dictionary (field, term → df, cf, max_tf, min_dl) is the
-  union of per-segment term tables WITHOUT the posting blobs.  For small
-  segment counts this is a driver-side pyarrow concat+groupby; beyond
-  RAY_MERGE_THRESHOLD segments it becomes a Ray Data groupby so no single
-  process has to hold every dictionary (SURVEY §3.2 "cached per generation").
+  union of per-segment term tables WITHOUT the posting blobs, cached on disk
+  per generation (``stats-g{N}.parquet`` file, or a ``stats-g{N}.statsd/``
+  directory written DISTRIBUTED by Ray when the merge itself is wide).
 
-The merged dictionary is cached per (index_dir, generation) both on disk
-(``stats-g{N}.parquet`` next to the manifest) and in-process.
+Scale design (round-2 review: the whole vocabulary must not live in driver
+memory).  ``GlobalStats`` has two modes, picked by on-disk dictionary size:
+
+- **in-memory** (size ≤ ``mem_limit``, default 256 MB / ``IRE_STATS_MEM``):
+  the table loads once per generation and probes are numpy searchsorted —
+  exactly the round-2 behavior, zero added latency at sandbox scale.
+- **lazy** (above the limit, i.e. multi-billion-term dictionaries): the
+  driver holds NO term table.  ``term_df``/``term_dfs`` are LRU-memoized
+  predicate-pushdown probes of the parquet cache (row-group pruned: the
+  file is written term-sorted with small row groups); ``terms_in_range``
+  is a pushdown range read; ``match_terms`` STREAMS the field's slice one
+  record batch at a time, keeping only matches.  Driver memory is
+  O(matched query terms + one row group), never O(vocabulary).
+
+Query-prep code (query/filters.py) only uses the mode-agnostic primitives
+(``term_df``/``term_dfs``/``terms_in_range``/``match_terms``); parity of
+the two modes is asserted in tests/test_stats_lazy.py.
 """
 
 from __future__ import annotations
@@ -28,6 +42,8 @@ import pyarrow.parquet as pq
 from iresearch_ray.state.manifest import segment_dirs
 
 RAY_MERGE_THRESHOLD = 64  # above this many segments, merge dictionaries via Ray
+STATS_ROW_GROUP = 32_768  # small row groups => tight pushdown pruning
+DEFAULT_MEM_LIMIT = int(os.environ.get("IRE_STATS_MEM", 256 << 20))
 
 _STATS_COLS = ["field", "term", "df", "cf", "max_tf", "min_dl"]
 _STATS_SCHEMA = pa.schema(
@@ -50,10 +66,31 @@ _cache: "_collections.OrderedDict[tuple[str, int], GlobalStats]" = _collections.
 
 
 class GlobalStats:
-    def __init__(self, field_stats: dict[str, dict], term_table: pa.Table):
+    """Mode-agnostic probes over the merged term dictionary.
+
+    ``paths``: the on-disk dictionary parquet file(s).  ``table``: the
+    loaded table (in-memory mode) or None (lazy mode)."""
+
+    TERM_DF_LRU = 65_536  # lazy-mode memo: (field, term) -> df
+
+    def __init__(
+        self,
+        field_stats: dict[str, dict],
+        paths: list[str],
+        table: pa.Table | None,
+    ):
         self.field_stats = field_stats  # field -> {docs_with_field, total_term_freq}
-        self.term_table = term_table    # field, term, df, cf, max_tf, min_dl (sorted)
+        self.paths = paths
+        self.term_table = table  # None in lazy mode
         self._by_field: dict[str, dict[str, np.ndarray]] = {}
+        self._df_lru: "_collections.OrderedDict[tuple[str, str], int]" = (
+            _collections.OrderedDict()
+        )
+        self._lazy_ds = None
+
+    @property
+    def lazy(self) -> bool:
+        return self.term_table is None
 
     def field(self, field_name: str) -> tuple[float, float]:
         """(N, avg_dl) for a field."""
@@ -63,6 +100,7 @@ class GlobalStats:
         N = float(fs["docs_with_field"])
         return N, float(fs["total_term_freq"]) / N
 
+    # -- in-memory primitives ----------------------------------------------
     def _field_arrays(self, field_name: str) -> dict[str, np.ndarray]:
         arrs = self._by_field.get(field_name)
         if arrs is None:
@@ -76,18 +114,152 @@ class GlobalStats:
             self._by_field[field_name] = arrs
         return arrs
 
+    # -- lazy primitives -----------------------------------------------------
+    def _dataset(self):
+        if self._lazy_ds is None:
+            import pyarrow.dataset as pads
+
+            self._lazy_ds = pads.dataset(self.paths)
+        return self._lazy_ds
+
+    def _probe(self, field_name: str, extra=None) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        expr = pads.field("field") == field_name
+        if extra is not None:
+            expr = expr & extra
+        return self._dataset().to_table(columns=["term", "df"], filter=expr)
+
+    # -- public probes (mode-agnostic) --------------------------------------
     def term_df(self, field_name: str, term: str) -> int:
-        a = self._field_arrays(field_name)
-        i = np.searchsorted(a["term"], term)
-        if i < a["term"].size and a["term"][i] == term:
-            return int(a["df"][i])
-        return 0
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            i = np.searchsorted(a["term"], term)
+            if i < a["term"].size and a["term"][i] == term:
+                return int(a["df"][i])
+            return 0
+        key = (field_name, term)
+        hit = self._df_lru.get(key)
+        if hit is not None:
+            self._df_lru.move_to_end(key)
+            return hit
+        import pyarrow.dataset as pads
+
+        t = self._probe(field_name, pads.field("term") == term)
+        df = int(t["df"][0].as_py()) if t.num_rows else 0
+        self._df_lru[key] = df
+        while len(self._df_lru) > self.TERM_DF_LRU:
+            self._df_lru.popitem(last=False)
+        return df
+
+    def term_dfs(self, field_name: str, terms: list[str]) -> np.ndarray:
+        """df per term, aligned with ``terms`` (0 for absent) — ONE probe
+        for the whole list, not one per term."""
+        if not terms:
+            return np.zeros(0, dtype=np.int64)
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            q = np.asarray(terms, dtype=object)
+            idx = np.searchsorted(a["term"], q)
+            out = np.zeros(len(terms), dtype=np.int64)
+            ok = idx < a["term"].size
+            ok[ok] &= a["term"][idx[ok]] == q[ok]
+            out[ok] = a["df"][idx[ok]]
+            return out
+        import pyarrow.dataset as pads
+
+        known: dict[str, int] = {}
+        for t in terms:
+            hit = self._df_lru.get((field_name, t))
+            if hit is not None:
+                known[t] = hit
+        missing = [t for t in terms if t not in known]
+        if missing:
+            tbl = self._probe(
+                field_name, pads.field("term").isin(pa.array(missing, pa.string()))
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for m in missing:
+                known[m] = int(found.get(m, 0))
+                self._df_lru[(field_name, m)] = known[m]
+            while len(self._df_lru) > self.TERM_DF_LRU:
+                self._df_lru.popitem(last=False)
+        return np.asarray([known[t] for t in terms], dtype=np.int64)
+
+    def terms_in_range(
+        self,
+        field_name: str,
+        low: str | None,
+        high: str | None,
+        include_low: bool = True,
+        include_high: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, dfs) of the field's dictionary slice in [low, high] —
+        pushdown range read in lazy mode, searchsorted slice in memory."""
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            lo = 0
+            hi = a["term"].size
+            if low is not None:
+                lo = int(np.searchsorted(a["term"], low, side="left" if include_low else "right"))
+            if high is not None:
+                hi = int(np.searchsorted(a["term"], high, side="right" if include_high else "left"))
+            return a["term"][lo:hi], a["df"][lo:hi]
+        import pyarrow.dataset as pads
+
+        expr = None
+        if low is not None:
+            e = (pads.field("term") >= low) if include_low else (pads.field("term") > low)
+            expr = e
+        if high is not None:
+            e = (pads.field("term") <= high) if include_high else (pads.field("term") < high)
+            expr = e if expr is None else (expr & e)
+        t = self._probe(field_name, expr).sort_by([("term", "ascending")])
+        return (
+            t["term"].to_pandas().to_numpy(dtype=object),
+            t["df"].to_numpy(zero_copy_only=False),
+        )
+
+    def match_terms(
+        self, field_name: str, batch_fn
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full-dictionary scan of one field through ``batch_fn(terms, dfs)
+        -> bool mask`` — STREAMED one record batch at a time in lazy mode
+        (driver holds matches + one batch, never the vocabulary)."""
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            m = np.asarray(batch_fn(a["term"], a["df"]), dtype=bool)
+            return a["term"][m], a["df"][m]
+        import pyarrow.dataset as pads
+
+        terms_out: list[np.ndarray] = []
+        dfs_out: list[np.ndarray] = []
+        for rb in self._dataset().to_batches(
+            columns=["term", "df"], filter=pads.field("field") == field_name
+        ):
+            if rb.num_rows == 0:
+                continue
+            ts = rb.column(0).to_pandas().to_numpy(dtype=object)
+            ds_ = rb.column(1).to_numpy(zero_copy_only=False)
+            m = np.asarray(batch_fn(ts, ds_), dtype=bool)
+            if m.any():
+                terms_out.append(ts[m])
+                dfs_out.append(ds_[m])
+        if not terms_out:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+        ts = np.concatenate(terms_out)
+        ds_ = np.concatenate(dfs_out)
+        order = np.argsort(ts, kind="stable")
+        return ts[order], ds_[order]
 
     def field_terms(self, field_name: str) -> tuple[np.ndarray, np.ndarray]:
-        """(sorted terms, dfs) — the global term dictionary slice used for
-        multiterm expansion (prefix/range/wildcard/fuzzy, SURVEY §2.5)."""
-        a = self._field_arrays(field_name)
-        return a["term"], a["df"]
+        """(sorted terms, dfs) of the WHOLE field dictionary — legacy/API
+        convenience; prefer the bounded probes above (this materializes the
+        field's vocabulary and is O(vocab) memory in either mode)."""
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            return a["term"], a["df"]
+        return self.terms_in_range(field_name, None, None)
 
 
 def _merge_term_tables(tables: list[pa.Table]) -> pa.Table:
@@ -103,23 +275,20 @@ def _merge_term_tables(tables: list[pa.Table]) -> pa.Table:
     return out.sort_by([("field", "ascending"), ("term", "ascending")])
 
 
-def _merge_with_ray(paths: list[str]) -> pa.Table:
-    """Wide merge of many segment dictionaries as a Ray Data groupby —
-    the consolidation-scale path (hot terms appear in every segment; the
-    groupby key (field, term) shuffles only dictionary rows, never blobs)."""
+def _merge_with_ray_to_dir(paths: list[str], out_dir: str) -> None:
+    """Wide merge of many segment dictionaries as a Ray Data groupby with a
+    DISTRIBUTED write — the consolidation-scale path: the groupby key
+    (field, term) shuffles only dictionary rows, never blobs, and no single
+    process (driver included) ever holds the merged dictionary.  Blocks out
+    of the sort-based groupby are internally key-sorted, so parquet
+    row-group stats stay tight for pushdown probes."""
     import ray.data as rd
 
     ds = rd.read_parquet(paths, columns=_STATS_COLS)
-    ds = ds.groupby(["field", "term"]).aggregate(
-        *_ray_aggs()
-    )
-    t = ds.to_arrow_refs()
-    import ray
-
-    tables = [pa.Table.from_batches(tbl.to_batches()) for tbl in ray.get(t)]
-    merged = pa.concat_tables(tables)
-    merged = merged.rename_columns(["field", "term", "df", "cf", "max_tf", "min_dl"])
-    return merged.sort_by([("field", "ascending"), ("term", "ascending")])
+    ds = ds.groupby(["field", "term"]).aggregate(*_ray_aggs())
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    ds.write_parquet(tmp)
+    os.replace(tmp, out_dir)
 
 
 def _ray_aggs():
@@ -133,9 +302,20 @@ def _ray_aggs():
     ]
 
 
-def build_global_stats(index_dir: str, manifest: dict) -> GlobalStats:
+def _stats_paths(index_dir: str, gen: int) -> tuple[str, str]:
+    return (
+        os.path.join(index_dir, f"stats-g{gen}.parquet"),
+        os.path.join(index_dir, f"stats-g{gen}.statsd"),
+    )
+
+
+def build_global_stats(
+    index_dir: str, manifest: dict, mem_limit: int | None = None
+) -> GlobalStats:
     gen = manifest["generation"]
-    key = (os.path.abspath(index_dir), gen)
+    if mem_limit is None:  # env read per call so tests can flip modes
+        mem_limit = int(os.environ.get("IRE_STATS_MEM", DEFAULT_MEM_LIMIT))
+    key = (os.path.abspath(index_dir), gen, mem_limit)
     hit = _cache.get(key)
     if hit is not None:
         _cache.move_to_end(key)
@@ -150,26 +330,39 @@ def build_global_stats(index_dir: str, manifest: dict) -> GlobalStats:
             acc["docs_with_field"] += fs["docs_with_field"]
             acc["total_term_freq"] += fs["total_term_freq"]
 
-    cache_path = os.path.join(index_dir, f"stats-g{gen}.parquet")
-    if os.path.exists(cache_path):
-        term_table = pq.read_table(cache_path)
-    else:
+    cache_file, cache_dir = _stats_paths(index_dir, gen)
+    if not os.path.exists(cache_file) and not os.path.isdir(cache_dir):
         from iresearch_ray.stages.segment import terms_paths
 
         paths = [p for d in segment_dirs(index_dir, manifest) for p in terms_paths(d)]
-        if len(paths) == 0:
-            term_table = _merge_term_tables([])
-        elif len(paths) > RAY_MERGE_THRESHOLD:
-            term_table = _merge_with_ray(paths)
+        if len(paths) > RAY_MERGE_THRESHOLD:
+            _merge_with_ray_to_dir(paths, cache_dir)
         else:
             term_table = _merge_term_tables(
                 [pq.read_table(p, columns=_STATS_COLS) for p in paths]
             )
-        tmp = f"{cache_path}.tmp.{os.getpid()}"
-        pq.write_table(term_table, tmp)
-        os.replace(tmp, cache_path)
+            tmp = f"{cache_file}.tmp.{os.getpid()}"
+            pq.write_table(term_table, tmp, row_group_size=STATS_ROW_GROUP)
+            os.replace(tmp, cache_file)
 
-    stats = GlobalStats(field_stats, term_table)
+    if os.path.exists(cache_file):
+        stat_files = [cache_file]
+    else:
+        stat_files = sorted(
+            os.path.join(cache_dir, f)
+            for f in os.listdir(cache_dir)
+            if f.endswith(".parquet")
+        )
+    total_bytes = sum(os.path.getsize(p) for p in stat_files)
+    if total_bytes <= mem_limit:
+        table = pa.concat_tables(pq.read_table(p) for p in stat_files)
+        if stat_files != [cache_file]:  # dir layout is unsorted across files
+            table = table.sort_by([("field", "ascending"), ("term", "ascending")])
+        table = table.select(_STATS_COLS)
+        stats = GlobalStats(field_stats, stat_files, table)
+    else:
+        stats = GlobalStats(field_stats, stat_files, None)
+
     _cache[key] = stats
     while len(_cache) > _CACHE_MAX:
         _cache.popitem(last=False)
