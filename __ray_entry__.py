@@ -433,7 +433,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["query_idx", "vec_id", "cosine"]]
 
     def emb_neardup(sf):
-        return ops.embedding_neardup_pairs(_emb_ds(sf), threshold=0.4).to_pandas()
+        """Exact low-threshold pair scan — method='brute' is the EXPLICIT
+        opt-in (at t=0.4 the candidate graph is dense and LSH bucketing
+        cannot reach recall; the default path is the LSH one exercised by
+        emb_neardup_lsh)."""
+        return ops.embedding_neardup_pairs(
+            _emb_ds(sf), threshold=0.4, method="brute"
+        ).to_pandas()
+
+    def _emb_with_dups_ds(sf):
+        """embeddings ∪ deterministic perturbed copies (vec_id + 100000,
+        e'[i] = e[i] + 0.2·e[1 + i mod d]) — plants one ~0.98-cosine pair
+        per vector so the ≥0.9 near-dup op has real work; background pairs
+        top out near 0.5.  Same construction in the SQL oracle."""
+        import ray.data as rd
+
+        t = pq.read_table(f"{sf}/embeddings.parquet").select(["vec_id", "embedding"])
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        pert = emb + 0.2 * np.roll(emb, -1, axis=1)
+        dup = pa.table(
+            {
+                "vec_id": pa.array(
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) + 100000
+                ),
+                "embedding": pa.array(list(pert), pa.list_(pa.float64())),
+            }
+        )
+        base = pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "embedding": t["embedding"].cast(pa.list_(pa.float64())),
+            }
+        )
+        return rd.from_arrow(pa.concat_tables([base, dup]))
+
+    def emb_neardup_lsh(sf):
+        """DEFAULT (bucketed) near-dup path: banded hyperplane LSH candidate
+        buckets + exact within-bucket verify.  Params (4 planes × 10
+        tables) verified recall-1.0 on this corpus at both sf0.001 and
+        sf0.01 (deterministic seed + data ⇒ reproducible); the oracle is
+        the exact all-pairs SQL, so any recall loss fails the hash gate."""
+        return ops.embedding_neardup_pairs(
+            _emb_with_dups_ds(sf), threshold=0.9, n_planes=4, n_tables=10
+        ).to_pandas()
 
     def emb_knn_labels(sf):
         """k-NN classification flavor: label histogram of each query's
@@ -506,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk": emb_topk,
         "emb_knn_labels": emb_knn_labels,
         "emb_neardup_pairs": emb_neardup,
+        "emb_neardup_lsh": emb_neardup_lsh,
         "emb_lsh_topk": emb_lsh,
         "emb_ivf_topk": emb_ivf,
     }
@@ -966,5 +1009,23 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        # exact all-pairs oracle over the SAME derived fixture (embeddings ∪
+        # perturbed copies) — the Ray side is banded hyperplane LSH with
+        # exact within-bucket verify, so a hash match here proves BOTH exact
+        # precision and recall 1.0 of the pinned (4-plane × 10-table) params
+        "emb_neardup_lsh": """
+WITH derived AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id::BIGINT + 100000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> embedding[i]::DOUBLE + 0.2*embedding[1 + (i % len(embedding))]::DOUBLE)
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM derived a JOIN derived b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9
 """,
     }

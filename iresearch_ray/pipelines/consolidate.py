@@ -21,6 +21,11 @@ from iresearch_ray.state.policy import POLICIES
 
 
 WIDE_SET_THRESHOLD = 16  # candidate sets wider than this use the salted shuffle merge
+# ... or HEAVIER than this: a 2-way merge of two multi-GB segments is one
+# task doing a single-threaded mega-merge + write — the shuffle engine
+# spreads it across the cluster (epoch-compaction tail rounds are exactly
+# this shape: few very large segments)
+WIDE_BYTES_THRESHOLD = 1 << 30
 
 
 def consolidate(
@@ -75,7 +80,8 @@ def consolidate(
         if not sets:
             return _maybe_clear_tombstones(index_dir, manifest)
         gen = manifest["generation"]
-        merged_metas = _run_merges(index_dir, sets, gen, engine)
+        sizes = {sm["name"]: sm.get("bytes", 0) for sm in manifest["segments"]}
+        merged_metas = _run_merges(index_dir, sets, gen, engine, sizes)
         merged_away = {n for s in sets for n in s}
         survivors = [s for s in manifest["segments"] if s["name"] not in merged_away]
         manifest = commit_manifest(
@@ -180,10 +186,15 @@ def _maybe_clear_tombstones(index_dir: str, manifest: dict) -> dict:
 
 
 def _run_merges(
-    index_dir: str, sets: list[list[str]], generation: int, engine: str = "auto"
+    index_dir: str,
+    sets: list[list[str]],
+    generation: int,
+    engine: str = "auto",
+    sizes: dict[str, int] | None = None,
 ) -> list[dict]:
     """Fan candidate sets out as Ray tasks when a session exists (each merge
-    is independent); WIDE sets take the salted term-shuffle merge (engine
+    is independent); WIDE sets — by member count OR total bytes — take the
+    salted term-shuffle merge with its distributed segment write (engine
     "auto"/"shuffle" — SURVEY §4.1 hot-term skew), narrow sets the one-task
     k-way blob concat."""
     try:
@@ -192,13 +203,17 @@ def _run_merges(
         have_ray = ray.is_initialized()
     except Exception:
         have_ray = False
+    sizes = sizes or {}
 
     def is_wide(s: list[str]) -> bool:
         if engine == "shuffle":
             return True
         if engine == "tasks":
             return False
-        return len(s) > WIDE_SET_THRESHOLD
+        return (
+            len(s) > WIDE_SET_THRESHOLD
+            or sum(sizes.get(n, 0) for n in s) > WIDE_BYTES_THRESHOLD
+        )
 
     wide = [s for s in sets if have_ray and is_wide(s)]
     narrow = [s for s in sets if s not in wide]

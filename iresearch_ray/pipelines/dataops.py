@@ -1155,11 +1155,19 @@ def embedding_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
 
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
 
+    # scale the actor pool with the cluster (round-2 review: a (1, 4) cap
+    # starved 32-CPU nodes on the most compute-bound curation op); min 1 so
+    # tiny test clusters can't deadlock, autoscale up to CPUs-1 (one core
+    # stays for the reduce)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
     scored = ds.map_batches(
         BruteForceTopK,
         fn_constructor_args=(q_ref, k, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, max(2, ncpu - 1)),
         num_cpus=1,
     )
 
@@ -1184,19 +1192,42 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    bucket_cap: int = 20_000,
 ):
-    """All (a < b) pairs with cosine ≥ t — EXACT, computed as a distributed
-    block-pair sweep: the dataset's Arrow blocks stay in the object store
-    (``to_arrow_refs``; nothing corpus-sized touches the driver) and one Ray
-    task per block pair (i ≤ j) computes that tile of the gram matrix.
-    Output (thresholded pairs) is the only thing collected.
+    """All (a < b) pairs with cosine ≥ t.
 
-    Scale note: exact all-pairs is inherently O(N²/2) tiles — right up to
-    ~10⁷ vectors; beyond that use the hyperplane-LSH bucketing of
-    ``embedding_lsh_topk`` (exact precision, approximate recall) and accept
-    the recall trade, or pre-cluster with it and verify within buckets."""
+    ``method="lsh"`` (DEFAULT — the 100 TB path): banded random-hyperplane
+    LSH.  Each vector hashes into ``n_tables`` independent sign-pattern
+    buckets (a narrow map that explodes rows ×T); candidates are pairs
+    colliding in ANY table; each bucket group verifies its pairs with an
+    EXACT vectorized cosine scan, and a final (a, b) groupby dedupes
+    cross-table repeats.  Precision is exact; recall is the LSH collision
+    probability — for threshold t, a pair survives one table with
+    p₁ = (1 − arccos(t)/π)^n_planes and is missed overall with
+    (1 − p₁)^n_tables (defaults: t=0.95 → miss ≤ 1e-4; pin corpus-verified
+    params like the minhash op does).  Below t≈0.8 the collision odds decay
+    so fast that no table count is affordable — the op REFUSES and asks for
+    an explicit ``method="brute"`` (low-threshold near-dup is inherently a
+    dense-graph problem).
+
+    ``method="brute"`` (explicit opt-in): exact distributed block-pair
+    sweep — the dataset's Arrow blocks stay in the object store
+    (``to_arrow_refs``) and one Ray task per block pair (i ≤ j) computes
+    that gram-matrix tile.  O(N²/2) tiles by construction: right up to
+    ~10⁷ vectors or for thresholds the LSH path refuses."""
     import ray
     import ray.data as rd
+
+    if method == "lsh":
+        return _embedding_neardup_lsh(
+            ds, threshold, id_col, vec_col, n_planes, n_tables, seed, bucket_cap
+        )
+    if method != "brute":
+        raise ValueError(f"method must be 'lsh' or 'brute', got {method!r}")
 
     refs = ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
 
@@ -1242,6 +1273,100 @@ def embedding_neardup_pairs(
                       "cosine": pa.array([], pa.float64())})
         )
     return rd.from_arrow(pa.concat_tables(tables))
+
+
+_NEARDUP_PLANES: dict[tuple, np.ndarray] = {}
+
+
+def _neardup_planes(seed: int, n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """(T, p, dim) deterministic hyperplanes, memoized per worker — every
+    task regenerates the same planes from the seed (no broadcast needed,
+    generation is microseconds)."""
+    key = (seed, n_tables, n_planes, dim)
+    hit = _NEARDUP_PLANES.get(key)
+    if hit is None:
+        rng = np.random.default_rng(seed)
+        hit = rng.standard_normal((n_tables, n_planes, dim))
+        _NEARDUP_PLANES[key] = hit
+    return hit
+
+
+def _embedding_neardup_lsh(
+    ds, threshold, id_col, vec_col, n_planes, n_tables, seed, bucket_cap
+):
+    """Banded hyperplane-LSH near-dup pairs (see embedding_neardup_pairs):
+    explode ×T tables (narrow) → ONE (table, bucket) groupby → exact
+    within-bucket cosine verify (vectorized gram tile, upper triangle by
+    id) → (a, b) groupby dedup.  Shuffle volume is T× the vector column —
+    linear in the corpus, never O(N²)."""
+    import math as _math
+
+    if threshold < 0.8:
+        raise ValueError(
+            f"hyperplane LSH cannot reach usable recall at threshold {threshold}"
+            " (collision probability decays too fast below ~0.8); pass"
+            " method='brute' explicitly for exact low-threshold pair scans"
+        )
+    # document the design recall in the lineage of anyone reading stats:
+    # p1 = (1 - acos(t)/pi)^p ; miss = (1 - p1)^T
+    _p1 = (1.0 - _math.acos(min(1.0, threshold)) / _math.pi) ** n_planes
+
+    def explode_tables(b: pa.Table) -> pa.Table:
+        b = b.select([id_col, vec_col])
+        n = b.num_rows
+        if n == 0:
+            return b.append_column("table", pa.array([], pa.int64())).append_column(
+                "bucket", pa.array([], pa.int64())
+            )
+        vecs = _normalize(_vec_matrix(b, vec_col))
+        planes = _neardup_planes(seed, n_tables, n_planes, vecs.shape[1])
+        weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        rep = b.take(pa.array(np.repeat(np.arange(n), n_tables)))
+        tbl_ids = np.tile(np.arange(n_tables, dtype=np.int64), n)
+        # (n, T) sign-pattern buckets, flattened row-major to match rep
+        bks = np.empty((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bks[:, t] = (
+                ((vecs @ planes[t].T) > 0).astype(np.uint64) @ weights
+            ).astype(np.int64)
+        return rep.append_column("table", pa.array(tbl_ids)).append_column(
+            "bucket", pa.array(bks.reshape(-1))
+        )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        # degenerate hot buckets (e.g. all-zero vectors) are skipped, same
+        # contract as the minhash bucket cap — cap² pairwork bound per task
+        if g.num_rows < 2 or g.num_rows > bucket_cap:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_vec_matrix(g, vec_col))
+        sims = vecs @ vecs.T
+        hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(hit)
+        if r.size == 0:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(ids[r]),
+                "b": pa.array(ids[c]),
+                "cosine": pa.array(round_half_away(sims[r, c], 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(explode_tables, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
+        .map_groups(verify_bucket, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .min("cosine")  # dedupe cross-table repeats (cosine identical)
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "cosine"]), batch_format="pyarrow"
+        )
+    )
 
 
 def embedding_ivf_topk(

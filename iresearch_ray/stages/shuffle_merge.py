@@ -204,11 +204,17 @@ def merge_segments_shuffle(
     n_segs = len(seg_names)
     run = max(1, math.ceil(n_segs / num_salts))
     if num_output_parts is None:
+        # size parts by INPUT BYTES (≈96 MB each), not by segment count — a
+        # 2-way merge of two multi-GB segments needs just as much write
+        # parallelism as a 100-way merge of small ones
+        total_bytes = sum(int(r.meta.get("bytes", 0)) for r in readers)
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        num_output_parts = max(4, min(256, ncpu, 2 * n_segs))
+        num_output_parts = max(
+            4, min(256, max(ncpu, math.ceil(total_bytes / (96 << 20))))
+        )
 
     # ---- parallel pre-passes over the narrow dictionary columns ----------
     # (a) global hotness: (field, term) keys whose df reaches the threshold
