@@ -53,7 +53,29 @@ TARGET_PARTITION_BYTES = 256 << 20  # SURVEY §4.2: P = ceil(input_bytes / 256MB
 
 def hash_partition(conv_ids, num_partitions: int) -> np.ndarray:
     """Deterministic (process- and version-independent) partition id per conv_id:
-    crc32 over the utf-8 bytes — stable for resume across runs."""
+    crc32 over the utf-8 bytes — stable for resume across runs.
+
+    Accepts an Arrow (Chunked)Array or a Python list.  Arrow inputs are
+    dictionary-encoded first so crc32 (a per-string Python call) runs only
+    over the UNIQUES — turns repeat per conversation, so this is
+    ~turns/convs× fewer Python calls on the build hot path (round-2 review
+    #4) — then the codes are gathered.  Bit-identical to the per-row path
+    (same crc32 over the same utf-8 bytes), so resume fingerprints and
+    partition assignments are unchanged; test_build_direct asserts this."""
+    if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
+        arr = (
+            conv_ids.combine_chunks()
+            if isinstance(conv_ids, pa.ChunkedArray)
+            else conv_ids
+        )
+        enc = arr.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        uhash = np.fromiter(
+            (zlib.crc32(s.encode()) % num_partitions for s in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return uhash[np.asarray(enc.indices)]
     return np.fromiter(
         (zlib.crc32(s.encode()) % num_partitions for s in conv_ids),
         dtype=np.int64,
@@ -179,7 +201,7 @@ def build_index(
     done_parts = np.array(sorted(done), dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        part = hash_partition(batch["conv_id"].to_pylist(), P)
+        part = hash_partition(batch["conv_id"], P)
         batch = batch.append_column("__part", pa.array(part, pa.int64()))
         if done_parts.size:
             keep = ~np.isin(part, done_parts)
@@ -273,7 +295,7 @@ def build_index_direct(
     @ray.remote(num_cpus=1, num_returns=P)
     def read_split(paths: list[str]):
         t = pa.concat_tables(pq.read_table(f, columns=cols) for f in paths)
-        part = hash_partition(t["conv_id"].to_pylist(), P)
+        part = hash_partition(t["conv_id"], P)
         # one stable sort + P zero-copy slices beats P table.filter scans
         order = np.argsort(part, kind="stable")
         t = t.take(pa.array(order))
@@ -389,7 +411,7 @@ def append_index(
     @ray.remote(num_cpus=1, num_returns=P)
     def read_split(paths: list[str]):
         t = pa.concat_tables(pq.read_table(f, columns=cols) for f in paths)
-        part = hash_partition(t["conv_id"].to_pylist(), P)
+        part = hash_partition(t["conv_id"], P)
         order = np.argsort(part, kind="stable")
         t = t.take(pa.array(order))
         sorted_part = part[order]
@@ -554,7 +576,7 @@ def build_index_local(
     """Pure-local (no Ray) build over an in-memory table — unit-test and
     golden-fixture path; byte-identical segment layout to the Ray path."""
     cfg = cfg or IndexConfig()
-    part = hash_partition(table["conv_id"].to_pylist(), num_partitions)
+    part = hash_partition(table["conv_id"], num_partitions)
     metas = []
     build = _build_group_fn(index_dir, cfg, num_partitions)
     for p in range(num_partitions):

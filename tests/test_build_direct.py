@@ -193,3 +193,21 @@ def test_verify_text_equality_detects_missing_docs(tmp_path, ray_session):
         json.dump(man, f)
     with pytest.raises(AssertionError, match="indexed row count"):
         verify_text_equality(d, tbl)
+
+
+def test_hash_partition_arrow_equals_pylist():
+    """The dictionary-encoded Arrow fast path must be bit-identical to the
+    per-row Python path — resume fingerprints / partition assignment depend
+    on it (round-3 fix: crc32 over uniques only)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.build import hash_partition
+
+    ids = [f"conv-{i % 37:04d}" for i in range(1000)] + ["", "é-unicode", "x" * 300]
+    for P in (1, 7, 64):
+        ref = hash_partition(ids, P)
+        arr = hash_partition(pa.array(ids), P)
+        chunked = hash_partition(pa.chunked_array([ids[:500], ids[500:]]), P)
+        assert np.array_equal(ref, arr)
+        assert np.array_equal(ref, chunked)
