@@ -324,3 +324,51 @@ def test_null_text_pinned_as_empty(ray_session):
     q = ops.quality_scores(_ds(tbl, ray_session)).to_pandas().set_index("doc_id")
     assert q.loc[2].equals(q.loc[3])
     assert float(q.loc[2, "quality"]) > 0
+
+
+def test_cluster_pairs_distributed_matches_driver(ray_session):
+    """Min-label propagation must reproduce the driver union-find roots
+    exactly (component-min convention), including a 21-node CHAIN — the
+    worst diameter case for propagation — and ids far apart."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique
+    pairs += [(100 + i, 100 + i + 1) for i in range(20)]  # long chain
+    pairs += [(501, 500), (7, 3)]  # reversed order + clique extension
+    tbl = pa.table(
+        {"a": pa.array([a for a, _ in pairs], pa.int64()),
+         "b": pa.array([b for _, b in pairs], pa.int64())}
+    )
+    labels = ops.cluster_pairs_distributed(rd.from_arrow(tbl)).to_pandas()
+    got = dict(zip(labels["node"].astype(int), labels["root"].astype(int)))
+    assert got == ops.cluster_pairs(pairs)
+
+
+def test_near_dedup_distributed_matches_driver(docs_tbl, ray_session):
+    """The distributed clustering + co-located anti-join path must keep the
+    SAME survivors as the driver union-find path, on a dup-DOMINATED corpus
+    (every base doc has two planted near-copies — pairs ~ O(N), the regime
+    the distributed path exists for)."""
+    import pyarrow as pa
+
+    rows = docs_tbl.slice(0, 60).to_pylist()
+    extra = []
+    for i, r in enumerate(rows):
+        for k in (0, 1):
+            c = dict(r)
+            c["doc_id"] = 300000 + 2 * i + k
+            c["text"] = r["text"] + (" w0001 w0002" if k == 0 else " w0003 w0004")
+            extra.append(c)
+    corpus = pa.concat_tables(
+        [pa.Table.from_pylist(rows, schema=docs_tbl.schema),
+         pa.Table.from_pylist(extra, schema=docs_tbl.schema)]
+    )
+    a = ops.near_dedup(_ds(corpus, ray_session), threshold=0.5, distributed=False).to_pandas()
+    b = ops.near_dedup(_ds(corpus, ray_session), threshold=0.5, distributed=True).to_pandas()
+    assert len(a) < corpus.num_rows  # dedup actually removed dups
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    # full row content parity, not just ids
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b[a.columns].sort_values("doc_id").reset_index(drop=True)
+    )
