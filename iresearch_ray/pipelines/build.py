@@ -498,11 +498,20 @@ def append_index(
     )
 
 
-def verify_text_equality(index_dir: str, source) -> dict:
+def verify_text_equality(index_dir: str, source, distributed: bool | None = None) -> dict:
     """Per-turn text equality against the source corpus under stable
     (conv_id, turn_idx) ordering — the end-to-end invariant pinned by the
     BASELINE input_hint.  Compares the stored doc-table text of EVERY live
-    segment row to the source rows; returns counts and raises on mismatch."""
+    segment row to the source rows; returns counts and raises on mismatch.
+
+    With a live Ray session and file-backed source (the default there),
+    the comparison runs as a DISTRIBUTED co-located anti-join — source
+    rows and segment doc rows shuffled once by conv-hash shard, compared
+    vectorized inside each group, only per-shard count rows reaching the
+    driver — so the check itself survives 100 TB (the round-2 version
+    built a whole-corpus Python dict on the driver).  The driver path
+    remains for pa.Table inputs / no-Ray contexts; both raise the same
+    errors in the same priority order."""
     from iresearch_ray.stages.segment import SegmentReader
     from iresearch_ray.state.manifest import load_manifest, segment_dirs
 
@@ -512,6 +521,16 @@ def verify_text_equality(index_dir: str, source) -> dict:
     cfg = IndexConfig.from_json(manifest["config"])
     if not cfg.store_text:
         raise ValueError("verify_text_equality requires store_text=True")
+
+    if distributed is None:
+        try:
+            import ray
+
+            distributed = ray.is_initialized() and not isinstance(source, pa.Table)
+        except Exception:
+            distributed = False
+    if distributed:
+        return _verify_text_equality_distributed(index_dir, source, cfg, manifest)
 
     if isinstance(source, pa.Table):
         src = source
@@ -565,6 +584,111 @@ def verify_text_equality(index_dir: str, source) -> dict:
             f"indexed row count {checked} != source rows {src.num_rows}"
         )
     return {"checked": checked, "source_rows": src.num_rows, "equal": True}
+
+
+def _verify_text_equality_distributed(index_dir: str, source, cfg, manifest) -> dict:
+    """Dataset-native text-equality check: normalize source rows (side 0)
+    and segment doc rows (side 1) to (conv_id, turn_idx, text, side),
+    co-locate by conv-hash shard (ONE keyed shuffle), and inside each
+    group sort by (conv_id, turn_idx, side) and scan (conv, turn) runs
+    vectorized — src rows lead each run, so per-key comparison is a
+    reduceat over run boundaries.  Output: one count row per shard."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from iresearch_ray.stages.segment import docs_paths
+    from iresearch_ray.state.manifest import segment_dirs
+
+    tf = cfg.text_field
+    S = 512
+
+    def norm(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "conv_id": b["conv_id"].cast(pa.string()),
+                    "turn_idx": b["turn_idx"].cast(pa.int64()),
+                    "__text": b[tf].cast(pa.string()),
+                    "side": pa.array(np.full(b.num_rows, side, np.int8)),
+                }
+            )
+            return t.append_column(
+                "__shard", pa.array(hash_partition(t["conv_id"], S))
+            )
+
+        return f
+
+    src_files = _expand_files(source)
+    doc_files = [p for d in segment_dirs(index_dir, manifest) for p in docs_paths(d)]
+    src = rd.read_parquet(src_files, columns=["conv_id", "turn_idx", tf]).map_batches(
+        norm(0), batch_format="pyarrow"
+    )
+    idx = rd.read_parquet(doc_files, columns=["conv_id", "turn_idx", tf]).map_batches(
+        norm(1), batch_format="pyarrow"
+    )
+
+    def check(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"), ("side", "ascending")],
+        )
+        g = g.take(order)
+        conv = np.asarray(g["conv_id"].to_pylist(), dtype=object)
+        turn = g["turn_idx"].to_numpy(zero_copy_only=False)
+        text = np.asarray(g["__text"].to_pylist(), dtype=object)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        n = conv.size
+        new_run = np.ones(n, bool)
+        if n > 1:
+            new_run[1:] = (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])
+        starts = np.nonzero(new_run)[0]
+        counts = np.diff(np.append(starts, n))
+        run_of = np.repeat(np.arange(starts.size), counts)
+        n0 = np.add.reduceat((side == 0).astype(np.int64), starts)
+        n1 = counts - n0
+        # src rows sort first within a run; the run's reference text is the
+        # first row IF it is a src row
+        has_src = side[starts] == 0
+        is_idx = side == 1
+        ref_ok = has_src[run_of]
+        mism_rows = is_idx & (~ref_ok | (text != text[starts[run_of]]))
+        run_bad = (
+            np.bincount(run_of, weights=mism_rows.astype(np.float64), minlength=starts.size)
+            > 0
+        )
+        ex = [(str(conv[i]), int(turn[i])) for i in starts[run_bad][:3]]
+        return pa.table(
+            {
+                "checked": pa.array([int(n1.sum())], pa.int64()),
+                "src_rows": pa.array([int(n0.sum())], pa.int64()),
+                "mismatch_rows": pa.array([int(mism_rows.sum())], pa.int64()),
+                "dup_idx_keys": pa.array([int(np.maximum(n1 - 1, 0).sum())], pa.int64()),
+                "dup_src_keys": pa.array([int(np.maximum(n0 - 1, 0).sum())], pa.int64()),
+                "examples": pa.array([json.dumps(ex)], pa.string()),
+            }
+        )
+
+    rep = (
+        src.union(idx)
+        .groupby("__shard")
+        .map_groups(check, batch_format="pyarrow")
+        .to_pandas()
+    )
+    src_rows = int(rep["src_rows"].sum())
+    checked = int(rep["checked"].sum())
+    dup_src = int(rep["dup_src_keys"].sum())
+    mism = int(rep["mismatch_rows"].sum())
+    dup_idx = int(rep["dup_idx_keys"].sum())
+    examples = [e for s in rep["examples"] for e in json.loads(s)]
+    if dup_src:
+        raise AssertionError(f"source has duplicate (conv_id, turn_idx) keys: {dup_src}")
+    if mism:
+        raise AssertionError(f"text mismatch for {mism} keys, e.g. {examples[:3]}")
+    if dup_idx:
+        raise AssertionError(f"{dup_idx} duplicate indexed keys")
+    if checked != src_rows:
+        raise AssertionError(f"indexed row count {checked} != source rows {src_rows}")
+    return {"checked": checked, "source_rows": src_rows, "equal": True}
 
 
 def build_index_local(

@@ -211,3 +211,47 @@ def test_hash_partition_arrow_equals_pylist():
         chunked = hash_partition(pa.chunked_array([ids[:500], ids[500:]]), P)
         assert np.array_equal(ref, arr)
         assert np.array_equal(ref, chunked)
+
+
+def test_verify_text_equality_distributed(corpus, tmp_path, ray_session):
+    """The Dataset-native co-located verify must pass on a clean index,
+    and raise the same errors as the driver path on corruption."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from iresearch_ray import build_index
+    from iresearch_ray.pipelines.build import verify_text_equality
+
+    files = [os.path.join(corpus, f) for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    d = str(tmp_path / "idx")
+    build_index(files, d, num_partitions=4, resume=False)
+
+    r_dist = verify_text_equality(d, files, distributed=True)
+    r_drv = verify_text_equality(d, files, distributed=False)
+    assert r_dist == r_drv and r_dist["equal"]
+
+    # corrupt: drop a segment from the manifest -> missing rows
+    with open(os.path.join(d, "manifest.json")) as f:
+        man = json.load(f)
+    man["segments"] = man["segments"][:-1]
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(AssertionError, match="indexed row count"):
+        verify_text_equality(d, files, distributed=True)
+
+    # mismatch: verify against a source whose text differs
+    import pyarrow as pa
+
+    tbl = pq.read_table(files[0])
+    texts = tbl["text"].to_pylist()
+    texts[0] = (texts[0] or "") + " CORRUPTED"
+    tbl = tbl.set_column(tbl.schema.get_field_index("text"), "text", pa.array(texts))
+    mut = str(tmp_path / "mut.parquet")
+    pq.write_table(tbl, mut)
+    d2 = str(tmp_path / "idx2")
+    build_index(files, d2, num_partitions=2, resume=False)
+    with pytest.raises(AssertionError, match="text mismatch"):
+        verify_text_equality(d2, [mut] + files[1:], distributed=True)
