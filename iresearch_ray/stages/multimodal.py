@@ -13,6 +13,12 @@ Decoders, by honesty level:
   zero external libraries: binary PPM (P6) header parse + frombuffer, and a
   concatenated-P6 video container for frame sampling.  Round-trip tested
   against genuine bytes.  (Audio is likewise fully real — stages/audio.py.)
+* ``decoder="png"`` — a REAL COMPRESSED format, decoded with stdlib zlib +
+  numpy only: chunk/CRC parse, inflate, and all five scanline filters
+  (None/Sub/Up/Average/Paeth) unfiltered.  8-bit gray/RGB/RGBA,
+  non-interlaced — correctness-grade (per-row Python for the two
+  sequentially-dependent filters); swap in Pillow via ``"pil"`` for
+  production throughput.
 * ``decoder="fake"`` (default for compressed formats) — a clearly-marked
   DETERMINISTIC FAKE deriving pixels from an md5 stream over the payload.
   Output shapes/dtypes are exactly what a real decoder would produce, so
@@ -32,6 +38,7 @@ Suggested usage::
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -114,6 +121,171 @@ def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# PNG — real compressed-format codec, stdlib zlib + numpy only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + tag
+        + data
+        + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int arrays."""
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) uint8 gray / (h, w, 3) RGB / (h, w, 4) RGBA → REAL PNG bytes
+    (8-bit, non-interlaced).  ``filter_type`` applies that scanline filter
+    to every row — the test fixture uses each of 0–4 so the decoder's five
+    unfilter paths are all exercised against the original pixels."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros((w, c), np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        up = prev
+        ul = np.zeros_like(up)
+        ul[1:] = up[:-1]
+        if filter_type == 0:
+            f = row
+        elif filter_type == 1:
+            f = row - left
+        elif filter_type == 2:
+            f = row - up
+        elif filter_type == 3:
+            f = row - (left + up) // 2
+        elif filter_type == 4:
+            f = row - _paeth_pred(left, up, ul)
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        raw.append(filter_type)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = px[y].astype(np.int16)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])  # bitdepth, color, compress, filter, interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with stdlib zlib + numpy: chunk walk with CRC
+    verification, IDAT inflate, scanline unfilter (all five filter types).
+    Supports 8-bit gray (returns (h, w, 1)), RGB (h, w, 3), RGBA
+    (h, w, 4)), non-interlaced, no palette.  Filters None/Up are fully
+    vectorized; Sub is per-lane cumsum; Average/Paeth carry a true
+    sequential left-dependency and run per byte within the row
+    (correctness-grade — production swaps in Pillow via decoder='pil')."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(tag + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bitdepth, color, _comp, _filt, interlace = ihdr[8:13]
+    if bitdepth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG (bitdepth={bitdepth} color={color} interlace={interlace});"
+            " this dependency-free codec handles 8-bit gray/RGB/RGBA non-interlaced"
+        )
+    c = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft == 1:
+            rec = line.copy()
+            for lane in range(c):  # recon = running sum along the byte lane
+                rec[lane::c] = np.cumsum(line[lane::c], dtype=np.int64) % 256
+        elif ft == 3:
+            rec = line.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (rec[x] + (left + pv[x]) // 2) % 256
+            rec = np.array(rec, np.int32)
+        elif ft == 4:
+            rec = line.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = pv[x]
+                cc = pv[x - c] if x >= c else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+                rec[x] = (rec[x] + pred) % 256
+            rec = np.array(rec, np.int32)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def _to_rgb(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) → (h, w, 3): gray broadcast, RGBA alpha dropped."""
+    c = px.shape[2]
+    if c == 3:
+        return px
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
     """DETERMINISTIC FAKE decode: md5-keyed byte stream shaped (h, w, c).
     NOT a real image decode — stands in for PIL.Image.open in this
@@ -142,9 +314,9 @@ class ImageDecode:
             except ImportError as e:  # pragma: no cover - no PIL in container
                 raise NotImplementedError(
                     "real image decode needs Pillow; use decoder='fake' or "
-                    "'ppm' (real, dependency-free) here"
+                    "'ppm'/'png' (real, dependency-free) here"
                 ) from e
-        elif decoder not in ("fake", "ppm"):
+        elif decoder not in ("fake", "ppm", "png"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -159,6 +331,13 @@ class ImageDecode:
                 if px.shape != (self.h, self.w, 3):
                     raise ValueError(
                         f"PPM is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                    )
+            elif self.decoder == "png":
+                # REAL compressed decode (stdlib zlib inflate + unfilter)
+                px = _to_rgb(decode_png(payload or b""))
+                if px.shape != (self.h, self.w, 3):
+                    raise ValueError(
+                        f"PNG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
                     )
             else:  # pragma: no cover
                 raise NotImplementedError
@@ -321,6 +500,28 @@ def synth_ppm_video_table(n: int, n_frames: int = 12, h: int = 8, w: int = 8, se
             "fps": pa.array([10.0] * n, pa.float32()),
         }
     )
+
+
+def synth_png_table(n: int, h: int = 8, w: int = 8, seed: int = 42) -> tuple:
+    """REAL-PNG image corpus: payload = genuine PNG bytes of seeded pixels,
+    cycling through all five scanline filter types across items so a decode
+    sweep exercises every unfilter path."""
+    rng = np.random.default_rng(seed)
+    payloads, pix = [], []
+    for i in range(n):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pix.append(px)
+        payloads.append(encode_png(px, filter_type=i % 5))
+    t = pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+        }
+    )
+    return t, pix
 
 
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
