@@ -129,11 +129,16 @@ def bench_query(idx: str) -> dict:
     s = Searcher(idx)
     batch = {name: mk(F) for name, mk in QUERY_SET}
 
-    # one-shot batched throughput through a fresh Ray Data actor pool (the
-    # cold distributed path — reported as a detail)
-    t0 = time.perf_counter()
-    out = s.search_ray(batch, k=10, concurrency=8)
-    dataset_batch_secs = time.perf_counter() - t0
+    # batched throughput through a fresh Ray Data actor pool (the cold
+    # distributed path — the r1 "query_batch" metric, restored to that name
+    # for round-over-round continuity).  Every search_ray call spawns a
+    # fresh pool, so repeats stay cold; best-of-2 per the repo's VM-noise
+    # protocol (additive phantom load ⇒ min is the honest estimator).
+    dataset_batch_secs = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = s.search_ray(batch, k=10, concurrency=8)
+        dataset_batch_secs = min(dataset_batch_secs, time.perf_counter() - t0)
 
     # serving path: cached QueryPool (lazy-created on first call, reused
     # after).  The warm number is a cache-MISS evaluation (distinct k) so
@@ -244,7 +249,11 @@ def run_full() -> dict:
         ray.shutdown()
     queries = {
         "build_index": round(b["secs"], 3),
-        "query_batch": round(q["batch_secs"], 3),
+        # r1-name continuity: query_batch = COLD Ray-Data actor-pool batch
+        # (what r1 reported); the warm pooled cache-miss batch (r2's
+        # "query_batch") is query_batch_warm
+        "query_batch": round(q["dataset_batch_secs"], 3),
+        "query_batch_warm": round(q["batch_secs"], 3),
         "consolidate": round(c["secs"], 3),
         "dedup": round(d["dedup_secs"], 3),
         "minhash": round(d["minhash_secs"], 3),

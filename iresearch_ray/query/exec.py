@@ -138,16 +138,20 @@ class _TermCursor:
         keep = _member_sorted(docs, candidates)
         return docs[keep], tfs[keep]
 
-    def flat_positions(self, sel_docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_label, position) flat arrays for the selected (sorted) docs —
-        fully vectorized: the whole pos stream is one self-delimiting varint
-        sequence with per-doc delta resets, so it decodes in one pass and
-        segments by doc with a segmented cumsum (no per-doc python loop).
-        The decoded (doc_label, pos) arrays are cached per term row under the
-        reader's posting-cache budget (phrase re-queries skip the decode)."""
+    def packed_keys(self, sel_docs: np.ndarray) -> np.ndarray:
+        """Sorted packed ``doc<<21 | pos`` keys for the selected (sorted)
+        docs — fully vectorized: the whole pos stream is one self-delimiting
+        varint sequence with per-doc delta resets, so it decodes in one pass
+        and segments by doc with a segmented cumsum (no per-doc python
+        loop).  The PACKED array (one int64 per occurrence — half the bytes
+        of separate label/pos arrays, and exactly what phrase intersection
+        consumes) is cached per term row under the reader's posting-cache
+        budget; re-queries skip both the decode and the per-query pack.
+        When the selection covers every doc (stopword slots — the expensive
+        case), the cached array is returned ZERO-COPY."""
         all_docs, all_tfs = self.decode_all()
         if all_docs.size == 0 or sel_docs.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return np.empty(0, np.int64)
 
         def _decode():
             deltas = varint_decode(self._col("pos_blob")).astype(np.int64)
@@ -158,11 +162,21 @@ class _TermCursor:
             pos = cs - base
             if pos.size and int(pos.max()) >= (1 << 21):
                 raise ValueError("position exceeds 2^21 — phrase key packing invalid")
-            return np.repeat(all_docs, all_tfs), pos
+            return ((np.repeat(all_docs, all_tfs) << np.int64(21)) | pos,)
 
-        doc_labels_all, pos_all = self.reader.cached_postings(("pos", self.row), _decode)
-        keep = np.repeat(_member_sorted(all_docs, sel_docs), all_tfs)
-        return doc_labels_all[keep], pos_all[keep]
+        (packed,) = self.reader.cached_postings(("pos", self.row), _decode)
+        member = _member_sorted(all_docs, sel_docs)
+        if member.all():
+            return packed
+        return packed[np.repeat(member, all_tfs)]
+
+    def flat_positions(self, sel_docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_label, position) flat arrays for the selected (sorted) docs —
+        unpacked view of ``packed_keys`` (callers that loop per candidate
+        doc, e.g. ngram similarity, want the split form; phrase/same-position
+        consume the packed keys directly)."""
+        keys = self.packed_keys(sel_docs)
+        return keys >> np.int64(21), keys & np.int64((1 << 21) - 1)
 
 
 def _present_rows(reader: SegmentReader, field: str, terms: list[str]) -> list[int]:
@@ -468,10 +482,7 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
     SHIFT = np.int64(21)
 
     def slot_keys(j: int) -> np.ndarray:
-        arrays = []
-        for c in slots[j]:
-            dj, pj = c.flat_positions(inter)
-            arrays.append((dj << SHIFT) | pj)
+        arrays = [c.packed_keys(inter) for c in slots[j]]
         if len(arrays) == 1:
             return arrays[0]
         return np.unique(np.concatenate(arrays))
@@ -552,13 +563,11 @@ def _eval_same_position(reader: SegmentReader, node: dict, scorer: dict) -> tupl
         if inter.size == 0:
             return _EMPTY
     SHIFT = np.int64(21)
-    cd, cp = cursors[0].flat_positions(inter)
-    cand_keys = (cd << SHIFT) | cp
+    cand_keys = cursors[0].packed_keys(inter)
     for j in range(1, len(cursors)):
         if cand_keys.size == 0:
             return _EMPTY
-        dj, pj = cursors[j].flat_positions(inter)
-        cand_keys = cand_keys[_member_sorted(cand_keys, (dj << SHIFT) | pj)]
+        cand_keys = cand_keys[_member_sorted(cand_keys, cursors[j].packed_keys(inter))]
     if cand_keys.size == 0:
         return _EMPTY
     hit_docs = cand_keys >> SHIFT

@@ -510,7 +510,12 @@ class SegmentReader:
             return hit
         out = decode()
         nbytes = sum(getattr(a, "nbytes", 0) for a in out)
-        if nbytes < self._cache_budget // 4:
+        # per-item cap budget//2 (was //4): a consolidated mega-segment's
+        # hottest stopword POSITION array is the single most expensive
+        # decode (~100s of MB); with the packed-key halving it now fits —
+        # caching it turns every repeat phrase query's dominant cost into a
+        # zero-copy hit, at worst evicting everything else once
+        if nbytes < self._cache_budget // 2:
             while (
                 self._posting_cache
                 and self._posting_cache_bytes + nbytes > self._cache_budget
