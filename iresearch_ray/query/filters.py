@@ -328,6 +328,68 @@ def levenshtein_distance(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+def fuzzy_match_mask(q: str, terms, d: int, with_transpositions: bool = False) -> np.ndarray:
+    """Edit-distance ≤ d mask over a term list, fully vectorized — the
+    practical stand-in for a parametric Levenshtein DFA (SURVEY §2.4):
+    IDENTICAL matched set to the per-term DP, but one numpy DP over a
+    (candidates × maxlen) UCS4 char matrix instead of one Python DP per
+    dictionary term.
+
+    Pruning guarantees first (cheap, sound): length within ±d, and — when
+    d < |q| — a shared character inside the first d+1 positions (with ≤d
+    edits the first preserved query char has index ≤ d and can be
+    displaced by ≤ d insertions).  The DP itself runs |q| vector steps:
+    each row's left-propagation min(cur[j-1]+1) folds into a prefix-min
+    (cur = k + accumulate(t - k) with t the ins/sub/transpose candidates),
+    so there is NO per-column Python loop either.  OSA transpositions
+    (prev2[j-2]+1 on a swap) join the candidate row before the prefix-min,
+    matching ``osa_distance`` exactly."""
+    n = len(terms)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    lq = len(q)
+    lens = np.fromiter((len(t) for t in terms), np.int64, count=n)
+    cand = np.flatnonzero(np.abs(lens - lq) <= d)
+    if cand.size == 0:
+        return out
+    width = max(int(lens[cand].max()), 1)
+    A = (
+        np.array([terms[i] for i in cand], dtype=f"U{width}")
+        .view(np.uint32)
+        .reshape(cand.size, width)
+    )
+    if q and d < lq:
+        qhead = np.fromiter((ord(c) for c in q[: d + 1]), np.uint32)
+        hp = np.isin(A[:, : d + 1], qhead).any(axis=1)
+        cand = cand[hp]
+        A = A[hp]
+        if cand.size == 0:
+            return out
+    m = A.shape[0]
+    L = width
+    qa = np.fromiter((ord(c) for c in q), np.uint32, count=lq)
+    k = np.arange(L + 1, dtype=np.int64)
+    BIG = np.int64(1 << 40)
+    prev = np.broadcast_to(k, (m, L + 1)).copy()
+    prev2 = None
+    for i in range(1, lq + 1):
+        t = np.empty((m, L + 1), np.int64)
+        t[:, 0] = i
+        neq = (A != qa[i - 1]).astype(np.int64)
+        t[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + neq)
+        if with_transpositions and prev2 is not None:
+            swap = (A[:, 1:] == qa[i - 2]) & (A[:, :-1] == qa[i - 1])
+            t[:, 2:] = np.minimum(
+                t[:, 2:], np.where(swap, prev2[:, :-2] + 1, BIG)
+            )
+        cur = k + np.minimum.accumulate(t - k, axis=1)
+        prev2, prev = prev, cur
+    dist = prev[np.arange(m), lens[cand]]
+    out[cand[dist <= d]] = True
+    return out
+
+
 class Prepared:
     """prepare() output: the plan shipped to segment executors + metadata."""
 
@@ -424,11 +486,14 @@ def _prefix_upper(prefix: str) -> str | None:
     return None
 
 
-def _expand_terms(field_name: str, stats: GlobalStats, mask_fn):
-    """(terms, dfs) of dictionary terms passing ``mask_fn`` — streamed scan
-    (lazy stats never materialize the vocabulary on the driver)."""
+def _expand_terms(field_name: str, stats: GlobalStats, mask_fn=None, batch=None):
+    """(terms, dfs) of dictionary terms passing ``mask_fn`` (per-term) or
+    ``batch`` (vectorized list→bool-mask) — streamed scan (lazy stats never
+    materialize the vocabulary on the driver)."""
 
     def batch_fn(terms, _dfs):
+        if batch is not None:
+            return batch(terms)
         return np.fromiter(
             (mask_fn(t) for t in terms), dtype=bool, count=len(terms)
         )
@@ -457,8 +522,11 @@ def expand_phrase_part(part, field_name: str, stats: GlobalStats) -> list[str]:
         return list(terms)
     if isinstance(part, Fuzzy):
         d = min(int(part.max_distance), 4)
-        dist = osa_distance if part.with_transpositions else levenshtein_distance
-        terms, _ = _expand_terms(field_name, stats, lambda t: dist(part.term, t, d) <= d)
+        terms, _ = _expand_terms(
+            field_name,
+            stats,
+            batch=lambda ts: fuzzy_match_mask(part.term, ts, d, part.with_transpositions),
+        )
         return list(terms)
     raise TypeError(f"unsupported phrase part {type(part).__name__}")
 
@@ -534,32 +602,9 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         }
     if isinstance(flt, Fuzzy):
         d = min(int(flt.max_distance), 4)
-        dist = osa_distance if flt.with_transpositions else levenshtein_distance
-        q = flt.term
-        head = set(q[: d + 1])
-        head_prune = bool(q) and d < len(q)
 
         def fuzzy_batch(terms, _dfs):
-            # vectorized candidate pruning before the per-term DP (the
-            # parametric-DFA analog's cheap guarantees — SURVEY §2.4):
-            # length within ±d, and for short caps a shared character in
-            # the first d+1 positions (an edit can displace the match head
-            # by ≤ d).  Soundness of the head prune: with ≤d edits, the
-            # first preserved query char has index i ≤ d and lands at t[j]
-            # with j ≤ i + #insertions ≤ d, so q[:d+1] and t[:d+1] must
-            # share a character.
-            import pyarrow as _pa
-            import pyarrow.compute as _pc
-
-            lens = _pc.utf8_length(_pa.array(terms)).to_numpy(zero_copy_only=False)
-            keep = np.abs(lens - len(q)) <= d
-            for i in np.flatnonzero(keep):
-                t = terms[i]
-                if head_prune and not (head & set(t[: d + 1])):
-                    keep[i] = False
-                elif dist(q, t, d) > d:
-                    keep[i] = False
-            return keep
+            return fuzzy_match_mask(flt.term, terms, d, flt.with_transpositions)
 
         matched, dfs = stats.match_terms(flt.field, fuzzy_batch)
         return _union_of_terms(

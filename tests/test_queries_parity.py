@@ -210,3 +210,32 @@ def test_empty_compounds_match_nothing(corpus):
     assert len(s.search_local(F.And(()), k=10)) == 0
     assert oracle.search(F.And(()), k=10).empty
     assert len(s.search_local(F.Or(()), k=10)) == 0
+
+
+def test_fuzzy_match_mask_equals_scalar_dp():
+    """The vectorized (candidates × maxlen) DP must produce EXACTLY the
+    per-term DP's matched set — plain Levenshtein and OSA transpositions,
+    randomized strings over a tiny alphabet (high collision density) plus
+    adversarial shapes (empty query, unicode, length extremes)."""
+    import random
+
+    import numpy as np
+
+    from iresearch_ray.query.filters import (
+        fuzzy_match_mask,
+        levenshtein_distance,
+        osa_distance,
+    )
+
+    rng = random.Random(7)
+    alpha = "abz"
+    pool = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8))) for _ in range(400)]
+    pool += ["", "é", "naïve", "ab" * 40, "ba", "ab", "aab", "aba"]
+    for q in ["", "a", "ab", "ba", "abz", "abab", "é", "naïve", "zzzz"]:
+        for d in (0, 1, 2, 3):
+            for trans, scalar in ((False, levenshtein_distance), (True, osa_distance)):
+                got = fuzzy_match_mask(q, pool, d, with_transpositions=trans)
+                exp = np.array([scalar(q, t, d) <= d for t in pool])
+                assert (got == exp).all(), (q, d, trans, [
+                    (t, scalar(q, t, d)) for t, g, e in zip(pool, got, exp) if g != e
+                ][:5])
