@@ -20,6 +20,13 @@ the caller (driver / bench.py / test fixtures).
 __version__ = "0.1.0"
 FORMAT_VERSION = 4  # bump when segment/posting layout OR naming changes (invalidates caches)
 
+# Import-time so every Ray worker that deserializes one of our UDFs (and the
+# driver itself) gets allocator retention — see runtime.py for the measured
+# rationale.  Idempotent; opt out with IRESEARCH_NO_MEMTUNE=1.
+from iresearch_ray.runtime import tune_memory as _tune_memory  # noqa: E402
+
+_tune_memory()
+
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401
 from iresearch_ray.pipelines.build import build_index_local  # noqa: F401
