@@ -422,6 +422,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ev.props_k_stats(_events_ds(sf)).to_pandas()
 
+    def ev_asof(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.asof_join(_events_ds(sf), "click", "view").to_pandas()
+
+    def ev_range_join(sf):
+        from iresearch_ray.pipelines import events as ev
+
+        return ev.range_join_count(_events_ds(sf), "click", "view", 600).to_pandas()
+
     def _qmat(sf):
         t = pq.read_table(f"{sf}/embeddings.parquet")
         ids = np.asarray(t["vec_id"].to_pylist())
@@ -542,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_agg": ev_window,
         "ev_sessionize": ev_sessions,
         "ev_props_k_stats": ev_props,
+        "ev_asof_join": ev_asof,
+        "ev_range_join": ev_range_join,
         "dd_near_dedup": dd_near_dedup,
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
@@ -936,6 +948,35 @@ SELECT event_type,
        coalesce(sum(v), 0)::BIGINT AS sum_k,
        sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing
 FROM x GROUP BY event_type
+""",
+        # as-of join: rank-1 row of the per-left window (DESC ts, DESC
+        # event_id) — the same pinned tie order asof_join's searchsorted
+        # merge produces; -1 sentinels keep unmatched rows int64 end-to-end
+        "ev_asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'view'
+), m AS (
+  SELECT l.event_id AS event_id, r.event_id AS r_eid, r.tus AS r_tus,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.tus DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
+)
+SELECT l.event_id, l.user_id, l.tus AS ts_us,
+       coalesce(m.r_eid, -1) AS right_event_id,
+       coalesce(m.r_tus, -1) AS right_ts_us
+FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON l.event_id = m.event_id
+""",
+        "ev_range_join": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id, l.user_id, l.tus AS ts_us, count(r.event_id) AS n_right
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id AND r.tus <= l.tus AND r.tus > l.tus - 600000000
+GROUP BY l.event_id, l.user_id, l.tus
 """,
         "dd_jaccard_pairs": _sql_jaccard(cap=2000),
         "dd_minhash_pairs": _SQL_JACCARD,

@@ -243,3 +243,110 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of / range joins (per-user co-located merges — SURVEY §2 custom-operator
+# path (a): map_batches + groupby().map_groups, no all-pairs work)
+# ---------------------------------------------------------------------------
+#
+# Both ops key ONE shuffle by user_id and do vectorized searchsorted merges
+# inside the group, so the exchange volume is O(events) and per-group work is
+# O(n log n) — the shape an as-of join must take at 100 TB (a sort-merge
+# against a co-partitioned right side; never a broadcast of the full right
+# table, never a per-row probe loop).  Partitioning assumption: one user's
+# events fit one group (same assumption as sessionize, documented there).
+
+
+def _per_user_sorted(g: pa.Table, types: tuple[str, str]):
+    """Split one user's events into (left, right) by type, each sorted by
+    (ts, event_id) — the deterministic tie order both ops and their SQL
+    oracles pin."""
+    ts = _epoch_us(g["ts"])
+    eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    typ = g["event_type"].to_numpy(zero_copy_only=False)
+    out = []
+    for t in types:
+        m = np.flatnonzero(typ == t)
+        order = m[np.lexsort((eid[m], ts[m]))]
+        out.append((ts[order], eid[order]))
+    return out
+
+
+def asof_join(ds, left_type: str = "click", right_type: str = "view"):
+    """For every ``left_type`` event, the most recent ``right_type`` event of
+    the same user with right.ts <= left.ts (ties: max ts, then max event_id —
+    a pinned total order, so the output is hash-comparable to a window-rank
+    SQL oracle).  Unmatched left rows get right columns pinned to -1 (a LEFT
+    as-of; -1 instead of null keeps the column int64 through to_pandas on
+    BOTH the engine and oracle sides).
+
+    Output: event_id, user_id, ts_us, right_event_id, right_ts_us.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        (lts, leid), (rts, reid) = _per_user_sorted(g, (left_type, right_type))
+        if lts.size == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "right_event_id": pa.array([], pa.int64()),
+                    "right_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        # index of the last right row with ts <= left ts; right is sorted by
+        # (ts, event_id) so "last" IS the pinned (max ts, max event_id) winner
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        matched = pos >= 0
+        uid = int(g["user_id"][0].as_py())
+        r_eid = np.where(matched, reid[np.maximum(pos, 0)], -1)
+        r_ts = np.where(matched, rts[np.maximum(pos, 0)], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(leid),
+                "user_id": pa.array(np.full(leid.size, uid, np.int64)),
+                "ts_us": pa.array(lts),
+                "right_event_id": pa.array(r_eid.astype(np.int64)),
+                "right_ts_us": pa.array(r_ts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def range_join_count(
+    ds, left_type: str = "click", right_type: str = "view", window_secs: int = 600
+):
+    """For every ``left_type`` event, the COUNT of same-user ``right_type``
+    events in the half-open window (left.ts - window, left.ts] — a range
+    join reduced to two searchsorted probes per left row.
+
+    Output: event_id, user_id, ts_us, n_right.
+    """
+    w_us = window_secs * US
+
+    def per_user(g: pa.Table) -> pa.Table:
+        (lts, leid), (rts, _reid) = _per_user_sorted(g, (left_type, right_type))
+        uid = int(g["user_id"][0].as_py()) if g.num_rows else 0
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - w_us, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(leid),
+                "user_id": pa.array(np.full(leid.size, uid, np.int64)),
+                "ts_us": pa.array(lts),
+                "n_right": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

@@ -116,3 +116,57 @@ def test_props_k_stats(ray_session):
     assert out.loc["a", "n_missing"] == 1
     assert out.loc["b", "n_with_key"] == 1 and out.loc["b", "sum_k"] == 100
     assert out.loc["b", "n_missing"] == 1
+
+
+def test_asof_join_vs_brute(events_tbl, ray_session):
+    out = (
+        ev.asof_join(_ds(events_tbl, ray_session), "click", "view")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = events_tbl.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    l = df[df.event_type == "click"]
+    r = df[df.event_type == "view"]
+    rows = []
+    for _, lv in l.iterrows():
+        c = r[(r.user_id == lv.user_id) & (r.tus <= lv.tus)]
+        if len(c):
+            # pinned tie order: max ts then max event_id
+            w = c.sort_values(["tus", "event_id"]).iloc[-1]
+            rows.append((lv.event_id, lv.user_id, lv.tus, w.event_id, w.tus))
+        else:
+            rows.append((lv.event_id, lv.user_id, lv.tus, -1, -1))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us", "right_event_id", "right_ts_us"])
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_range_join_count_vs_brute(events_tbl, ray_session):
+    w_us = 600 * 1_000_000
+    out = (
+        ev.range_join_count(_ds(events_tbl, ray_session), "click", "view", 600)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = events_tbl.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    l = df[df.event_type == "click"]
+    r = df[df.event_type == "view"]
+    rows = []
+    for _, lv in l.iterrows():
+        n = len(r[(r.user_id == lv.user_id) & (r.tus <= lv.tus) & (r.tus > lv.tus - w_us)])
+        rows.append((lv.event_id, lv.user_id, lv.tus, n))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us", "n_right"])
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
