@@ -390,6 +390,118 @@ def fuzzy_match_mask(q: str, terms, d: int, with_transpositions: bool = False) -
     return out
 
 
+def fuzzy_sorted_indices(
+    terms, q: str, d: int, with_transpositions: bool = False, lo: int = 0, hi: int | None = None
+) -> np.ndarray:
+    """Edit-distance ≤ d matches over a SORTED term array via a Levenshtein
+    trie walk (SURVEY §2.4 — the scale path the parametric-DFA machinery in
+    by_edit_distance exists for): the sorted array is treated as a virtual
+    trie (child intervals found by bisect), one DP row is carried per
+    visited prefix, and any prefix whose row minimum exceeds ``d`` prunes
+    its whole subtree.  Work is O(viable prefixes × |q|) — independent of
+    dictionary size for the pruned part — vs the O(dict) scan of
+    ``fuzzy_match_mask``; the matched set is IDENTICAL (property-tested).
+
+    OSA transpositions mirror ``osa_distance``: a swap consumes the child
+    char and its parent prefix char against the transposed query bigram,
+    costing 1 from the grandparent row.
+
+    The walk is LEVEL-SYNCHRONOUS: all viable prefixes of one depth advance
+    together, so the per-level DP is one (frontier × |q|) numpy pass instead
+    of one small-array pass per node; and once the frontier's total interval
+    mass drops under a threshold the remaining candidates are finished with
+    the vectorized full-DP mask (child bisects stop paying for themselves
+    below that).
+    """
+    from bisect import bisect_left
+
+    if hi is None:
+        hi = len(terms)
+    if hi <= lo:
+        return np.zeros(0, dtype=np.int64)
+    lq = len(q)
+    qa = np.fromiter((ord(c) for c in q), np.uint32, count=lq)
+    k = np.arange(lq + 1, dtype=np.int64)
+    BIG = np.int64(1 << 40)
+    SWITCH = 2048  # frontier mass below which brute DP beats more bisects
+    out: list[int] = []
+
+    # frontier: parallel lists for depth-D viable prefixes
+    f_lo = [lo]
+    f_hi = [hi]
+    rows = k[None, :].copy()  # (frontier, lq+1) DP rows
+    prows: list = [None]  # grandparent rows for OSA
+    pcs = np.zeros(1, np.uint32)  # last prefix char per node
+    depth = 0
+    while f_lo:
+        # emit terms equal to a frontier prefix (unique in a dictionary)
+        for n in range(len(f_lo)):
+            if len(terms[f_lo[n]]) == depth:
+                if rows[n, lq] <= d:
+                    out.append(f_lo[n])
+                f_lo[n] += 1
+
+        mass = sum(h - l for l, h in zip(f_lo, f_hi))
+        if mass == 0:
+            break
+        if mass <= SWITCH:
+            # finish small remainders with the full-DP mask (standalone
+            # recompute, already vectorized over the slice)
+            for l, h in zip(f_lo, f_hi):
+                if h > l:
+                    m = fuzzy_match_mask(q, terms[l:h], d, with_transpositions)
+                    out.extend((l + np.flatnonzero(m)).tolist())
+            break
+
+        # enumerate children of every frontier node (one bisect per child)
+        c_lo: list[int] = []
+        c_hi: list[int] = []
+        c_par: list[int] = []
+        c_oc: list[int] = []
+        for n in range(len(f_lo)):
+            i, s_hi = f_lo[n], f_hi[n]
+            while i < s_hi:
+                c = terms[i][depth]
+                oc = ord(c)
+                if oc < 0x10FFFF:
+                    child_hi = bisect_left(terms, terms[i][:depth] + chr(oc + 1), i, s_hi)
+                else:  # unreachable for real text; keep the walk total anyway
+                    child_hi = s_hi
+                c_lo.append(i)
+                c_hi.append(child_hi)
+                c_par.append(n)
+                c_oc.append(oc)
+                i = child_hi
+        if not c_lo:
+            break
+        par = np.asarray(c_par, np.int64)
+        ocs = np.asarray(c_oc, np.uint32)
+        R = rows[par]  # (children, lq+1)
+        t = np.empty_like(R)
+        t[:, 0] = depth + 1
+        neq = (qa[None, :] != ocs[:, None]).astype(np.int64)
+        t[:, 1:] = np.minimum(R[:, 1:] + 1, R[:, :-1] + neq)
+        if with_transpositions and depth >= 1 and lq >= 2:
+            if depth == 1:  # every grandparent is the root row
+                P = np.broadcast_to(k, (len(c_par), lq + 1))
+            else:
+                P = np.stack([prows[p] for p in c_par])
+            swap = (qa[None, :-1] == ocs[:, None]) & (qa[None, 1:] == pcs[par][:, None])
+            t[:, 2:] = np.minimum(t[:, 2:], np.where(swap, P[:, :-2] + 1, BIG))
+        cur = k[None, :] + np.minimum.accumulate(t - k[None, :], axis=1)
+        keep = np.flatnonzero(cur.min(axis=1) <= d)
+
+        f_lo = [c_lo[j] for j in keep]
+        f_hi = [c_hi[j] for j in keep]
+        prows = [rows[c_par[j]] for j in keep]
+        rows = cur[keep]
+        pcs = ocs[keep]
+        depth += 1
+
+    out.sort()
+    return np.asarray(out, dtype=np.int64)
+
+
 class Prepared:
     """prepare() output: the plan shipped to segment executors + metadata."""
 
@@ -522,11 +634,7 @@ def expand_phrase_part(part, field_name: str, stats: GlobalStats) -> list[str]:
         return list(terms)
     if isinstance(part, Fuzzy):
         d = min(int(part.max_distance), 4)
-        terms, _ = _expand_terms(
-            field_name,
-            stats,
-            batch=lambda ts: fuzzy_match_mask(part.term, ts, d, part.with_transpositions),
-        )
+        terms, _ = stats.fuzzy_terms(field_name, part.term, d, part.with_transpositions)
         return list(terms)
     raise TypeError(f"unsupported phrase part {type(part).__name__}")
 
@@ -602,11 +710,7 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
         }
     if isinstance(flt, Fuzzy):
         d = min(int(flt.max_distance), 4)
-
-        def fuzzy_batch(terms, _dfs):
-            return fuzzy_match_mask(flt.term, terms, d, flt.with_transpositions)
-
-        matched, dfs = stats.match_terms(flt.field, fuzzy_batch)
+        matched, dfs = stats.fuzzy_terms(flt.field, flt.term, d, flt.with_transpositions)
         return _union_of_terms(
             flt.field, [(t, boost) for t in matched], stats, scorer,
             scored_terms_limit=flt.scored_terms_limit, dfs=dfs,

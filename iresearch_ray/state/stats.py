@@ -252,6 +252,42 @@ class GlobalStats:
         order = np.argsort(ts, kind="stable")
         return ts[order], ds_[order]
 
+    def fuzzy_terms(
+        self, field_name: str, q: str, d: int, with_transpositions: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(matched terms, dfs) within edit distance ``d`` of ``q`` via the
+        Levenshtein trie walk over the SORTED dictionary
+        (filters.fuzzy_sorted_indices) — O(viable prefixes), not O(vocab),
+        in eager mode; in lazy mode the walk runs per streamed sorted batch
+        (I/O stays O(vocab) but CPU drops to O(viable per batch))."""
+        from iresearch_ray.query.filters import fuzzy_sorted_indices
+
+        if not self.lazy:
+            a = self._field_arrays(field_name)
+            idx = fuzzy_sorted_indices(a["term"], q, d, with_transpositions)
+            return a["term"][idx], a["df"][idx]
+        import pyarrow.dataset as pads
+
+        terms_out: list[np.ndarray] = []
+        dfs_out: list[np.ndarray] = []
+        for rb in self._dataset().to_batches(
+            columns=["term", "df"], filter=pads.field("field") == field_name
+        ):
+            if rb.num_rows == 0:
+                continue
+            ts = rb.column(0).to_pandas().to_numpy(dtype=object)
+            ds_ = rb.column(1).to_numpy(zero_copy_only=False)
+            idx = fuzzy_sorted_indices(ts, q, d, with_transpositions)
+            if idx.size:
+                terms_out.append(ts[idx])
+                dfs_out.append(ds_[idx])
+        if not terms_out:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+        ts = np.concatenate(terms_out)
+        ds_ = np.concatenate(dfs_out)
+        order = np.argsort(ts, kind="stable")
+        return ts[order], ds_[order]
+
     def field_terms(self, field_name: str) -> tuple[np.ndarray, np.ndarray]:
         """(sorted terms, dfs) of the WHOLE field dictionary — legacy/API
         convenience; prefer the bounded probes above (this materializes the

@@ -239,3 +239,27 @@ def test_fuzzy_match_mask_equals_scalar_dp():
                 assert (got == exp).all(), (q, d, trans, [
                     (t, scalar(q, t, d)) for t, g, e in zip(pool, got, exp) if g != e
                 ][:5])
+
+
+def test_fuzzy_sorted_walk_equals_mask():
+    """The Levenshtein trie walk over a sorted dictionary must match the
+    full-scan mask EXACTLY — same adversarial pools, both distance kinds."""
+    import random
+
+    import numpy as np
+
+    from iresearch_ray.query.filters import fuzzy_match_mask, fuzzy_sorted_indices
+
+    rng = random.Random(11)
+    alpha = "abz"
+    pool = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8))) for _ in range(400)]
+    pool += ["", "é", "naïve", "ab" * 40, "ba", "ab", "aab", "aba"]
+    terms = np.array(sorted(set(pool)), dtype=object)
+    for q in ["", "a", "ab", "ba", "abz", "abab", "é", "naïve", "zzzz"]:
+        for d in (0, 1, 2, 3):
+            for trans in (False, True):
+                exp = np.flatnonzero(fuzzy_match_mask(q, terms, d, with_transpositions=trans))
+                got = fuzzy_sorted_indices(terms, q, d, with_transpositions=trans)
+                assert (got == exp).all() and got.size == exp.size, (
+                    q, d, trans, terms[got][:5], terms[exp][:5]
+                )
