@@ -1,0 +1,543 @@
+"""Baseline JPEG (ITU-T T.81, SOF0) codec — pure numpy + stdlib.
+
+Fills the "first real user hits the fake decoder" gap for the most common
+compressed image format without adding dependencies: a correctness-grade
+sequential-baseline decoder (DQT/SOF0/DHT/SOS/DRI marker walk, canonical
+Huffman entropy decode, dequant + de-zigzag + matrix IDCT, JFIF YCbCr→RGB)
+plus the matching encoder used to generate test fixtures.  Production
+deployments still swap in Pillow via the ``decoder='pil'`` seam
+(multimodal.py); this path exists so the Ray-side plumbing is exercised on
+REAL compressed bytes (SURVEY §2.12).
+
+Scope (raise, never silently mis-decode, outside it):
+- baseline DCT (SOF0), 8-bit samples
+- grayscale or 3-component YCbCr with NO chroma subsampling (4:4:4 —
+  the encoder below always writes 4:4:4)
+- optional restart intervals (DRI / RSTn)
+Progressive (SOF2), arithmetic coding, 12-bit, and subsampled scans are
+out of scope here and raise ``ValueError`` pointing at the PIL seam.
+
+Constants (quant + Huffman tables) are the public Annex K examples.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 example quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 example Huffman tables: (BITS counts per code length 1..16, values)
+HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8-point DCT-II orthonormal matrix: F = D @ block @ D.T
+_n = np.arange(8)
+DCT_M = np.cos((2 * _n[None, :] + 1) * _n[:, None] * np.pi / 16) * 0.5
+DCT_M[0, :] = np.sqrt(1 / 8)
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for encoding (canonical Huffman, T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value for decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt_l = np.clip((QT_LUMA * scale + 50) // 100, 1, 255)
+    qt_c = np.clip((QT_CHROMA * scale + 50) // 100, 1, 255)
+    return qt_l, qt_c
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_component_blocks(
+    bw: _BitWriter, blocks: np.ndarray, qt: np.ndarray, dc_codes, ac_codes, pred: int
+) -> int:
+    """blocks: (n, 8, 8) float, level-shifted.  Returns updated DC pred."""
+    coeffs = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    quant = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - pred
+        pred = dc
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(_amplitude(diff, size), size)
+        ac = row[1:]
+        nz = np.flatnonzero(ac)
+        prev = -1
+        for i in nz:
+            run = int(i) - prev - 1
+            prev = int(i)
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            v = int(ac[i])
+            size = _category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(_amplitude(v, size), size)
+        if prev < 62:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+    return pred
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) → (n, 8, 8) in raster order."""
+    H, W = plane.shape
+    return (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _dht_segment(tc_th: int, table) -> bytes:
+    bits, values = table
+    payload = bytes([tc_th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB → baseline JFIF bytes
+    (4:4:4, Annex K Huffman tables)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., i] for i in range(3)]
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0 for p in planes
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        qt_l[ZIGZAG].astype(np.uint8)
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qt_c[ZIGZAG].astype(np.uint8)
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])  # 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, HT_DC_LUMA) + _dht_segment(0x10, HT_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0x01, HT_DC_CHROMA) + _dht_segment(0x11, HT_AC_CHROMA)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _canonical_codes(*HT_DC_LUMA)
+    ac_l = _canonical_codes(*HT_AC_LUMA)
+    dc_c = _canonical_codes(*HT_DC_CHROMA)
+    ac_c = _canonical_codes(*HT_AC_CHROMA)
+    bw = _BitWriter()
+    # 4:4:4 MCU = one block per component, interleaved in raster order
+    nblocks = (ph // 8) * (pw // 8)
+    comp_blocks = [_blocks_of(p) for p in planes]
+    preds = [0] * ncomp
+    tabs = [(qt_l, dc_l, ac_l)] + [(qt_c, dc_c, ac_c)] * (ncomp - 1)
+    for b in range(nblocks):
+        for ci in range(ncomp):
+            qt, dcc, acc = tabs[ci]
+            preds[ci] = _encode_component_blocks(
+                bw, comp_blocks[ci][b : b + 1], qt, dcc, acc, preds[ci]
+            )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over the UNSTUFFED entropy byte stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+
+
+def _receive_extend(br: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = br.read_bits(size)
+    if v < (1 << (size - 1)):  # negative branch (F.2.2.1 EXTEND)
+        v -= (1 << size) - 1
+    return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (use PIL seam)")
+                tbl = np.frombuffer(seg[off + 1 : off + 65], np.uint8).astype(np.int64)
+                qts[tq] = tbl[UNZIGZAG]  # store in natural order
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                values = list(seg[off + 17 : off + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, values)
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported here (4:4:4 only; use PIL seam)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported; use PIL seam")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({"comp": comp, "dc": tdta >> 4, "ac": tdta & 0xF})
+            pos += seglen
+            return _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval)
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _find_entropy_end(payload: bytes, pos: int) -> int:
+    i = pos
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] not in (0x00,) and not (
+            0xD0 <= payload[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
+def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    ncomp = len(scan)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    bh, bw_ = ph // 8, pw // 8
+    nmcu = bh * bw_
+    end = _find_entropy_end(payload, pos)
+    raw = payload[pos:end]
+    # split on RST markers (entropy bytes are 0xFF00-stuffed)
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    planes = [np.zeros((ph, pw), np.float64) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * ncomp
+        by, bx = divmod(m, bw_)
+        for si, sc in enumerate(scan):
+            qt = qts[sc["comp"]["tq"]]
+            dct = huff[(0, sc["dc"])]
+            act = huff[(1, sc["ac"])]
+            zz = np.zeros(64, np.int64)
+            size = _huff_decode(br, dct)
+            diff = _receive_extend(br, size)
+            preds[si] += diff
+            zz[0] = preds[si]
+            kk = 1
+            while kk < 64:
+                rs = _huff_decode(br, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        kk += 16
+                        continue
+                    break  # EOB
+                kk += run
+                if kk > 63:
+                    raise ValueError("JPEG AC run overflow")
+                zz[kk] = _receive_extend(br, size)
+                kk += 1
+            block = (zz[UNZIGZAG] * qt).reshape(8, 8).astype(np.float64)
+            pix = DCT_M.T @ block @ DCT_M + 128.0
+            planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -19,6 +19,11 @@ Decoders, by honesty level:
   non-interlaced — correctness-grade (per-row Python for the two
   sequentially-dependent filters); swap in Pillow via ``"pil"`` for
   production throughput.
+* ``decoder="jpeg"`` — REAL baseline JPEG (ITU-T T.81 SOF0): marker walk,
+  canonical Huffman entropy decode, dequant + de-zigzag + matrix IDCT,
+  JFIF YCbCr→RGB, restart intervals (stages/jpeg.py, numpy + stdlib only).
+  Baseline 8-bit 4:4:4 / grayscale scope; progressive or subsampled files
+  raise pointing at the PIL seam.  Correctness-grade throughput.
 * ``decoder="fake"`` (default for compressed formats) — a clearly-marked
   DETERMINISTIC FAKE deriving pixels from an md5 stream over the payload.
   Output shapes/dtypes are exactly what a real decoder would produce, so
@@ -42,6 +47,8 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from iresearch_ray.stages.jpeg import decode_jpeg, encode_jpeg
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -316,7 +323,7 @@ class ImageDecode:
                     "real image decode needs Pillow; use decoder='fake' or "
                     "'ppm'/'png' (real, dependency-free) here"
                 ) from e
-        elif decoder not in ("fake", "ppm", "png"):
+        elif decoder not in ("fake", "ppm", "png", "jpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -338,6 +345,16 @@ class ImageDecode:
                 if px.shape != (self.h, self.w, 3):
                     raise ValueError(
                         f"PNG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                    )
+            elif self.decoder == "jpeg":
+                # REAL baseline-JPEG decode (Huffman + IDCT, stages/jpeg.py)
+                px = decode_jpeg(payload or b"")
+                if px.ndim == 2:  # grayscale scan → (h, w, 1) for _to_rgb
+                    px = px[:, :, None]
+                px = _to_rgb(px)
+                if px.shape != (self.h, self.w, 3):
+                    raise ValueError(
+                        f"JPEG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
                     )
             else:  # pragma: no cover
                 raise NotImplementedError
@@ -517,6 +534,40 @@ def synth_png_table(n: int, h: int = 8, w: int = 8, seed: int = 42) -> tuple:
             "item_id": pa.array(range(n), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+        }
+    )
+    return t, pix
+
+
+def synth_jpeg_table(
+    n: int, h: int = 8, w: int = 8, seed: int = 42, quality: int = 95
+) -> tuple:
+    """REAL-JPEG image corpus: payload = genuine baseline-JFIF bytes of
+    seeded SMOOTH images (low-frequency gradients — JPEG is lossy, so the
+    fixture keeps reconstruction error small and the test asserts a
+    tolerance, not equality).  Alternates RGB and grayscale scans so both
+    SOF0 component layouts are exercised."""
+    rng = np.random.default_rng(seed)
+    payloads, pix = [], []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        a, b, c = rng.uniform(0.2, 2.0, 3)
+        base = 128 + 90 * np.sin(a * yy / h * np.pi) * np.cos(b * xx / w * np.pi + c)
+        if i % 2:
+            px = np.clip(base, 0, 255).astype(np.uint8)  # grayscale
+        else:
+            px = np.clip(
+                np.stack([base, 255 - base, np.roll(base, 2, axis=1)], axis=-1), 0, 255
+            ).astype(np.uint8)
+        pix.append(px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2))
+        payloads.append(encode_jpeg(px, quality=quality))
+    t = pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/jpeg"] * n, pa.string()),
             "width": pa.array([w] * n, pa.int32()),
             "height": pa.array([h] * n, pa.int32()),
         }
