@@ -424,6 +424,16 @@ ANALYZERS["null"] = NullAnalyzer
 ANALYZERS["minhash"] = MinHashAnalyzer
 
 
+def _segmentation_factory(**options):
+    # Imported lazily: segmentation builds a small Word_Break LUT at import.
+    from iresearch_ray.functions.segmentation import SegmentationAnalyzer
+
+    return SegmentationAnalyzer(**options)
+
+
+ANALYZERS["segmentation"] = _segmentation_factory
+
+
 def get_analyzer(name: str, **options) -> Tokenizer:
     try:
         factory = ANALYZERS[name]

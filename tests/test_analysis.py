@@ -148,3 +148,71 @@ def test_collation_range_query_e2e(tmp_path):
     c = CollationAnalyzer()
     keys = sorted(c.key(r["text"]) for r in rows)
     assert keys == [c.key(w) for w in ("Äpfel", "banane", "Citron", "dattel", "ÉCLAIR")]
+
+
+# ---------------------------------------------------------------------------
+# UAX#29 segmentation analyzer (SURVEY §2.1 `segmentation` — upgraded from
+# the pinned regex approximation to the real word-boundary rule set)
+# ---------------------------------------------------------------------------
+
+
+def test_uax29_word_boundaries_canonical_cases():
+    """Hand-checked cases exercising each WB rule: MidLetter/MidNumLet
+    chains (WB6/7), numeric separators (WB11/12), ExtendNumLet (WB13a/b),
+    Katakana runs (WB13), CRLF (WB3), combining marks (WB4), regional
+    indicator pairs (WB15/16), ZWJ emoji (WB3c), WSegSpace runs (WB3d)."""
+    from iresearch_ray.functions.segmentation import segment_words
+
+    cases = [
+        ("can't stop", ["can't", " ", "stop"]),
+        ("1,234.56 items", ["1,234.56", " ", "items"]),
+        ("foo_bar baz", ["foo_bar", " ", "baz"]),
+        ("a:b", ["a:b"]),                 # colon is MidLetter
+        ("a.b.c", ["a.b.c"]),
+        ("a..b", ["a", ".", ".", "b"]),   # doubled mid char breaks (WB6 needs AHLetter after)
+        ("étude", ["étude"]),
+        ("ab\r\ncd", ["ab", "\r\n", "cd"]),
+        ("カタカナ test", ["カタカナ", " ", "test"]),
+        ("ひらがな", ["ひ", "ら", "が", "な"]),  # pure UAX#29 (no ICU dictionary): WB999
+        ("漢字", ["漢", "字"]),
+        ("A1B2", ["A1B2"]),               # WB9/WB10
+        ("don’t", ["don’t"]),             # curly apostrophe is MidNumLet
+        ("3.14", ["3.14"]),
+        ("3. 14", ["3", ".", " ", "14"]),
+        ("U.S.A.", ["U.S.A", "."]),
+        ("  two  spaces", ["  ", "two", "  ", "spaces"]),
+        ("🇺🇸🇫🇷", ["🇺🇸", "🇫🇷"]),           # RI pairs
+        ("👩‍💻 dev", ["👩‍💻", " ", "dev"]),  # ZWJ sequence
+        ("x́y", ["x́y"]),       # Extend attaches, then WB4-skipped WB5
+    ]
+    for text, want in cases:
+        assert segment_words(text) == want, (text, segment_words(text), want)
+    assert segment_words("") == []
+    assert segment_words("a") == ["a"]
+
+
+def test_segmentation_analyzer_modes_and_registry():
+    from iresearch_ray.functions.analysis import get_analyzer
+
+    alpha = get_analyzer("segmentation")
+    assert alpha(["Can't stop, 1,234.56!"]) == [["can't", "stop", "1,234.56"]]
+    graphic = get_analyzer("segmentation", word_break="graphic", case="none")
+    assert graphic(["Hi — there!"]) == [["Hi", "—", "there", "!"]]
+    allmode = get_analyzer("segmentation", word_break="all", case="upper")
+    assert allmode(["a b"]) == [["A", " ", "B"]]
+    assert alpha([None]) == [[]]
+
+
+def test_segmentation_matches_text_analyzer_on_plain_ascii():
+    """On plain space-separated ASCII words (no punctuation), the UAX#29
+    alpha segmentation and the pinned `text` regex produce identical
+    tokens — the documented domain where the r1/r2 approximation was
+    already exact."""
+    from iresearch_ray.functions.analysis import TextAnalyzer, get_analyzer
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "alpha beta gamma delta 42 omega",
+        "Mixed Case Words Here",
+    ]
+    assert get_analyzer("segmentation")(texts) == TextAnalyzer()(texts)
