@@ -167,31 +167,59 @@ class NormalizingAnalyzer:
 
 
 class CollationAnalyzer:
-    """Root-locale collation-key approximation, one key token per value
+    """UCA-style multi-level collation sort key, one key token per value
     (ref: collation_token_stream.cpp — emits the ICU collation sort key).
 
-    ICU is unavailable in this environment, so the key is PINNED as a
-    documented approximation of the root locale at secondary strength:
-    NFKD → casefold → strip combining marks → NFC.  Under this key,
-    accent- and case-variants collate together and lexicographic byte
-    order of keys equals the root collation for ASCII (exact) and for
-    accent-folded Latin text (approximate — ICU tailorings like 'ß'→'ss'
-    ARE covered by casefold, but e.g. Danish 'å' > 'z' is not).  A real
-    deployment swaps in PyICU's ``Collator.getSortKey`` behind the same
-    single-token contract."""
+    ICU/DUCET is unavailable in this environment, so the key is a PINNED
+    root-locale approximation built the way UCA builds real sort keys
+    (UTS #10 §3): the value is NFD-decomposed into collation elements and
+    three weight SEQUENCES are emitted — primary (casefolded base chars;
+    combining marks are primary-ignorable), secondary (common weight for
+    base chars, per-mark weight for accents, compared left-to-right as in
+    the root locale), tertiary (case: lowercase 0x02 < uppercase 0x08) —
+    then concatenated with a level separator lower than every weight.
+    Lexicographic order of keys therefore reproduces root-collation
+    ordering for Latin text: accents break secondary ties left-to-right
+    ("cote" < "coté" < "côte" < "côté"), case breaks tertiary ties
+    (lowercase first), and 'ß'→'ss' via casefold.  Known divergences from
+    DUCET: primary weights are casefolded code points, so cross-script
+    weighting and language tailorings (e.g. Danish 'å' > 'z') differ.
+    A real deployment swaps in PyICU's ``Collator.getSortKey`` behind the
+    same single-token contract.
 
-    def __init__(self, strength: str = "secondary"):
-        if strength not in ("primary", "secondary"):
-            raise ValueError("strength must be 'primary' or 'secondary'")
+    ``strength`` truncates levels like ICU: "primary" (accents+case
+    ignored; variable elements — punctuation/whitespace — shifted out,
+    so "foo-bar" == "Foo Bar"), "secondary" (accents matter, case
+    doesn't), "tertiary" (default — all three levels)."""
+
+    _SEP = "\x01"  # level separator, below every weight
+
+    def __init__(self, strength: str = "tertiary"):
+        if strength not in ("primary", "secondary", "tertiary"):
+            raise ValueError("strength must be primary|secondary|tertiary")
         self.strength = strength
 
     def key(self, t: str) -> str:
-        s = unicodedata.normalize("NFKD", t).casefold()
-        s = "".join(c for c in s if not unicodedata.combining(c))
+        nfd = unicodedata.normalize("NFD", t)
+        prim: list[str] = []
+        sec: list[str] = []
+        tert: list[str] = []
+        for ch in nfd:
+            if unicodedata.combining(ch):
+                # primary-ignorable; secondary weight identifies the mark
+                sec.append(chr(0x100 + ord(ch)))
+                continue
+            if self.strength == "primary" and not ch.isalnum():
+                continue  # variable elements shifted out of level 1
+            for c in ch.casefold():  # ß → ss expands primary weights
+                prim.append(chr(0x20 + ord(c)))
+                sec.append("\x20")  # common secondary weight
+                tert.append("\x08" if ch.isupper() else "\x02")
         if self.strength == "primary":
-            # primary strength also ignores punctuation/space variants
-            s = "".join(c for c in s if c.isalnum())
-        return unicodedata.normalize("NFC", s)
+            return "".join(prim)
+        if self.strength == "secondary":
+            return "".join(prim) + self._SEP + "".join(sec)
+        return "".join(prim) + self._SEP + "".join(sec) + self._SEP + "".join(tert)
 
     def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
         return [[] if t is None else [self.key(t)] for t in texts]

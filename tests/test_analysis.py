@@ -102,24 +102,37 @@ def test_minhash_collision_tracks_jaccard():
 
 
 def test_collation_analyzer_keys():
-    """Root-locale approximation (ref: collation_token_stream.cpp): accent
-    and case variants collate together; key byte order == root collation
-    for ASCII and accent-folded Latin text."""
+    """UCA-style multi-level root-locale keys (ref:
+    collation_token_stream.cpp): strength truncates levels like ICU —
+    primary folds accents+case, secondary distinguishes accents
+    left-to-right, tertiary orders lowercase before uppercase."""
     from iresearch_ray.functions.analysis import CollationAnalyzer, get_analyzer
 
     c = get_analyzer("collation")
     assert isinstance(c, CollationAnalyzer)
-    # case/accent variants produce the SAME key
-    assert c(["Café"]) == c(["cafe"]) == c(["CAFÉ"])
-    assert c(["straße"])[0] == c(["STRASSE"])[0]  # casefold covers ß→ss
-    # ordering under the key equals root collation for these
-    keys = [c([w])[0][0] for w in ("Äpfel", "banane", "Citron")]
+    # PRIMARY: case/accent variants produce the SAME key
+    p = get_analyzer("collation", strength="primary")
+    assert p(["Café"]) == p(["cafe"]) == p(["CAFÉ"])
+    assert p(["straße"])[0] == p(["STRASSE"])[0]  # casefold covers ß→ss
+    # primary strength also shifts out punctuation/space variants
+    assert p(["foo-bar"]) == p(["Foo Bar"]) == p(["foobar"])
+    # SECONDARY: accents differ (left-to-right, root order), case doesn't
+    s = get_analyzer("collation", strength="secondary")
+    assert s(["café"]) == s(["CAFÉ"])
+    assert s(["café"]) != s(["cafe"])
+    k = lambda w: s([w])[0][0]
+    assert [k(w) for w in ("cote", "coté", "côte", "côté")] == sorted(
+        k(w) for w in ("cote", "coté", "côte", "côté")
+    )
+    # TERTIARY (default): case breaks the final tie, lowercase first
+    kt = lambda w: c([w])[0][0]
+    assert kt("ab") < kt("Ab") < kt("AB")
+    assert kt("café") != kt("CAFÉ")
+    # ordering under any strength equals root collation for these
+    keys = [kt(w) for w in ("Äpfel", "banane", "Citron")]
     assert keys == sorted(keys)
     # null → no token (field absent)
     assert c([None]) == [[]]
-    # primary strength ignores punctuation/space variants
-    p = get_analyzer("collation", strength="primary")
-    assert p(["foo-bar"]) == p(["Foo Bar"]) == p(["foobar"])
 
 
 def test_collation_range_query_e2e(tmp_path):
