@@ -351,6 +351,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_granular(sf):
         return _topk(sf, F.GranularRange("n_chars", 150, 220), k=10_000)
 
+    def ft_collation_sort(sf):
+        # First 50 docs in ICU root collation order of `text`.  The UCA
+        # sort key (functions/analysis.CollationAnalyzer) is fuzz-verified
+        # order-identical to DuckDB's bundled ICU ("en") on Latin text.
+        # Scale shape: per-batch partial top-50 by (key, doc_id) inside
+        # map_batches, then a tiny driver merge — no all-to-all sort.
+        from iresearch_ray.functions.analysis import CollationAnalyzer
+
+        coll = CollationAnalyzer()
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["doc_id", "text"]].copy()
+            df["ckey"] = [coll.key(t) for t in df["text"]]
+            return df.sort_values(["ckey", "doc_id"], kind="mergesort").head(50)
+
+        parts = _docs_ds(sf).map_batches(partial, batch_format="pandas").to_pandas()
+        top = (
+            parts.sort_values(["ckey", "doc_id"], kind="mergesort")
+            .head(50)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1, dtype="int64"),
+                "doc_id": top["doc_id"].astype("int64"),
+            }
+        )
+
     def ft_stats(sf):
         s = _searcher(sf)
         terms, dfs = s.stats.field_terms("text")
@@ -541,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ngram_similarity": ft_ngram_sim,
         "ft_granular_range": ft_granular,
         "ft_stats_df": ft_stats,
+        "ft_collation_sort": ft_collation_sort,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -870,6 +899,11 @@ SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars BETWEEN 150 AND 220
 SELECT w AS term, count(distinct doc_id) AS df, count(*) AS cf
 FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
 WHERE w IN ('key','table','join','the') GROUP BY w ORDER BY w
+""",
+        # real ICU collation (DuckDB's bundled icu extension) vs our UCA key
+        "ft_collation_sort": """
+SELECT row_number() OVER (ORDER BY text COLLATE "en", doc_id) AS rank, doc_id
+FROM documents ORDER BY text COLLATE "en", doc_id LIMIT 50
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

@@ -192,12 +192,42 @@ class CollationAnalyzer:
     so "foo-bar" == "Foo Bar"), "secondary" (accents matter, case
     doesn't), "tertiary" (default — all three levels)."""
 
-    _SEP = "\x01"  # level separator, below every weight
+    _SEP = "\x01"  # level separator, below every weight piece
+
+    # DUCET primary order of common punctuation/symbols, derived once from
+    # a real ICU instance (DuckDB's bundled icu, root/en locale) — NOT
+    # code-point order (e.g. '-' sorts before "'").  Soft hyphen U+00AD is
+    # primary-ignorable and handled separately.
+    _PUNCT_ORDER = (
+        " _-,;:!¡?¿.·'\"«»()[]{}§¶@*/\\&#%`´^¯¨¸°©®+±<=>¬|¦~¤¢$£¥"
+    )
+    _PUNCT_RANK = {c: i for i, c in enumerate(_PUNCT_ORDER)}
+    # DUCET secondary order of combining marks (same derivation): acute <
+    # grave < breve < circumflex < caron < ring < diaeresis < tilde < dot
+    # < cedilla < macron — again not code-point order.
+    _MARK_ORDER = (0x0301, 0x0300, 0x0306, 0x0302, 0x030C, 0x030A,
+                   0x0308, 0x0303, 0x0307, 0x0327, 0x0304)
+    _MARK_RANK = {chr(cp): i for i, cp in enumerate(_MARK_ORDER)}
 
     def __init__(self, strength: str = "tertiary"):
         if strength not in ("primary", "secondary", "tertiary"):
             raise ValueError("strength must be primary|secondary|tertiary")
         self.strength = strength
+
+    def _primary(self, c: str) -> str:
+        """Two-char primary weight piece: band char + detail char.  Bands
+        (low → high): listed punct/symbols in DUCET order, other
+        punct/symbols by code point, digits, letters/other by casefolded
+        code point — matching ICU's variable < number < letter spine."""
+        r = self._PUNCT_RANK.get(c)
+        if r is not None:
+            return "\x03" + chr(0x20 + r)
+        cat = unicodedata.category(c)
+        if cat[0] in ("P", "S", "Z", "C"):
+            return "\x04" + chr(min(ord(c), 0x10FFF) + 0x20)
+        if c.isdigit():
+            return "\x05" + c
+        return "\x06" + c
 
     def key(self, t: str) -> str:
         nfd = unicodedata.normalize("NFD", t)
@@ -206,15 +236,24 @@ class CollationAnalyzer:
         tert: list[str] = []
         for ch in nfd:
             if unicodedata.combining(ch):
-                # primary-ignorable; secondary weight identifies the mark
-                sec.append(chr(0x100 + ord(ch)))
+                # primary-ignorable; secondary weight = DUCET mark order
+                r = self._MARK_RANK.get(ch)
+                sec.append(chr(0x40 + r) if r is not None
+                           else chr(0x100 + ord(ch)))
                 continue
+            if ch == "­":
+                continue  # soft hyphen: fully ignorable
             if self.strength == "primary" and not ch.isalnum():
                 continue  # variable elements shifted out of level 1
-            for c in ch.casefold():  # ß → ss expands primary weights
-                prim.append(chr(0x20 + ord(c)))
+            folded = ch.casefold()
+            # tertiary: lowercase 0x02 < uppercase 0x08 < compatibility
+            # expansions (ß→ss sorts after SS in ICU root — verified
+            # against DuckDB's bundled ICU)
+            tw = "\x10" if len(folded) > 1 else ("\x08" if ch.isupper() else "\x02")
+            for c in folded:  # ß → ss expands primary weights
+                prim.append(self._primary(c))
                 sec.append("\x20")  # common secondary weight
-                tert.append("\x08" if ch.isupper() else "\x02")
+                tert.append(tw)
         if self.strength == "primary":
             return "".join(prim)
         if self.strength == "secondary":

@@ -229,3 +229,39 @@ def test_segmentation_matches_text_analyzer_on_plain_ascii():
         "Mixed Case Words Here",
     ]
     assert get_analyzer("segmentation")(texts) == TextAnalyzer()(texts)
+
+
+def test_collation_order_matches_real_icu_fuzz():
+    """Order-parity fuzz against a REAL ICU instance (DuckDB bundles the
+    icu extension statically): 1500+ random Latin/accent/punct/digit
+    strings plus sentence-shaped ASCII, sorted by our UCA key vs
+    ORDER BY v COLLATE "en" — must agree exactly.  This is the oracle
+    behind the ft_collation_sort driver query."""
+    import random
+
+    import duckdb
+
+    from iresearch_ray.functions.analysis import CollationAnalyzer
+
+    rng = random.Random(7)
+    alphabet = (list("abcdefgz") + list("ABCZ")
+                + list("áàâäéèêëíîïóôöúûüçñß") + list("0159 .-'"))
+    words = {"".join(rng.choices(alphabet, k=rng.randint(1, 8))) for _ in range(800)}
+    vocab = ["the", "quick", "Brown", "fox", "error", "agent", "tool",
+             "retry", "42", "3.14", "can't", "HTTP", "a-b"]
+    words |= {
+        " ".join(rng.choices(vocab, k=rng.randint(1, 6))) + rng.choice(["", ".", "!", "?"])
+        for _ in range(500)
+    }
+    words |= {
+        "".join(rng.choices(list("0123456789.,;:!? $%&#@*+=<>()[]"), k=rng.randint(1, 10)))
+        for _ in range(300)
+    }
+    words = list(words)
+    con = duckdb.connect()
+    con.execute("create table w(v varchar)")
+    con.executemany("insert into w values (?)", [(w,) for w in words])
+    icu = [r[0] for r in con.sql('select v from w order by v collate "en", v').fetchall()]
+    c = CollationAnalyzer()
+    mine = sorted(words, key=lambda w: (c.key(w), w))
+    assert mine == icu
