@@ -30,3 +30,4 @@ _tune_memory()
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401
 from iresearch_ray.pipelines.build import build_index_local  # noqa: F401
+from iresearch_ray.state.crypto import IndexEncryption  # noqa: F401,E402

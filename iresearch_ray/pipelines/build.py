@@ -125,7 +125,7 @@ def _num_partitions(ds, explicit: int | None) -> int:
     return max(1, math.ceil(nbytes / TARGET_PARTITION_BYTES))
 
 
-def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, fingerprint: dict | None = None):
+def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, fingerprint: dict | None = None, crypto=None):
     def build_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"meta": pa.array([], pa.string())})
@@ -148,6 +148,7 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, finge
                 "build_secs": round(time.perf_counter() - t0, 4),
                 "tokens": field_stats.get(cfg.text_field, {}).get("total_term_freq", 0),
             },
+            crypto=crypto,
         )
         return pa.table({"meta": pa.array([json.dumps(meta)], pa.string())})
 
@@ -160,6 +161,7 @@ def build_index(
     cfg: IndexConfig | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    crypto=None,
 ) -> dict:
     """Build (or resume) an index from a Parquet path / list of paths / an
     existing ``ray.data.Dataset`` of transcript rows.  Returns the committed
@@ -210,7 +212,7 @@ def build_index(
 
     ds = ds.map_batches(assign, batch_format="pyarrow")
     metas_ds = ds.groupby("__part").map_groups(
-        _build_group_fn(index_dir, cfg, P, fingerprint), batch_format="pyarrow"
+        _build_group_fn(index_dir, cfg, P, fingerprint, crypto), batch_format="pyarrow"
     )
     new_metas = [json.loads(r["meta"]) for r in metas_ds.take_all()]
 
@@ -243,6 +245,7 @@ def build_index_direct(
     cfg: IndexConfig | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    crypto=None,
 ) -> dict:
     """Same contract as ``build_index`` but with an EXPLICIT two-stage hash
     exchange instead of the Dataset sort-based groupby:
@@ -310,7 +313,7 @@ def build_index_direct(
                 out.append(t.slice(lo, hi - lo))
         return tuple(out) if P > 1 else out[0]
 
-    build = _build_group_fn(index_dir, cfg, P, fingerprint)
+    build = _build_group_fn(index_dir, cfg, P, fingerprint, crypto)
 
     @ray.remote(num_cpus=1)
     def build_part(p: int, *shards):
@@ -498,7 +501,7 @@ def append_index(
     )
 
 
-def verify_text_equality(index_dir: str, source, distributed: bool | None = None) -> dict:
+def verify_text_equality(index_dir: str, source, distributed: bool | None = None, crypto=None) -> dict:
     """Per-turn text equality against the source corpus under stable
     (conv_id, turn_idx) ordering — the end-to-end invariant pinned by the
     BASELINE input_hint.  Compares the stored doc-table text of EVERY live
@@ -557,7 +560,7 @@ def verify_text_equality(index_dir: str, source, distributed: bool | None = None
     mismatches = []
     dup_keys = []
     for d in segment_dirs(index_dir, manifest):
-        r = SegmentReader(d)
+        r = SegmentReader(d, crypto=crypto)
         for c, t, x in zip(
             r.docs["conv_id"].to_pylist(),
             r.docs["turn_idx"].to_pylist(),

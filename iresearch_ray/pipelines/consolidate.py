@@ -35,6 +35,7 @@ def consolidate(
     gc: bool = False,
     repeat: bool = False,
     engine: str = "auto",
+    crypto=None,
 ) -> dict:
     """Run one (or, with ``repeat``, successive) consolidation rounds.
     Returns the latest manifest (unchanged if the policy found nothing)."""
@@ -61,8 +62,10 @@ def consolidate(
 
                     d = os.path.join(index_dir, "segments", sm["name"])
                     dead = 0
+                    from iresearch_ray.state.crypto import read_parquet_any as _rpa
+
                     for p in docs_paths(d):
-                        t = _pq.read_table(p, columns=["conv_id", "turn_idx"])
+                        t = _rpa(p, crypto, columns=["conv_id", "turn_idx"])
                         pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
                         dead += sum(pr in keys for pr in pairs)
                     sm["live_docs"] = sm["docs_count"] - dead
@@ -81,7 +84,7 @@ def consolidate(
             return _maybe_clear_tombstones(index_dir, manifest)
         gen = manifest["generation"]
         sizes = {sm["name"]: sm.get("bytes", 0) for sm in manifest["segments"]}
-        merged_metas = _run_merges(index_dir, sets, gen, engine, sizes)
+        merged_metas = _run_merges(index_dir, sets, gen, engine, sizes, crypto)
         merged_away = {n for s in sets for n in s}
         survivors = [s for s in manifest["segments"] if s["name"] not in merged_away]
         manifest = commit_manifest(
@@ -191,6 +194,7 @@ def _run_merges(
     generation: int,
     engine: str = "auto",
     sizes: dict[str, int] | None = None,
+    crypto=None,
 ) -> list[dict]:
     """Fan candidate sets out as Ray tasks when a session exists (each merge
     is independent); WIDE sets — by member count OR total bytes — take the
@@ -206,6 +210,13 @@ def _run_merges(
     sizes = sizes or {}
 
     def is_wide(s: list[str]) -> bool:
+        if crypto is not None:
+            # the shuffle merge streams segment pages through
+            # ray.data.read_parquet, which has no dataset-level decryption
+            # in this pyarrow — encrypted indexes take the task merge
+            # (SegmentReader decrypts); revisit when pyarrow exposes
+            # ParquetFragmentScanOptions(decryption_properties=...)
+            return False
         if engine == "shuffle":
             return True
         if engine == "tasks":
@@ -222,10 +233,10 @@ def _run_merges(
         if have_ray and len(narrow) > 1:
             remote_merge = ray.remote(num_cpus=1)(merge_segments)
             out += ray.get(
-                [remote_merge.remote(index_dir, s, generation) for s in narrow]
+                [remote_merge.remote(index_dir, s, generation, crypto) for s in narrow]
             )
         else:
-            out += [merge_segments(index_dir, s, generation) for s in narrow]
+            out += [merge_segments(index_dir, s, generation, crypto) for s in narrow]
     for s in wide:  # shuffle merges drive the whole cluster — run serially
         from iresearch_ray.stages.shuffle_merge import merge_segments_shuffle
 

@@ -117,7 +117,7 @@ def _entries(manifest: dict) -> list[dict]:
     return out
 
 
-def delete_by_filter(index_dir: str, flt) -> dict:
+def delete_by_filter(index_dir: str, flt, crypto=None) -> dict:
     """remove(filter) analog: evaluate the filter against the CURRENT
     snapshot and tombstone EVERY matching key in one transaction — a
     dedicated match-keys scan (no scoring, no top-k cap: the old k-capped
@@ -125,7 +125,7 @@ def delete_by_filter(index_dir: str, flt) -> dict:
     from iresearch_ray.pipelines.search import Searcher
     from iresearch_ray.query.exec import eval_node
 
-    s = Searcher(index_dir)
+    s = Searcher(index_dir, crypto=crypto)
     plan = s.prepare(flt).plan
     keys: list[tuple[str, int]] = []
     for i, r in enumerate(s._local_readers()):

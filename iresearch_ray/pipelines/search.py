@@ -43,14 +43,15 @@ class Searcher:
     """Point-in-time searcher over one index generation (the
     directory_reader snapshot analog)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, crypto=None):
         self.index_dir = index_dir
+        self.crypto = crypto
         manifest = load_manifest(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.manifest = manifest
         self.cfg = IndexConfig.from_json(manifest["config"])
-        self.stats = build_global_stats(index_dir, manifest)
+        self.stats = build_global_stats(index_dir, manifest, crypto=crypto)
         self.seg_dirs = segment_dirs(index_dir, manifest)
         self._readers: list[SegmentReader] | None = None
         self._tomb_keys = None  # lazy; most indexes have no deletes
@@ -80,7 +81,7 @@ class Searcher:
     # -- local (in-process) execution: tests, tiny indexes ----------------
     def _local_readers(self) -> list[SegmentReader]:
         if self._readers is None:
-            self._readers = [SegmentReader(d) for d in self.seg_dirs]
+            self._readers = [SegmentReader(d, crypto=self.crypto) for d in self.seg_dirs]
         return self._readers
 
     def search_local(
@@ -153,6 +154,7 @@ class Searcher:
             fn_constructor_kwargs={
                 "tombstones_json": tombs_json,
                 "index_dir": self.index_dir,
+                "crypto": self.crypto,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -198,7 +200,7 @@ class _PoolWorker:
     partitioned round-robin across the pool, not replicated — pool memory =
     index size, not index × actors)."""
 
-    def __init__(self, index_dir: str, seg_dirs: list[str], tombs_json: str, cache_size: int = 256):
+    def __init__(self, index_dir: str, seg_dirs: list[str], tombs_json: str, cache_size: int = 256, crypto=None):
         import collections
         import json as _json
         import os as _os
@@ -214,7 +216,7 @@ class _PoolWorker:
         per_reader = max(
             8 << 20, SegmentReader.POSTING_CACHE_BYTES // max(1, len(seg_dirs))
         )
-        self.readers = [SegmentReader(d, cache_bytes=per_reader) for d in seg_dirs]
+        self.readers = [SegmentReader(d, cache_bytes=per_reader, crypto=crypto) for d in seg_dirs]
         self.deleted = []
         for d, r in zip(seg_dirs, self.readers):
             if tombs_json:
@@ -306,7 +308,10 @@ class QueryPool:
         if tombs == "[]":
             tombs = ""
         worker = ray.remote(num_cpus=num_cpus)(_PoolWorker)
-        self.actors = [worker.remote(index_dir, sh, tombs) for sh in shards]
+        self.actors = [
+            worker.remote(index_dir, sh, tombs, crypto=self.searcher.crypto)
+            for sh in shards
+        ]
 
     def search(self, queries: dict[str, Filter], k: int = 10, wand: bool = True,
                scorer: ScorerCfg | None = None) -> pd.DataFrame:

@@ -99,13 +99,13 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
     }
 
 
-def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dict:
+def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto=None) -> dict:
     """Merge the named segments into one new segment dir; returns its meta."""
     import os
 
     t0 = time.perf_counter()
     seg_names = sorted(seg_names)
-    readers = [SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names]
+    readers = [SegmentReader(os.path.join(index_dir, "segments", n), crypto=crypto) for n in seg_names]
     cfg = IndexConfig.from_json(readers[0].meta["config"])
 
     # deletes present? purge by REBUILDING from the stored doc rows (the
@@ -130,7 +130,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dic
                 raise NotImplementedError(
                     "purging deletes requires store_text=True (rebuild from stored rows)"
                 )
-            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0)
+            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, crypto=crypto)
 
     offsets = np.concatenate(([0], np.cumsum([r.meta["docs_count"] for r in readers])))
 
@@ -183,10 +183,11 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int) -> dic
         cfg,
         lineage={"merged_from": seg_names},
         metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
+        crypto=crypto,
     )
 
 
-def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0):
+def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, crypto=None):
     """Drop masked docs and rebuild the merged segment from stored rows —
     correctness path for deletes; slower than blob concat, but deletes are
     purged exactly once."""
@@ -211,4 +212,5 @@ def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0)
         cfg,
         lineage={"merged_from": seg_names, "purged": True},
         metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": docs.num_rows},
+        crypto=crypto,
     )

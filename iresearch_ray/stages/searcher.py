@@ -33,7 +33,7 @@ class SegmentSearcher:
     (LRU eviction) so a pool can serve an index wider than worker heap."""
 
     def __init__(self, max_cached_segments: int = 64,
-                 tombstones_json: str = "", index_dir: str = ""):
+                 tombstones_json: str = "", index_dir: str = "", crypto=None):
         self._readers: OrderedDict[str, SegmentReader] = OrderedDict()
         self._max = max_cached_segments
         self._plan_cache: dict[str, dict] = {}
@@ -42,6 +42,7 @@ class SegmentSearcher:
         # shipped once per actor (constructor) instead of per work item
         self._tombs_json = tombstones_json or ""
         self._index_dir = index_dir or ""
+        self._crypto = crypto
 
     def _deleted(self, seg_dir: str, index_dir: str, tombstones_json: str):
         """Per-(segment, tombstone-list) deleted mask, cached per actor.
@@ -81,6 +82,7 @@ class SegmentSearcher:
             r = SegmentReader(
                 seg_dir,
                 cache_bytes=max(8 << 20, SegmentReader.POSTING_CACHE_BYTES // self._max),
+                crypto=self._crypto,
             )
             self._readers[seg_dir] = r
             if len(self._readers) > self._max:

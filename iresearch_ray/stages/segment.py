@@ -442,16 +442,23 @@ def write_segment(
     cfg: IndexConfig,
     lineage: dict | None = None,
     metrics: dict | None = None,
+    crypto=None,
 ) -> dict:
-    """Write a single-file segment dir atomically and return its meta entry."""
+    """Write a single-file segment dir atomically and return its meta entry.
+    With ``crypto`` (state/crypto.IndexEncryption), terms/docs pages are
+    AES-GCM ciphertext at rest (SURVEY §2.2 encryption)."""
     seg_dir = os.path.join(index_dir, "segments", name)
     if os.path.isdir(seg_dir) and os.path.exists(os.path.join(seg_dir, "meta.json")):
         with open(os.path.join(seg_dir, "meta.json")) as f:
             return json.load(f)  # idempotent retry / resume hit
     tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}")
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
-    pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+    if crypto is not None:
+        crypto.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
+        crypto.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+    else:
+        pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
+        pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
     meta = {
         "name": name,
         "docs_count": int(docs.num_rows),
@@ -470,6 +477,7 @@ def write_segment(
         "config": cfg.to_json(),
         "lineage": lineage or {},
         "metrics": metrics or {},
+        "encrypted": getattr(crypto, "key_id", None),
     }
     return publish_segment_dir(index_dir, name, tmp_dir, meta)
 
@@ -490,10 +498,11 @@ class SegmentReader:
     # slowly converged; LRU converges on the first pass).
     POSTING_CACHE_BYTES = 256 << 20
 
-    def __init__(self, seg_dir: str, cache_bytes: int | None = None):
+    def __init__(self, seg_dir: str, cache_bytes: int | None = None, crypto=None):
         import collections
 
         self.seg_dir = seg_dir
+        self.crypto = crypto
         self._cache_budget = cache_bytes if cache_bytes is not None else self.POSTING_CACHE_BYTES
         self._terms: pa.Table | None = None
         self._docs: pa.Table | None = None
@@ -571,15 +580,25 @@ class SegmentReader:
             # (range-partitioned shuffle-merge output) concats in part order,
             # which IS the global (field, term) order.
             paths = terms_paths(self.seg_dir)
-            tables = [pq.read_table(p, memory_map=True) for p in paths]
+            tables = [self._read_parquet(p) for p in paths]
             self._terms = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         return self._terms
+
+    def _read_parquet(self, path: str) -> pa.Table:
+        from iresearch_ray.state.crypto import read_parquet_any
+
+        if self.crypto is None and self.meta.get("encrypted"):
+            raise PermissionError(
+                f"segment {self.seg_dir} is encrypted (key id "
+                f"{self.meta['encrypted']!r}); pass IndexEncryption to the reader"
+            )
+        return read_parquet_any(path, self.crypto)
 
     @property
     def docs(self) -> pa.Table:
         if self._docs is None:
             paths = docs_paths(self.seg_dir)
-            tables = [pq.read_table(p, memory_map=True) for p in paths]
+            tables = [self._read_parquet(p) for p in paths]
             self._docs = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         return self._docs
 

@@ -1,0 +1,155 @@
+"""Encryption-at-rest for index segment artifacts — SURVEY.md §2.2
+(ref: core/store/encryption.cpp — the reference wraps directory I/O in
+AES-CTR with a user-supplied cipher; we map the same concern onto
+**Parquet Modular Encryption**, which pyarrow implements natively:
+AES-GCM-V1, per-file random data keys, footer + column-page encryption
+with integrity tags).
+
+What is real here:
+
+* The FILE encryption is real AES-GCM performed by pyarrow's C++ core —
+  every page of ``terms.parquet`` / ``docs.parquet`` (term bytes, posting
+  blobs, stored keys) is ciphertext on disk; plaintext readers fail with
+  "no decryption found", and tests assert indexed tokens do not appear in
+  the raw bytes.
+* Data keys (DEKs) are generated per file by pyarrow and wrapped by a KMS
+  client.  ``LocalWrapKms`` below is a correctness-grade LOCAL keystore:
+  DEKs are wrapped with HMAC-SHA256(master, nonce) as a one-block stream
+  pad (encrypt) plus an encrypt-then-MAC tag (integrity) — stdlib-only
+  and sound, but key DISTRIBUTION is out of scope: every worker receives
+  the master key via the (cloudpickled) ``IndexEncryption`` object.  A
+  production deployment swaps ``LocalWrapKms`` for a real KMS client
+  (AWS KMS / Vault style) behind the same two-method interface; nothing
+  else changes.
+
+Threading model: ``IndexEncryption`` is a tiny picklable value object —
+it crosses Ray task/actor boundaries by capture (build closures, merge
+tasks, query-pool actor constructors).  pyarrow's CryptoFactory /
+properties objects are NOT picklable, so they are rebuilt lazily per
+process and cached.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import os
+
+import pyarrow.parquet as pq
+
+__all__ = ["IndexEncryption", "read_parquet_any"]
+
+
+def _require_encryption_module():
+    try:
+        import pyarrow.parquet.encryption as pe  # noqa: F401
+
+        return pe
+    except ImportError as e:  # pragma: no cover - present in this container
+        raise NotImplementedError(
+            "this pyarrow build lacks parquet modular encryption"
+        ) from e
+
+
+class IndexEncryption:
+    """Value object: master key + key id.  Build with a 16/24/32-byte
+    master key; pass to build_index / Searcher / consolidate."""
+
+    def __init__(self, master_key: bytes, key_id: str = "master"):
+        if len(master_key) not in (16, 24, 32):
+            raise ValueError("master_key must be 16/24/32 bytes")
+        self.master_key = bytes(master_key)
+        self.key_id = key_id
+        self._factory = None  # per-process lazy cache (unpicklable)
+
+    # -- pickling: drop the unpicklable factory cache -----------------------
+    def __getstate__(self):
+        return {"master_key": self.master_key, "key_id": self.key_id}
+
+    def __setstate__(self, st):
+        self.master_key = st["master_key"]
+        self.key_id = st["key_id"]
+        self._factory = None
+
+    # -- pyarrow glue --------------------------------------------------------
+    def _get_factory(self):
+        if self._factory is None:
+            pe = _require_encryption_module()
+            master = self.master_key
+            keys = {self.key_id: master}
+
+            class LocalWrapKms(pe.KmsClient):
+                """HMAC-CTR wrap + encrypt-then-MAC tag over the DEK."""
+
+                def __init__(self, config):
+                    super().__init__()
+
+                def wrap_key(self, key_bytes, master_key_identifier):
+                    mk = keys[master_key_identifier]
+                    nonce = os.urandom(16)
+                    pad = hmac.new(mk, b"wrap|" + nonce, hashlib.sha256).digest()
+                    ct = bytes(a ^ b for a, b in zip(key_bytes, pad))
+                    tag = hmac.new(mk, b"tag|" + nonce + ct, hashlib.sha256).digest()
+                    return base64.b64encode(nonce + ct + tag)
+
+                def unwrap_key(self, wrapped_key, master_key_identifier):
+                    mk = keys[master_key_identifier]
+                    raw = base64.b64decode(wrapped_key)
+                    nonce, ct, tag = raw[:16], raw[16:-32], raw[-32:]
+                    want = hmac.new(mk, b"tag|" + nonce + ct, hashlib.sha256).digest()
+                    if not hmac.compare_digest(tag, want):
+                        raise ValueError("wrapped key failed integrity check")
+                    pad = hmac.new(mk, b"wrap|" + nonce, hashlib.sha256).digest()
+                    return bytes(a ^ b for a, b in zip(ct, pad))
+
+            self._factory = (pe, pe.CryptoFactory(LocalWrapKms),
+                             pe.KmsConnectionConfig())
+        return self._factory
+
+    def encryption_properties(self, columns: list[str]):
+        """FileEncryptionProperties encrypting the footer and every listed
+        column with AES-GCM (fresh per call: properties are single-use)."""
+        pe, factory, kms = self._get_factory()
+        cfg = pe.EncryptionConfiguration(
+            footer_key=self.key_id,
+            column_keys={self.key_id: list(columns)},
+            encryption_algorithm="AES_GCM_V1",
+        )
+        return factory.file_encryption_properties(kms, cfg)
+
+    def decryption_properties(self):
+        pe, factory, kms = self._get_factory()
+        return factory.file_decryption_properties(kms)
+
+    @staticmethod
+    def _leaf_paths(table) -> list[str]:
+        """Parquet LEAF column paths for the table's schema (nested list/
+        struct columns must be keyed by leaf, e.g. 'skip.list.element')."""
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table.slice(0, 0), buf)
+        psch = pq.ParquetFile(io.BytesIO(buf.getvalue())).schema
+        return [psch.column(i).path for i in range(len(psch.names))]
+
+    def write_table(self, table, path: str, **kwargs) -> None:
+        pq.write_table(
+            table, path,
+            encryption_properties=self.encryption_properties(self._leaf_paths(table)),
+            **kwargs,
+        )
+
+    def read_table(self, path: str, columns=None):
+        return pq.ParquetFile(
+            path, decryption_properties=self.decryption_properties()
+        ).read(columns=columns)
+
+
+def read_parquet_any(path: str, crypto: IndexEncryption | None, columns=None):
+    """Read a segment parquet file with or without decryption.  Encrypted
+    files cannot be memory-mapped (ciphertext at rest is the point); the
+    plaintext path keeps the mmap fast path (SURVEY §2.2)."""
+    if crypto is not None:
+        return crypto.read_table(path, columns=columns)
+    return pq.read_table(path, memory_map=True, columns=columns)

@@ -346,17 +346,23 @@ def _stats_paths(index_dir: str, gen: int) -> tuple[str, str]:
 
 
 def build_global_stats(
-    index_dir: str, manifest: dict, mem_limit: int | None = None
+    index_dir: str, manifest: dict, mem_limit: int | None = None, crypto=None
 ) -> GlobalStats:
     gen = manifest["generation"]
     if mem_limit is None:  # env read per call so tests can flip modes
         mem_limit = int(os.environ.get("IRE_STATS_MEM", DEFAULT_MEM_LIMIT))
-    key = (os.path.abspath(index_dir), gen, mem_limit)
+    key = (os.path.abspath(index_dir), gen, mem_limit,
+           getattr(crypto, "key_id", None))
     hit = _cache.get(key)
     if hit is not None:
         _cache.move_to_end(key)
         return hit
 
+    if crypto is None and any(sm.get("encrypted") for sm in manifest["segments"]):
+        raise PermissionError(
+            "index segments are encrypted; pass IndexEncryption "
+            "(e.g. Searcher(index_dir, crypto=IndexEncryption(master_key)))"
+        )
     field_stats: dict[str, dict] = {}
     for seg in manifest["segments"]:
         for f, fs in seg["field_stats"].items():
@@ -371,14 +377,22 @@ def build_global_stats(
         from iresearch_ray.stages.segment import terms_paths
 
         paths = [p for d in segment_dirs(index_dir, manifest) for p in terms_paths(d)]
-        if len(paths) > RAY_MERGE_THRESHOLD:
+        if crypto is None and len(paths) > RAY_MERGE_THRESHOLD:
             _merge_with_ray_to_dir(paths, cache_dir)
         else:
+            # encrypted indexes always take this eager path: ray.data has
+            # no dataset-level parquet decryption, and the stats cache
+            # (vocabulary + df/cf) must itself be ciphertext at rest
+            from iresearch_ray.state.crypto import read_parquet_any
+
             term_table = _merge_term_tables(
-                [pq.read_table(p, columns=_STATS_COLS) for p in paths]
+                [read_parquet_any(p, crypto, columns=_STATS_COLS) for p in paths]
             )
             tmp = f"{cache_file}.tmp.{os.getpid()}"
-            pq.write_table(term_table, tmp, row_group_size=STATS_ROW_GROUP)
+            if crypto is not None:
+                crypto.write_table(term_table, tmp, row_group_size=STATS_ROW_GROUP)
+            else:
+                pq.write_table(term_table, tmp, row_group_size=STATS_ROW_GROUP)
             os.replace(tmp, cache_file)
 
     if os.path.exists(cache_file):
@@ -390,7 +404,16 @@ def build_global_stats(
             if f.endswith(".parquet")
         )
     total_bytes = sum(os.path.getsize(p) for p in stat_files)
-    if total_bytes <= mem_limit:
+    if crypto is not None:
+        # lazy pushdown probes use pyarrow.dataset, which cannot decrypt in
+        # this pyarrow — encrypted stats are always loaded eagerly
+        from iresearch_ray.state.crypto import read_parquet_any
+
+        table = pa.concat_tables(read_parquet_any(p, crypto) for p in stat_files)
+        if stat_files != [cache_file]:
+            table = table.sort_by([("field", "ascending"), ("term", "ascending")])
+        stats = GlobalStats(field_stats, stat_files, table.select(_STATS_COLS))
+    elif total_bytes <= mem_limit:
         table = pa.concat_tables(pq.read_table(p) for p in stat_files)
         if stat_files != [cache_file]:  # dir layout is unsorted across files
             table = table.sort_by([("field", "ascending"), ("term", "ascending")])
