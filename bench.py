@@ -314,8 +314,28 @@ def run_full() -> dict:
             "query_p95_local_ms": round(q["p95_local_ms"], 2),
             "query_pool_p50_ms": round(q["pool_p50_ms"], 2),
             "query_pool_p95_ms": round(q["pool_p95_ms"], 2),
+            # honest host context: this microVM's first-touch page-fault
+            # bandwidth swings 0.03-10+ GB/s between phases (free-page
+            # reporting; see tools/host_probe.py + BASELINE.md protocol) and
+            # dominates run-to-run variance — record it with every bench
+            "host_fault_gbps": _host_probe().get("fault_gbps"),
+            "host_reuse_gbps": _host_probe().get("reuse_gbps"),
         },
     }
+
+
+_HOST_PROBE_CACHE: dict = {}
+
+
+def _host_probe() -> dict:
+    if not _HOST_PROBE_CACHE:
+        try:
+            from tools.host_probe import probe
+
+            _HOST_PROBE_CACHE.update(probe(256))
+        except Exception:
+            _HOST_PROBE_CACHE.update({})
+    return _HOST_PROBE_CACHE
 
 
 def _scale_child(cpus: int) -> None:
