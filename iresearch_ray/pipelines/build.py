@@ -132,7 +132,7 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, finge
         part = int(group["__part"][0].as_py())
         rows = group.drop_columns(["__part"])
         t0 = time.perf_counter()
-        key = segment_content_key(rows, cfg)
+        key = segment_content_key(rows, cfg, crypto)
         name = f"seg-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
         meta = write_segment(
@@ -197,6 +197,7 @@ def build_index(
                 and isinstance(lin.get("partition"), int)
                 and lin.get("input") == fingerprint
                 and meta.get("config") == cfg_json
+                and meta.get("encrypted") == getattr(crypto, "key_id", None)
             ):
                 done[lin["partition"]] = meta
 
@@ -291,6 +292,7 @@ def build_index_direct(
                 and isinstance(lin.get("partition"), int)
                 and lin.get("input") == fingerprint
                 and meta.get("config") == cfg_json
+                and meta.get("encrypted") == getattr(crypto, "key_id", None)
             ):
                 done[lin["partition"]] = meta
     done_parts = np.array(sorted(done), dtype=np.int64)
@@ -370,6 +372,7 @@ def append_index(
     index_dir: str,
     num_partitions: int | None = None,
     resume: bool = True,
+    crypto=None,
 ) -> dict:
     """Incremental ingest (SURVEY §2.10: incremental = NEW segments +
     consolidation, never rewriting old ones): build segments for a NEW batch
@@ -408,6 +411,7 @@ def append_index(
                 lin.get("batch") == batch_key
                 and lin.get("of_partitions") == P
                 and isinstance(lin.get("partition"), int)
+                and meta.get("encrypted") == getattr(crypto, "key_id", None)
             ):
                 done[lin["partition"]] = meta
 
@@ -426,7 +430,7 @@ def append_index(
         return tuple(out) if P > 1 else out[0]
 
     def build_batch_part(rows: pa.Table, part: int) -> dict:
-        key = segment_content_key(rows, cfg)
+        key = segment_content_key(rows, cfg, crypto)
         name = f"seg-b{batch_key}-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
         return write_segment(
@@ -443,6 +447,7 @@ def append_index(
                 "rows": rows.num_rows,
             },
             metrics={},
+            crypto=crypto,
         )
 
     @ray.remote(num_cpus=1)

@@ -164,7 +164,7 @@ def load_tombstone_keys(
     return out
 
 
-def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict:
+def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1, crypto=None) -> dict:
     """Update = delete + re-insert in ONE committed generation (ref:
     index_writer: update is remove(filter)+insert in a single trx).
     ``rows`` are full replacement turns (transcript schema), split into
@@ -201,7 +201,7 @@ def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict
         if sel.size == 0:
             continue
         sub = rows.take(pa.array(sel))
-        name = f"seg-u{gen:04d}-p{p_idx:03d}-{segment_content_key(sub, cfg)}"
+        name = f"seg-u{gen:04d}-p{p_idx:03d}-{segment_content_key(sub, cfg, crypto)}"
         terms, docs, field_stats = build_segment_tables(sub, cfg)
         metas.append(
             write_segment(
@@ -214,6 +214,7 @@ def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1) -> dict
                 lineage={"update": True, "rows": sub.num_rows,
                          "partition": p_idx, "of_partitions": max(1, num_partitions)},
                 metrics={},
+                crypto=crypto,
             )
         )
 

@@ -272,9 +272,12 @@ def _dht_segment(tc_th: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """(h, w) uint8 gray or (h, w, 3) uint8 RGB → baseline JFIF bytes
-    (4:4:4, Annex K Huffman tables)."""
+    (4:4:4, Annex K Huffman tables).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (exercises the decoder's
+    restart resynchronization path)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
@@ -306,6 +309,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     out += _dht_segment(0x00, HT_DC_LUMA) + _dht_segment(0x10, HT_AC_LUMA)
     if not gray:
         out += _dht_segment(0x01, HT_DC_CHROMA) + _dht_segment(0x11, HT_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00 if cid == 1 else 0x11])
@@ -322,7 +327,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     comp_blocks = [_blocks_of(p) for p in planes]
     preds = [0] * ncomp
     tabs = [(qt_l, dc_l, ac_l)] + [(qt_c, dc_c, ac_c)] * (ncomp - 1)
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst])  # RSTn, n cycles 0..7
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * ncomp
         for ci in range(ncomp):
             qt, dcc, acc = tabs[ci]
             preds[ci] = _encode_component_blocks(

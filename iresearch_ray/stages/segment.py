@@ -323,7 +323,8 @@ def build_segment_tables(
     return terms, docs, field_stats
 
 
-def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None) -> str:
+def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None,
+                        crypto=None) -> str:
     """Deterministic content hash of a partition — names the segment dir so
     retries/resume are idempotent (SURVEY §4.1 retries, §4.3 layout).
 
@@ -339,6 +340,12 @@ def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None) -> str
     crc = zlib.crc32(str(t.num_rows).encode())
     if cfg is not None:
         crc = zlib.crc32(json.dumps(cfg.to_json(), sort_keys=True).encode(), crc)
+    if crypto is not None:
+        # the encryption MODE is part of segment identity: a same-content
+        # plaintext segment must never satisfy an encrypted build's
+        # idempotent write (or vice versa) — only the key ID is hashed,
+        # never key material
+        crc = zlib.crc32(f"enc:{crypto.key_id}".encode(), crc)
     for name in sorted(t.column_names):
         col = t[name]
         try:

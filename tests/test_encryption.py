@@ -96,21 +96,9 @@ def test_encrypted_consolidation_roundtrip(ray_session, tmp_path):
 def test_kms_wrap_roundtrip_and_tamper_detection():
     from iresearch_ray.state.crypto import IndexEncryption
 
-    enc = IndexEncryption(KEY, key_id="master")
-    pe, factory, kms = enc._get_factory()
-    # the LocalWrapKms wrap/unwrap must round-trip and reject tampering
-    import base64
-
-    kc = None
-    # reach the client through a fresh factory handshake: wrap directly
-    client_cls = None
-    # simplest: exercise wrap/unwrap via a throwaway instance
-    import iresearch_ray.state.crypto as C
-
+    # encryption/decryption of an actual table (with a NESTED list column —
+    # parquet leaf-path keying) is the end-to-end wrap/unwrap proof
     enc2 = IndexEncryption(KEY)
-    pe2, factory2, kms2 = enc2._get_factory()
-    # grab the class from the factory closure by wrapping a key end-to-end:
-    # encryption/decryption of an actual table is the integration proof
     import pyarrow as pa
 
     t = pa.table({"a": [1, 2], "skip": pa.array([[1, 2], [3]])})  # nested col
@@ -124,3 +112,31 @@ def test_kms_wrap_roundtrip_and_tamper_detection():
             import pyarrow.parquet as pq
 
             pq.read_table(fp)
+
+
+def test_encryption_mode_is_part_of_segment_identity(ray_session, tmp_path):
+    """A plaintext segment must never satisfy an encrypted build — neither
+    via resume adoption nor via write_segment's content-keyed idempotency
+    (the key id is folded into the segment content key)."""
+    import os
+
+    from iresearch_ray import IndexEncryption, Searcher, build_index
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.sources.transcripts import write_transcripts
+
+    src_dir = str(tmp_path / "src")
+    write_transcripts(src_dir, n_convs=60)
+    src = os.path.join(src_dir, "part-00000.parquet")
+    idx = str(tmp_path / "idx")
+    key = IndexEncryption(KEY)
+
+    build_index(src, idx, num_partitions=2)  # plaintext first
+    m2 = build_index(src, idx, num_partitions=2, crypto=key)
+    assert m2["lineage"]["resumed_partitions"] == []  # nothing adopted
+    # manifest now points at encrypted segments: keyless read fails
+    with pytest.raises(PermissionError):
+        Searcher(idx)
+    # re-run WITH the key adopts its own encrypted segments
+    m3 = build_index(src, idx, num_partitions=2, crypto=key)
+    assert m3["lineage"]["resumed_partitions"] == [0, 1]
+    assert len(Searcher(idx, crypto=key).search_local(F.Term("text", "agent"), k=3)) == 3

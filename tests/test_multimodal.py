@@ -214,11 +214,13 @@ def test_jpeg_roundtrip_gray_rgb_and_restarts():
     odd = gray[:13, :9]
     assert decode_jpeg(encode_jpeg(odd, quality=90)).shape == (13, 9)
 
-    # hand-splice a DRI segment + RST markers: re-encode per restart chunk.
-    # Simpler: verify the decoder accepts an image large enough that the
-    # encoder's single-segment stream and a restart-marked stream agree is
-    # out of scope for the pure-python encoder, so instead assert the
-    # decoder rejects streams it cannot honor rather than mis-decoding.
+    # DRI/RSTn restart path: a restart-marked stream must decode to the
+    # SAME pixels as the single-segment stream (predictors reset per chunk)
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, quality=95, restart_interval=ri)),
+            decode_jpeg(encode_jpeg(rgb, quality=95)),
+        )
     blob = bytearray(encode_jpeg(gray, quality=90))
     sof_at = blob.find(b"\xff\xc0")
     blob[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
