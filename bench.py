@@ -271,6 +271,7 @@ def bench_dataops(sf_dir: str) -> dict:
 def run_full() -> dict:
     import ray
 
+    probe_start = dict(_probe_once())
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
     try:
         corpus = ensure_corpus(SF_DIR)
@@ -317,25 +318,22 @@ def run_full() -> dict:
             # honest host context: this microVM's first-touch page-fault
             # bandwidth swings 0.03-10+ GB/s between phases (free-page
             # reporting; see tools/host_probe.py + BASELINE.md protocol) and
-            # dominates run-to-run variance — record it with every bench
-            "host_fault_gbps": _host_probe().get("fault_gbps"),
-            "host_reuse_gbps": _host_probe().get("reuse_gbps"),
+            # dominates run-to-run variance — record it at start AND end of
+            # every bench (phases flip mid-run)
+            "host_fault_gbps_start": probe_start.get("fault_gbps"),
+            "host_fault_gbps_end": _probe_once().get("fault_gbps"),
+            "host_reuse_gbps": _probe_once().get("reuse_gbps"),
         },
     }
 
 
-_HOST_PROBE_CACHE: dict = {}
+def _probe_once() -> dict:
+    try:
+        from tools.host_probe import probe
 
-
-def _host_probe() -> dict:
-    if not _HOST_PROBE_CACHE:
-        try:
-            from tools.host_probe import probe
-
-            _HOST_PROBE_CACHE.update(probe(256))
-        except Exception:
-            _HOST_PROBE_CACHE.update({})
-    return _HOST_PROBE_CACHE
+        return probe(256)
+    except Exception:
+        return {}
 
 
 def _scale_child(cpus: int) -> None:
