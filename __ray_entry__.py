@@ -351,6 +351,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_granular(sf):
         return _topk(sf, F.GranularRange("n_chars", 150, 220), k=10_000)
 
+    _EVENT_IDX: dict[str, str] = {}
+
+    def ft_dynamic_props(sf):
+        # Dynamic JSON field schema (SURVEY §1.1 ArangoDB-style flattening):
+        # index events with json_fields=("props",), so every JSON leaf
+        # becomes a queryable field — numeric leaves get precision-trie
+        # terms (granular range), strings keyword terms.  Query: props.k in
+        # [20, 60] AND event_type == 'error', returning event ids.
+        import ray.data as rd
+
+        from iresearch_ray import Searcher, build_index
+        from iresearch_ray.query import filters as F
+        from iresearch_ray.stages.segment import IndexConfig
+
+        idx = _EVENT_IDX.get(sf)
+        if idx is None:
+            ev = pq.read_table(
+                f"{sf}/events.parquet",
+                columns=["event_id", "user_id", "event_type", "props"],
+            )
+            tr = pa.table(
+                {
+                    "conv_id": pa.compute.binary_join_element_wise(
+                        "u", pa.compute.cast(ev["user_id"], pa.string()), ""
+                    ),
+                    "turn_idx": ev["event_id"].combine_chunks().cast(pa.int32()),
+                    "text": ev["event_type"],
+                    "props": ev["props"],
+                }
+            )
+            base = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf)))
+            src = os.path.join(base, "events_transcripts.parquet")
+            idx = os.path.join(base, "events_idx")
+            if not os.path.exists(src):
+                os.makedirs(base, exist_ok=True)
+                tmp = src + f".tmp.{os.getpid()}"
+                pq.write_table(tr, tmp)
+                os.replace(tmp, src)
+            build_index(
+                src, idx,
+                cfg=IndexConfig(keyword_fields=(), json_fields=("props",)),
+                num_partitions=4, resume=True,
+            )
+            _EVENT_IDX[sf] = idx
+        s = Searcher(idx)
+        flt = F.And((F.GranularRange("props.k", 20, 60), F.Term("text", "error")))
+        out = s.search_local(flt, k=10_000_000)
+        return pd.DataFrame(
+            {"event_id": np.sort(out["turn_idx"].to_numpy().astype("int64"))}
+        )
+
     def ft_collation_sort(sf):
         # First 50 docs in ICU root collation order of `text`.  The UCA
         # sort key (functions/analysis.CollationAnalyzer) is fuzz-verified
@@ -570,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_granular_range": ft_granular,
         "ft_stats_df": ft_stats,
         "ft_collation_sort": ft_collation_sort,
+        "ft_dynamic_props": ft_dynamic_props,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -904,6 +956,13 @@ WHERE w IN ('key','table','join','the') GROUP BY w ORDER BY w
         "ft_collation_sort": """
 SELECT row_number() OVER (ORDER BY text COLLATE "en", doc_id) AS rank, doc_id
 FROM documents ORDER BY text COLLATE "en", doc_id LIMIT 50
+""",
+        # dynamic JSON fields: numeric leaf via granular range + keyword text
+        "ft_dynamic_props": """
+SELECT event_id FROM events
+WHERE json_extract(props, '$.k')::INT BETWEEN 20 AND 60
+  AND event_type = 'error'
+ORDER BY event_id
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

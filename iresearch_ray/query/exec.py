@@ -335,7 +335,10 @@ def eval_node(
         if not docs_list:
             return _EMPTY
         docs = np.concatenate(docs_list)
-        docs.sort()  # disjoint by construction — no dedupe needed
+        # intervals are disjoint over VALUES, but a multi-valued doc (dynamic
+        # json array field, SURVEY §1.1 [*] semantics) can hold values in
+        # several intervals — unique, not just sort
+        docs = np.unique(docs)
         return docs, np.full(docs.size, float(node["weight"]), dtype=np.float64)
 
     if op == "phrase":
@@ -396,6 +399,17 @@ def eval_node(
         elif f in reader.docs.column_names:
             mask = reader.docs[f].is_valid().to_numpy(zero_copy_only=False)
         else:
+            # dynamic field (json_fields leaf): not a stored doc column —
+            # existence = union of the field's posting lists (constant score)
+            dict_terms, idx = reader.field_terms(f)
+            if dict_terms.size:
+                decoded = reader.bulk_postings([int(r) for r in idx])
+                docs = np.unique(
+                    np.concatenate([decoded[int(r)][0] for r in idx])
+                )
+                return docs, np.full(
+                    docs.size, float(node["weight"]), dtype=np.float64
+                )
             mask = np.zeros(reader.meta["docs_count"], dtype=bool)
         docs = np.flatnonzero(mask).astype(np.int64) + 1
         return docs, np.full(docs.size, float(node["weight"]), dtype=np.float64)

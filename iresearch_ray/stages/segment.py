@@ -72,6 +72,9 @@ class IndexConfig:
     text_field: str = "text"
     keyword_fields: tuple[str, ...] = ("role", "tool")
     numeric_fields: tuple[str, ...] = ()  # precision-trie indexed (SURVEY §2.1 numeric)
+    # columns holding a JSON document per row; every leaf becomes a dynamic
+    # field "<col>.<path>" (SURVEY §1.1 dynamic schema / ArangoDB flattening)
+    json_fields: tuple[str, ...] = ()
     analyzer: str = "text"
     analyzer_opts: dict = field(default_factory=dict)
     positions: bool = True      # needed for phrase (SURVEY §2.5)
@@ -86,6 +89,7 @@ class IndexConfig:
             "text_field": self.text_field,
             "keyword_fields": list(self.keyword_fields),
             "numeric_fields": list(self.numeric_fields),
+            "json_fields": list(self.json_fields),
             "analyzer": self.analyzer,
             "analyzer_opts": self.analyzer_opts,
             "positions": self.positions,
@@ -98,6 +102,7 @@ class IndexConfig:
         d = dict(d)
         d["keyword_fields"] = tuple(d.get("keyword_fields", ()))
         d["numeric_fields"] = tuple(d.get("numeric_fields", ()))
+        d["json_fields"] = tuple(d.get("json_fields", ()))
         return IndexConfig(**d)
 
 
@@ -301,6 +306,32 @@ def build_segment_tables(
             "total_term_freq": int(valid.sum()),
         }
 
+    for f in cfg.json_fields:
+        if f not in rows.column_names:
+            continue
+        from iresearch_ray.functions.dynamic import (
+            dynamic_postings,
+            numeric_token_lists,
+        )
+
+        kw_fields, num_fields = dynamic_postings(f, rows[f].to_pylist(), n)
+        for dyn, lists in sorted(kw_fields.items()):
+            d_dls = np.fromiter((len(t) for t in lists), dtype=np.int64, count=n)
+            term_rows += _postings_for_field(dyn, lists, doc_ids, d_dls, False)
+            field_stats[dyn] = {
+                "docs_with_field": int((d_dls > 0).sum()),
+                "total_term_freq": int(d_dls.sum()),
+            }
+        for dyn, (occ_rows, occ_vals) in sorted(num_fields.items()):
+            lists = numeric_token_lists(occ_rows, occ_vals, n)
+            d_dls = np.bincount(occ_rows, minlength=n).astype(np.int64)
+            term_rows += _postings_for_field(dyn, lists, doc_ids, d_dls, False)
+            stats = field_stats.setdefault(
+                dyn, {"docs_with_field": 0, "total_term_freq": 0}
+            )  # a path can be string in one doc, number in another
+            stats["docs_with_field"] += int((d_dls > 0).sum())
+            stats["total_term_freq"] += int(occ_rows.size)
+
     term_rows.sort(key=lambda r: (r["field"], r["term"]))
     terms = (
         pa.Table.from_pylist(term_rows, schema=TERMS_SCHEMA)
@@ -314,7 +345,7 @@ def build_segment_tables(
         "turn_idx": rows["turn_idx"],
         "dl": pa.array(dls, pa.int64()),
     }
-    for extra in (*cfg.keyword_fields, *cfg.numeric_fields, "ts"):
+    for extra in (*cfg.keyword_fields, *cfg.numeric_fields, *cfg.json_fields, "ts"):
         if extra in rows.column_names:
             doc_cols[extra] = rows[extra]
     if cfg.store_text:
