@@ -353,16 +353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     _EVENT_IDX: dict[str, str] = {}
 
-    def ft_dynamic_props(sf):
-        # Dynamic JSON field schema (SURVEY §1.1 ArangoDB-style flattening):
-        # index events with json_fields=("props",), so every JSON leaf
-        # becomes a queryable field — numeric leaves get precision-trie
-        # terms (granular range), strings keyword terms.  Query: props.k in
-        # [20, 60] AND event_type == 'error', returning event ids.
-        import ray.data as rd
-
+    def _events_searcher(sf):
+        # events adapted to the transcript shape: conv = user ("u<user_id>"),
+        # turn = event (turn_idx = event_id), text = event_type, props =
+        # dynamic JSON column.  Gives the ft_* family REAL parent/child
+        # structure (a user has many events) unlike the one-turn documents.
         from iresearch_ray import Searcher, build_index
-        from iresearch_ray.query import filters as F
         from iresearch_ray.stages.segment import IndexConfig
 
         idx = _EVENT_IDX.get(sf)
@@ -395,8 +391,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 num_partitions=4, resume=True,
             )
             _EVENT_IDX[sf] = idx
-        s = Searcher(idx)
+        return Searcher(idx)
+
+    def ft_dynamic_props(sf):
+        # Dynamic JSON field schema (SURVEY §1.1 ArangoDB-style flattening):
+        # index events with json_fields=("props",), so every JSON leaf
+        # becomes a queryable field — numeric leaves get precision-trie
+        # terms (granular range), strings keyword terms.  Query: props.k in
+        # [20, 60] AND event_type == 'error', returning event ids.
+        s = _events_searcher(sf)
         flt = F.And((F.GranularRange("props.k", 20, 60), F.Term("text", "error")))
+        out = s.search_local(flt, k=10_000_000)
+        return pd.DataFrame(
+            {"event_id": np.sort(out["turn_idx"].to_numpy().astype("int64"))}
+        )
+
+    def ft_nested_minmatch(sf):
+        # by_nested parent/child join (SURVEY §2.4, nested_filter.cpp):
+        # parents (users) with ≥ 3 child events of type 'error'; each parent
+        # row is represented by its FIRST matching child (min event_id) per
+        # the pinned Nested semantics.  score_merge='none' ⇒ constant score,
+        # so the oracle is pure relational: GROUP BY user HAVING count ≥ 3.
+        s = _events_searcher(sf)
+        flt = F.Nested(child=F.Term("text", "error"), min_match=3, score_merge="none")
         out = s.search_local(flt, k=10_000_000)
         return pd.DataFrame(
             {"event_id": np.sort(out["turn_idx"].to_numpy().astype("int64"))}
@@ -622,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stats_df": ft_stats,
         "ft_collation_sort": ft_collation_sort,
         "ft_dynamic_props": ft_dynamic_props,
+        "ft_nested_minmatch": ft_nested_minmatch,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -962,6 +980,14 @@ FROM documents ORDER BY text COLLATE "en", doc_id LIMIT 50
 SELECT event_id FROM events
 WHERE json_extract(props, '$.k')::INT BETWEEN 20 AND 60
   AND event_type = 'error'
+ORDER BY event_id
+""",
+        # nested parent/child: users with >= 3 'error' events, each parent
+        # represented by its first matching child event
+        "ft_nested_minmatch": """
+SELECT min(event_id) AS event_id FROM events
+WHERE event_type = 'error'
+GROUP BY user_id HAVING count(*) >= 3
 ORDER BY event_id
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
