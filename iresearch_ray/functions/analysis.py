@@ -75,6 +75,95 @@ class TextAnalyzer:
             ]
         return [self.tokenize_one(t) for t in texts]
 
+    def tokenize_with_spans(
+        self, texts: Sequence[str | None]
+    ) -> list[list[tuple[str, int, int]]]:
+        """Per doc: (emitted_token, char_start, char_end) — the reference's
+        ``offs`` token attribute (token_attributes.hpp offset).  Spans are
+        the ORIGINAL token boundaries in the normalized string: a stemmed
+        token keeps its surface span, a stopword drops span and token
+        together.  Exact original-string offsets for ASCII input (NFC+lower
+        are length-preserving there — the §2.1.1 pinned regime)."""
+        out: list[list[tuple[str, int, int]]] = []
+        sw, stem = self.stopwords, self.stem
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            spans = [
+                (m.group(), m.start(), m.end())
+                for m in _WORD_RE.finditer(_nfc_lower(t))
+            ]
+            if sw:
+                spans = [x for x in spans if x[0] not in sw]
+            if stem is not None:
+                spans = [(stem(tok), s, e) for tok, s, e in spans]
+            out.append(spans)
+        return out
+
+
+# 256-entry lookup: is this ASCII byte a token byte of the pinned analyzer?
+# [^\W_] with re.UNICODE on ASCII == [0-9A-Za-z].
+_ASCII_WORD_BYTE = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ASCII_WORD_BYTE[_c] = chr(_c).isascii() and chr(_c).isalnum()
+
+
+def token_spans_ascii(texts) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized (starts, ends) of every token of the pinned plain `text`
+    analyzer over an all-ASCII Arrow string array — flat arrays in
+    (doc, position) order, exactly parallel to ``explode_text_arrow``'s
+    token stream (same tokenization: maximal [0-9A-Za-z] runs; ASCII lower
+    is length-preserving so spans are original-string offsets).
+
+    One numpy pass over the concatenated utf-8 buffer: classify bytes via a
+    256-entry table, run boundaries via diff — no per-token python work.
+    Returns None when the batch has nulls or non-ASCII (caller falls back
+    to the python span path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count or not pc.all(pc.string_is_ascii(texts)).as_py():
+        return None if len(texts) else (np.empty(0, np.int64), np.empty(0, np.int64))
+    if texts.offset:  # compact slices so raw buffers start at the array
+        texts = texts.take(pa.array(np.arange(len(texts), dtype=np.int64)))
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    doc_off = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[: len(texts) + 1].astype(np.int64)
+    raw = texts.buffers()[2]
+    buf = (
+        np.frombuffer(raw, dtype=np.uint8)[: int(doc_off[-1])]
+        if raw is not None
+        else np.empty(0, np.uint8)
+    )
+    if buf.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    is_word = _ASCII_WORD_BYTE[buf]
+    # force run breaks at doc boundaries so tokens never span docs
+    prev = np.empty(is_word.size, dtype=bool)
+    prev[0] = False
+    prev[1:] = is_word[:-1]
+    starts_mask = is_word & ~prev
+    # a doc boundary that lands mid-run starts a new token
+    inner = doc_off[1:-1]
+    inner = inner[(inner > 0) & (inner < is_word.size)]
+    if inner.size:
+        starts_mask[inner] |= is_word[inner]
+    nxt = np.empty(is_word.size, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = is_word[1:]
+    ends_mask = is_word & ~nxt
+    if inner.size:
+        at_prev = inner - 1
+        ends_mask[at_prev] |= is_word[at_prev]
+    starts = np.flatnonzero(starts_mask)
+    ends = np.flatnonzero(ends_mask) + 1
+    # rebase to per-doc character offsets (ASCII: 1 byte == 1 char)
+    doc_of = np.searchsorted(doc_off[1:], starts, side="right")
+    base = doc_off[doc_of]
+    return (starts - base).astype(np.int64), (ends - base).astype(np.int64)
+
 
 def explode_text_arrow(texts):
     """Arrow-native fast path of the pinned `text` analyzer (no stopwords, no

@@ -105,6 +105,8 @@ class PostingBlob:
     block_max_tf: np.ndarray    # int64[nblocks]
     block_min_dl: np.ndarray    # int64[nblocks]
     block_doc_count: np.ndarray  # int64[nblocks] docs in each block
+    off_blob: bytes = b""       # optional per-occurrence character offsets
+    off_off: np.ndarray | None = None  # int64[nblocks] byte offset into off_blob
 
 
 def encode_postings(
@@ -112,6 +114,7 @@ def encode_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     positions: np.ndarray | None = None,
+    offsets: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> PostingBlob:
     """Encode one term's postings.
 
@@ -121,6 +124,13 @@ def encode_postings(
     MIN dl since BM25 is monotone up in tf and down in dl), ``positions`` a
     flat array of all occurrence positions (sorted per doc, docs in order;
     len == tfs.sum()) or None to skip positions.
+
+    ``offsets`` is an optional (starts, ends) pair of flat character-offset
+    arrays parallel to ``positions`` (the reference's ``offs`` token
+    attribute, SURVEY §2.1).  Per block the stream is varint(start deltas,
+    reset per doc like positions) then varint(lengths = end - start) —
+    start deltas and lengths are both small, so the stream is byte-dense,
+    and like positions it is doc-id-invariant (merge = byte append).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -172,6 +182,31 @@ def encode_postings(
     else:
         pos_blob = b""
 
+    # character offsets: start deltas reset per doc (same shape as positions),
+    # then lengths — one (deltas, lengths) varint pair per block
+    off_off = np.zeros(nblocks, dtype=np.int64)
+    off_blob = b""
+    if offsets is not None and offsets[0].size:
+        o_start = np.asarray(offsets[0], dtype=np.int64)
+        o_end = np.asarray(offsets[1], dtype=np.int64)
+        occ_ends = np.cumsum(tfs)
+        occ_starts = occ_ends - tfs
+        sdelta = np.empty(o_start.size, dtype=np.int64)
+        sdelta[1:] = np.diff(o_start)
+        sdelta[0] = o_start[0]
+        sdelta[occ_starts] = o_start[occ_starts]
+        lengths = o_end - o_start
+        off_parts: list[bytes] = []
+        ooff = 0
+        for b in range(nblocks):
+            s, e = starts[b], bounds[b]
+            off_off[b] = ooff
+            lo, hi = occ_starts[s], occ_ends[e - 1]
+            part = varint_encode(sdelta[lo:hi]) + varint_encode(lengths[lo:hi])
+            off_parts.append(part)
+            ooff += len(part)
+        off_blob = b"".join(off_parts)
+
     block_max_tf = np.maximum.reduceat(tfs, starts)
     block_min_dl = np.minimum.reduceat(dls, starts)
     return PostingBlob(
@@ -183,6 +218,8 @@ def encode_postings(
         block_max_tf=block_max_tf.astype(np.int64),
         block_min_dl=block_min_dl.astype(np.int64),
         block_doc_count=(bounds - starts).astype(np.int64),
+        off_blob=off_blob,
+        off_off=off_off if off_blob else None,
     )
 
 
@@ -288,3 +325,36 @@ def decode_positions(
     doc_base = np.concatenate(([0], acc[ends[:-1] - 1])) if tfs.size > 1 else np.array([0])
     base = np.repeat(doc_base, tfs)
     return acc - base
+
+
+def decode_offsets(
+    off_blob: bytes,
+    off_off: np.ndarray,
+    tfs_all: np.ndarray,
+    block: int,
+    nblocks: int,
+    block_doc_count: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block's character-offset stream → flat (starts, ends),
+    per-doc absolute, parallel to that block's position stream.  Layout per
+    block: varint(start deltas, reset per doc) then varint(lengths)."""
+    s_byte = int(off_off[block])
+    e_byte = int(off_off[block + 1]) if block + 1 < nblocks else len(off_blob)
+    vals = varint_decode(memoryview(off_blob)[s_byte:e_byte]).astype(np.int64)
+    if block_doc_count is None:
+        s_doc = block * BLOCK_SIZE
+        e_doc = min(s_doc + BLOCK_SIZE, tfs_all.size)
+    else:
+        cum = np.cumsum(np.asarray(block_doc_count, dtype=np.int64))
+        s_doc = int(cum[block - 1]) if block > 0 else 0
+        e_doc = int(cum[block])
+    tfs = tfs_all[s_doc:e_doc]
+    n_occ = int(tfs.sum())
+    sdelta, lengths = vals[:n_occ], vals[n_occ:]
+    ends_i = np.cumsum(tfs)
+    acc = np.cumsum(sdelta)
+    doc_base = (
+        np.concatenate(([0], acc[ends_i[:-1] - 1])) if tfs.size > 1 else np.array([0])
+    )
+    starts = acc - np.repeat(doc_base, tfs)
+    return starts, starts + lengths

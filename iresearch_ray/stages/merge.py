@@ -48,13 +48,18 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
     keeps consolidation I/O-bound)."""
     out_doc = bytearray()
     out_pos = bytearray()
+    out_offs = bytearray()
     bl_last: list[int] = []
     bl_off: list[int] = []
     p_off: list[int] = []
+    o_off: list[int] = []
     bl_maxtf: list[int] = []
     bl_mindl: list[int] = []
     bl_cnt: list[int] = []
     prev_last = 0
+    # offsets survive the merge only if EVERY part carries them — a mixed
+    # set would desync off_off from the global block index
+    keep_offs = all(r.get("off_blob") for r, _ in parts)
     for row, offset in parts:
         offs = row["block_off"]
         blob = row["doc_blob"]
@@ -82,6 +87,12 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
         pos_base = len(out_pos)
         p_off += [pos_base + x for x in row["pos_off"]]
         out_pos += row["pos_blob"]
+        # character-offset stream: per-doc values, doc-id-invariant —
+        # byte append exactly like positions
+        if keep_offs:
+            off_base = len(out_offs)
+            o_off += [off_base + x for x in row["off_off"]]
+            out_offs += row["off_blob"]
         prev_last = bl_last[-1]
     return {
         "df": sum(r["df"] for r, _ in parts),
@@ -96,6 +107,8 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
         "block_max_tf": bl_maxtf,
         "block_min_dl": bl_mindl,
         "block_doc_count": bl_cnt,
+        "off_blob": bytes(out_offs),
+        "off_off": o_off,
     }
 
 

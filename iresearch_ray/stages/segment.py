@@ -60,6 +60,11 @@ TERMS_SCHEMA = pa.schema(
         ("block_max_tf", pa.list_(pa.int64())),
         ("block_min_dl", pa.list_(pa.int64())),
         ("block_doc_count", pa.list_(pa.int64())),
+        # per-occurrence character offsets (the `offs` token attribute),
+        # present only when built with IndexConfig(offsets=True); empty
+        # blob / empty list otherwise so every segment shares one schema
+        ("off_blob", pa.large_binary()),
+        ("off_off", pa.list_(pa.int64())),
     ]
 )
 
@@ -78,6 +83,12 @@ class IndexConfig:
     analyzer: str = "text"
     analyzer_opts: dict = field(default_factory=dict)
     positions: bool = True      # needed for phrase (SURVEY §2.5)
+    # index per-occurrence character offsets of the text field (the `offs`
+    # token attribute, ref: token_attributes.hpp) — serves highlights
+    # straight from the postings without re-tokenizing stored text, at the
+    # cost of a second position-sized stream.  Requires the `text` analyzer
+    # (span tracking); other analyzers raise at build.
+    offsets: bool = False
     store_text: bool = True     # per-turn text equality verification (B input_hint)
     scorer: str = "bm25"
 
@@ -93,6 +104,7 @@ class IndexConfig:
             "analyzer": self.analyzer,
             "analyzer_opts": self.analyzer_opts,
             "positions": self.positions,
+            "offsets": self.offsets,
             "store_text": self.store_text,
             "scorer": self.scorer,
         }
@@ -112,9 +124,12 @@ def _postings_for_field(
     doc_ids: np.ndarray,
     dls: np.ndarray,
     with_positions: bool,
+    offs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> list[dict]:
     """Vectorized postings for one field: explode → factorize → lexsort →
-    per-term encode.  ``dls`` is the per-doc field length used for norms."""
+    per-term encode.  ``dls`` is the per-doc field length used for norms.
+    ``offs`` = flat (char_start, char_end) arrays parallel to the exploded
+    occurrence stream (doc order, position order) when indexing offsets."""
     lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
     total = int(lens.sum())
     if total == 0:
@@ -127,7 +142,7 @@ def _postings_for_field(
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
     return _postings_from_codes(
-        field_name, codes, uniques, doc_rep, dl_rep, pos, with_positions
+        field_name, codes, uniques, doc_rep, dl_rep, pos, with_positions, offs
     )
 
 
@@ -139,6 +154,7 @@ def _postings_from_codes(
     dl_rep: np.ndarray,
     pos: np.ndarray,
     with_positions: bool,
+    offs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> list[dict]:
     """Grouping + encode tail shared by the python and arrow tokenize paths:
     ``codes`` are sorted-term integer codes per occurrence, ``uniques`` the
@@ -147,6 +163,7 @@ def _postings_from_codes(
     # group by (term, doc); positions already ascending within (doc) by construction
     order = np.lexsort((pos, doc_rep, codes))
     codes_s, docs_s, pos_s, dl_s = codes[order], doc_rep[order], pos[order], dl_rep[order]
+    offs_s = (offs[0][order], offs[1][order]) if offs is not None else None
     # (term, doc) run boundaries
     new_pair = np.empty(total, dtype=bool)
     new_pair[0] = True
@@ -173,7 +190,15 @@ def _postings_from_codes(
         t_pos = (
             pos_s[occ_starts[ts_i]: occ_ends[te_i - 1]] if with_positions else None
         )
-        blob = encode_postings(t_docs, t_tfs, t_dls, t_pos)
+        t_offs = (
+            (
+                offs_s[0][occ_starts[ts_i]: occ_ends[te_i - 1]],
+                offs_s[1][occ_starts[ts_i]: occ_ends[te_i - 1]],
+            )
+            if offs_s is not None
+            else None
+        )
+        blob = encode_postings(t_docs, t_tfs, t_dls, t_pos, t_offs)
         rows.append(
             {
                 "field": field_name,
@@ -190,6 +215,8 @@ def _postings_from_codes(
                 "block_max_tf": blob.block_max_tf.tolist(),
                 "block_min_dl": blob.block_min_dl.tolist(),
                 "block_doc_count": blob.block_doc_count.tolist(),
+                "off_blob": blob.off_blob,
+                "off_off": blob.off_off.tolist() if blob.off_off is not None else [],
             }
         )
     return rows
@@ -234,6 +261,12 @@ def build_segment_tables(
     ):
         exploded = explode_text_arrow(rows[cfg.text_field])
 
+    if cfg.offsets and not isinstance(analyzer, TextAnalyzer):
+        raise ValueError(
+            f"offsets=True needs a span-tracking analyzer; {cfg.analyzer!r} "
+            "does not expose the offs attribute (only `text` does)"
+        )
+
     if exploded is not None:
         flat, parent, dls = exploded
         if len(flat):
@@ -253,6 +286,13 @@ def build_segment_tables(
             pos = np.arange(parent.size, dtype=np.int64) - np.repeat(
                 run_start, np.diff(np.append(run_start, parent.size))
             )
+            offs = None
+            if cfg.offsets:
+                from iresearch_ray.functions.analysis import token_spans_ascii
+
+                # explode_text_arrow succeeded ⇒ all-ASCII, so the
+                # vectorized byte-run span pass is token-parallel to `flat`
+                offs = token_spans_ascii(rows[cfg.text_field])
             term_rows += _postings_from_codes(
                 cfg.text_field,
                 codes,
@@ -261,13 +301,26 @@ def build_segment_tables(
                 dls[parent],
                 pos,
                 cfg.positions,
+                offs,
             )
     else:
         texts = rows[cfg.text_field].to_pylist()
-        token_lists = analyzer(texts)
+        if cfg.offsets:
+            span_lists = analyzer.tokenize_with_spans(texts)
+            token_lists = [[t for t, _, _ in sp] for sp in span_lists]
+            o_start = np.fromiter(
+                (s for sp in span_lists for _, s, _ in sp), dtype=np.int64
+            )
+            o_end = np.fromiter(
+                (e for sp in span_lists for _, _, e in sp), dtype=np.int64
+            )
+            offs = (o_start, o_end)
+        else:
+            token_lists = analyzer(texts)
+            offs = None
         dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
         term_rows += _postings_for_field(
-            cfg.text_field, token_lists, doc_ids, dls, cfg.positions
+            cfg.text_field, token_lists, doc_ids, dls, cfg.positions, offs
         )
     field_stats[cfg.text_field] = {
         # docs_with_field counts docs producing >=1 token (null/empty text has
