@@ -69,7 +69,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from iresearch_ray.stages.merge import _concat_term_postings
+from iresearch_ray.stages.merge import splice_term_runs
 from iresearch_ray.stages.segment import (
     IndexConfig,
     SegmentReader,
@@ -116,34 +116,26 @@ def _atomic_part_write(table: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
-def _merge_runs(group: pa.Table, shard: int) -> list[dict]:
-    """Splice equal-(field, term) runs of a rank-sorted shard table —
-    ONE to_pylist per shard, vectorized run detection, per-run byte
-    splice (the unavoidable work)."""
+def _merge_runs(group: pa.Table, shard: int) -> pa.Table:
+    """Splice equal-(field, term) runs of a shard table — fully vectorized
+    via :func:`splice_term_runs` (Arrow-buffer reads, from_buffers output;
+    the earlier per-run ``to_pylist`` version was the profiled hot spot).
+    Returns a _STAGE_SCHEMA table; ``__rank`` carries each run's FIRST
+    part's rank (stage-2 merge order), ``__off`` 0 — partial blobs carry
+    GLOBAL doc ids."""
     g = group.sort_by(
         [("field", "ascending"), ("term", "ascending"), ("__rank", "ascending")]
     )
-    fields = g["field"].to_pandas().to_numpy(dtype=object)
-    terms = g["term"].to_pandas().to_numpy(dtype=object)
-    n = len(fields)
-    new_run = np.empty(n, dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
-    starts = np.flatnonzero(new_run)
-    ends = np.append(starts[1:], n)
-    rows = g.to_pylist()
-    out: list[dict] = []
-    for s, e in zip(starts, ends):
-        parts = [(rows[j], int(rows[j]["__off"])) for j in range(s, e)]
-        merged = _concat_term_postings(parts)
-        merged["field"] = fields[s]
-        merged["term"] = terms[s]
-        merged["__rank"] = rows[s]["__rank"]
-        merged["__off"] = 0  # partial blobs now carry GLOBAL doc ids
-        merged["__salt"] = -1
-        merged["__shard"] = shard
-        out.append(merged)
-    return out
+    merged, run_starts = splice_term_runs(g)
+    n_runs = merged.num_rows
+    ranks = g["__rank"].to_numpy(zero_copy_only=False)[run_starts]
+    return (
+        merged.append_column("__rank", pa.array(ranks, pa.int64()))
+        .append_column("__off", pa.array(np.zeros(n_runs, dtype=np.int64)))
+        .append_column("__salt", pa.array(np.full(n_runs, -1, dtype=np.int64)))
+        .append_column("__shard", pa.array(np.full(n_runs, shard, dtype=np.int64)))
+        .select(_STAGE_SCHEMA.names)
+    )
 
 
 def merge_segments_shuffle(
@@ -345,16 +337,14 @@ def merge_segments_shuffle(
         if group.num_rows == 0:
             return _STAGE_SCHEMA.empty_table()
         shard = int(group["__shard"][0].as_py())
-        return pa.Table.from_pylist(_merge_runs(group, shard), schema=_STAGE_SCHEMA)
+        return _merge_runs(group, shard)
 
     def finalize_write(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _STATS_OUT_SCHEMA.empty_table()
         shard = int(group["__shard"][0].as_py())
-        rows = _merge_runs(group, shard)  # emitted in (field, term) order
-        t = pa.Table.from_pylist(
-            [{k: r[k] for k in _BLOB_COLS} for r in rows], schema=TERMS_SCHEMA
-        )
+        # emitted in (field, term) order
+        t = _merge_runs(group, shard).select(_BLOB_COLS).cast(TERMS_SCHEMA)
         path = os.path.join(terms_dir, f"part-{shard:05d}.parquet")
         nbytes = _atomic_part_write(t, path)
         return pa.table(
