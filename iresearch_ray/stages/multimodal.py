@@ -430,14 +430,17 @@ class FrameSample:
     """Video payload → every k-th frame as an image-shaped row (flat_map
     style: output rows ≠ input rows).  ``decoder="ppm_stream"`` REALLY
     parses the pinned concatenated-PPM container (back-to-back P6 frames,
-    zero external libs); ``"fake"`` keeps the deterministic stand-in; a
-    real deployment swaps in PyAV keyframe extraction for mp4/webm."""
+    zero external libs); ``decoder="mjpeg_avi"`` REALLY parses a RIFF-AVI
+    MJPG container (stages/avi.py — every frame an independent baseline
+    JPEG, so skipped frames are never entropy-decoded); ``"fake"`` keeps
+    the deterministic stand-in; a real deployment swaps in PyAV keyframe
+    extraction for mp4/webm."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake"):
         self.every = every
         self.h, self.w = height, width
-        if decoder not in ("fake", "ppm_stream"):
+        if decoder not in ("fake", "ppm_stream", "mjpeg_avi"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
@@ -445,6 +448,16 @@ class FrameSample:
         ids, frames, fidx = [], [], []
         for i in range(batch.num_rows):
             payload = batch["payload"][i].as_py() or b""
+            if self.decoder == "mjpeg_avi":
+                from iresearch_ray.stages.avi import decode_avi_mjpeg
+
+                for f, px in decode_avi_mjpeg(payload, every=self.every):
+                    if px.shape != (self.h, self.w, 3):
+                        raise ValueError("frame shape mismatch")
+                    ids.append(batch["item_id"][i].as_py())
+                    fidx.append(f)
+                    frames.append(px.ravel())
+                continue
             if self.decoder == "ppm_stream":
                 all_frames = decode_ppm_stream(payload)
                 for f in range(0, len(all_frames), self.every):
@@ -517,6 +530,39 @@ def synth_ppm_video_table(n: int, n_frames: int = 12, h: int = 8, w: int = 8, se
             "fps": pa.array([10.0] * n, pa.float32()),
         }
     )
+
+
+def synth_mjpeg_avi_table(
+    n: int, n_frames: int = 12, h: int = 8, w: int = 8, seed: int = 9
+) -> tuple:
+    """REAL MJPG-AVI video corpus: payload = genuine RIFF-AVI bytes whose
+    '00dc' chunks are baseline JPEGs of SMOOTH seeded frames (block-constant
+    pixels, so the lossy round-trip is near-exact and tests can bound the
+    reconstruction error).  Returns (table, frames-per-item)."""
+    from iresearch_ray.stages.avi import encode_avi_mjpeg
+
+    rng = np.random.default_rng(seed)
+    payloads, all_frames = [], []
+    for _ in range(n):
+        frames = []
+        for _f in range(n_frames):
+            # one color per 8x8 JPEG block: DC-only content survives
+            # quantization almost exactly
+            blocks = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3), dtype=np.uint8)
+            px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+            frames.append(np.ascontiguousarray(px))
+        all_frames.append(frames)
+        payloads.append(encode_avi_mjpeg(frames, fps=10, quality=95))
+    t = pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-msvideo"] * n, pa.string()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array([10.0] * n, pa.float32()),
+        }
+    )
+    return t, all_frames
 
 
 def synth_png_table(n: int, h: int = 8, w: int = 8, seed: int = 42) -> tuple:

@@ -125,6 +125,61 @@ def test_real_ppm_frame_sampling(ray_session):
     assert len(out) == 9
 
 
+def test_real_mjpeg_avi_frame_sampling(ray_session):
+    """REAL compressed video container: RIFF-AVI MJPG parses, samples every
+    k-th frame through the actor-pool FrameSample stage, and reconstructs
+    the block-constant source frames within JPEG tolerance."""
+    import numpy as np
+    import ray.data as rd
+
+    from iresearch_ray.stages.multimodal import FrameSample, synth_mjpeg_avi_table
+
+    tbl, all_frames = synth_mjpeg_avi_table(3, n_frames=12, h=8, w=8)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(FrameSample(every=5, height=8, width=8, decoder="mjpeg_avi"),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 5, 10]
+    assert len(out) == 9
+    for row in out.itertuples():
+        got = np.asarray(row.pixels, dtype=np.uint8).reshape(8, 8, 3)
+        exp = all_frames[row.item_id][row.frame_idx]
+        assert np.abs(got.astype(float) - exp.astype(float)).max() <= 4
+
+
+def test_avi_mjpeg_codec_and_meta():
+    """Container round-trip without Ray: header probe, full decode,
+    sampling skips entropy work, corrupted input rejected."""
+    import numpy as np
+    import pytest
+
+    from iresearch_ray.stages.avi import (
+        avi_mjpeg_meta,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    x = np.linspace(0, 4 * np.pi, 16)
+    base = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+    frames = [np.stack([np.roll(base, i, axis=1)] * 3, axis=-1) for i in range(7)]
+    avi = encode_avi_mjpeg(frames, fps=5, quality=95)
+    assert avi_mjpeg_meta(avi) == {"width": 16, "height": 16, "n_frames": 7, "fps": 5}
+    dec = decode_avi_mjpeg(avi)
+    assert [i for i, _ in dec] == list(range(7))
+    for (_, px), orig in zip(dec, frames):
+        assert np.abs(px.astype(float) - orig.astype(float)).max() <= 8
+    dec3 = decode_avi_mjpeg(avi, every=3)
+    assert [i for i, _ in dec3] == [0, 3, 6]
+    for i, px in dec3:
+        assert np.array_equal(px, dec[i][1])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"NOTAVI--" * 4)
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_mjpeg_meta(b"")
+
+
 def test_real_png_roundtrip_all_filters():
     """encode_png applies one scanline filter to every row; decoding back
     to the ORIGINAL pixels proves each of the five unfilter paths
