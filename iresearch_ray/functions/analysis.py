@@ -575,9 +575,51 @@ class NullAnalyzer:
         return [["null"] if v is None else [] for v in values]
 
 
+class DelimitedPayloadAnalyzer:
+    """Per-occurrence payloads via in-text delimiters — the ``payload``
+    token attribute (ref: token_attributes.hpp payload; the public idiom is
+    Lucene's DelimitedPayloadTokenFilter).  Input is whitespace-split; each
+    chunk optionally carries ``term<delim>payload`` (split at the LAST
+    delimiter); the term part is NFC+lower normalized, the payload is the
+    raw utf-8 bytes (empty when no delimiter).  Used with
+    ``IndexConfig(payloads=True)``, which stores the bytes alongside each
+    posting occurrence."""
+
+    def __init__(self, delimiter: str = "|"):
+        if len(delimiter) != 1:
+            raise ValueError("payload delimiter must be one character")
+        self.delimiter = delimiter
+
+    def tokenize_one(self, text: str | None) -> list[str]:
+        return [t for t, _ in self.tokenize_one_with_payloads(text)]
+
+    def tokenize_one_with_payloads(self, text: str | None) -> list[tuple[str, bytes]]:
+        if text is None:
+            return []
+        out: list[tuple[str, bytes]] = []
+        d = self.delimiter
+        for chunk in text.split():
+            term, _, payload = chunk.rpartition(d)
+            if not term:  # no delimiter: the whole chunk is the term
+                term, payload = payload, ""
+            term = _nfc_lower(term)
+            if term:
+                out.append((term, payload.encode("utf-8")))
+        return out
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [self.tokenize_one(t) for t in texts]
+
+    def with_payloads(
+        self, texts: Sequence[str | None]
+    ) -> list[list[tuple[str, bytes]]]:
+        return [self.tokenize_one_with_payloads(t) for t in texts]
+
+
 ANALYZERS["boolean"] = BooleanAnalyzer
 ANALYZERS["null"] = NullAnalyzer
 ANALYZERS["minhash"] = MinHashAnalyzer
+ANALYZERS["delimited_payload"] = DelimitedPayloadAnalyzer
 
 
 def _segmentation_factory(**options):

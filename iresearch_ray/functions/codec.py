@@ -107,6 +107,8 @@ class PostingBlob:
     block_doc_count: np.ndarray  # int64[nblocks] docs in each block
     off_blob: bytes = b""       # optional per-occurrence character offsets
     off_off: np.ndarray | None = None  # int64[nblocks] byte offset into off_blob
+    pay_blob: bytes = b""       # optional per-occurrence payload bytes
+    pay_off: np.ndarray | None = None  # int64[nblocks] byte offset into pay_blob
 
 
 def encode_postings(
@@ -115,6 +117,7 @@ def encode_postings(
     dls: np.ndarray,
     positions: np.ndarray | None = None,
     offsets: tuple[np.ndarray, np.ndarray] | None = None,
+    payloads: list[bytes] | None = None,
 ) -> PostingBlob:
     """Encode one term's postings.
 
@@ -131,6 +134,11 @@ def encode_postings(
     reset per doc like positions) then varint(lengths = end - start) —
     start deltas and lengths are both small, so the stream is byte-dense,
     and like positions it is doc-id-invariant (merge = byte append).
+
+    ``payloads`` is an optional flat list of per-occurrence byte strings
+    parallel to ``positions`` (the reference's ``payload`` token attribute).
+    Per block the stream is varint(lengths) then the raw bytes concatenated
+    — also doc-id-invariant.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -207,6 +215,24 @@ def encode_postings(
             ooff += len(part)
         off_blob = b"".join(off_parts)
 
+    # payloads: per block, varint(lengths) then raw bytes
+    pay_off = np.zeros(nblocks, dtype=np.int64)
+    pay_blob = b""
+    if payloads is not None and len(payloads):
+        occ_ends = np.cumsum(tfs)
+        occ_starts = occ_ends - tfs
+        plens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+        pay_parts: list[bytes] = []
+        poff2 = 0
+        for b in range(nblocks):
+            s, e = starts[b], bounds[b]
+            pay_off[b] = poff2
+            lo, hi = occ_starts[s], occ_ends[e - 1]
+            part = varint_encode(plens[lo:hi]) + b"".join(payloads[lo:hi])
+            pay_parts.append(part)
+            poff2 += len(part)
+        pay_blob = b"".join(pay_parts)
+
     block_max_tf = np.maximum.reduceat(tfs, starts)
     block_min_dl = np.minimum.reduceat(dls, starts)
     return PostingBlob(
@@ -220,6 +246,8 @@ def encode_postings(
         block_doc_count=(bounds - starts).astype(np.int64),
         off_blob=off_blob,
         off_off=off_off if off_blob else None,
+        pay_blob=pay_blob,
+        pay_off=pay_off if pay_blob else None,
     )
 
 
@@ -358,3 +386,37 @@ def decode_offsets(
     )
     starts = acc - np.repeat(doc_base, tfs)
     return starts, starts + lengths
+
+
+def decode_payloads(
+    pay_blob: bytes,
+    pay_off: np.ndarray,
+    tfs_all: np.ndarray,
+    block: int,
+    nblocks: int,
+    block_doc_count: np.ndarray | None = None,
+) -> list[bytes]:
+    """Decode one block's payload stream → per-occurrence byte strings,
+    parallel to that block's position stream.  Layout per block:
+    varint(lengths) then the raw payload bytes concatenated — the length
+    varints are self-delimiting, so the n-th terminator marks where the
+    raw bytes begin."""
+    s_byte = int(pay_off[block])
+    e_byte = int(pay_off[block + 1]) if block + 1 < nblocks else len(pay_blob)
+    view = memoryview(pay_blob)[s_byte:e_byte]
+    if block_doc_count is None:
+        s_doc = block * BLOCK_SIZE
+        e_doc = min(s_doc + BLOCK_SIZE, tfs_all.size)
+    else:
+        cum = np.cumsum(np.asarray(block_doc_count, dtype=np.int64))
+        s_doc = int(cum[block - 1]) if block > 0 else 0
+        e_doc = int(cum[block])
+    n_occ = int(tfs_all[s_doc:e_doc].sum())
+    if n_occ == 0:
+        return []
+    b = np.frombuffer(view, dtype=np.uint8)
+    term_ends = np.flatnonzero(b < 128)
+    len_end = int(term_ends[n_occ - 1]) + 1
+    lengths = varint_decode(view[:len_end]).astype(np.int64)
+    starts = len_end + np.concatenate(([0], np.cumsum(lengths[:-1])))
+    return [bytes(view[int(s) : int(s + l)]) for s, l in zip(starts, lengths)]

@@ -57,9 +57,12 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
     bl_mindl: list[int] = []
     bl_cnt: list[int] = []
     prev_last = 0
-    # offsets survive the merge only if EVERY part carries them — a mixed
-    # set would desync off_off from the global block index
+    # offsets/payloads survive the merge only if EVERY part carries them —
+    # a mixed set would desync their block-offset lists
     keep_offs = all(r.get("off_blob") for r, _ in parts)
+    keep_pays = all(r.get("pay_blob") for r, _ in parts)
+    out_pay = bytearray()
+    pay_off: list[int] = []
     for row, offset in parts:
         offs = row["block_off"]
         blob = row["doc_blob"]
@@ -93,6 +96,10 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
             off_base = len(out_offs)
             o_off += [off_base + x for x in row["off_off"]]
             out_offs += row["off_blob"]
+        if keep_pays:
+            pay_base = len(out_pay)
+            pay_off += [pay_base + x for x in row["pay_off"]]
+            out_pay += row["pay_blob"]
         prev_last = bl_last[-1]
     return {
         "df": sum(r["df"] for r, _ in parts),
@@ -109,6 +116,8 @@ def _concat_term_postings(parts: list[tuple[dict, int]]) -> dict:
         "block_doc_count": bl_cnt,
         "off_blob": bytes(out_offs),
         "off_off": o_off,
+        "pay_blob": bytes(out_pay),
+        "pay_off": pay_off,
     }
 
 
@@ -215,32 +224,38 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
         out_doc[s + m : out_ends[i]] = ddata[dvo[i] + first_len[i] : dvo[i + 1]]
     run_doc_off = np.concatenate((out_starts[run_starts], [out_ends[-1]]))
 
-    # ---- positions / offsets: contiguous value-buffer slices -------------
+    # ---- positions / aux streams: contiguous value-buffer slices ---------
     pvo, pdata = _bin("pos_blob")
     run_pos_off = np.concatenate((pvo[run_starts], [pvo[-1]]))
-    ovo, odata = _bin("off_blob")
-    o_row_len = np.diff(ovo)
     run_ends = np.append(run_starts[1:], n)
-    # a run keeps its offset stream only if EVERY part carries one — true
-    # per field (text terms have offsets, keyword terms never do), so the
-    # decision is PER RUN, and mixed runs (cross-config, can't happen
-    # inside one index) drop theirs to keep off_off block-aligned
-    row_has_off = o_row_len > 0
-    keep_run = (
-        np.logical_and.reduceat(row_has_off, run_starts)
-        if odata.size
-        else np.zeros(n_runs, dtype=bool)
-    )
-    run_src_len = np.where(keep_run, ovo[run_ends] - ovo[run_starts], 0)
-    run_off_off = np.concatenate(([0], np.cumsum(run_src_len)))
-    if keep_run.any():
-        out_off_data = np.empty(int(run_off_off[-1]), dtype=np.uint8)
-        for r in np.flatnonzero(keep_run):  # C-speed slice copy per kept run
-            out_off_data[run_off_off[r] : run_off_off[r + 1]] = odata[
-                ovo[run_starts[r]] : ovo[run_ends[r]]
-            ]
-    else:
-        out_off_data = np.empty(0, dtype=np.uint8)
+
+    def _aux_stream(blob_col: str):
+        """A run keeps its offset/payload stream only if EVERY part carries
+        one — true per field (text terms have them, keyword terms never
+        do), so the decision is PER RUN, and mixed runs (cross-config,
+        can't happen inside one index) drop theirs to keep the per-block
+        offset list aligned.  Returns (value offsets of the source column,
+        run-level output binary offsets, output data, keep mask)."""
+        vo, data = _bin(blob_col)
+        keep = (
+            np.logical_and.reduceat(np.diff(vo) > 0, run_starts)
+            if data.size
+            else np.zeros(n_runs, dtype=bool)
+        )
+        src_len = np.where(keep, vo[run_ends] - vo[run_starts], 0)
+        run_bin_off = np.concatenate(([0], np.cumsum(src_len)))
+        if keep.any():
+            out_data = np.empty(int(run_bin_off[-1]), dtype=np.uint8)
+            for r in np.flatnonzero(keep):  # C-speed slice copy per kept run
+                out_data[run_bin_off[r] : run_bin_off[r + 1]] = data[
+                    vo[run_starts[r]] : vo[run_ends[r]]
+                ]
+        else:
+            out_data = np.empty(0, dtype=np.uint8)
+        return vo, run_bin_off, out_data, keep
+
+    ovo, run_off_off, out_off_data, keep_run = _aux_stream("off_blob")
+    yvo, run_pay_off, out_pay_data, keep_pay = _aux_stream("pay_blob")
 
     # ---- list columns: flat-value arithmetic, run-level regroup ----------
     def _row_rep(per_row: np.ndarray, lo: np.ndarray) -> np.ndarray:
@@ -259,22 +274,26 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
     poff_lo, poff_vals = _list("pos_off")
     base_pos = pvo[:-1] - pvo[run_starts][np.cumsum(new_run) - 1]
     poff_out = poff_vals + _row_rep(base_pos, poff_lo)
-    ooff_lo, ooff_vals = _list("off_off")
-    if keep_run.any():
-        # off_off values are offsets into the RUN's own off blob, so the
-        # per-row base is relative to the run start — output-buffer layout
-        # doesn't enter; dropped runs contribute no values and empty lists
-        base_off = ovo[:-1] - ovo[run_starts][np.cumsum(new_run) - 1]
-        row_keep = np.repeat(keep_run, run_ends - run_starts)
-        vals_keep = _row_rep(row_keep, ooff_lo)
-        ooff_out = (ooff_vals + _row_rep(base_off, ooff_lo))[vals_keep]
-        per_row_cnt = np.where(row_keep, np.diff(ooff_lo), 0)
-        run_ooff_lo = np.concatenate(
+    def _aux_list(off_col: str, vo: np.ndarray, keep: np.ndarray):
+        """Per-block offset lists of an aux stream.  Values are offsets
+        into the RUN's own blob, so the per-row base is relative to the
+        run start — output-buffer layout doesn't enter; dropped runs
+        contribute no values and empty lists."""
+        alo, avals = _list(off_col)
+        if not keep.any():
+            return np.zeros(n_runs + 1, dtype=np.int64), np.empty(0, np.int64)
+        base = vo[:-1] - vo[run_starts][np.cumsum(new_run) - 1]
+        row_keep = np.repeat(keep, run_ends - run_starts)
+        vals_keep = _row_rep(row_keep, alo)
+        out_vals = (avals + _row_rep(base, alo))[vals_keep]
+        per_row_cnt = np.where(row_keep, np.diff(alo), 0)
+        out_lo = np.concatenate(
             ([0], np.cumsum(np.add.reduceat(per_row_cnt, run_starts)))
         )
-    else:
-        ooff_out = np.empty(0, dtype=np.int64)
-        run_ooff_lo = np.zeros(n_runs + 1, dtype=np.int64)
+        return out_lo, out_vals
+
+    run_ooff_lo, ooff_out = _aux_list("off_off", ovo, keep_run)
+    run_poff_lo, payoff_out = _aux_list("pay_off", yvo, keep_pay)
 
     # ---- scalar stats -----------------------------------------------------
     df = np.add.reduceat(t["df"].to_numpy(zero_copy_only=False), run_starts)
@@ -315,6 +334,8 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
             "block_doc_count": _list_out(run_lo(boff_lo), _list("block_doc_count")[1]),
             "off_blob": _bin_out(run_off_off, out_off_data),
             "off_off": _list_out(run_ooff_lo, ooff_out),
+            "pay_blob": _bin_out(run_pay_off, out_pay_data),
+            "pay_off": _list_out(run_poff_lo, payoff_out),
         }
     ).cast(TERMS_SCHEMA)
     return out, run_starts

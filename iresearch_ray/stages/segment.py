@@ -65,6 +65,10 @@ TERMS_SCHEMA = pa.schema(
         # blob / empty list otherwise so every segment shares one schema
         ("off_blob", pa.large_binary()),
         ("off_off", pa.list_(pa.int64())),
+        # per-occurrence payload bytes (the `payload` token attribute),
+        # present only with IndexConfig(payloads=True)
+        ("pay_blob", pa.large_binary()),
+        ("pay_off", pa.list_(pa.int64())),
     ]
 )
 
@@ -89,6 +93,11 @@ class IndexConfig:
     # cost of a second position-sized stream.  Requires the `text` analyzer
     # (span tracking); other analyzers raise at build.
     offsets: bool = False
+    # index per-occurrence payload bytes of the text field (the `payload`
+    # token attribute).  Requires an analyzer exposing with_payloads()
+    # (`delimited_payload`); read back via SegmentReader/exec payload
+    # accessors and the payload_sum scoring helper.
+    payloads: bool = False
     store_text: bool = True     # per-turn text equality verification (B input_hint)
     scorer: str = "bm25"
 
@@ -105,6 +114,7 @@ class IndexConfig:
             "analyzer_opts": self.analyzer_opts,
             "positions": self.positions,
             "offsets": self.offsets,
+            "payloads": self.payloads,
             "store_text": self.store_text,
             "scorer": self.scorer,
         }
@@ -125,11 +135,13 @@ def _postings_for_field(
     dls: np.ndarray,
     with_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
+    pays: np.ndarray | None = None,
 ) -> list[dict]:
     """Vectorized postings for one field: explode → factorize → lexsort →
     per-term encode.  ``dls`` is the per-doc field length used for norms.
     ``offs`` = flat (char_start, char_end) arrays parallel to the exploded
-    occurrence stream (doc order, position order) when indexing offsets."""
+    occurrence stream (doc order, position order) when indexing offsets;
+    ``pays`` = object array of per-occurrence payload bytes, same order."""
     lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
     total = int(lens.sum())
     if total == 0:
@@ -142,7 +154,7 @@ def _postings_for_field(
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
     return _postings_from_codes(
-        field_name, codes, uniques, doc_rep, dl_rep, pos, with_positions, offs
+        field_name, codes, uniques, doc_rep, dl_rep, pos, with_positions, offs, pays
     )
 
 
@@ -155,6 +167,7 @@ def _postings_from_codes(
     pos: np.ndarray,
     with_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
+    pays: np.ndarray | None = None,
 ) -> list[dict]:
     """Grouping + encode tail shared by the python and arrow tokenize paths:
     ``codes`` are sorted-term integer codes per occurrence, ``uniques`` the
@@ -164,6 +177,7 @@ def _postings_from_codes(
     order = np.lexsort((pos, doc_rep, codes))
     codes_s, docs_s, pos_s, dl_s = codes[order], doc_rep[order], pos[order], dl_rep[order]
     offs_s = (offs[0][order], offs[1][order]) if offs is not None else None
+    pays_s = pays[order] if pays is not None else None
     # (term, doc) run boundaries
     new_pair = np.empty(total, dtype=bool)
     new_pair[0] = True
@@ -198,7 +212,12 @@ def _postings_from_codes(
             if offs_s is not None
             else None
         )
-        blob = encode_postings(t_docs, t_tfs, t_dls, t_pos, t_offs)
+        t_pays = (
+            list(pays_s[occ_starts[ts_i]: occ_ends[te_i - 1]])
+            if pays_s is not None
+            else None
+        )
+        blob = encode_postings(t_docs, t_tfs, t_dls, t_pos, t_offs, t_pays)
         rows.append(
             {
                 "field": field_name,
@@ -217,6 +236,8 @@ def _postings_from_codes(
                 "block_doc_count": blob.block_doc_count.tolist(),
                 "off_blob": blob.off_blob,
                 "off_off": blob.off_off.tolist() if blob.off_off is not None else [],
+                "pay_blob": blob.pay_blob,
+                "pay_off": blob.pay_off.tolist() if blob.pay_off is not None else [],
             }
         )
     return rows
@@ -266,6 +287,11 @@ def build_segment_tables(
             f"offsets=True needs a span-tracking analyzer; {cfg.analyzer!r} "
             "does not expose the offs attribute (only `text` does)"
         )
+    if cfg.payloads and not hasattr(analyzer, "with_payloads"):
+        raise ValueError(
+            f"payloads=True needs a payload-emitting analyzer; {cfg.analyzer!r} "
+            "does not expose the payload attribute (use `delimited_payload`)"
+        )
 
     if exploded is not None:
         flat, parent, dls = exploded
@@ -305,7 +331,15 @@ def build_segment_tables(
             )
     else:
         texts = rows[cfg.text_field].to_pylist()
-        if cfg.offsets:
+        pays = None
+        if cfg.payloads:
+            tp_lists = analyzer.with_payloads(texts)
+            token_lists = [[t for t, _ in tp] for tp in tp_lists]
+            pays = np.array(
+                [p for tp in tp_lists for _, p in tp], dtype=object
+            )
+            offs = None
+        elif cfg.offsets:
             span_lists = analyzer.tokenize_with_spans(texts)
             token_lists = [[t for t, _, _ in sp] for sp in span_lists]
             o_start = np.fromiter(
@@ -320,7 +354,7 @@ def build_segment_tables(
             offs = None
         dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
         term_rows += _postings_for_field(
-            cfg.text_field, token_lists, doc_ids, dls, cfg.positions, offs
+            cfg.text_field, token_lists, doc_ids, dls, cfg.positions, offs, pays
         )
     field_stats[cfg.text_field] = {
         # docs_with_field counts docs producing >=1 token (null/empty text has
