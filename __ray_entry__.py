@@ -55,7 +55,10 @@ def _searcher(sf_dir: str):
 
     from iresearch_ray.stages.segment import IndexConfig
 
-    cfg = IndexConfig(numeric_fields=("n_chars",))
+    # offsets=True: the shared ft_* index also materializes the `offs`
+    # stream (vectorized ASCII span pass; scores unaffected), which
+    # ft_offsets_first reads back and checks against a strpos SQL oracle
+    cfg = IndexConfig(numeric_fields=("n_chars",), offsets=True)
     import hashlib as _h
 
     from iresearch_ray import FORMAT_VERSION
@@ -406,6 +409,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"event_id": np.sort(out["turn_idx"].to_numpy().astype("int64"))}
         )
 
+    def ft_offsets_first(sf):
+        # indexed character offsets (SURVEY §2.1 offs attribute, r3): the
+        # shared index stores per-occurrence (start, end); return every
+        # doc containing 'spark' with its FIRST occurrence's 0-based char
+        # start, read from the posting stream (source="index" — stored
+        # text untouched).  Oracle: documents.text is single-space-joined
+        # lowercase tokens, so strpos(' '||text||' ', ' spark ')-1 is the
+        # same offset.
+        from iresearch_ray.functions.highlight import highlights
+
+        s = _searcher(sf)
+        h = highlights(s, F.Term("text", "spark"), k=10_000_000, source="index")
+        return pd.DataFrame(
+            {
+                "doc_id": h["conv_id"].str.slice(1).astype("int64"),
+                "start": [int(sp[0][0]) for sp in h["spans"]],
+            }
+        ).sort_values("doc_id").reset_index(drop=True)
+
+    _PAYLOAD_IDX: dict[str, str] = {}
+
+    def ft_payload_topk(sf):
+        # payload token attribute (SURVEY §2.1, r3): events re-expressed as
+        # 'event_type|value' payload-carrying tokens, indexed with
+        # IndexConfig(payloads=True); score = Σ float(payload) per doc
+        # (the PayloadScoreQuery sum idiom).  One event per doc ⇒ score ==
+        # value, so the oracle is ORDER BY value with the pinned tie order.
+        import ray.data as rd
+
+        from iresearch_ray import Searcher, build_index
+        from iresearch_ray.functions.payload import payload_sum_topk
+        from iresearch_ray.stages.segment import IndexConfig
+
+        idx = _PAYLOAD_IDX.get(sf)
+        if idx is None:
+            ev = pq.read_table(
+                f"{sf}/events.parquet", columns=["event_id", "event_type", "value"]
+            ).filter(pa.compute.is_valid(pa.compute.field("value")))
+            rows = pa.table(
+                {
+                    "conv_id": pa.array(
+                        [f"e{int(i):012d}" for i in ev["event_id"].to_pylist()]
+                    ),
+                    "turn_idx": pa.array([0] * ev.num_rows, pa.int32()),
+                    # str(float) round-trips the double exactly, so the
+                    # payload weight IS the value column bit-for-bit
+                    "text": pa.array(
+                        [
+                            f"{t}|{v!s}"
+                            for t, v in zip(
+                                ev["event_type"].to_pylist(), ev["value"].to_pylist()
+                            )
+                        ]
+                    ),
+                    "role": pa.array(["event"] * ev.num_rows),
+                    "tool": pa.array([None] * ev.num_rows, pa.string()),
+                }
+            )
+            idx = os.path.join(
+                _CACHE_ROOT, os.path.basename(os.path.normpath(sf)) + "-payload", "idx"
+            )
+            src = os.path.join(os.path.dirname(idx), "events_payload.parquet")
+            if not os.path.exists(src):
+                os.makedirs(os.path.dirname(src), exist_ok=True)
+                tmp = src + f".tmp.{os.getpid()}"
+                pq.write_table(rows, tmp)
+                os.replace(tmp, src)
+            build_index(
+                src, idx,
+                cfg=IndexConfig(analyzer="delimited_payload", payloads=True),
+                num_partitions=4, resume=True,
+            )
+            _PAYLOAD_IDX[sf] = idx
+        s = Searcher(idx)
+        out = payload_sum_topk(s, "text", "click", k=100)
+        return pd.DataFrame(
+            {
+                "event_id": out["conv_id"].str.slice(1).astype("int64"),
+                "score": out["score"].astype("float64"),
+            }
+        )
+
     def ft_nested_minmatch(sf):
         # by_nested parent/child join (SURVEY §2.4, nested_filter.cpp):
         # parents (users) with ≥ 3 child events of type 'error'; each parent
@@ -640,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_collation_sort": ft_collation_sort,
         "ft_dynamic_props": ft_dynamic_props,
         "ft_nested_minmatch": ft_nested_minmatch,
+        "ft_offsets_first": ft_offsets_first,
+        "ft_payload_topk": ft_payload_topk,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -989,6 +1076,24 @@ SELECT min(event_id) AS event_id FROM events
 WHERE event_type = 'error'
 GROUP BY user_id HAVING count(*) >= 3
 ORDER BY event_id
+""",
+        # indexed offsets: first occurrence's 0-based char start of the
+        # token 'spark' (documents.text = single-space lowercase tokens,
+        # so ' '-padded strpos is exactly the analyzer's span start)
+        "ft_offsets_first": """
+SELECT doc_id, strpos(' ' || text || ' ', ' spark ') - 1 AS start
+FROM documents
+WHERE strpos(' ' || text || ' ', ' spark ') > 0
+ORDER BY doc_id
+""",
+        # payloads: one 'event_type|value' token per event doc, so the
+        # payload-sum score IS the value column; pinned tie order =
+        # (score desc, conv_id asc) with conv_id = zero-padded event_id
+        "ft_payload_topk": """
+SELECT event_id, value AS score FROM events
+WHERE event_type = 'click' AND value IS NOT NULL
+ORDER BY value DESC, event_id ASC
+LIMIT 100
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

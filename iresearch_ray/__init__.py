@@ -18,7 +18,9 @@ the caller (driver / bench.py / test fixtures).
 """
 
 __version__ = "0.1.0"
-FORMAT_VERSION = 4  # bump when segment/posting layout OR naming changes (invalidates caches)
+FORMAT_VERSION = 5  # bump when segment/posting layout OR naming changes (invalidates caches)
+# v5: off_blob/off_off (indexed character offsets) + pay_blob/pay_off
+# (payload bytes) columns in terms.parquet (both empty unless opted in)
 
 # Import-time so every Ray worker that deserializes one of our UDFs (and the
 # driver itself) gets allocator retention — see runtime.py for the measured

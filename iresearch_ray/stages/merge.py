@@ -157,7 +157,11 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
 
     def _bin(col_name: str):
         """(value_offsets int64[n+1], data uint8[...]) of a large_binary
-        column, compacted to this table's rows."""
+        column, compacted to this table's rows.  A column absent from the
+        table entirely (segments written before the stream existed) reads
+        as all-empty."""
+        if col_name not in t.column_names:
+            return np.zeros(n + 1, dtype=np.int64), np.empty(0, np.uint8)
         col = t[col_name]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if arr.null_count:  # nulls only from promote-concat of pre-offsets
@@ -174,7 +178,10 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
         return vo, data
 
     def _list(col_name: str):
-        """(list_offsets int64[n+1], flat int64 values) of a list<int64>."""
+        """(list_offsets int64[n+1], flat int64 values) of a list<int64>;
+        absent column reads as all-empty lists."""
+        if col_name not in t.column_names:
+            return np.zeros(n + 1, dtype=np.int64), np.empty(0, np.int64)
         col = t[col_name]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if arr.null_count:
