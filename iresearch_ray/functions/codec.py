@@ -190,6 +190,16 @@ def encode_postings(
     else:
         pos_blob = b""
 
+    n_occ_total = int(tfs.sum())
+    if offsets is not None and offsets[0].size != n_occ_total:
+        raise ValueError(
+            f"offsets carry {offsets[0].size} entries for {n_occ_total} occurrences"
+        )
+    if payloads is not None and len(payloads) != n_occ_total:
+        raise ValueError(
+            f"payloads carry {len(payloads)} entries for {n_occ_total} occurrences"
+        )
+
     # character offsets: start deltas reset per doc (same shape as positions),
     # then lengths — one (deltas, lengths) varint pair per block
     off_off = np.zeros(nblocks, dtype=np.int64)

@@ -143,6 +143,8 @@ def decode_avi_mjpeg(
     """Decode every ``every``-th MJPG frame → [(frame_idx, (h, w, 3))…].
     Skipped frames are never entropy-decoded (each JPEG is independent),
     so sampling cost scales with frames KEPT, not stream length."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
     buf = memoryview(payload)
     if len(payload) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
         raise ValueError("not a RIFF AVI payload")
