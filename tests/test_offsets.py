@@ -192,6 +192,26 @@ def test_offsets_with_stopwords_and_stemmer(tmp_path):
     assert highlights(s, F.Term("text", "the"), k=5, source="index").empty
 
 
+def test_offsets_never_change_results(tmp_path):
+    """Materializing the offs stream is purely additive: the same corpus
+    indexed with and without offsets returns byte-identical search results
+    for every filter shape (scores, ranks, keys)."""
+    tbl = _corpus(np.random.default_rng(5))
+    d0 = str(tmp_path / "plain")
+    d1 = str(tmp_path / "offs")
+    build_index_local(tbl, d0, num_partitions=2)
+    build_index_local(tbl, d1, cfg=IndexConfig(offsets=True), num_partitions=2)
+    s0, s1 = Searcher(d0), Searcher(d1)
+    for flt in _FILTERS + [
+        F.And((F.Term("text", "error"), F.Term("text", "ok"))),
+        F.Or((F.Term("text", "fail"), F.Prefix("text", "re")), min_match=1),
+        F.Fuzzy("text", "agant", 1),
+    ]:
+        a = s0.search_local(flt, k=50)
+        b = s1.search_local(flt, k=50)
+        assert a.to_csv() == b.to_csv(), flt
+
+
 def test_offsets_errors(tmp_path):
     rows = pa.Table.from_pylist(
         [{"conv_id": "c0", "turn_idx": 0, "text": "alpha beta",

@@ -59,7 +59,16 @@ assert m["metrics"]["docs_count"] == turns
 t0 = time.time()
 consolidate(idx, policy="tier", gc=True, repeat=True)
 csecs = time.time() - t0
-print(f"SMOKE consolidate: {round(csecs,1)}s; segments={len(Searcher(idx).seg_dirs)}")
+from iresearch_ray.state.manifest import load_manifest
+_man = load_manifest(idx)
+_in_task = sum(
+    float(sm.get("metrics", {}).get("merge_secs") or 0) for sm in _man["segments"]
+)
+print(
+    f"SMOKE consolidate: {round(csecs,1)}s; segments={len(Searcher(idx).seg_dirs)}; "
+    f"final-round in-task merge {round(_in_task,1)}s "
+    f"(wall - in-task = scheduling/IO/host)"
+)
 
 s = Searcher(idx)
 batch = {"hot": F.Term("text", "the"), "phrase": F.Phrase("text", ("the", "a")),
