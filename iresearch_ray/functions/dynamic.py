@@ -91,7 +91,10 @@ def dynamic_postings(
             if isinstance(v, bool):  # before int: bool is an int subclass
                 kw_add(field, row, "true" if v else "false")
             elif isinstance(v, int):
-                num_add(field, row, v)
+                if -(2**63) <= v < 2**63:
+                    num_add(field, row, v)
+                else:  # JSON bigint beyond int64: keyword, never a crash
+                    kw_add(field, row, str(v))
             elif isinstance(v, float):
                 if v.is_integer() and abs(v) < 2**53:
                     num_add(field, row, int(v))

@@ -52,6 +52,15 @@ def test_dynamic_postings_type_routing():
     assert kw["props.s"][2] == [] and kw["props.s"][3] == []
 
 
+def test_dynamic_bigint_becomes_keyword():
+    # JSON bigints beyond int64 must index as keywords, never crash the build
+    big = 2**64 + 7
+    kw, num = dynamic_postings("props", [json.dumps({"k": big, "m": -(2**70)})], 1)
+    assert kw["props.k"][0] == [str(big)]
+    assert kw["props.m"][0] == [str(-(2**70))]
+    assert "props.k" not in num and "props.m" not in num
+
+
 def test_numeric_token_lists_multivalue_concat():
     rows = np.array([0, 0, 2], dtype=np.int64)
     vals = np.array([7, 900, -3], dtype=np.int64)
