@@ -109,6 +109,81 @@ def _index_doc_spans(reader, row: int, doc_id: int) -> list[tuple[int, int]]:
     return list(zip(starts[occ_lo:occ_hi].tolist(), ends[occ_lo:occ_hi].tolist()))
 
 
+def _key_view(r):
+    """Cached (perm, sorted conv, sorted turn) lexsort view of a reader's
+    doc keys — concat-merged segments are NOT globally key-sorted, so key
+    lookup needs the permutation (built once per reader)."""
+    import numpy as np
+
+    kv = getattr(r, "_hl_key_view", None)
+    if kv is None:
+        conv_all, turn_all = r.doc_keys
+        perm = np.lexsort((turn_all, conv_all))
+        kv = (perm, conv_all[perm], turn_all[perm])
+        r._hl_key_view = kv
+    return kv
+
+
+def _locate(r, conv_id, turn_idx) -> int | None:
+    """Row position of (conv_id, turn_idx) in the reader's docs table."""
+    import numpy as np
+
+    perm, sc, st = _key_view(r)
+    lo = int(np.searchsorted(sc, conv_id, side="left"))
+    hi = int(np.searchsorted(sc, conv_id, side="right"))
+    if lo == hi:
+        return None
+    j = lo + int(np.searchsorted(st[lo:hi], turn_idx))
+    if j < hi and st[j] == turn_idx:
+        return int(perm[j])
+    return None
+
+
+def spans_for_hits(
+    reader,
+    hits,
+    terms: set[str] | list[str],
+    field: str,
+    source: str = "stored",
+) -> tuple[list, list, list]:
+    """(texts, spans, found) for hit rows that may live in ``reader`` — the
+    per-shard kernel shared by the driver-local and pooled highlight paths.
+    ``hits`` is any object with conv_id/turn_idx columns (pa.Table or
+    DataFrame); rows whose key is absent from this reader get found=False."""
+    term_rows = (
+        {t: reader.term_row(field, t) for t in sorted(terms)}
+        if source == "index"
+        else None
+    )
+    conv = hits["conv_id"]
+    turn = hits["turn_idx"]
+    conv = conv.to_pylist() if hasattr(conv, "to_pylist") else list(conv)
+    turn = turn.to_pylist() if hasattr(turn, "to_pylist") else list(turn)
+    texts: list[str | None] = []
+    spans: list[list[tuple[int, int]]] = []
+    found: list[bool] = []
+    stored = field in reader.docs.column_names
+    for c, t in zip(conv, turn):
+        pos = _locate(reader, c, t)
+        if pos is None:
+            texts.append(None)
+            spans.append([])
+            found.append(False)
+            continue
+        found.append(True)
+        text = reader.docs[field][pos].as_py() if stored else None
+        texts.append(text)
+        if source == "index":
+            doc_spans: list[tuple[int, int]] = []
+            for tm, trow in term_rows.items():
+                if trow is not None:
+                    doc_spans += _index_doc_spans(reader, trow, pos + 1)
+            spans.append(sorted(doc_spans))
+        else:
+            spans.append(highlight_text(text, set(terms)))
+    return texts, spans, found
+
+
 def highlights(
     searcher,
     flt,
@@ -126,106 +201,38 @@ def highlights(
     (needs offsets=True) — span-identical outputs (see module docstring)."""
     import numpy as np
 
-    if source == "index":
-        return _highlights_from_index(searcher, flt, k, scorer, field)
-    plan = searcher.prepare(flt, scorer).plan
-    terms = plan_terms(plan["root"], field)
-    hits = searcher.search_local(flt, k=k, scorer=scorer)
-    texts: list[str | None] = []
-    spans: list[list[tuple[int, int]]] = []
     readers = searcher._local_readers()
-    # the stored column carries the configured text field's name
-    stored_col = field
-    if readers and any(stored_col not in r.docs.column_names for r in readers):
+    if source == "index":
+        if readers and not readers[0].meta.get("config", {}).get("offsets"):
+            raise ValueError(
+                "highlights(source='index') needs the index built with "
+                "IndexConfig(offsets=True)"
+            )
+    elif readers and any(field not in r.docs.column_names for r in readers):
         raise ValueError(
             f"highlights() needs the index built with store_text=True "
-            f"(stored column {stored_col!r} missing)"
+            f"(stored column {field!r} missing)"
         )
-    def _key_view(r):
-        # cached (perm, sorted conv, sorted turn): concat-merged segments
-        # are NOT globally key-sorted, so binary search needs the lexsort
-        # permutation (built once per reader, O(log n) per hit after)
-        kv = getattr(r, "_hl_key_view", None)
-        if kv is None:
-            conv_all, turn_all = r.doc_keys
-            perm = np.lexsort((turn_all, conv_all))
-            kv = (perm, conv_all[perm], turn_all[perm])
-            r._hl_key_view = kv
-        return kv
-
-    for row in hits.itertuples():
-        text = None
-        for r in readers:
-            perm, sc, st = _key_view(r)
-            lo = int(np.searchsorted(sc, row.conv_id, side="left"))
-            hi = int(np.searchsorted(sc, row.conv_id, side="right"))
-            if lo == hi:
-                continue
-            j = lo + int(np.searchsorted(st[lo:hi], row.turn_idx))
-            if j < hi and st[j] == row.turn_idx:
-                text = r.docs[stored_col][int(perm[j])].as_py()
-                break
-        texts.append(text)
-        spans.append(highlight_text(text, terms))
-    out = hits.copy()
-    out["text"] = texts
-    out["spans"] = spans
-    return out
-
-
-def _highlights_from_index(searcher, flt, k, scorer, field) -> pd.DataFrame:
-    """Index-served spans: resolve each query term's row once per segment,
-    then per hit read only the doc's offset block — no stored text touched.
-    The ``text`` column is populated when stored, else None."""
-    import numpy as np
-
     plan = searcher.prepare(flt, scorer).plan
     terms = sorted(plan_terms(plan["root"], field))
     hits = searcher.search_local(flt, k=k, scorer=scorer)
-    readers = searcher._local_readers()
-    if readers and not readers[0].meta.get("config", {}).get("offsets"):
-        raise ValueError(
-            "highlights(source='index') needs the index built with "
-            "IndexConfig(offsets=True)"
-        )
-    # per reader: term rows resolved once, doc-key lexsort view cached
-    term_rows = [
-        {t: r.term_row(field, t) for t in terms} for r in readers
-    ]
-
-    def _key_view(r):
-        kv = getattr(r, "_hl_key_view", None)
-        if kv is None:
-            conv_all, turn_all = r.doc_keys
-            perm = np.lexsort((turn_all, conv_all))
-            kv = (perm, conv_all[perm], turn_all[perm])
-            r._hl_key_view = kv
-        return kv
-
-    texts: list[str | None] = []
-    spans: list[list[tuple[int, int]]] = []
-    for row_t in hits.itertuples():
-        doc_spans: list[tuple[int, int]] = []
-        text = None
-        for ri, r in enumerate(readers):
-            perm, sc, st = _key_view(r)
-            lo = int(np.searchsorted(sc, row_t.conv_id, side="left"))
-            hi = int(np.searchsorted(sc, row_t.conv_id, side="right"))
-            if lo == hi:
-                continue
-            j = lo + int(np.searchsorted(st[lo:hi], row_t.turn_idx))
-            if j >= hi or st[j] != row_t.turn_idx:
-                continue
-            doc_id = int(perm[j]) + 1  # docs are doc-id ordered, ids dense from 1
-            for t in terms:
-                trow = term_rows[ri].get(t)
-                if trow is not None:
-                    doc_spans += _index_doc_spans(r, trow, doc_id)
-            if field in r.docs.column_names:
-                text = r.docs[field][int(perm[j])].as_py()
+    texts: list[str | None] = [None] * len(hits)
+    spans: list[list[tuple[int, int]]] = [[] for _ in range(len(hits))]
+    # per reader: resolve spans for the hits that live in it (one shared
+    # kernel with the pooled per-shard path, functions/highlight.spans_for_hits)
+    pending = list(range(len(hits)))
+    for r in readers:
+        if not pending:
             break
-        texts.append(text)
-        spans.append(sorted(doc_spans))
+        sub = hits.iloc[pending]
+        t_r, s_r, ok = spans_for_hits(r, sub, terms, field, source)
+        still = []
+        for idx, t, sp, f in zip(pending, t_r, s_r, ok):
+            if f:
+                texts[idx], spans[idx] = t, sp
+            else:
+                still.append(idx)
+        pending = still
     out = hits.copy()
     out["text"] = texts
     out["spans"] = spans

@@ -100,12 +100,31 @@ class Searcher:
         merged.insert(0, "query_id", "q")
         return merge_topk(merged, k).drop(columns=["query_id"])
 
-    def highlights(self, flt: Filter, k: int = 10, scorer: ScorerCfg | None = None) -> pd.DataFrame:
-        """Top-k with character highlight spans recomputed from the stored
-        text column (functions/highlight.py — SURVEY §2.1 offsets)."""
+    def highlights(self, flt: Filter, k: int = 10, scorer: ScorerCfg | None = None,
+                   field: str = "text", source: str = "stored") -> pd.DataFrame:
+        """Top-k with character highlight spans — recomputed from the stored
+        text column (source="stored") or read from the indexed offset stream
+        (source="index"; functions/highlight.py, SURVEY §2.1 offsets)."""
         from iresearch_ray.functions.highlight import highlights as _hl
 
-        return _hl(self, flt, k=k, scorer=scorer)
+        return _hl(self, flt, k=k, scorer=scorer, field=field, source=source)
+
+    def highlights_pooled(
+        self,
+        queries: dict[str, Filter],
+        k: int = 10,
+        scorer: ScorerCfg | None = None,
+        field: str = "text",
+        source: str = "stored",
+        num_actors: int = 8,
+    ) -> pd.DataFrame:
+        """Distributed highlights through the cached QueryPool: spans are
+        computed inside the shard-owning actors, so the driver never loads
+        segment data (the 100 TB path; results identical to highlights()
+        plus a query_id column)."""
+        if self._pool is None:
+            self._pool = QueryPool(self.index_dir, num_actors=num_actors, searcher=self)
+        return self._pool.highlights(queries, k=k, scorer=scorer, field=field, source=source)
 
     # -- distributed execution: SegmentSearcher actor pool ----------------
     def search_ray(
@@ -271,6 +290,46 @@ class _PoolWorker:
             return RESULT_SCHEMA.empty_table()
         return _pa.concat_tables(out).cast(RESULT_SCHEMA)
 
+    def highlight(self, plans: dict[str, str], k: int, wand: bool,
+                  field: str, source: str):
+        """Shard-local top-k WITH highlight spans: spans are computed inside
+        the actor from its own readers (stored-text retokenize or indexed
+        offsets), so the driver never loads segment data — the 100 TB
+        highlight path.  Spans ship as a JSON column; the driver merges
+        the global top-k."""
+        import json as _json
+
+        import pyarrow as _pa
+
+        from iresearch_ray.functions.highlight import plan_terms, spans_for_hits
+
+        out = []
+        for qid, pj in plans.items():
+            plan = _json.loads(pj)
+            terms = sorted(plan_terms(plan["root"], field))
+            for r, dmask in zip(self.readers, self.deleted):
+                t = segment_topk(r, plan, k, wand, deleted=dmask)
+                if t.num_rows == 0:
+                    continue
+                texts, spans, _ok = spans_for_hits(r, t, terms, field, source)
+                out.append(
+                    _pa.table(
+                        {
+                            "query_id": _pa.array([qid] * t.num_rows, _pa.string()),
+                            "conv_id": t["conv_id"].cast(_pa.string()),
+                            "turn_idx": t["turn_idx"].cast(_pa.int32()),
+                            "score": t["score"],
+                            "text": _pa.array(texts, _pa.string()),
+                            "spans_json": _pa.array(
+                                [_json.dumps(sp) for sp in spans], _pa.string()
+                            ),
+                        }
+                    )
+                )
+        if not out:
+            return None
+        return _pa.concat_tables(out)
+
 
 class QueryPool:
     """Persistent serving pool over one index generation: N raw Ray actors
@@ -324,6 +383,45 @@ class QueryPool:
         tables = ray.get([a.run.remote(plans, k, wand) for a in self.actors])
         frames = pa.concat_tables(tables).to_pandas()
         return merge_topk(frames, k)
+
+    def highlights(
+        self,
+        queries: dict[str, Filter],
+        k: int = 10,
+        wand: bool = True,
+        scorer: ScorerCfg | None = None,
+        field: str = "text",
+        source: str = "stored",
+    ) -> pd.DataFrame:
+        """Distributed highlights: each actor computes spans for ITS shard's
+        hits (same kernel as Searcher.highlights), the driver merges only
+        the k survivors per query — segment data never leaves the pool."""
+        import json as _json
+
+        import ray
+
+        plans = {
+            qid: _json.dumps(self.searcher.prepare(f, scorer).plan)
+            for qid, f in queries.items()
+        }
+        tables = [
+            t
+            for t in ray.get(
+                [a.highlight.remote(plans, k, wand, field, source) for a in self.actors]
+            )
+            if t is not None
+        ]
+        if not tables:
+            empty = RESULT_SCHEMA.empty_table().to_pandas()
+            empty["text"] = pd.Series(dtype=object)
+            empty["spans"] = pd.Series(dtype=object)
+            return empty
+        frames = pa.concat_tables(tables).to_pandas()
+        merged = merge_topk(frames, k)
+        merged["spans"] = [
+            [tuple(p) for p in _json.loads(s)] for s in merged["spans_json"]
+        ]
+        return merged.drop(columns=["spans_json"])
 
     def shutdown(self) -> None:
         import ray

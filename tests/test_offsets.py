@@ -192,6 +192,30 @@ def test_offsets_with_stopwords_and_stemmer(tmp_path):
     assert highlights(s, F.Term("text", "the"), k=5, source="index").empty
 
 
+def test_pooled_highlights_match_local(tmp_path, ray_session):
+    """Distributed highlights (spans computed inside the shard-owning pool
+    actors) must equal the driver-local path row-for-row, for both span
+    sources."""
+    d = str(tmp_path / "idx")
+    build_index_local(
+        _corpus(np.random.default_rng(6)), d,
+        cfg=IndexConfig(offsets=True), num_partitions=3,
+    )
+    s = Searcher(d)
+    try:
+        for source in ("stored", "index"):
+            for flt in _FILTERS[:3]:
+                local = highlights(s, flt, k=12, source=source)
+                pooled = s.highlights_pooled({"q": flt}, k=12, source=source,
+                                             num_actors=2)
+                assert list(pooled["query_id"].unique()) == ["q"]
+                a = local[["conv_id", "turn_idx", "score", "text", "spans"]]
+                b = pooled[["conv_id", "turn_idx", "score", "text", "spans"]]
+                assert a.reset_index(drop=True).to_csv() == b.reset_index(drop=True).to_csv()
+    finally:
+        s.close()
+
+
 def test_offsets_never_change_results(tmp_path):
     """Materializing the offs stream is purely additive: the same corpus
     indexed with and without offsets returns byte-identical search results
