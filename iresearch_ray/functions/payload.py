@@ -72,23 +72,79 @@ def term_payloads(searcher, field: str, term: str) -> pd.DataFrame:
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def _payload_weight(pays: list[bytes]) -> float:
+    s = 0.0
+    for p in pays:
+        try:
+            s += float(p.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            pass  # non-numeric payloads carry no weight
+    return s
+
+
+def reader_payload_topk(reader, field: str, term: str, k: int, deleted=None) -> pd.DataFrame:
+    """One segment's top-k by payload-weight sum — the per-shard kernel
+    (runs inside pool actors for the distributed path)."""
+    hit = _reader_term_payloads(reader, field, term)
+    if hit is None:
+        return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
+    docs, tfs, pays = hit
+    conv_all, turn_all = reader.doc_keys
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    rows = []
+    for j in range(docs.size):
+        d = int(docs[j])
+        if deleted is not None and deleted[d - 1]:
+            continue
+        rows.append(
+            (
+                conv_all[d - 1],
+                int(turn_all[d - 1]),
+                _payload_weight(pays[int(starts[j]) : int(ends[j])]),
+            )
+        )
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "score"])
+    df = df.sort_values(["score", "conv_id", "turn_idx"], ascending=[False, True, True])
+    return df.head(k).reset_index(drop=True)
+
+
 def payload_sum_topk(searcher, field: str, term: str, k: int = 10) -> pd.DataFrame:
     """Top-k (conv_id, turn_idx, score) where score = Σ float(payload) over
     the term's occurrences in the doc; ties broken by (conv_id, turn_idx)
     ascending — the same total order the BM25 path pins."""
-    rows = term_payloads(searcher, field, term)
+    parts = [
+        reader_payload_topk(r, field, term, k, deleted=searcher._deleted_for(i, r))
+        for i, r in enumerate(searcher._local_readers())
+    ]
+    rows = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["conv_id", "turn_idx", "score"]
+    )
+    rows = rows.sort_values(
+        ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
+    )
+    return rows.head(k).reset_index(drop=True)
 
-    def _score(pays: list[bytes]) -> float:
-        s = 0.0
-        for p in pays:
-            try:
-                s += float(p.decode("utf-8"))
-            except (ValueError, UnicodeDecodeError):
-                pass  # non-numeric payloads carry no weight
-        return s
 
-    rows["score"] = [_score(p) for p in rows["payloads"]]
-    rows = rows.drop(columns=["payloads"])
+def payload_sum_topk_pooled(
+    searcher, field: str, term: str, k: int = 10, num_actors: int = 8
+) -> pd.DataFrame:
+    """Distributed payload ranking through the cached QueryPool: each actor
+    ranks its shard's docs, the driver merges k survivors per actor —
+    segment payload streams never leave the pool (the full-scale path;
+    identical results to payload_sum_topk)."""
+    import ray
+
+    from iresearch_ray.pipelines.search import QueryPool
+
+    if searcher._pool is None:
+        searcher._pool = QueryPool(
+            searcher.index_dir, num_actors=num_actors, searcher=searcher
+        )
+    parts = ray.get(
+        [a.payload_topk.remote(field, term, k) for a in searcher._pool.actors]
+    )
+    rows = pd.concat(parts, ignore_index=True)
     rows = rows.sort_values(
         ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
     )

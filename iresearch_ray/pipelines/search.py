@@ -330,6 +330,19 @@ class _PoolWorker:
             return None
         return _pa.concat_tables(out)
 
+    def payload_topk(self, field: str, term: str, k: int):
+        """Shard-local payload-weight-sum top-k (functions/payload.py
+        kernel) — the distributed payload ranking path."""
+        import pandas as _pd
+
+        from iresearch_ray.functions.payload import reader_payload_topk
+
+        parts = [
+            reader_payload_topk(r, field, term, k, deleted=dmask)
+            for r, dmask in zip(self.readers, self.deleted)
+        ]
+        return _pd.concat(parts, ignore_index=True)
+
 
 class QueryPool:
     """Persistent serving pool over one index generation: N raw Ray actors

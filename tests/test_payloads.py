@@ -105,6 +105,26 @@ def test_payload_index_end_to_end(tmp_path):
     ]
 
 
+def test_pooled_payload_topk_matches_local(tmp_path, ray_session):
+    from iresearch_ray.functions.payload import payload_sum_topk_pooled
+
+    rng = np.random.default_rng(13)
+    tbl = _corpus(rng)
+    d = str(tmp_path / "idx")
+    build_index_local(
+        tbl, d, cfg=IndexConfig(analyzer="delimited_payload", payloads=True),
+        num_partitions=3,
+    )
+    s = Searcher(d)
+    try:
+        for term in ("error", "agent", "absent_term"):
+            local = payload_sum_topk(s, "text", term, k=7)
+            pooled = payload_sum_topk_pooled(s, "text", term, k=7, num_actors=2)
+            assert local.to_csv() == pooled.to_csv(), term
+    finally:
+        s.close()
+
+
 def test_payloads_survive_merge(tmp_path):
     rng = np.random.default_rng(12)
     tbl = _corpus(rng)
