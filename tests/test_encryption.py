@@ -140,3 +140,57 @@ def test_encryption_mode_is_part_of_segment_identity(ray_session, tmp_path):
     m3 = build_index(src, idx, num_partitions=2, crypto=key)
     assert m3["lineage"]["resumed_partitions"] == [0, 1]
     assert len(Searcher(idx, crypto=key).search_local(F.Term("text", "agent"), k=3)) == 3
+
+
+def test_encrypted_index_with_offsets_and_payload_streams(ray_session, tmp_path):
+    """The r3 aux posting streams (offs, payloads) ride the same
+    page-encryption as every other terms column: indexed-offset highlights
+    work through the crypto reader, and the raw segment bytes leak neither
+    tokens nor payload bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray import Searcher, build_index
+    from iresearch_ray.functions.highlight import highlights
+    from iresearch_ray.functions.payload import payload_sum_topk
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.stages.segment import IndexConfig
+    from iresearch_ray.state.crypto import IndexEncryption
+
+    rows = pa.Table.from_pylist(
+        [
+            {"conv_id": f"c{i:02d}", "turn_idx": 0,
+             "text": f"zebraword|{i}.5 plainword", "role": "u", "tool": None}
+            for i in range(40)
+        ]
+    )
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(rows, src)
+    key = IndexEncryption(KEY)
+    idx = str(tmp_path / "idx")
+    build_index(
+        src, idx,
+        cfg=IndexConfig(analyzer="delimited_payload", payloads=True),
+        num_partitions=2, crypto=key,
+    )
+    s = Searcher(idx, crypto=key)
+    top = payload_sum_topk(s, "text", "zebraword", k=3)
+    assert list(top["score"]) == [39.5, 38.5, 37.5]
+    # ciphertext at rest: neither the token nor a payload literal appears raw
+    raw = b"".join(
+        open(p, "rb").read() for p in glob.glob(f"{idx}/segments/*/terms.parquet")
+    )
+    assert b"zebraword" not in raw and b"39.5" not in raw
+
+    # offsets variant under encryption: index-served highlights decrypt fine
+    rows2 = pa.Table.from_pylist(
+        [{"conv_id": f"c{i:02d}", "turn_idx": 0, "text": "alpha zebraword beta",
+          "role": "u", "tool": None} for i in range(10)]
+    )
+    src2 = str(tmp_path / "src2.parquet")
+    pq.write_table(rows2, src2)
+    idx2 = str(tmp_path / "idx2")
+    build_index(src2, idx2, cfg=IndexConfig(offsets=True), num_partitions=2, crypto=key)
+    s2 = Searcher(idx2, crypto=key)
+    h = highlights(s2, F.Term("text", "zebraword"), k=5, source="index")
+    assert all(sp == [(6, 15)] for sp in h["spans"])
