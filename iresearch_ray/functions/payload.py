@@ -72,39 +72,39 @@ def term_payloads(searcher, field: str, term: str) -> pd.DataFrame:
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
-def _payload_weight(pays: list[bytes]) -> float:
-    s = 0.0
-    for p in pays:
-        try:
-            s += float(p.decode("utf-8"))
-        except (ValueError, UnicodeDecodeError):
-            pass  # non-numeric payloads carry no weight
-    return s
-
-
 def reader_payload_topk(reader, field: str, term: str, k: int, deleted=None) -> pd.DataFrame:
     """One segment's top-k by payload-weight sum — the per-shard kernel
-    (runs inside pool actors for the distributed path)."""
+    (runs inside pool actors for the distributed path).  Vectorized:
+    payloads parse as utf-8 floats in one pandas pass (non-numeric /
+    undecodable bytes weigh 0), per-doc sums via np.add.reduceat — no
+    per-doc python loop on the O(df) path."""
     hit = _reader_term_payloads(reader, field, term)
     if hit is None:
         return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
     docs, tfs, pays = hit
     conv_all, turn_all = reader.doc_keys
-    ends = np.cumsum(tfs)
-    starts = ends - tfs
-    rows = []
-    for j in range(docs.size):
-        d = int(docs[j])
-        if deleted is not None and deleted[d - 1]:
-            continue
-        rows.append(
-            (
-                conv_all[d - 1],
-                int(turn_all[d - 1]),
-                _payload_weight(pays[int(starts[j]) : int(ends[j])]),
-            )
+    vals = (
+        pd.to_numeric(
+            pd.Series(pays, dtype=object).str.decode("utf-8", errors="ignore"),
+            errors="coerce",
         )
-    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "score"])
+        .fillna(0.0)
+        .to_numpy()
+    )
+    starts = np.cumsum(tfs) - tfs
+    scores = np.add.reduceat(vals, starts) if vals.size else np.zeros(0)
+    keep = (
+        ~deleted[docs - 1]
+        if deleted is not None
+        else np.ones(docs.size, dtype=bool)
+    )
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_all[docs - 1][keep],
+            "turn_idx": turn_all[docs - 1][keep].astype("int64"),
+            "score": scores[keep],
+        }
+    )
     df = df.sort_values(["score", "conv_id", "turn_idx"], ascending=[False, True, True])
     return df.head(k).reset_index(drop=True)
 
