@@ -17,7 +17,7 @@ from iresearch_ray import Searcher, build_index
 from iresearch_ray.functions.analysis import tokenize_text
 from iresearch_ray.pipelines.build import append_index
 from iresearch_ray.pipelines.consolidate import consolidate
-from iresearch_ray.pipelines.delete import delete_by_filter
+from iresearch_ray.pipelines.delete import delete_by_filter, update_rows
 from iresearch_ray.query import filters as F
 
 WORDS = ["error", "agent", "tool", "retry", "plan", "ok", "fail"]
@@ -68,10 +68,25 @@ def test_random_lifecycle_sequences(ray_session, tmp_path, seed):
     write_and(0, lambda p: build_index(p, idx, num_partitions=2))
     batch_id = 1
     for step in range(8):
-        op = rng.choice(["append", "delete", "consolidate", "check"])
+        op = rng.choice(["append", "delete", "consolidate", "update", "check"])
         if op == "append":
             write_and(batch_id, lambda p: append_index(p, idx, num_partitions=2))
             batch_id += 1
+        elif op == "update" and live:
+            # update = delete + re-insert under the same key
+            keys = list(live)
+            picked = [keys[i] for i in rng.choice(len(keys), size=min(5, len(keys)), replace=False)]
+            rows = pa.Table.from_pylist(
+                [
+                    {"conv_id": c, "turn_idx": t,
+                     "text": " ".join(rng.choice(WORDS, int(rng.integers(1, 8)))),
+                     "role": "user", "tool": None}
+                    for c, t in picked
+                ]
+            )
+            update_rows(idx, rows, num_partitions=2)
+            for row in rows.to_pylist():
+                live[(row["conv_id"], int(row["turn_idx"]))] = row["text"]
         elif op == "delete":
             term = str(rng.choice(WORDS))
             delete_by_filter(idx, F.Term("text", term))
