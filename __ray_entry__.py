@@ -380,7 +380,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "props": ev["props"],
                 }
             )
-            base = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf)))
+            from iresearch_ray import FORMAT_VERSION as _FV
+
+            base = os.path.join(
+                _CACHE_ROOT, os.path.basename(os.path.normpath(sf)) + f"-fv{_FV}"
+            )
             src = os.path.join(base, "events_transcripts.parquet")
             idx = os.path.join(base, "events_idx")
             if not os.path.exists(src):
@@ -467,8 +471,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "tool": pa.array([None] * ev.num_rows, pa.string()),
                 }
             )
+            from iresearch_ray import FORMAT_VERSION as _FV
+
             idx = os.path.join(
-                _CACHE_ROOT, os.path.basename(os.path.normpath(sf)) + "-payload", "idx"
+                _CACHE_ROOT,
+                os.path.basename(os.path.normpath(sf)) + f"-payload-fv{_FV}",
+                "idx",
             )
             src = os.path.join(os.path.dirname(idx), "events_payload.parquet")
             if not os.path.exists(src):
