@@ -370,12 +370,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf}/events.parquet",
                 columns=["event_id", "user_id", "event_type", "props"],
             )
+            # turn_idx is int32 by transcript schema (BASELINE.json input_hint).
+            # event_id values are used verbatim while they fit (keeps oracle
+            # value-parity); an adapted corpus with ids >= 2^31 gets a dense
+            # argsort-rank remap instead of an overflow raise (ADVICE r3).
+            eid = ev["event_id"].combine_chunks()
+            import pyarrow.compute as _pc
+
+            if ev.num_rows and _pc.max(eid).as_py() >= 2**31:
+                import numpy as _np
+
+                _ranks = _np.empty(len(eid), dtype=_np.int32)
+                _order = _np.argsort(eid.to_numpy(zero_copy_only=False), kind="stable")
+                _ranks[_order] = _np.arange(len(eid), dtype=_np.int32)
+                turn_idx = pa.array(_ranks, pa.int32())
+            else:
+                turn_idx = eid.cast(pa.int32())
             tr = pa.table(
                 {
                     "conv_id": pa.compute.binary_join_element_wise(
                         "u", pa.compute.cast(ev["user_id"], pa.string()), ""
                     ),
-                    "turn_idx": ev["event_id"].combine_chunks().cast(pa.int32()),
+                    "turn_idx": turn_idx,
                     "text": ev["event_type"],
                     "props": ev["props"],
                 }

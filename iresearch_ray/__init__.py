@@ -23,11 +23,16 @@ FORMAT_VERSION = 5  # bump when segment/posting layout OR naming changes (invali
 # (payload bytes) columns in terms.parquet (both empty unless opted in)
 
 # Import-time so every Ray worker that deserializes one of our UDFs (and the
-# driver itself) gets allocator retention — see runtime.py for the measured
-# rationale.  Idempotent; opt out with IRESEARCH_NO_MEMTUNE=1.
+# driver itself on the affected microVM hosts) gets allocator retention — see
+# runtime.py for the measured rationale.  Gated (ADVICE r3): applies only in
+# Ray workers, on *-fc-* microVM kernels, or with IRESEARCH_MEMTUNE=1 — a host
+# application importing the library elsewhere keeps its default allocator.
+# Idempotent; hard opt-out with IRESEARCH_NO_MEMTUNE=1.
+from iresearch_ray.runtime import should_autotune as _should_autotune  # noqa: E402
 from iresearch_ray.runtime import tune_memory as _tune_memory  # noqa: E402
 
-_tune_memory()
+if _should_autotune():
+    _tune_memory()
 
 from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401

@@ -198,6 +198,10 @@ def build_index(
                 and lin.get("input") == fingerprint
                 and meta.get("config") == cfg_json
                 and meta.get("encrypted") == getattr(crypto, "key_id", None)
+                # key-bytes fingerprint too: a rotated master key under a
+                # reused key_id must force a rebuild, not a silent
+                # mixed-key adoption (ADVICE r3)
+                and meta.get("key_fp") == getattr(crypto, "key_fingerprint", None)
             ):
                 done[lin["partition"]] = meta
 
@@ -293,6 +297,10 @@ def build_index_direct(
                 and lin.get("input") == fingerprint
                 and meta.get("config") == cfg_json
                 and meta.get("encrypted") == getattr(crypto, "key_id", None)
+                # key-bytes fingerprint too: a rotated master key under a
+                # reused key_id must force a rebuild, not a silent
+                # mixed-key adoption (ADVICE r3)
+                and meta.get("key_fp") == getattr(crypto, "key_fingerprint", None)
             ):
                 done[lin["partition"]] = meta
     done_parts = np.array(sorted(done), dtype=np.int64)
@@ -412,6 +420,10 @@ def append_index(
                 and lin.get("of_partitions") == P
                 and isinstance(lin.get("partition"), int)
                 and meta.get("encrypted") == getattr(crypto, "key_id", None)
+                # key-bytes fingerprint too: a rotated master key under a
+                # reused key_id must force a rebuild, not a silent
+                # mixed-key adoption (ADVICE r3)
+                and meta.get("key_fp") == getattr(crypto, "key_fingerprint", None)
             ):
                 done[lin["partition"]] = meta
 
@@ -704,13 +716,14 @@ def build_index_local(
     index_dir: str,
     cfg: IndexConfig | None = None,
     num_partitions: int = 1,
+    crypto=None,
 ) -> dict:
     """Pure-local (no Ray) build over an in-memory table — unit-test and
     golden-fixture path; byte-identical segment layout to the Ray path."""
     cfg = cfg or IndexConfig()
     part = hash_partition(table["conv_id"], num_partitions)
     metas = []
-    build = _build_group_fn(index_dir, cfg, num_partitions)
+    build = _build_group_fn(index_dir, cfg, num_partitions, crypto=crypto)
     for p in range(num_partitions):
         rows = table.filter(pa.array(part == p))
         if rows.num_rows == 0:

@@ -48,26 +48,39 @@ def consolidate(
         if manifest.get("tombstones"):
             # annotate live-doc counts so docs_fill/docs_live policies see
             # deletion pressure (SURVEY §2.3 consolidation policies);
-            # tombstone scope is per segment (update = delete + re-insert)
-            import pyarrow.parquet as _pq
+            # tombstone scope is per segment (update = delete + re-insert).
+            # One vectorized membership probe per segment, fanned out as Ray
+            # tasks when a session exists — the driver only touches metadata
+            # (VERDICT r3 #1: the old path zip'd to_pylist() of every doc
+            # table through a Python loop on the driver).
+            from iresearch_ray.pipelines.delete import _entries, segment_dead_count
 
-            from iresearch_ray.pipelines.delete import load_tombstone_keys
-
+            ent = _entries(manifest)
             segs = [dict(s) for s in segs]
+            jobs = []  # (seg dict, scoped tombstone files)
             for sm in segs:
-                keys = load_tombstone_keys(index_dir, manifest, for_segment=sm["name"])
                 sm["live_docs"] = sm["docs_count"]
-                if keys:
-                    from iresearch_ray.stages.segment import docs_paths
+                files = sorted({e["file"] for e in ent if sm["name"] in e["segments"]})
+                if files:
+                    jobs.append((sm, files))
+            if jobs:
+                try:
+                    import ray
 
-                    d = os.path.join(index_dir, "segments", sm["name"])
-                    dead = 0
-                    from iresearch_ray.state.crypto import read_parquet_any as _rpa
-
-                    for p in docs_paths(d):
-                        t = _rpa(p, crypto, columns=["conv_id", "turn_idx"])
-                        pairs = zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
-                        dead += sum(pr in keys for pr in pairs)
+                    have_ray = ray.is_initialized()
+                except Exception:
+                    have_ray = False
+                if have_ray and len(jobs) > 1:
+                    rdc = ray.remote(num_cpus=1)(segment_dead_count)
+                    counts = ray.get(
+                        [rdc.remote(index_dir, sm["name"], fs, crypto) for sm, fs in jobs]
+                    )
+                else:
+                    counts = [
+                        segment_dead_count(index_dir, sm["name"], fs, crypto)
+                        for sm, fs in jobs
+                    ]
+                for (sm, _fs), dead in zip(jobs, counts):
                     sm["live_docs"] = sm["docs_count"] - dead
         sets = pick(segs, **(policy_kwargs or {}))
         # singleton sets are meaningful ONLY as purge rewrites (deletion

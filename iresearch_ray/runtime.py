@@ -73,6 +73,25 @@ def _in_ray_worker() -> bool:
     return "default_worker.py" in argv0 or "setup_worker" in argv0
 
 
+def should_autotune() -> bool:
+    """Whether import-time tuning should apply in THIS process.  Restricted
+    (ADVICE r3) to contexts where it is known to help: an explicit
+    IRESEARCH_MEMTUNE=1 request, a Ray worker (our UDFs run there), or a
+    microVM kernel (``*-fc-*``) where first-touch faults exit to the VMM.
+    Host applications importing the library on normal kernels keep their
+    default allocator behavior; IRESEARCH_NO_MEMTUNE=1 is a hard off."""
+    if os.environ.get("IRESEARCH_NO_MEMTUNE"):
+        return False
+    if os.environ.get("IRESEARCH_MEMTUNE"):
+        return True
+    if _in_ray_worker():
+        return True
+    try:
+        return "-fc-" in os.uname().release
+    except Exception:
+        return False
+
+
 def tune_memory() -> bool:
     """Configure allocators to retain freed pages. Returns True if applied."""
     global _tuned

@@ -193,7 +193,11 @@ def splice_term_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
 
     dvo, ddata = _bin("doc_blob")
     row_len = np.diff(dvo)
-    assert (row_len > 0).all(), "term row with empty doc blob"
+    if not (row_len > 0).all():
+        # data-integrity check — must survive python -O (a bare assert is
+        # stripped, letting a corrupt/empty row read the NEXT row's bytes in
+        # the vectorized first-varint rewrite below)  [ADVICE r3]
+        raise ValueError("term row with empty doc blob")
 
     # ---- first varint of every row's doc blob, decoded vectorized --------
     width = min(10, int(row_len.max()))

@@ -461,9 +461,14 @@ def segment_content_key(rows: pa.Table, cfg: "IndexConfig | None" = None,
     if crypto is not None:
         # the encryption MODE is part of segment identity: a same-content
         # plaintext segment must never satisfy an encrypted build's
-        # idempotent write (or vice versa) — only the key ID is hashed,
-        # never key material
-        crc = zlib.crc32(f"enc:{crypto.key_id}".encode(), crc)
+        # idempotent write (or vice versa).  The key FINGERPRINT (public
+        # HMAC-SHA256 derivation stored in meta anyway — never raw key
+        # material) is included so rotating the master key under a reused
+        # key_id yields a NEW segment name instead of idempotently reusing
+        # the old-key dir (ADVICE r3)
+        crc = zlib.crc32(
+            f"enc:{crypto.key_id}:{crypto.key_fingerprint}".encode(), crc
+        )
     for name in sorted(t.column_names):
         col = t[name]
         try:
@@ -603,6 +608,9 @@ def write_segment(
         "lineage": lineage or {},
         "metrics": metrics or {},
         "encrypted": getattr(crypto, "key_id", None),
+        # key-bytes fingerprint: resume compares this, not just key_id, so a
+        # rotated master key under a reused id forces a rebuild (ADVICE r3)
+        "key_fp": getattr(crypto, "key_fingerprint", None),
     }
     return publish_segment_dir(index_dir, name, tmp_dir, meta)
 

@@ -93,3 +93,47 @@ def test_gc_removes_unreferenced(setup):
     removed = gc_segments(d, m)
     assert set(os.listdir(seg_root)) == live
     assert len(removed) == len(on_disk) - len(live)
+
+
+def test_live_doc_annotation_vectorized_at_scale(ray_session, tmp_path):
+    """VERDICT r3 #1: live-doc counting with tombstones present must be a
+    vectorized membership probe fanned out per segment — correct at ~100k
+    tombstoned docs and far faster than any per-row driver loop."""
+    import time
+
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.delete import delete_keys, segment_dead_count
+    from iresearch_ray.sources.transcripts import gen_transcripts_range
+
+    tbl = gen_transcripts_range(0, 14000)  # ~100k+ turns
+    assert tbl.num_rows > 100_000
+    d = str(tmp_path / "idx")
+    build_index_local(tbl, d, num_partitions=4)
+
+    # tombstone every even turn (~half the corpus)
+    keys = tbl.select(["conv_id", "turn_idx"]).filter(
+        pa.compute.equal(pa.compute.bit_wise_and(tbl["turn_idx"], 1), 0)
+    )
+    man = delete_keys(d, keys)
+    n_dead_expect = keys.num_rows
+
+    # the per-segment kernel sums to exactly the tombstoned count
+    from iresearch_ray.pipelines.delete import _entries
+
+    ent = _entries(man)
+    t0 = time.perf_counter()
+    total_dead = 0
+    for sm in man["segments"]:
+        files = sorted({e["file"] for e in ent if sm["name"] in e["segments"]})
+        total_dead += segment_dead_count(d, sm["name"], files)
+    kernel_secs = time.perf_counter() - t0
+    assert total_dead == n_dead_expect
+    # generous wall bound for a noisy VM — the old zip(to_pylist) loop over
+    # 100k docs x 50k keys took multiple seconds; the is_in probe is ~ms
+    assert kernel_secs < 5.0, f"dead-count kernel too slow: {kernel_secs:.2f}s"
+
+    # consolidation sees the deletion pressure through the same path and
+    # purges: the merged index serves exactly the live rows
+    man2 = consolidate(d, policy="count", policy_kwargs={"threshold": 1})
+    assert sum(s["docs_count"] for s in man2["segments"]) == tbl.num_rows - n_dead_expect

@@ -194,3 +194,36 @@ def test_encrypted_index_with_offsets_and_payload_streams(ray_session, tmp_path)
     s2 = Searcher(idx2, crypto=key)
     h = highlights(s2, F.Term("text", "zebraword"), k=5, source="index")
     assert all(sp == [(6, 15)] for sp in h["spans"])
+
+
+def test_resume_rejects_rotated_key_same_id(ray_session, tmp_path):
+    """Rotating the master key while REUSING the key_id must force a rebuild
+    under resume=True — never silently adopt segments wrapped under the old
+    key into a mixed-key index (ADVICE r3: key fingerprint in segment meta)."""
+    import pyarrow.parquet as pq
+
+    from iresearch_ray import IndexEncryption, Searcher, build_index
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.sources.transcripts import write_transcripts
+    from iresearch_ray.state.manifest import load_manifest
+
+    src = str(tmp_path / "src")
+    write_transcripts(src, n_convs=60)
+    part = os.path.join(src, "part-00000.parquet")
+    idx = str(tmp_path / "idx_rot")
+
+    old = IndexEncryption(KEY, key_id="master")
+    build_index(part, idx, num_partitions=2, crypto=old, resume=True)
+    man1 = load_manifest(idx)
+    fp_old = {s["name"]: s["key_fp"] for s in man1["segments"]}
+    assert all(fp == old.key_fingerprint for fp in fp_old.values())
+
+    new = IndexEncryption(KEY[::-1], key_id="master")  # rotated bytes, same id
+    assert new.key_fingerprint != old.key_fingerprint
+    build_index(part, idx, num_partitions=2, crypto=new, resume=True)
+    man2 = load_manifest(idx)
+    # every segment in the committed generation is wrapped under the NEW key
+    assert all(s["key_fp"] == new.key_fingerprint for s in man2["segments"])
+    # and the index is fully readable with the new key alone
+    s = Searcher(idx, crypto=new)
+    assert len(s.search_local(F.AllDocs(), k=5)) == 5
