@@ -159,8 +159,11 @@ def bench_query(idx: str) -> dict:
     from iresearch_ray import Searcher
     from iresearch_ray.query import filters as F
 
+    from iresearch_ray.state.meter import read_meter
+
     s = Searcher(idx)
     batch = {name: mk(F) for name, mk in QUERY_SET}
+    read_meter()  # drain prior stages
 
     # batched throughput through a fresh Ray Data actor pool (the cold
     # distributed path — the r1 "query_batch" metric, restored to that name
@@ -168,10 +171,12 @@ def bench_query(idx: str) -> dict:
     # fresh pool, so repeats stay cold; best-of-2 per the repo's VM-noise
     # protocol (additive phantom load ⇒ min is the honest estimator).
     dataset_batch_secs = float("inf")
+    dataset_cpu = []
     for _ in range(2):
         t0 = time.perf_counter()
         out = s.search_ray(batch, k=10, concurrency=8)
         dataset_batch_secs = min(dataset_batch_secs, time.perf_counter() - t0)
+        dataset_cpu.append(read_meter().get("query", {}).get("cpu_secs", 0.0))
 
     # serving path: cached QueryPool (lazy-created on first call, reused
     # after).  The warm number is a cache-MISS evaluation (distinct k) so
@@ -184,9 +189,11 @@ def bench_query(idx: str) -> dict:
     _a = out_pooled.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
     _b = out.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
     assert _a.equals(_b), "pooled vs dataset path results diverged"
+    read_meter()
     t0 = time.perf_counter()
     s.search_pooled(batch, k=11)  # warm actors, cache miss
     batch_secs = time.perf_counter() - t0
+    pool_cpu = read_meter().get("query_pool", {}).get("cpu_secs", 0.0)
     t0 = time.perf_counter()
     s.search_pooled(batch, k=10)  # identical plans: LRU result-cache hit
     batch_cached_secs = time.perf_counter() - t0
@@ -215,6 +222,10 @@ def bench_query(idx: str) -> dict:
         "batch_cached_secs": batch_cached_secs,
         "dataset_batch_secs": dataset_batch_secs,
         "pool_cold_secs": pool_cold_secs,
+        # in-task CPU seconds per cold dataset batch (list: one per repeat)
+        # and for the warm pooled cache-miss batch — the r3 review's channel
+        "dataset_cpu_secs": [round(x, 3) for x in dataset_cpu],
+        "pool_cpu_secs": round(pool_cpu, 3),
         "batch_rows": len(out),
         "p50_local_ms": float(np.percentile(np.array(warm) * 1e3, 50)),
         "p95_local_ms": float(np.percentile(np.array(warm) * 1e3, 95)),
@@ -226,10 +237,13 @@ def bench_query(idx: str) -> dict:
 def bench_consolidate(idx: str) -> dict:
     from iresearch_ray.pipelines.consolidate import consolidate
     from iresearch_ray.state.manifest import load_manifest
+    from iresearch_ray.state.meter import read_meter
 
+    read_meter()  # drain anything from prior stages
     t0 = time.perf_counter()
     consolidate(idx, policy="tier", gc=True, repeat=True)
     secs = time.perf_counter() - t0
+    meter = read_meter().get("consolidate", {})
     # useful-work share: merge_secs is measured INSIDE the merge task, so
     # (secs - final-round merge) exposes scheduling/IO/host overhead —
     # isolated runs measure ~5.6 s wall at sf0.1 while noisy-host bench
@@ -245,6 +259,11 @@ def bench_consolidate(idx: str) -> dict:
         "secs": secs,
         "rounds": len({c.get("generation") for c in lineage}),
         "final_merge_secs": round(merge_in_task, 3),
+        # CPU-seconds across EVERY merge/finalize task of every round (the
+        # r3 review's demanded channel): flat cpu_secs across wall-varying
+        # runs = host noise; cpu_secs tracking wall = engine regression
+        "cpu_secs": meter.get("cpu_secs", 0.0),
+        "cpu_tasks": meter.get("tasks", 0),
     }
 
 
@@ -291,10 +310,20 @@ def run_full() -> dict:
     probe_start = dict(_probe_once())
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
     try:
+        from iresearch_ray.state.meter import read_meter, start_meter
+
+        start_meter()
+        # host probes BETWEEN stages (r3 review: a start/end pair can miss a
+        # mid-run phase flip); 64 MB keeps a degraded-phase probe subsecond-ish
+        probes = {}
         corpus = ensure_corpus(SF_DIR)
         b = bench_build(corpus)
+        b["cpu"] = read_meter().get("build", {})
+        probes["after_build"] = _probe_once(64).get("fault_gbps")
         c = bench_consolidate(b["index_dir"])
+        probes["after_consolidate"] = _probe_once(64).get("fault_gbps")
         q = bench_query(b["index_dir"])
+        probes["after_query"] = _probe_once(64).get("fault_gbps")
         d = bench_dataops(SF_DIR)
     finally:
         ray.shutdown()
@@ -323,11 +352,20 @@ def run_full() -> dict:
             "cluster_warm_secs": round(b["warm_secs"], 3),
             "indexed_turns": b["turns"],
             "indexed_turns_per_sec": round(b["turns_per_sec"], 1),
+            "build_cpu_secs": b.get("cpu", {}).get("cpu_secs"),
             "query_batch_dataset_secs": round(q["dataset_batch_secs"], 3),
             "query_batch_cached_secs": round(q["batch_cached_secs"], 3),
             "query_pool_cold_secs": round(q["pool_cold_secs"], 3),
+            # CPU-seconds channels (r3 review #1): process_time summed inside
+            # the stage's tasks.  Flat across wall-varying runs ⇒ host noise;
+            # tracking wall ⇒ engine work.
+            "query_cpu_secs": q.get("dataset_cpu_secs"),
+            "query_pool_cpu_secs": q.get("pool_cpu_secs"),
+            "consolidate_cpu_secs": c.get("cpu_secs"),
+            "consolidate_cpu_tasks": c.get("cpu_tasks"),
             "consolidate_rounds": c.get("rounds"),
             "consolidate_in_task_merge_secs": c.get("final_merge_secs"),
+            "host_fault_gbps_stages": probes,
             "dataops_simhash_secs": round(d["simhash_secs"], 3),
             "dataops_fingerprints_secs": round(d["fingerprints_secs"], 3),
             "query_p50_local_ms": round(q["p50_local_ms"], 2),
@@ -346,11 +384,11 @@ def run_full() -> dict:
     }
 
 
-def _probe_once() -> dict:
+def _probe_once(size_mb: int = 256) -> dict:
     try:
         from tools.host_probe import probe
 
-        return probe(256)
+        return probe(size_mb)
     except Exception:
         return {}
 
@@ -361,13 +399,20 @@ def _scale_child(cpus: int) -> None:
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
     try:
+        from iresearch_ray.state.meter import read_meter, start_meter
+
+        start_meter()
         corpus = ensure_corpus(SF_DIR, multiplier=SCALING_MULTIPLIER)
         global NUM_CPUS
         NUM_CPUS = cpus  # index dir per-cpus
         b = bench_build(corpus)
+        cpu = read_meter().get("build", {}).get("cpu_secs", 0.0)
     finally:
         ray.shutdown()
-    print(json.dumps({"cpus": cpus, "secs": b["secs"], "turns": b["turns"], "thr": b["turns_per_sec"]}))
+    # cpu_secs: summed in-task process_time — a noise-hit leg shows inflated
+    # wall with ~flat cpu, so bad pairings are identifiable after the fact
+    print(json.dumps({"cpus": cpus, "secs": b["secs"], "turns": b["turns"],
+                      "thr": b["turns_per_sec"], "cpu_secs": round(cpu, 2)}))
 
 
 def run_scaling() -> dict:
@@ -458,7 +503,9 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     except FileNotFoundError:
         pass
     thr_line = ", ".join(
-        f"{c}cpu {round(results[c]['thr'] / 1000, 1)}k/s" for c in cpu_levels
+        f"{c}cpu {round(results[c]['thr'] / 1000, 1)}k/s"
+        + (f" cpu{round(results[c]['cpu_secs'], 0):g}s" if results[c].get("cpu_secs") else "")
+        for c in cpu_levels
     )
     log_entry = f"- 2->8 eff {p['value']} ({thr_line}) [{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]\n"
     with open("BENCH/BASELINE.md", "w") as f:

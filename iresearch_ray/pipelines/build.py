@@ -132,9 +132,14 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, finge
         part = int(group["__part"][0].as_py())
         rows = group.drop_columns(["__part"])
         t0 = time.perf_counter()
+        c0 = time.process_time()
         key = segment_content_key(rows, cfg, crypto)
         name = f"seg-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
+        cpu = time.process_time() - c0
+        from iresearch_ray.state.meter import report as _report
+
+        _report("build", cpu)
         meta = write_segment(
             index_dir,
             name,
@@ -146,6 +151,7 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, finge
                      "rows": rows.num_rows, "input": fingerprint},
             metrics={
                 "build_secs": round(time.perf_counter() - t0, 4),
+                "build_cpu_secs": round(cpu, 4),
                 "tokens": field_stats.get(cfg.text_field, {}).get("total_term_freq", 0),
             },
             crypto=crypto,

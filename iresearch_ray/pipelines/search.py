@@ -256,9 +256,11 @@ class _PoolWorker:
 
     def run(self, plans: dict[str, str], k: int, wand: bool):
         import json as _json
+        import time as _time
 
         import pyarrow as _pa
 
+        _c0 = _time.process_time()
         out = []
         for qid, pj in plans.items():
             key = (pj, k, wand)
@@ -286,6 +288,9 @@ class _PoolWorker:
                         }
                     )
                 )
+        from iresearch_ray.state.meter import report as _report
+
+        _report("query_pool", _time.process_time() - _c0)
         if not out:
             return RESULT_SCHEMA.empty_table()
         return _pa.concat_tables(out).cast(RESULT_SCHEMA)

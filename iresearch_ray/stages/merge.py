@@ -357,6 +357,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
     import os
 
     t0 = time.perf_counter()
+    c0 = time.process_time()
     seg_names = sorted(seg_names)
     readers = [SegmentReader(os.path.join(index_dir, "segments", n), crypto=crypto) for n in seg_names]
     cfg = IndexConfig.from_json(readers[0].meta["config"])
@@ -364,7 +365,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
     # deletes present? purge by REBUILDING from the stored doc rows (the
     # doc_map-with-drops path, ref: merge_writer doc_map remap; our blob-
     # concat fast path is only valid for the no-drops offset remap)
-    from iresearch_ray.pipelines.delete import load_tombstone_keys
+    from iresearch_ray.pipelines.delete import deleted_doc_mask, load_tombstone_keys
     from iresearch_ray.state.manifest import load_manifest as _lm
 
     man = _lm(index_dir) or {}
@@ -373,9 +374,9 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
         any_deleted = False
         for name, r in zip(seg_names, readers):
             keys = load_tombstone_keys(index_dir, man, for_segment=name)
-            conv = r.docs["conv_id"].to_pylist()
-            turn = r.docs["turn_idx"].to_pylist()
-            m = np.fromiter(((c, t) in keys for c, t in zip(conv, turn)), dtype=bool, count=len(conv))
+            m = deleted_doc_mask(r, keys)  # vectorized is_in probe
+            if m is None:
+                m = np.zeros(r.docs.num_rows, dtype=bool)
             masks.append(m)
             any_deleted = any_deleted or bool(m.any())
         if any_deleted:
@@ -383,7 +384,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
                 raise NotImplementedError(
                     "purging deletes requires store_text=True (rebuild from stored rows)"
                 )
-            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, crypto=crypto)
+            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, crypto=crypto)
 
     offsets = np.concatenate(([0], np.cumsum([r.meta["docs_count"] for r in readers])))
 
@@ -426,6 +427,10 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
 
     key = zlib.crc32("|".join(seg_names).encode())
     name = f"seg-m{generation:04d}-{key:08x}"
+    wall, cpu = time.perf_counter() - t0, time.process_time() - c0
+    from iresearch_ray.state.meter import report as _report
+
+    _report("consolidate", cpu)
     return write_segment(
         index_dir,
         name,
@@ -434,12 +439,15 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
         field_stats,
         cfg,
         lineage={"merged_from": seg_names},
-        metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": total},
+        # merge_cpu_secs: process_time inside the task — flat across noisy
+        # runs ⇒ wall inflation is host page-fault stall, not engine work
+        metrics={"merge_secs": round(wall, 4),
+                 "merge_cpu_secs": round(cpu, 4), "docs": total},
         crypto=crypto,
     )
 
 
-def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, crypto=None):
+def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, crypto=None):
     """Drop masked docs and rebuild the merged segment from stored rows —
     correctness path for deletes; slower than blob concat, but deletes are
     purged exactly once."""
@@ -455,6 +463,9 @@ def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0,
     terms, docs, field_stats = build_segment_tables(rows, cfg)
     key = zlib.crc32(("|".join(seg_names) + "|purged").encode())
     name = f"seg-m{generation:04d}-{key:08x}"
+    from iresearch_ray.state.meter import report as _report
+
+    _report("consolidate", time.process_time() - c0)
     return write_segment(
         index_dir,
         name,
@@ -463,6 +474,8 @@ def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0,
         field_stats,
         cfg,
         lineage={"merged_from": seg_names, "purged": True},
-        metrics={"merge_secs": round(time.perf_counter() - t0, 4), "docs": docs.num_rows},
+        metrics={"merge_secs": round(time.perf_counter() - t0, 4),
+                 "merge_cpu_secs": round(time.process_time() - c0, 4),
+                 "docs": docs.num_rows},
         crypto=crypto,
     )

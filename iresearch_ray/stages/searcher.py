@@ -101,6 +101,9 @@ class SegmentSearcher:
         return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        c0 = time.process_time()
         out: list[pa.Table] = []
         seg_dirs = batch["seg_dir"].to_pylist()
         qids = batch["query_id"].to_pylist()
@@ -136,6 +139,9 @@ class SegmentSearcher:
                 }
             )
             out.append(t)
+        from iresearch_ray.state.meter import report as _report
+
+        _report("query", time.process_time() - c0)
         if not out:
             return RESULT_SCHEMA.empty_table()
         return pa.concat_tables(out).cast(RESULT_SCHEMA)

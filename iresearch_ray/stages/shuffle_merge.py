@@ -256,6 +256,9 @@ def merge_segments_shuffle(
 
     @ray.remote(num_cpus=1)
     def _write_docs_part(seg_dir: str, rank: int, offset: int) -> dict:
+        from iresearch_ray.state.meter import report as _report
+
+        c0 = time.process_time()
         t = pa.concat_tables(
             [pq.read_table(p) for p in docs_paths(seg_dir)], promote_options="default"
         )
@@ -284,6 +287,7 @@ def merge_segments_shuffle(
             if t.num_rows
             else None
         )
+        _report("consolidate", time.process_time() - c0)
         return {"rows": t.num_rows, "bytes": nbytes, "first": first, "last": last}
 
     doc_refs = [
@@ -336,17 +340,26 @@ def merge_segments_shuffle(
     def combine_partial(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _STAGE_SCHEMA.empty_table()
+        from iresearch_ray.state.meter import report as _report
+
+        c0 = time.process_time()
         shard = int(group["__shard"][0].as_py())
-        return _merge_runs(group, shard)
+        out = _merge_runs(group, shard)
+        _report("consolidate", time.process_time() - c0)
+        return out
 
     def finalize_write(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _STATS_OUT_SCHEMA.empty_table()
+        from iresearch_ray.state.meter import report as _report
+
+        c0 = time.process_time()
         shard = int(group["__shard"][0].as_py())
         # emitted in (field, term) order
         t = _merge_runs(group, shard).select(_BLOB_COLS).cast(TERMS_SCHEMA)
         path = os.path.join(terms_dir, f"part-{shard:05d}.parquet")
         nbytes = _atomic_part_write(t, path)
+        _report("consolidate", time.process_time() - c0)
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),
