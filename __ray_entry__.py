@@ -538,12 +538,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         coll = CollationAnalyzer()
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[["doc_id", "text"]].copy()
-            df["ckey"] = [coll.key(t) for t in df["text"]]
-            return df.sort_values(["ckey", "doc_id"], kind="mergesort").head(50)
+        def partial(batch: pa.Table) -> pa.Table:
+            # batch UCA kernel (unique-codepoint table driven) + Arrow-native
+            # partial top-50 — no pandas, no per-row key() loop (r3 review #7)
+            keys = coll.keys(batch["text"].to_pylist())
+            t = pa.table({"doc_id": batch["doc_id"],
+                          "ckey": pa.array(keys, pa.string())})
+            return t.sort_by(
+                [("ckey", "ascending"), ("doc_id", "ascending")]
+            ).slice(0, 50)
 
-        parts = _docs_ds(sf).map_batches(partial, batch_format="pandas").to_pandas()
+        parts = _docs_ds(sf).map_batches(partial, batch_format="pyarrow").to_pandas()
         top = (
             parts.sort_values(["ckey", "doc_id"], kind="mergesort")
             .head(50)

@@ -318,39 +318,81 @@ class CollationAnalyzer:
             return "\x05" + c
         return "\x06" + c
 
+    def _char_pieces(self, ch: str) -> tuple[str, str, str]:
+        """(primary, secondary, tertiary) weight pieces contributed by ONE
+        NFD char — fixed per (char, strength), which is what lets the batch
+        kernel hoist all Unicode property work to unique code points."""
+        if unicodedata.combining(ch):
+            # primary-ignorable; secondary weight = DUCET mark order
+            r = self._MARK_RANK.get(ch)
+            return ("", chr(0x40 + r) if r is not None else chr(0x100 + ord(ch)), "")
+        if ch == "­":
+            return ("", "", "")  # soft hyphen: fully ignorable
+        if self.strength == "primary" and not ch.isalnum():
+            return ("", "", "")  # variable elements shifted out of level 1
+        folded = ch.casefold()
+        # tertiary: lowercase 0x02 < uppercase 0x08 < compatibility
+        # expansions (ß→ss sorts after SS in ICU root — verified
+        # against DuckDB's bundled ICU)
+        tw = "\x10" if len(folded) > 1 else ("\x08" if ch.isupper() else "\x02")
+        # ß → ss expands primary weights
+        return ("".join(self._primary(c) for c in folded),
+                "\x20" * len(folded), tw * len(folded))
+
+    def _join_levels(self, pj: str, sj: str, tj: str) -> str:
+        if self.strength == "primary":
+            return pj
+        if self.strength == "secondary":
+            return pj + self._SEP + sj
+        return pj + self._SEP + sj + self._SEP + tj
+
     def key(self, t: str) -> str:
         nfd = unicodedata.normalize("NFD", t)
-        prim: list[str] = []
-        sec: list[str] = []
-        tert: list[str] = []
-        for ch in nfd:
-            if unicodedata.combining(ch):
-                # primary-ignorable; secondary weight = DUCET mark order
-                r = self._MARK_RANK.get(ch)
-                sec.append(chr(0x40 + r) if r is not None
-                           else chr(0x100 + ord(ch)))
-                continue
-            if ch == "­":
-                continue  # soft hyphen: fully ignorable
-            if self.strength == "primary" and not ch.isalnum():
-                continue  # variable elements shifted out of level 1
-            folded = ch.casefold()
-            # tertiary: lowercase 0x02 < uppercase 0x08 < compatibility
-            # expansions (ß→ss sorts after SS in ICU root — verified
-            # against DuckDB's bundled ICU)
-            tw = "\x10" if len(folded) > 1 else ("\x08" if ch.isupper() else "\x02")
-            for c in folded:  # ß → ss expands primary weights
-                prim.append(self._primary(c))
-                sec.append("\x20")  # common secondary weight
-                tert.append(tw)
-        if self.strength == "primary":
-            return "".join(prim)
-        if self.strength == "secondary":
-            return "".join(prim) + self._SEP + "".join(sec)
-        return "".join(prim) + self._SEP + "".join(sec) + self._SEP + "".join(tert)
+        trip = [self._char_pieces(ch) for ch in nfd]
+        return self._join_levels(
+            "".join(p for p, _s, _t in trip),
+            "".join(s for _p, s, _t in trip),
+            "".join(tt for _p, _s, tt in trip),
+        )
+
+    def keys(self, texts: Sequence[str]) -> list[str]:
+        """Batch sort-key kernel (r3 review #7): Unicode property work is
+        hoisted to UNIQUE code points (numpy inverse map over the batch's
+        concatenated UTF-32 buffer); per-row output is C-speed slicing +
+        str.join.  Byte-identical to ``key()`` per value."""
+        import numpy as np
+
+        nfd = [unicodedata.normalize("NFD", t) for t in texts]
+        big = "".join(nfd)
+        if not big:
+            empty = self._join_levels("", "", "")
+            return [empty] * len(nfd)
+        cps = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(s) for s in nfd), np.int64, count=len(nfd))
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        uniq, inv = np.unique(cps, return_inverse=True)
+        trip = [self._char_pieces(chr(int(u))) for u in uniq]
+        # expand to plain lists: list slicing + str.join is pure C from here
+        pp = np.array([t[0] for t in trip], dtype=object)[inv].tolist()
+        ss = np.array([t[1] for t in trip], dtype=object)[inv].tolist()
+        tt = np.array([t[2] for t in trip], dtype=object)[inv].tolist()
+        out: list[str] = []
+        join = "".join
+        bl = bounds.tolist()
+        for i in range(len(nfd)):
+            a, b = bl[i], bl[i + 1]
+            out.append(
+                self._join_levels(join(pp[a:b]), join(ss[a:b]), join(tt[a:b]))
+            )
+        return out
 
     def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
-        return [[] if t is None else [self.key(t)] for t in texts]
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        keys = self.keys([texts[i] for i in idx])
+        out: list[list[str]] = [[] for _ in texts]
+        for i, k in zip(idx, keys):
+            out[i] = [k]
+        return out
 
 
 class StemAnalyzer:
