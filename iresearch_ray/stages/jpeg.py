@@ -11,11 +11,14 @@ REAL compressed bytes (SURVEY §2.12).
 
 Scope (raise, never silently mis-decode, outside it):
 - baseline DCT (SOF0), 8-bit samples
-- grayscale or 3-component YCbCr with NO chroma subsampling (4:4:4 —
-  the encoder below always writes 4:4:4)
+- grayscale or 3-component YCbCr at ANY integer-ratio sampling (4:4:4,
+  4:2:2, 4:2:0, 4:1:1 — generalized H_i x V_i MCU interleave per ITU-T
+  T.81 §A.2.3; chroma upsampled by sample replication).  The encoder
+  writes 4:4:4 by default or 4:2:0 on request (box-decimated chroma).
 - optional restart intervals (DRI / RSTn)
-Progressive (SOF2), arithmetic coding, 12-bit, and subsampled scans are
-out of scope here and raise ``ValueError`` pointing at the PIL seam.
+Progressive (SOF2), arithmetic coding, 12-bit samples, and fractional
+sampling ratios are out of scope and raise ``ValueError`` pointing at the
+PIL seam.
 
 Constants (quant + Huffman tables) are the public Annex K examples.
 """
@@ -273,15 +276,21 @@ def _dht_segment(tc_th: int, table) -> bytes:
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, subsampling: str = "444") -> bytes:
     """(h, w) uint8 gray or (h, w, 3) uint8 RGB → baseline JFIF bytes
-    (4:4:4, Annex K Huffman tables).  ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every N MCUs (exercises the decoder's
-    restart resynchronization path)."""
+    (Annex K Huffman tables).  ``subsampling``: "444" (one block per
+    component per MCU) or "420" (2x2 luma blocks + box-downsampled chroma
+    per 16x16 MCU — the shape virtually every camera/web encoder emits).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs (exercises the decoder's restart resynchronization path)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     gray = pixels.ndim == 2
+    sub420 = subsampling == "420" and not gray
     h, w = pixels.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     if gray:
         planes = [pixels.astype(np.float64)]
     else:
@@ -290,6 +299,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     planes = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0 for p in planes
     ]
+    if sub420:
+        # box-average 2x2 chroma downsample (libjpeg's default decimation)
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in planes[1:]
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -304,7 +318,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])  # 1x1 sampling
+        hv = 0x22 if (sub420 and cid == 1) else 0x11
+        sof += bytes([cid, hv, 0 if cid == 1 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, HT_DC_LUMA) + _dht_segment(0x10, HT_AC_LUMA)
     if not gray:
@@ -322,25 +337,45 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     dc_c = _canonical_codes(*HT_DC_CHROMA)
     ac_c = _canonical_codes(*HT_AC_CHROMA)
     bw = _BitWriter()
-    # 4:4:4 MCU = one block per component, interleaved in raster order
-    nblocks = (ph // 8) * (pw // 8)
     comp_blocks = [_blocks_of(p) for p in planes]
     preds = [0] * ncomp
     tabs = [(qt_l, dc_l, ac_l)] + [(qt_c, dc_c, ac_c)] * (ncomp - 1)
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    if not sub420:
+        # 4:4:4 MCU = one block per component, interleaved in raster order
+        nmcu = (ph // 8) * (pw // 8)
+    else:
+        nmcu = (ph // 16) * (pw // 16)
+        ybw = pw // 8  # luma blocks per row
+        mcx = pw // 16
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             out += bw.out
             out += bytes([0xFF, 0xD0 + rst])  # RSTn, n cycles 0..7
             rst = (rst + 1) % 8
             bw = _BitWriter()
             preds = [0] * ncomp
-        for ci in range(ncomp):
-            qt, dcc, acc = tabs[ci]
-            preds[ci] = _encode_component_blocks(
-                bw, comp_blocks[ci][b : b + 1], qt, dcc, acc, preds[ci]
-            )
+        if not sub420:
+            for ci in range(ncomp):
+                qt, dcc, acc = tabs[ci]
+                preds[ci] = _encode_component_blocks(
+                    bw, comp_blocks[ci][m : m + 1], qt, dcc, acc, preds[ci]
+                )
+        else:
+            my, mx = divmod(m, mcx)
+            qt, dcc, acc = tabs[0]
+            for v in range(2):  # 4 luma blocks, raster order within the MCU
+                for u in range(2):
+                    bi = (my * 2 + v) * ybw + (mx * 2 + u)
+                    preds[0] = _encode_component_blocks(
+                        bw, comp_blocks[0][bi : bi + 1], qt, dcc, acc, preds[0]
+                    )
+            for ci in (1, 2):  # one chroma block each
+                qt, dcc, acc = tabs[ci]
+                preds[ci] = _encode_component_blocks(
+                    bw, comp_blocks[ci][m : m + 1], qt, dcc, acc, preds[ci]
+                )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -446,12 +481,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("invalid JPEG sampling factors")
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # integer-ratio upsampling only (covers 4:4:4, 4:2:2, 4:2:0,
+                # 4:1:1 — every shape real encoders emit); a fractional ratio
+                # like 3:2 is pathological and goes to the PIL seam
+                if hmax % c["h"] or vmax % c["v"]:
                     raise ValueError(
-                        "subsampled JPEG unsupported here (4:4:4 only; use PIL seam)"
+                        "non-integer JPEG sampling ratio unsupported; use PIL seam"
                     )
-                comps.append({"id": cid, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported; use PIL seam")
         elif marker == 0xDD:  # DRI
@@ -483,12 +527,42 @@ def _find_entropy_end(payload: bytes, pos: int) -> int:
     return n
 
 
+def _decode_block(br, dct, act, pred) -> tuple[np.ndarray, int]:
+    """One 8x8 block's zigzag coefficients + updated DC predictor."""
+    zz = np.zeros(64, np.int64)
+    size = _huff_decode(br, dct)
+    diff = _receive_extend(br, size)
+    pred += diff
+    zz[0] = pred
+    kk = 1
+    while kk < 64:
+        rs = _huff_decode(br, act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                kk += 16
+                continue
+            break  # EOB
+        kk += run
+        if kk > 63:
+            raise ValueError("JPEG AC run overflow")
+        zz[kk] = _receive_extend(br, size)
+        kk += 1
+    return zz, pred
+
+
 def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
+    """Generalized interleaved baseline scan: each MCU carries H_i x V_i
+    blocks per component (ITU-T T.81 §A.2.3), so 4:2:0 / 4:2:2 / 4:1:1 —
+    the shapes real camera and web encoders emit — decode natively; chroma
+    is upsampled by sample replication to full resolution."""
     h, w = frame["h"], frame["w"]
     ncomp = len(scan)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    bh, bw_ = ph // 8, pw // 8
-    nmcu = bh * bw_
+    hmax, vmax = frame.get("hmax", 1), frame.get("vmax", 1)
+    # MCU grid: ceil over the full-resolution MCU footprint (8*hmax, 8*vmax)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    nmcu = mcus_y * mcus_x
     end = _find_entropy_end(payload, pos)
     raw = payload[pos:end]
     # split on RST markers (entropy bytes are 0xFF00-stuffed)
@@ -512,7 +586,12 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
         i += 1
     segments.append(bytes(cur))
 
-    planes = [np.zeros((ph, pw), np.float64) for _ in range(ncomp)]
+    # per-component padded planes sized to the MCU grid
+    planes = [
+        np.zeros((mcus_y * sc["comp"]["v"] * 8, mcus_x * sc["comp"]["h"] * 8),
+                 np.float64)
+        for sc in scan
+    ]
     preds = [0] * ncomp
     seg_idx = 0
     br = _BitReader(segments[0])
@@ -523,34 +602,30 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
                 raise ValueError("JPEG missing restart segment")
             br = _BitReader(segments[seg_idx])
             preds = [0] * ncomp
-        by, bx = divmod(m, bw_)
+        my, mx = divmod(m, mcus_x)
         for si, sc in enumerate(scan):
+            ch, cv = sc["comp"]["h"], sc["comp"]["v"]
             qt = qts[sc["comp"]["tq"]]
             dct = huff[(0, sc["dc"])]
             act = huff[(1, sc["ac"])]
-            zz = np.zeros(64, np.int64)
-            size = _huff_decode(br, dct)
-            diff = _receive_extend(br, size)
-            preds[si] += diff
-            zz[0] = preds[si]
-            kk = 1
-            while kk < 64:
-                rs = _huff_decode(br, act)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        kk += 16
-                        continue
-                    break  # EOB
-                kk += run
-                if kk > 63:
-                    raise ValueError("JPEG AC run overflow")
-                zz[kk] = _receive_extend(br, size)
-                kk += 1
-            block = (zz[UNZIGZAG] * qt).reshape(8, 8).astype(np.float64)
-            pix = DCT_M.T @ block @ DCT_M + 128.0
-            planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
+            for v in range(cv):
+                for u in range(ch):
+                    zz, preds[si] = _decode_block(br, dct, act, preds[si])
+                    block = (zz[UNZIGZAG] * qt).reshape(8, 8).astype(np.float64)
+                    pix = DCT_M.T @ block @ DCT_M + 128.0
+                    by, bx = my * cv + v, mx * ch + u
+                    planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    # crop to each component's true resolution, then replicate up to (h, w)
+    out_planes = []
+    for si, sc in enumerate(scan):
+        ch, cv = sc["comp"]["h"], sc["comp"]["v"]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = planes[si][:chh, :cw]
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        out_planes.append(p[:h, :w])
     if ncomp == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
