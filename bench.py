@@ -176,7 +176,7 @@ def bench_query(idx: str) -> dict:
         t0 = time.perf_counter()
         out = s.search_ray(batch, k=10, concurrency=8)
         dataset_batch_secs = min(dataset_batch_secs, time.perf_counter() - t0)
-        dataset_cpu.append(read_meter().get("query", {}).get("cpu_secs", 0.0))
+        dataset_cpu.append(read_meter().get("query", {}))
 
     # serving path: cached QueryPool (lazy-created on first call, reused
     # after).  The warm number is a cache-MISS evaluation (distinct k) so
@@ -193,7 +193,7 @@ def bench_query(idx: str) -> dict:
     t0 = time.perf_counter()
     s.search_pooled(batch, k=11)  # warm actors, cache miss
     batch_secs = time.perf_counter() - t0
-    pool_cpu = read_meter().get("query_pool", {}).get("cpu_secs", 0.0)
+    pool_cpu = read_meter().get("query_pool", {})
     t0 = time.perf_counter()
     s.search_pooled(batch, k=10)  # identical plans: LRU result-cache hit
     batch_cached_secs = time.perf_counter() - t0
@@ -222,10 +222,11 @@ def bench_query(idx: str) -> dict:
         "batch_cached_secs": batch_cached_secs,
         "dataset_batch_secs": dataset_batch_secs,
         "pool_cold_secs": pool_cold_secs,
-        # in-task CPU seconds per cold dataset batch (list: one per repeat)
+        # in-task CPU per cold dataset batch (one dict per repeat: user/sys
+        # split — USER is flat under host noise, SYS carries fault handling)
         # and for the warm pooled cache-miss batch — the r3 review's channel
-        "dataset_cpu_secs": [round(x, 3) for x in dataset_cpu],
-        "pool_cpu_secs": round(pool_cpu, 3),
+        "dataset_cpu": dataset_cpu,
+        "pool_cpu": pool_cpu,
         "batch_rows": len(out),
         "p50_local_ms": float(np.percentile(np.array(warm) * 1e3, 50)),
         "p95_local_ms": float(np.percentile(np.array(warm) * 1e3, 95)),
@@ -263,6 +264,8 @@ def bench_consolidate(idx: str) -> dict:
         # r3 review's demanded channel): flat cpu_secs across wall-varying
         # runs = host noise; cpu_secs tracking wall = engine regression
         "cpu_secs": meter.get("cpu_secs", 0.0),
+        "user_secs": meter.get("user_secs", 0.0),
+        "sys_secs": meter.get("sys_secs", 0.0),
         "cpu_tasks": meter.get("tasks", 0),
     }
 
@@ -353,15 +356,19 @@ def run_full() -> dict:
             "indexed_turns": b["turns"],
             "indexed_turns_per_sec": round(b["turns_per_sec"], 1),
             "build_cpu_secs": b.get("cpu", {}).get("cpu_secs"),
+            "build_user_secs": b.get("cpu", {}).get("user_secs"),
+            "build_sys_secs": b.get("cpu", {}).get("sys_secs"),
             "query_batch_dataset_secs": round(q["dataset_batch_secs"], 3),
             "query_batch_cached_secs": round(q["batch_cached_secs"], 3),
             "query_pool_cold_secs": round(q["pool_cold_secs"], 3),
             # CPU-seconds channels (r3 review #1): process_time summed inside
             # the stage's tasks.  Flat across wall-varying runs ⇒ host noise;
             # tracking wall ⇒ engine work.
-            "query_cpu_secs": q.get("dataset_cpu_secs"),
-            "query_pool_cpu_secs": q.get("pool_cpu_secs"),
+            "query_cpu": q.get("dataset_cpu"),
+            "query_pool_cpu": q.get("pool_cpu"),
             "consolidate_cpu_secs": c.get("cpu_secs"),
+            "consolidate_user_secs": c.get("user_secs"),
+            "consolidate_sys_secs": c.get("sys_secs"),
             "consolidate_cpu_tasks": c.get("cpu_tasks"),
             "consolidate_rounds": c.get("rounds"),
             "consolidate_in_task_merge_secs": c.get("final_merge_secs"),
@@ -406,13 +413,16 @@ def _scale_child(cpus: int) -> None:
         global NUM_CPUS
         NUM_CPUS = cpus  # index dir per-cpus
         b = bench_build(corpus)
-        cpu = read_meter().get("build", {}).get("cpu_secs", 0.0)
+        bc = read_meter().get("build", {})
     finally:
         ray.shutdown()
-    # cpu_secs: summed in-task process_time — a noise-hit leg shows inflated
-    # wall with ~flat cpu, so bad pairings are identifiable after the fact
+    # user_secs: summed in-task USER cpu — flat across legs/noise; sys_secs
+    # carries guest fault handling, so noise-hit legs are identifiable
     print(json.dumps({"cpus": cpus, "secs": b["secs"], "turns": b["turns"],
-                      "thr": b["turns_per_sec"], "cpu_secs": round(cpu, 2)}))
+                      "thr": b["turns_per_sec"],
+                      "cpu_secs": round(bc.get("cpu_secs", 0.0), 2),
+                      "user_secs": round(bc.get("user_secs", 0.0), 2),
+                      "sys_secs": round(bc.get("sys_secs", 0.0), 2)}))
 
 
 def run_scaling() -> dict:

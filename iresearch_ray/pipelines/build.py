@@ -133,13 +133,14 @@ def _build_group_fn(index_dir: str, cfg: IndexConfig, num_partitions: int, finge
         rows = group.drop_columns(["__part"])
         t0 = time.perf_counter()
         c0 = time.process_time()
+        from iresearch_ray.state.meter import cpu_mark, report_since
+
+        mk = cpu_mark()
         key = segment_content_key(rows, cfg, crypto)
         name = f"seg-p{part:05d}-{key}"
         terms, docs, field_stats = build_segment_tables(rows, cfg)
         cpu = time.process_time() - c0
-        from iresearch_ray.state.meter import report as _report
-
-        _report("build", cpu)
+        report_since("build", mk)
         meta = write_segment(
             index_dir,
             name,

@@ -256,11 +256,12 @@ class _PoolWorker:
 
     def run(self, plans: dict[str, str], k: int, wand: bool):
         import json as _json
-        import time as _time
 
         import pyarrow as _pa
 
-        _c0 = _time.process_time()
+        from iresearch_ray.state.meter import cpu_mark, report_since
+
+        _mk = cpu_mark()
         out = []
         for qid, pj in plans.items():
             key = (pj, k, wand)
@@ -288,9 +289,7 @@ class _PoolWorker:
                         }
                     )
                 )
-        from iresearch_ray.state.meter import report as _report
-
-        _report("query_pool", _time.process_time() - _c0)
+        report_since("query_pool", _mk)
         if not out:
             return RESULT_SCHEMA.empty_table()
         return _pa.concat_tables(out).cast(RESULT_SCHEMA)

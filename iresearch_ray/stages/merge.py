@@ -358,6 +358,9 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
 
     t0 = time.perf_counter()
     c0 = time.process_time()
+    from iresearch_ray.state.meter import cpu_mark, report_since
+
+    _mk = cpu_mark()
     seg_names = sorted(seg_names)
     readers = [SegmentReader(os.path.join(index_dir, "segments", n), crypto=crypto) for n in seg_names]
     cfg = IndexConfig.from_json(readers[0].meta["config"])
@@ -384,7 +387,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
                 raise NotImplementedError(
                     "purging deletes requires store_text=True (rebuild from stored rows)"
                 )
-            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, crypto=crypto)
+            return _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, _mk, crypto=crypto)
 
     offsets = np.concatenate(([0], np.cumsum([r.meta["docs_count"] for r in readers])))
 
@@ -428,9 +431,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
     key = zlib.crc32("|".join(seg_names).encode())
     name = f"seg-m{generation:04d}-{key:08x}"
     wall, cpu = time.perf_counter() - t0, time.process_time() - c0
-    from iresearch_ray.state.meter import report as _report
-
-    _report("consolidate", cpu)
+    report_since("consolidate", _mk)
     return write_segment(
         index_dir,
         name,
@@ -447,7 +448,7 @@ def merge_segments(index_dir: str, seg_names: list[str], generation: int, crypto
     )
 
 
-def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, crypto=None):
+def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0, c0, mk, crypto=None):
     """Drop masked docs and rebuild the merged segment from stored rows —
     correctness path for deletes; slower than blob concat, but deletes are
     purged exactly once."""
@@ -463,9 +464,9 @@ def _merge_with_purge(index_dir, seg_names, readers, masks, cfg, generation, t0,
     terms, docs, field_stats = build_segment_tables(rows, cfg)
     key = zlib.crc32(("|".join(seg_names) + "|purged").encode())
     name = f"seg-m{generation:04d}-{key:08x}"
-    from iresearch_ray.state.meter import report as _report
+    from iresearch_ray.state.meter import report_since
 
-    _report("consolidate", time.process_time() - c0)
+    report_since("consolidate", mk)
     return write_segment(
         index_dir,
         name,

@@ -101,9 +101,9 @@ class SegmentSearcher:
         return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import time
+        from iresearch_ray.state.meter import cpu_mark, report_since
 
-        c0 = time.process_time()
+        mk = cpu_mark()
         out: list[pa.Table] = []
         seg_dirs = batch["seg_dir"].to_pylist()
         qids = batch["query_id"].to_pylist()
@@ -139,9 +139,7 @@ class SegmentSearcher:
                 }
             )
             out.append(t)
-        from iresearch_ray.state.meter import report as _report
-
-        _report("query", time.process_time() - c0)
+        report_since("query", mk)
         if not out:
             return RESULT_SCHEMA.empty_table()
         return pa.concat_tables(out).cast(RESULT_SCHEMA)

@@ -256,9 +256,9 @@ def merge_segments_shuffle(
 
     @ray.remote(num_cpus=1)
     def _write_docs_part(seg_dir: str, rank: int, offset: int) -> dict:
-        from iresearch_ray.state.meter import report as _report
+        from iresearch_ray.state.meter import cpu_mark, report_since
 
-        c0 = time.process_time()
+        mk = cpu_mark()
         t = pa.concat_tables(
             [pq.read_table(p) for p in docs_paths(seg_dir)], promote_options="default"
         )
@@ -287,7 +287,7 @@ def merge_segments_shuffle(
             if t.num_rows
             else None
         )
-        _report("consolidate", time.process_time() - c0)
+        report_since("consolidate", mk)
         return {"rows": t.num_rows, "bytes": nbytes, "first": first, "last": last}
 
     doc_refs = [
@@ -340,26 +340,26 @@ def merge_segments_shuffle(
     def combine_partial(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _STAGE_SCHEMA.empty_table()
-        from iresearch_ray.state.meter import report as _report
+        from iresearch_ray.state.meter import cpu_mark, report_since
 
-        c0 = time.process_time()
+        mk = cpu_mark()
         shard = int(group["__shard"][0].as_py())
         out = _merge_runs(group, shard)
-        _report("consolidate", time.process_time() - c0)
+        report_since("consolidate", mk)
         return out
 
     def finalize_write(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _STATS_OUT_SCHEMA.empty_table()
-        from iresearch_ray.state.meter import report as _report
+        from iresearch_ray.state.meter import cpu_mark, report_since
 
-        c0 = time.process_time()
+        mk = cpu_mark()
         shard = int(group["__shard"][0].as_py())
         # emitted in (field, term) order
         t = _merge_runs(group, shard).select(_BLOB_COLS).cast(TERMS_SCHEMA)
         path = os.path.join(terms_dir, f"part-{shard:05d}.parquet")
         nbytes = _atomic_part_write(t, path)
-        _report("consolidate", time.process_time() - c0)
+        report_since("consolidate", mk)
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),

@@ -25,19 +25,29 @@ _handle = None  # per-process cache: None = unresolved, False = absent
 
 class _CpuMeter:
     def __init__(self):
-        self.totals: dict[str, float] = {}
+        self.user: dict[str, float] = {}
+        self.sys: dict[str, float] = {}
         self.tasks: dict[str, int] = {}
 
-    def add(self, key: str, secs: float) -> None:
-        self.totals[key] = self.totals.get(key, 0.0) + float(secs)
+    def add(self, key: str, user_secs: float, sys_secs: float = 0.0) -> None:
+        self.user[key] = self.user.get(key, 0.0) + float(user_secs)
+        self.sys[key] = self.sys.get(key, 0.0) + float(sys_secs)
         self.tasks[key] = self.tasks.get(key, 0) + 1
 
     def read_reset(self) -> dict:
+        # user_secs is the decisive channel on this host: page-fault
+        # handling shows up as guest SYSTEM time, so user time stays flat
+        # under host noise while sys+wall inflate
         out = {
-            k: {"cpu_secs": round(v, 4), "tasks": self.tasks.get(k, 0)}
-            for k, v in self.totals.items()
+            k: {
+                "cpu_secs": round(v + self.sys.get(k, 0.0), 4),
+                "user_secs": round(v, 4),
+                "sys_secs": round(self.sys.get(k, 0.0), 4),
+                "tasks": self.tasks.get(k, 0),
+            }
+            for k, v in self.user.items()
         }
-        self.totals, self.tasks = {}, {}
+        self.user, self.sys, self.tasks = {}, {}, {}
         return out
 
 
@@ -68,7 +78,23 @@ def read_meter() -> dict:
     return ray.get(h.read_reset.remote())
 
 
-def report(key: str, secs: float) -> None:
+def cpu_mark() -> tuple[float, float]:
+    """(user, sys) CPU seconds of this process — pair with report_since."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    return (ru.ru_utime, ru.ru_stime)
+
+
+def report_since(key: str, mark: tuple[float, float]) -> None:
+    """Report the (user, sys) CPU delta since ``mark`` under ``key``."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    report(key, ru.ru_utime - mark[0], ru.ru_stime - mark[1])
+
+
+def report(key: str, user_secs: float, sys_secs: float = 0.0) -> None:
     """Worker-side: best-effort add.  Never raises; no-ops without a meter."""
     global _handle
     if _handle is False:
@@ -85,6 +111,6 @@ def report(key: str, secs: float) -> None:
             except ValueError:
                 _handle = False
                 return
-        _handle.add.remote(key, secs)
+        _handle.add.remote(key, user_secs, sys_secs)
     except Exception:
         _handle = False
