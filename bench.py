@@ -437,12 +437,27 @@ def run_scaling() -> dict:
 
     cpu_levels = [int(c) for c in os.environ.get("GRAFT_SCALE_CPUS", "2,8,32").split(",")]
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
-    # interleave repeats and keep the BEST run per level: this sandbox VM has
-    # phantom background load that inflates wall time by up to 2x from one
-    # minute to the next; noise is strictly additive, so min-time is the
-    # honest estimator of each level's capability
+    min_gbps = float(os.environ.get("GRAFT_SCALE_MIN_GBPS", "1.5"))
+    max_waits = int(os.environ.get("GRAFT_SCALE_MAX_WAITS", "10"))
+    # Protocol (r3 review #2): interleave the levels A/B/A/B in ONE session;
+    # GATE each repeat on the host fault-bandwidth probe (wait out degraded
+    # phases, up to a bound, then run anyway but mark the repeat); record
+    # BOTH estimators — per-level best (min-time: noise on this VM is
+    # strictly additive) for the headline, and the per-repeat pair
+    # efficiencies with their min, so a same-session pair is always on
+    # record alongside the optimistic pairing.
     results = {}
+    pair_runs: list[dict] = []  # one entry per repeat: {cpus: result}
     for rep in range(repeats):
+        degraded = False
+        for _ in range(max_waits):
+            g = _probe_once(128).get("fault_gbps", 0.0) or 0.0
+            if g >= min_gbps:
+                break
+            time.sleep(60)
+        else:
+            degraded = True
+        rep_res = {}
         for cpus in cpu_levels:
             env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
             out = subprocess.run(
@@ -454,8 +469,11 @@ def run_scaling() -> dict:
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            r["degraded_gate"] = degraded
+            rep_res[cpus] = r
             if cpus not in results or r["secs"] < results[cpus]["secs"]:
                 results[cpus] = r
+        pair_runs.append(rep_res)
 
     def eff(lo: int, hi: int) -> float:
         return round((results[hi]["thr"] / results[lo]["thr"]) / (hi / lo), 3)
@@ -466,6 +484,12 @@ def run_scaling() -> dict:
     # pair on this host is bandwidth-capped and reported as a secondary
     # data point with that caveat in BENCH/BASELINE.md)
     lo, hi = cpu_levels[0], cpu_levels[1]
+    # same-session pair efficiencies (each repeat's own lo+hi legs)
+    pair_effs = [
+        round((pr[hi]["thr"] / pr[lo]["thr"]) / (hi / lo), 3)
+        for pr in pair_runs
+        if lo in pr and hi in pr
+    ]
     payload = {
         "metric": f"index-build throughput scaling efficiency, {lo}\u2192{hi} CPUs (N vs 4N stand-in)",
         "value": eff(lo, hi),
@@ -481,6 +505,15 @@ def run_scaling() -> dict:
             "efficiency_pairs": {
                 f"{a}->{b}": eff(a, b)
                 for a, b in zip(cpu_levels, cpu_levels[1:])
+            },
+            # per-repeat same-session pairs: min is the conservative
+            # estimator the r3 review demanded alongside the best pairing
+            "same_session_pair_effs": pair_effs,
+            "min_pair_eff": min(pair_effs) if pair_effs else None,
+            "per_leg_cpu": {
+                str(c): {"user_secs": r.get("user_secs"),
+                         "sys_secs": r.get("sys_secs")}
+                for c, r in results.items()
             },
             "efficiency_gate": 0.8,
             "pass": eff(lo, hi) >= 0.8,
@@ -517,7 +550,12 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
         + (f" cpu{round(results[c]['cpu_secs'], 0):g}s" if results[c].get("cpu_secs") else "")
         for c in cpu_levels
     )
-    log_entry = f"- 2->8 eff {p['value']} ({thr_line}) [{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]\n"
+    pe = p["detail"].get("same_session_pair_effs") or []
+    pe_str = f" pairs={pe} min={p['detail'].get('min_pair_eff')}" if pe else ""
+    log_entry = (
+        f"- 2->8 eff {p['value']}{pe_str} ({thr_line}) "
+        f"[{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]\n"
+    )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline (measured)\n\n"

@@ -136,16 +136,16 @@ def _postings_for_field(
     with_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
     pays: np.ndarray | None = None,
-) -> list[dict]:
-    """Vectorized postings for one field: explode → factorize → lexsort →
-    per-term encode.  ``dls`` is the per-doc field length used for norms.
+) -> pa.Table:
+    """Vectorized postings for one field (returns a TERMS_SCHEMA table):
+    explode → factorize → lexsort → bulk encode.  ``dls`` is the per-doc field length used for norms.
     ``offs`` = flat (char_start, char_end) arrays parallel to the exploded
     occurrence stream (doc order, position order) when indexing offsets;
     ``pays`` = object array of per-occurrence payload bytes, same order."""
     lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
     total = int(lens.sum())
     if total == 0:
-        return []
+        return TERMS_SCHEMA.empty_table()
     flat = [t for toks in term_lists for t in toks]
     doc_rep = np.repeat(doc_ids, lens)
     dl_rep = np.repeat(dls, lens)
@@ -168,7 +168,7 @@ def _postings_from_codes(
     with_positions: bool,
     offs: tuple[np.ndarray, np.ndarray] | None = None,
     pays: np.ndarray | None = None,
-) -> list[dict]:
+) -> pa.Table:
     """Grouping + encode tail shared by the python and arrow tokenize paths:
     ``codes`` are sorted-term integer codes per occurrence, ``uniques`` the
     sorted term strings."""
@@ -195,6 +195,68 @@ def _postings_from_codes(
     term_ends = np.append(term_starts[1:], pair_term.size)
     occ_ends = np.cumsum(tf)
     occ_starts = occ_ends - tf
+
+    if offs is None and pays_s is None:
+        # default-config fast path: ONE bulk varint pass for every term of
+        # the field (codec.encode_postings_bulk) and DIRECT Arrow column
+        # assembly from the flat outputs — no per-term encode loop, no
+        # python dicts, no from_pylist (byte-parity asserted in test_codec)
+        from iresearch_ray.functions.codec import encode_postings_bulk
+
+        enc = encode_postings_bulk(
+            pair_doc, tf, pair_dl, term_starts, term_ends,
+            pos_s if with_positions else None,
+        )
+        n_terms = term_starts.size
+        n_blocks = int(enc["blk_bounds"][-1])
+        has_pos = with_positions and len(enc["pos_blob"]) > 0
+
+        def lbin(blob: bytes, bounds: np.ndarray) -> pa.Array:
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n_terms,
+                [None,
+                 pa.py_buffer(np.ascontiguousarray(bounds, dtype=np.int64).tobytes()),
+                 pa.py_buffer(blob)],
+            )
+
+        blk32 = pa.array(enc["blk_bounds"].astype(np.int32))
+
+        def ilist(flat: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(blk32, pa.array(flat, pa.int64()))
+
+        zero_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+        empty_list = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_terms + 1, np.int32)), pa.array([], pa.int64())
+        )
+        return pa.table(
+            {
+                "field": pa.array([field_name] * n_terms, pa.string()),
+                "term": pa.array(uniques[pair_term[term_starts]], pa.string()),
+                "df": pa.array(enc["df"], pa.int64()),
+                "cf": pa.array(enc["cf"], pa.int64()),
+                "max_tf": pa.array(enc["max_tf"], pa.int64()),
+                "min_dl": pa.array(enc["min_dl"], pa.int64()),
+                "doc_blob": lbin(enc["doc_blob"], enc["term_doc_bounds"]),
+                "pos_blob": (
+                    lbin(enc["pos_blob"], enc["term_pos_bounds"])
+                    if has_pos
+                    else lbin(b"", zero_bounds)
+                ),
+                "block_last_doc": ilist(enc["block_last_doc"]),
+                "block_off": ilist(enc["block_off"]),
+                "pos_off": ilist(
+                    enc["pos_off"] if has_pos else np.zeros(n_blocks, np.int64)
+                ),
+                "block_max_tf": ilist(enc["block_max_tf"]),
+                "block_min_dl": ilist(enc["block_min_dl"]),
+                "block_doc_count": ilist(enc["block_doc_count"]),
+                "off_blob": lbin(b"", zero_bounds),
+                "off_off": empty_list,
+                "pay_blob": lbin(b"", zero_bounds),
+                "pay_off": empty_list,
+            }
+        ).cast(TERMS_SCHEMA)
 
     rows = []
     for ts_i, te_i in zip(term_starts, term_ends):
@@ -240,7 +302,7 @@ def _postings_from_codes(
                 "pay_off": blob.pay_off.tolist() if blob.pay_off is not None else [],
             }
         )
-    return rows
+    return pa.Table.from_pylist(rows, schema=TERMS_SCHEMA)
 
 
 def build_segment_tables(
@@ -266,7 +328,7 @@ def build_segment_tables(
     doc_ids = np.arange(1, n + 1, dtype=np.int64)
     analyzer = cfg.make_analyzer()
 
-    term_rows: list[dict] = []
+    term_tables: list[pa.Table] = []
     field_stats: dict[str, dict] = {}
 
     # arrow-native tokenize fast path (C++ kernels) for the plain pinned
@@ -319,7 +381,7 @@ def build_segment_tables(
                 # explode_text_arrow succeeded ⇒ all-ASCII, so the
                 # vectorized byte-run span pass is token-parallel to `flat`
                 offs = token_spans_ascii(rows[cfg.text_field])
-            term_rows += _postings_from_codes(
+            term_tables.append(_postings_from_codes(
                 cfg.text_field,
                 codes,
                 uniq,
@@ -328,7 +390,7 @@ def build_segment_tables(
                 pos,
                 cfg.positions,
                 offs,
-            )
+            ))
     else:
         texts = rows[cfg.text_field].to_pylist()
         pays = None
@@ -353,9 +415,9 @@ def build_segment_tables(
             token_lists = analyzer(texts)
             offs = None
         dls = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
-        term_rows += _postings_for_field(
+        term_tables.append(_postings_for_field(
             cfg.text_field, token_lists, doc_ids, dls, cfg.positions, offs, pays
-        )
+        ))
     field_stats[cfg.text_field] = {
         # docs_with_field counts docs producing >=1 token (null/empty text has
         # no tokens => field absent, matching the reference's field semantics)
@@ -370,7 +432,7 @@ def build_segment_tables(
         vals = rows[f].to_pylist()
         kw_lists = kw(vals)
         kw_dls = np.fromiter((len(t) for t in kw_lists), dtype=np.int64, count=n)
-        term_rows += _postings_for_field(f, kw_lists, doc_ids, kw_dls, False)
+        term_tables.append(_postings_for_field(f, kw_lists, doc_ids, kw_dls, False))
         field_stats[f] = {
             "docs_with_field": int((kw_dls > 0).sum()),
             "total_term_freq": int(kw_dls.sum()),
@@ -387,7 +449,7 @@ def build_segment_tables(
         all_terms = numeric_trie_terms(vals)
         num_lists = [t if ok else [] for t, ok in zip(all_terms, valid)]
         num_dls = valid.astype(np.int64)
-        term_rows += _postings_for_field(f, num_lists, doc_ids, num_dls, False)
+        term_tables.append(_postings_for_field(f, num_lists, doc_ids, num_dls, False))
         field_stats[f] = {
             "docs_with_field": int(valid.sum()),
             "total_term_freq": int(valid.sum()),
@@ -404,7 +466,7 @@ def build_segment_tables(
         kw_fields, num_fields = dynamic_postings(f, rows[f].to_pylist(), n)
         for dyn, lists in sorted(kw_fields.items()):
             d_dls = np.fromiter((len(t) for t in lists), dtype=np.int64, count=n)
-            term_rows += _postings_for_field(dyn, lists, doc_ids, d_dls, False)
+            term_tables.append(_postings_for_field(dyn, lists, doc_ids, d_dls, False))
             field_stats[dyn] = {
                 "docs_with_field": int((d_dls > 0).sum()),
                 "total_term_freq": int(d_dls.sum()),
@@ -412,19 +474,28 @@ def build_segment_tables(
         for dyn, (occ_rows, occ_vals) in sorted(num_fields.items()):
             lists = numeric_token_lists(occ_rows, occ_vals, n)
             d_dls = np.bincount(occ_rows, minlength=n).astype(np.int64)
-            term_rows += _postings_for_field(dyn, lists, doc_ids, d_dls, False)
+            term_tables.append(_postings_for_field(dyn, lists, doc_ids, d_dls, False))
             stats = field_stats.setdefault(
                 dyn, {"docs_with_field": 0, "total_term_freq": 0}
             )  # a path can be string in one doc, number in another
             stats["docs_with_field"] += int((d_dls > 0).sum())
             stats["total_term_freq"] += int(occ_rows.size)
 
-    term_rows.sort(key=lambda r: (r["field"], r["term"]))
-    terms = (
-        pa.Table.from_pylist(term_rows, schema=TERMS_SCHEMA)
-        if term_rows
-        else TERMS_SCHEMA.empty_table()
-    )
+    term_tables = [t for t in term_tables if t.num_rows]
+    if term_tables:
+        cat = pa.concat_tables(term_tables)
+        # stable (field, term) order with insertion-order tiebreak — exactly
+        # the old python list.sort(); two dynamic-JSON passes can emit the
+        # same field name, so the tiebreak pins a deterministic layout
+        cat = cat.append_column(
+            "__seq", pa.array(np.arange(cat.num_rows, dtype=np.int64))
+        )
+        cat = cat.sort_by(
+            [("field", "ascending"), ("term", "ascending"), ("__seq", "ascending")]
+        )
+        terms = cat.drop_columns(["__seq"])
+    else:
+        terms = TERMS_SCHEMA.empty_table()
 
     doc_cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "doc_id": pa.array(doc_ids, pa.int64()),

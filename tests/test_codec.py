@@ -117,3 +117,53 @@ def test_block_max_bound_sound():
         s, e = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, 1000)
         ub = bm25_tf_factor(float(blob.block_max_tf[b]), float(blob.block_min_dl[b]), avg_dl)
         assert ub >= true_scores[s:e].max() - 1e-12
+
+
+def test_encode_postings_bulk_byte_parity():
+    """encode_postings_bulk (one varint pass for every term — the round-4
+    build hot-spot fix) must produce byte-identical blobs and identical
+    block metadata to the per-term encode_postings reference."""
+    import numpy as np
+
+    from iresearch_ray.functions.codec import encode_postings, encode_postings_bulk
+
+    rng = np.random.default_rng(0)
+    for _trial in range(40):
+        n_terms = int(rng.integers(1, 10))
+        pair_doc, tf, dl, ts, te, pos = [], [], [], [], [], []
+        start = 0
+        for _t in range(n_terms):
+            npairs = int(rng.integers(1, 400))  # spans multi-block terms
+            docs = np.sort(rng.choice(np.arange(1, 5000), size=npairs, replace=False))
+            tfs = rng.integers(1, 9, size=npairs)
+            pair_doc.append(docs)
+            tf.append(tfs)
+            dl.append(rng.integers(1, 300, size=npairs))
+            ts.append(start)
+            te.append(start + npairs)
+            start += npairs
+            for f in tfs:
+                pos.append(np.sort(rng.choice(np.arange(0, 500), size=int(f), replace=False)))
+        pair_doc = np.concatenate(pair_doc)
+        tf = np.concatenate(tf)
+        dl = np.concatenate(dl)
+        pos = np.concatenate(pos)
+        ts = np.array(ts)
+        te = np.array(te)
+        enc = encode_postings_bulk(pair_doc, tf, dl, ts, te, pos)
+        occ_ends = np.cumsum(tf)
+        occ_starts = occ_ends - tf
+        db, pb, bb = enc["term_doc_bounds"], enc["term_pos_bounds"], enc["blk_bounds"]
+        for t in range(n_terms):
+            s, e = ts[t], te[t]
+            ref = encode_postings(
+                pair_doc[s:e], tf[s:e], dl[s:e], pos[occ_starts[s]:occ_ends[e - 1]]
+            )
+            assert enc["doc_blob"][db[t]:db[t + 1]] == ref.doc_blob
+            assert enc["pos_blob"][pb[t]:pb[t + 1]] == ref.pos_blob
+            b0, b1 = bb[t], bb[t + 1]
+            for k in ("block_last_doc", "block_off", "pos_off", "block_max_tf",
+                      "block_min_dl", "block_doc_count"):
+                assert enc[k][b0:b1].tolist() == getattr(ref, k).tolist(), k
+            assert int(enc["df"][t]) == e - s
+            assert int(enc["cf"][t]) == int(tf[s:e].sum())
