@@ -125,7 +125,14 @@ def _warm_cluster() -> float:
     return time.perf_counter() - t0
 
 
-def bench_build(corpus: str, num_partitions: int = 64) -> dict:
+def bench_build(corpus: str, num_partitions: int | None = None) -> dict:
+    if num_partitions is None:
+        # finer quanta shrink the straggler tail (a half task per worker of
+        # tail was ~6% of an 8-worker leg at 64 parts); scaling children all
+        # inherit ONE value via env so every leg runs the identical job
+        num_partitions = int(
+            os.environ.get("GRAFT_BUILD_PARTS", str(max(64, 4 * NUM_CPUS)))
+        )
     import pyarrow.parquet as pq
 
     import ray
@@ -460,6 +467,9 @@ def run_scaling() -> dict:
         rep_res = {}
         for cpus in cpu_levels:
             env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
+            # every leg must run the IDENTICAL job: pin one partition count
+            # for all children regardless of their cpu level
+            env.setdefault("GRAFT_BUILD_PARTS", "128")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_scale_child", str(cpus)],
                 capture_output=True,
@@ -576,6 +586,14 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
             "not the engine: a real 4N-node cluster adds bandwidth with every node.\n"
             "The build itself is embarrassingly parallel (64 independent partition\n"
             "tasks, two-stage hash exchange, no driver-side bottleneck).\n\n"
+            "Warm comparability (ADVICE r3): bench_build rows from round 3 on\n"
+            "exclude `_warm_cluster()` (worker spawn + plasma pre-fault) from the\n"
+            "timed build and report it as `cluster_warm_secs`; r1/r2 history rows\n"
+            "were collected without the heavy warm, so cross-round `build` deltas\n"
+            "before/after r3 compare a warmed build against an unwarmed one.\n"
+            "Scaling rows (this file) never warmed heavily at any round — the\n"
+            "children run `bench_build` with the same warm policy at every level,\n"
+            "so efficiencies are internally consistent across all rounds.\n\n"
             f"{_LOG_MARK}\n\n"
             f"{prior_log}{log_entry}"
         )

@@ -674,6 +674,103 @@ def _segmentation_factory(**options):
 ANALYZERS["segmentation"] = _segmentation_factory
 
 
+# ---------------------------------------------------------------------------
+# Optional PyICU-backed variants — the documented swap-in for the two
+# fidelity gaps of the built-in implementations (DUCET tailorings in
+# CollationAnalyzer, dictionary-based CJK/Thai breaking in
+# SegmentationAnalyzer; see COVERAGE.md).  Registered unconditionally; the
+# factory raises NotImplementedError with a clear message when PyICU is not
+# installed (this container has none), and tests skip cleanly in that case
+# (tests/test_icu_optional.py runs parity fuzz when it IS importable).
+# ---------------------------------------------------------------------------
+
+
+class ICUCollationAnalyzer:
+    """Real ICU collation sort key under the same single-token contract as
+    CollationAnalyzer (ref: collation_token_stream.cpp uses
+    Collator::getSortKey directly)."""
+
+    _STRENGTH = {"primary": 0, "secondary": 1, "tertiary": 2}
+
+    def __init__(self, locale: str = "", strength: str = "tertiary"):
+        try:
+            import icu
+        except ImportError as e:  # pragma: no cover - no PyICU in container
+            raise NotImplementedError(
+                "icu_collation needs PyICU; use the built-in 'collation' "
+                "analyzer (UCA sort keys, fuzz-verified against DuckDB ICU "
+                "order on Latin text) in environments without it"
+            ) from e
+        coll = icu.Collator.createInstance(icu.Locale(locale))
+        coll.setStrength(self._STRENGTH[strength])
+        self._coll = coll
+
+    def key(self, t: str) -> str:
+        # sort-key bytes → latin-1 str: preserves byte order under str
+        # comparison, matching CollationAnalyzer's string-key contract
+        return bytes(self._coll.getSortKey(t)).decode("latin-1")
+
+    def keys(self, texts: Sequence[str]) -> list[str]:
+        return [self.key(t) for t in texts]
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [[] if t is None else [self.key(t)] for t in texts]
+
+
+class ICUSegmentationAnalyzer:
+    """Real ICU word BreakIterator under the same contract (word_break /
+    case options) as the built-in SegmentationAnalyzer — adds the
+    dictionary-based CJK/Thai breaking UAX#29 alone cannot express."""
+
+    def __init__(self, word_break: str = "alpha", case: str = "lower",
+                 locale: str = ""):
+        try:
+            import icu
+        except ImportError as e:  # pragma: no cover - no PyICU in container
+            raise NotImplementedError(
+                "icu_segmentation needs PyICU; use the built-in "
+                "'segmentation' analyzer (vectorized UAX#29) without it"
+            ) from e
+        if word_break not in ("alpha", "graphic", "all"):
+            raise ValueError("word_break must be alpha|graphic|all")
+        if case not in ("lower", "upper", "none"):
+            raise ValueError("case must be lower|upper|none")
+        self._bi = icu.BreakIterator.createWordInstance(icu.Locale(locale))
+        self.word_break = word_break
+        self.case = case
+
+    def _segments(self, text: str) -> list[str]:
+        bi = self._bi
+        bi.setText(text)
+        out, prev = [], 0
+        for b in bi:
+            out.append(text[prev:b])
+            prev = b
+        return out
+
+    def tokenize_one(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if self.word_break == "all":
+            segs = self._segments(text)
+        elif self.word_break == "alpha":
+            segs = [s for s in self._segments(text) if any(c.isalnum() for c in s)]
+        else:
+            segs = [s for s in self._segments(text) if any(not c.isspace() for c in s)]
+        if self.case == "lower":
+            return [s.lower() for s in segs]
+        if self.case == "upper":
+            return [s.upper() for s in segs]
+        return segs
+
+    def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
+        return [self.tokenize_one(t) for t in texts]
+
+
+ANALYZERS["icu_collation"] = ICUCollationAnalyzer
+ANALYZERS["icu_segmentation"] = ICUSegmentationAnalyzer
+
+
 def get_analyzer(name: str, **options) -> Tokenizer:
     try:
         factory = ANALYZERS[name]
