@@ -487,9 +487,14 @@ def run_scaling() -> dict:
     pair_runs: list[dict] = []  # one entry per repeat: {cpus: result}
     for rep in range(repeats):
         degraded = False
+        max_load = float(os.environ.get("GRAFT_SCALE_MAX_LOAD", "4"))
         for _ in range(max_waits):
-            g = _probe_once(128).get("fault_gbps", 0.0) or 0.0
-            if g >= min_gbps:
+            pr = _probe_once(128)
+            g = pr.get("fault_gbps", 0.0) or 0.0
+            la1 = (pr.get("loadavg") or [99])[0]
+            # both gates: fault path healthy AND the box drained (a prior
+            # job's load inflates legs long after the fault probe recovers)
+            if g >= min_gbps and la1 <= max_load:
                 break
             time.sleep(60)
         else:
