@@ -10,15 +10,18 @@ deployments still swap in Pillow via the ``decoder='pil'`` seam
 REAL compressed bytes (SURVEY §2.12).
 
 Scope (raise, never silently mis-decode, outside it):
-- baseline DCT (SOF0), 8-bit samples
+- baseline DCT (SOF0) and progressive DCT (SOF2, full ITU-T T.81 §G.1.2:
+  spectral selection + successive approximation, DC/AC first and
+  refinement scans, EOBn runs, restart resync), 8-bit samples
 - grayscale or 3-component YCbCr at ANY integer-ratio sampling (4:4:4,
   4:2:2, 4:2:0, 4:1:1 — generalized H_i x V_i MCU interleave per ITU-T
   T.81 §A.2.3; chroma upsampled by sample replication).  The encoder
-  writes 4:4:4 by default or 4:2:0 on request (box-decimated chroma).
+  writes 4:4:4 by default or 4:2:0 on request (box-decimated chroma);
+  ``encode_jpeg_progressive`` emits a libjpeg-style multi-scan script.
 - optional restart intervals (DRI / RSTn)
-Progressive (SOF2), arithmetic coding, 12-bit samples, and fractional
-sampling ratios are out of scope and raise ``ValueError`` pointing at the
-PIL seam.
+Arithmetic coding, hierarchical/lossless modes, 12-bit samples, and
+fractional sampling ratios are out of scope and raise ``ValueError``
+pointing at the PIL seam.
 
 Constants (quant + Huffman tables) are the public Annex K examples.
 """
@@ -436,13 +439,15 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes → (h, w) uint8
+    gray or (h, w, 3) uint8 RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
+    coeffs = None  # progressive: per-comp (BY, BX, 64) zigzag accumulators
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -474,7 +479,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[off + 17 : off + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, values)
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
@@ -495,14 +500,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         "non-integer JPEG sampling ratio unsupported; use PIL seam"
                     )
-            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported; use PIL seam")
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF{marker - 0xC0} (non-DCT/arithmetic/"
+                             "hierarchical) unsupported; use PIL seam")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for si in range(ns):
@@ -510,8 +517,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({"comp": comp, "dc": tdta >> 4, "ac": tdta & 0xF})
             pos += seglen
-            return _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, pos, frame, scan, qts, huff,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if coeffs is None:
+                coeffs = _alloc_prog_coeffs(frame)
+            pos = _decode_prog_scan(payload, pos, frame, scan,
+                                    (ss, se, ah, al), coeffs, huff,
+                                    restart_interval)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and coeffs is not None:
+        return _reconstruct_prog(frame, coeffs, qts)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -564,27 +583,7 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
     mcus_y = -(-h // (8 * vmax))
     nmcu = mcus_y * mcus_x
     end = _find_entropy_end(payload, pos)
-    raw = payload[pos:end]
-    # split on RST markers (entropy bytes are 0xFF00-stuffed)
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF and i + 1 < len(raw):
-            nxt = raw[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    segments = _split_rst(payload[pos:end])
 
     # per-component padded planes sized to the MCU grid
     planes = [
@@ -615,17 +614,471 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
                     pix = DCT_M.T @ block @ DCT_M + 128.0
                     by, bx = my * cv + v, mx * ch + u
                     planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    # crop to each component's true resolution, then replicate up to (h, w)
+    return _finish_planes(frame, [(sc["comp"], planes[si])
+                                  for si, sc in enumerate(scan)])
+
+
+def _split_rst(raw: bytes) -> list[bytes]:
+    """Split entropy bytes on RST markers, unstuffing 0xFF00 (B.1.1.5)."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _finish_planes(frame, comp_planes) -> np.ndarray:
+    """Crop each (comp, padded plane) to true resolution, replicate up to
+    (h, w), and convert to gray / RGB."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for si, sc in enumerate(scan):
-        ch, cv = sc["comp"]["h"], sc["comp"]["v"]
+    for comp, plane in comp_planes:
+        ch, cv = comp["h"], comp["v"]
         cw = -(-w * ch // hmax)
         chh = -(-h * cv // vmax)
-        p = planes[si][:chh, :cw]
+        p = plane[:chh, :cw]
         fy, fx = vmax // cv, hmax // ch
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         out_planes.append(p[:h, :w])
-    if ncomp == 1:
+    if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — ITU-T T.81 §G.1.2
+# ---------------------------------------------------------------------------
+#
+# A progressive frame carries many scans, each delivering a band of zigzag
+# coefficients (spectral selection Ss..Se) at a bit precision (successive
+# approximation Ah->Al).  Scans accumulate into per-component integer
+# coefficient arrays; dequant + IDCT happen once at EOI.  DC scans may be
+# interleaved (MCU order over the padded grid); AC scans are always
+# single-component in block-raster order over the component's true
+# (unpadded) block grid (§G.1.1).
+
+
+def _prog_grids(frame):
+    """Per-component (padded_by, padded_bx, true_by, true_bx) block grids."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    for c in frame["comps"]:
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        grids.append((mcus_y * c["v"], mcus_x * c["h"], -(-chh // 8), -(-cw // 8)))
+    return mcus_x, mcus_y, grids
+
+
+def _alloc_prog_coeffs(frame):
+    _, _, grids = _prog_grids(frame)
+    return [np.zeros((by, bx, 64), np.int64) for (by, bx, _, _) in grids]
+
+
+def _first_ac_block(br, zz, ss, se, al, act, eobrun):
+    """First AC scan of a band (Ah=0): §G.1.2.2 with EOBn runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+ext end-of-band blocks
+                eb = (1 << r) - 1
+                if r:
+                    eb += br.read_bits(r)
+                return eb
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            zz[k] = _receive_extend(br, s) << al
+            k += 1
+    return 0
+
+
+def _refine_ac_block(br, zz, ss, se, al, act, eobrun):
+    """AC refinement scan (Ah=Al+1): §G.1.2.3 correction-bit decoding."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                s = p1 if br.read_bit() else m1
+            # advance past r zero-history coefficients, applying correction
+            # bits to every already-nonzero coefficient passed over
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and not (int(zz[k]) & p1):
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = s
+            k += 1
+    if eobrun > 0:
+        # end-of-band: correction bits for remaining nonzero coefficients
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and not (int(zz[k]) & p1):
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(payload, pos, frame, scan, band, coeffs, huff,
+                      restart_interval) -> int:
+    """Decode one progressive scan into ``coeffs``; returns end position."""
+    ss, se, ah, al = band
+    ns = len(scan)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("invalid progressive scan (DC band must be 0..0)")
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC progressive scan is illegal")
+        if not (ss <= se <= 63):
+            raise ValueError("invalid progressive spectral band")
+    mcus_x, mcus_y, grids = _prog_grids(frame)
+    cidx = [frame["comps"].index(sc["comp"]) for sc in scan]
+    end = _find_entropy_end(payload, pos)
+    segments = _split_rst(payload[pos:end])
+
+    if ns > 1:  # interleaved DC scan: MCU order over the padded grid
+        units = mcus_y * mcus_x
+    else:  # non-interleaved: block raster over the true component grid
+        _, _, tby, tbx = grids[cidx[0]]
+        units = tby * tbx
+
+    preds = [0] * ns
+    eobrun = 0
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * ns
+            eobrun = 0
+        if ss == 0:  # DC band
+            if ns > 1:
+                my, mx = divmod(m, mcus_x)
+                blocks = []
+                for si, sc in enumerate(scan):
+                    chs, cvs = sc["comp"]["h"], sc["comp"]["v"]
+                    for v in range(cvs):
+                        for u in range(chs):
+                            blocks.append((si, my * cvs + v, mx * chs + u))
+            else:
+                _, _, tby, tbx = grids[cidx[0]]
+                blocks = [(0, *divmod(m, tbx))]
+            for si, by, bx in blocks:
+                zz = coeffs[cidx[si]][by, bx]
+                if ah == 0:
+                    size = _huff_decode(br, huff[(0, scan[si]["dc"])])
+                    preds[si] += _receive_extend(br, size)
+                    zz[0] = preds[si] << al
+                else:  # DC refinement: one raw bit per block
+                    if br.read_bit():
+                        zz[0] |= 1 << al
+        else:  # AC band, single component
+            by, bx = divmod(m, grids[cidx[0]][3])
+            zz = coeffs[cidx[0]][by, bx]
+            act = huff[(1, scan[0]["ac"])]
+            if ah == 0:
+                eobrun = _first_ac_block(br, zz, ss, se, al, act, eobrun)
+            else:
+                eobrun = _refine_ac_block(br, zz, ss, se, al, act, eobrun)
+    return end
+
+
+def _reconstruct_prog(frame, coeffs, qts) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients (vectorized)."""
+    comp_planes = []
+    for ci, c in enumerate(frame["comps"]):
+        arr = coeffs[ci]
+        by, bx, _ = arr.shape
+        nat = arr.reshape(-1, 64)[:, UNZIGZAG] * qts[c["tq"]]
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", DCT_M, blocks, DCT_M) + 128.0
+        plane = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8)
+        comp_planes.append((c, plane))
+    return _finish_planes(frame, comp_planes)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — used to generate REAL multi-scan fixtures
+# ---------------------------------------------------------------------------
+#
+# Emits a libjpeg-style scan script (DC first at Al=1, banded AC first
+# scans, one-bit refinement scans down to Al=0).  Successive approximation
+# is a lossless bit-plane decomposition of the quantized coefficients, so a
+# full script decodes to EXACTLY the same pixels as the baseline path with
+# the same tables — the property the tests pin.  EOB runs are emitted as
+# plain per-block EOBs (run length 1): the Annex K AC tables carry no EOBn
+# symbols (real encoders ship custom tables; the DECODER handles any EOBn).
+
+
+def _default_scan_script(ncomp: int) -> list[dict]:
+    if ncomp == 1:
+        return [
+            {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 2},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+            {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+            {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        ]
+    return [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+
+
+def _quant_zigzag_grid(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane (multiples of 8) → (BY, BX, 64) zigzag."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    quant = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG].reshape(by, bx, 64)
+
+
+def _enc_first_ac(bw, zz, ss, se, al, ac_codes):
+    """One block of a first AC scan: run-length coding of abs>>Al values
+    (point transform truncates toward zero, §G.1.2.2)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        t = t if v >= 0 else -t
+        size = _category(t)
+        code, length = ac_codes[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude(t, size), size)
+        r = 0
+    if r > 0:
+        code, length = ac_codes[0x00]  # EOB (run of 1)
+        bw.write(code, length)
+
+
+def _enc_refine_ac(bw, zz, ss, se, al, ac_codes):
+    """One block of an AC refinement scan (§G.1.2.3).  Correction bits for
+    already-nonzero coefficients are buffered and flushed after the next
+    emitted symbol, matching the decoder's consumption order."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # last newly-nonzero position (abs>>Al == 1)
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    r = 0
+    pend: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:  # history-nonzero: queue its correction bit
+            pend.append(t & 1)
+            continue
+        # newly nonzero (magnitude exactly 1 at this precision)
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        code, length = ac_codes[0x00]  # EOB, then trailing correction bits
+        bw.write(code, length)
+        for b in pend:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0,
+                            scans: list[dict] | None = None) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB → progressive (SOF2) JFIF
+    bytes.  ``scans`` overrides the default libjpeg-style script; each dict
+    is {comps, ss, se, ah, al} with frame-component indices."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    gray = pixels.ndim == 2
+    sub420 = subsampling == "420" and not gray
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., i] for i in range(3)]
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0 for p in planes
+    ]
+    if sub420:
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in planes[1:]
+        ]
+    ncomp = len(planes)
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    czz = [_quant_zigzag_grid(p, qts[ci]) for ci, p in enumerate(planes)]
+    # component sampling factors + true (unpadded) block grids
+    hv = [(2, 2) if (sub420 and ci == 0) else (1, 1) for ci in range(ncomp)]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    tgrids = []
+    for ci in range(ncomp):
+        cw = -(-w * hv[ci][0] // hmax)
+        chh = -(-h * hv[ci][1] // vmax)
+        tgrids.append((-(-chh // 8), -(-cw // 8)))
+    mcus_x, mcus_y = pw // mcu, ph // mcu
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        qt_l[ZIGZAG].astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qt_c[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0x00, HT_DC_LUMA) + _dht_segment(0x10, HT_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0x01, HT_DC_CHROMA) + _dht_segment(0x11, HT_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = [_canonical_codes(*HT_DC_LUMA)] + \
+        [_canonical_codes(*HT_DC_CHROMA)] * (ncomp - 1)
+    ac_codes = [_canonical_codes(*HT_AC_LUMA)] + \
+        [_canonical_codes(*HT_AC_CHROMA)] * (ncomp - 1)
+
+    for sc in (scans if scans is not None else _default_scan_script(ncomp)):
+        comps, ss, se = sc["comps"], sc["ss"], sc["se"]
+        ah, al = sc["ah"], sc["al"]
+        ns = len(comps)
+        sos = bytes([ns])
+        for ci in comps:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | td])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        if ss == 0 and ns > 1:  # interleaved DC: padded MCU grid
+            units = mcus_y * mcus_x
+        else:  # non-interleaved: true block grid of the single component
+            tby, tbx = tgrids[comps[0]]
+            units = tby * tbx
+        bw = _BitWriter()
+        preds = [0] * ns
+        rst = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * ns
+            if ss == 0:
+                if ns > 1:
+                    my, mx = divmod(m, mcus_x)
+                    blocks = []
+                    for si, ci in enumerate(comps):
+                        chs, cvs = hv[ci]
+                        for v in range(cvs):
+                            for u in range(chs):
+                                blocks.append((si, my * cvs + v, mx * chs + u))
+                else:
+                    blocks = [(0, *divmod(m, tgrids[comps[0]][1]))]
+                for si, by, bx in blocks:
+                    ci = comps[si]
+                    dc = int(czz[ci][by, bx, 0])
+                    if ah == 0:  # DC first: diff-code the point-transformed DC
+                        v = dc >> al
+                        diff = v - preds[si]
+                        preds[si] = v
+                        size = _category(diff)
+                        code, length = dc_codes[ci][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(_amplitude(diff, size), size)
+                    else:  # DC refinement: one raw bit
+                        bw.write((dc >> al) & 1, 1)
+            else:
+                ci = comps[0]
+                by, bx = divmod(m, tgrids[ci][1])
+                if ah == 0:
+                    _enc_first_ac(bw, czz[ci][by, bx], ss, se, al, ac_codes[ci])
+                else:
+                    _enc_refine_ac(bw, czz[ci][by, bx], ss, se, al, ac_codes[ci])
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1,0 +1,272 @@
+"""Minimal ISO Base Media File Format (MP4, ISO/IEC 14496-12) demuxer —
+real container parsing for the most common video wrapper, zero external
+libs (SURVEY §2.12).
+
+What is REAL here: the box walk (ftyp/moov/trak/mdia/minf/stbl/mdat,
+64-bit largesize), the full sample-table resolution (stsd codec + dims,
+stts timing, stsc sample→chunk mapping, stsz sizes, stco/co64 chunk
+offsets → exact per-sample byte ranges), the header-only ``mp4_meta``
+probe, and decode of Motion-JPEG tracks (sample entry ``jpeg``/``mjpa``,
+the QuickTime-lineage MJPEG-in-MP4 shape) through the dependency-free
+codec in stages/jpeg.py — frame sampling never entropy-decodes skipped
+samples, mirroring stages/avi.py.
+
+What is NOT: H.264/H.265/VP9/AV1 entropy decoding.  An ``avc1``/``hvc1``
+track demuxes fine (meta + sample byte ranges), but ``decode_mp4_mjpeg``
+raises ``ValueError`` pointing at the PyAV seam — inter-frame DCT codecs
+are genuinely out of scope for a from-scratch numpy decoder.
+
+The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
+``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and
+exists to generate REAL fixtures for the demuxer tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from iresearch_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+_MJPEG_FOURCC = (b"jpeg", b"mjpa", b"mjpb")
+
+
+# ---------------------------------------------------------------------------
+# box plumbing
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def _walk_boxes(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the boxes in [pos, end)."""
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        fourcc = bytes(buf[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # extends to end of enclosing container
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, pos: int, end: int, fourcc: bytes) -> tuple[int, int]:
+    for fc, s, e in _walk_boxes(buf, pos, end):
+        if fc == fourcc:
+            return s, e
+    raise ValueError(f"MP4 missing {fourcc.decode('latin1')!r} box")
+
+
+# ---------------------------------------------------------------------------
+# demuxer
+# ---------------------------------------------------------------------------
+
+
+def _parse_video_track(buf: bytes) -> dict:
+    """moov walk → the first 'vide' track's sample table, fully resolved."""
+    if len(buf) < 12 or buf[4:8] not in (b"ftyp", b"moov", b"mdat", b"free",
+                                          b"wide", b"skip"):
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    moov_s, moov_e = _find_box(buf, 0, len(buf), b"moov")
+    for fc, tk_s, tk_e in _walk_boxes(buf, moov_s, moov_e):
+        if fc != b"trak":
+            continue
+        md_s, md_e = _find_box(buf, tk_s, tk_e, b"mdia")
+        hd_s, _ = _find_box(buf, md_s, md_e, b"hdlr")
+        if buf[hd_s + 8 : hd_s + 12] != b"vide":
+            continue
+        # mdhd: timescale for this track's time units
+        mh_s, _ = _find_box(buf, md_s, md_e, b"mdhd")
+        ver = buf[mh_s]
+        timescale = struct.unpack_from(
+            ">I", buf, mh_s + (20 if ver == 1 else 12))[0]
+        mi_s, mi_e = _find_box(buf, md_s, md_e, b"minf")
+        sb_s, sb_e = _find_box(buf, mi_s, mi_e, b"stbl")
+
+        # stsd: codec fourcc + coded dimensions (VisualSampleEntry)
+        sd_s, _ = _find_box(buf, sb_s, sb_e, b"stsd")
+        entry = sd_s + 8  # version/flags + entry_count
+        codec = bytes(buf[entry + 4 : entry + 8])
+        width, height = struct.unpack_from(">HH", buf, entry + 8 + 24)
+
+        # stts: (count, delta) runs → per-sample durations
+        st_s, _ = _find_box(buf, sb_s, sb_e, b"stts")
+        n_ent = struct.unpack_from(">I", buf, st_s + 4)[0]
+        runs = [struct.unpack_from(">II", buf, st_s + 8 + 8 * i) for i in range(n_ent)]
+
+        # stsz: sizes
+        sz_s, _ = _find_box(buf, sb_s, sb_e, b"stsz")
+        uniform, n_samples = struct.unpack_from(">II", buf, sz_s + 4)
+        if uniform:
+            sizes = np.full(n_samples, uniform, np.int64)
+        else:
+            sizes = np.frombuffer(
+                buf, ">u4", n_samples, sz_s + 12).astype(np.int64)
+
+        # stco / co64: chunk offsets
+        try:
+            co_s, _ = _find_box(buf, sb_s, sb_e, b"stco")
+            n_chunks = struct.unpack_from(">I", buf, co_s + 4)[0]
+            offsets = np.frombuffer(buf, ">u4", n_chunks, co_s + 8).astype(np.int64)
+        except ValueError:
+            co_s, _ = _find_box(buf, sb_s, sb_e, b"co64")
+            n_chunks = struct.unpack_from(">I", buf, co_s + 4)[0]
+            offsets = np.frombuffer(buf, ">u8", n_chunks, co_s + 8).astype(np.int64)
+
+        # stsc: (first_chunk, samples_per_chunk, _) runs → per-chunk counts
+        sc_s, _ = _find_box(buf, sb_s, sb_e, b"stsc")
+        n_sc = struct.unpack_from(">I", buf, sc_s + 4)[0]
+        sc = [struct.unpack_from(">III", buf, sc_s + 8 + 12 * i) for i in range(n_sc)]
+
+        # resolve (offset, size) per sample
+        spans: list[tuple[int, int]] = []
+        si = 0
+        for ci in range(n_chunks):
+            per = 0
+            for first, count, _sdi in sc:
+                if first <= ci + 1:  # first_chunk is 1-based
+                    per = count
+            off = int(offsets[ci])
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                spans.append((off, int(sizes[si])))
+                off += int(sizes[si])
+                si += 1
+        if si != n_samples:
+            raise ValueError("MP4 sample table inconsistent (stsc/stsz/stco)")
+        return {
+            "codec": codec.decode("latin1"),
+            "width": int(width),
+            "height": int(height),
+            "timescale": int(timescale),
+            "durations": runs,
+            "n_frames": int(n_samples),
+            "spans": spans,
+        }
+    raise ValueError("MP4 has no video ('vide') track")
+
+
+def mp4_meta(payload: bytes) -> dict:
+    """Header-only probe: codec/dims/frame count/fps without touching mdat."""
+    t = _parse_video_track(payload)
+    total = sum(c * d for c, d in t["durations"]) or 1
+    fps = round(t["n_frames"] * t["timescale"] / total)
+    return {
+        "codec": t["codec"],
+        "width": t["width"],
+        "height": t["height"],
+        "n_frames": t["n_frames"],
+        "fps": int(fps),
+    }
+
+
+def mp4_sample_spans(payload: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """(codec, [(byte offset, size) per sample]) — demux without decode;
+    this works for ANY codec including avc1 (feed spans to a real decoder
+    behind the PyAV seam)."""
+    t = _parse_video_track(payload)
+    return t["codec"], t["spans"]
+
+
+def decode_mp4_mjpeg(payload: bytes, every: int = 1) -> list[tuple[int, np.ndarray]]:
+    """[(frame index, (h, w, 3) uint8)] for every k-th sample of a
+    Motion-JPEG track.  Skipped samples are never entropy-decoded (the
+    sample table gives exact byte ranges).  Non-MJPEG codecs raise."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    t = _parse_video_track(payload)
+    if t["codec"].encode() not in _MJPEG_FOURCC:
+        raise ValueError(
+            f"MP4 track codec {t['codec']!r} needs an inter-frame decoder; "
+            "use the PyAV seam (decoder='libav')")
+    out = []
+    for f in range(0, t["n_frames"], every):
+        off, size = t["spans"][f]
+        px = decode_jpeg(payload[off : off + size])
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=-1)
+        out.append((f, px))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture muxer
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 95) -> bytes:
+    """(h, w, 3) uint8 frames → a minimal MJPEG-in-MP4 file (one mdat, one
+    chunk, uniform durations, 'jpeg' VisualSampleEntry)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        jpegs.append(encode_jpeg(f, quality=quality))
+    n = len(jpegs)
+    timescale = int(fps) * 1000
+    delta = 1000
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(jpegs)
+    # samples start right after ftyp + the mdat header
+    first_off = len(ftyp) + 8
+
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_index
+        + b"\x00" * 16                               # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)         # reserved + frame_count
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1),                # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, first_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full_box(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                     + b"VideoHandler\x00")
+    mdhd = _full_box(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, duration)
+                     + struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                     + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                    0x40000000)
+                     + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, duration)
+                     + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                    0x40000000)
+                     + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov

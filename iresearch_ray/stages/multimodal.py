@@ -19,11 +19,14 @@ Decoders, by honesty level:
   non-interlaced — correctness-grade (per-row Python for the two
   sequentially-dependent filters); swap in Pillow via ``"pil"`` for
   production throughput.
-* ``decoder="jpeg"`` — REAL baseline JPEG (ITU-T T.81 SOF0): marker walk,
-  canonical Huffman entropy decode, dequant + de-zigzag + matrix IDCT,
-  JFIF YCbCr→RGB, restart intervals (stages/jpeg.py, numpy + stdlib only).
-  Baseline 8-bit 4:4:4 / grayscale scope; progressive or subsampled files
-  raise pointing at the PIL seam.  Correctness-grade throughput.
+* ``decoder="jpeg"`` — REAL JPEG (ITU-T T.81): marker walk, canonical
+  Huffman entropy decode, dequant + de-zigzag + matrix IDCT, JFIF
+  YCbCr→RGB, restart intervals (stages/jpeg.py, numpy + stdlib only).
+  Covers baseline SOF0 at any integer sampling (4:4:4/4:2:2/4:2:0/4:1:1)
+  AND progressive SOF2 (spectral selection + successive approximation,
+  §G.1.2) — i.e. every shape common web/camera encoders emit; arithmetic
+  coding / 12-bit / hierarchical raise pointing at the PIL seam.
+  Correctness-grade throughput.
 * ``decoder="fake"`` (default for compressed formats) — a clearly-marked
   DETERMINISTIC FAKE deriving pixels from an md5 stream over the payload.
   Output shapes/dtypes are exactly what a real decoder would produce, so
@@ -431,16 +434,17 @@ class FrameSample:
     style: output rows ≠ input rows).  ``decoder="ppm_stream"`` REALLY
     parses the pinned concatenated-PPM container (back-to-back P6 frames,
     zero external libs); ``decoder="mjpeg_avi"`` REALLY parses a RIFF-AVI
-    MJPG container (stages/avi.py — every frame an independent baseline
-    JPEG, so skipped frames are never entropy-decoded); ``"fake"`` keeps
-    the deterministic stand-in; a real deployment swaps in PyAV keyframe
-    extraction for mp4/webm."""
+    MJPG container (stages/avi.py); ``decoder="mjpeg_mp4"`` REALLY parses
+    an ISO-BMFF MP4 sample table (stages/mp4.py) and decodes Motion-JPEG
+    tracks — in both, every frame is an independent JPEG, so skipped
+    frames are never entropy-decoded; ``"fake"`` keeps the deterministic
+    stand-in; a real deployment swaps in PyAV for H.264/webm tracks."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake"):
         self.every = every
         self.h, self.w = height, width
-        if decoder not in ("fake", "ppm_stream", "mjpeg_avi"):
+        if decoder not in ("fake", "ppm_stream", "mjpeg_avi", "mjpeg_mp4"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
@@ -448,10 +452,13 @@ class FrameSample:
         ids, frames, fidx = [], [], []
         for i in range(batch.num_rows):
             payload = batch["payload"][i].as_py() or b""
-            if self.decoder == "mjpeg_avi":
-                from iresearch_ray.stages.avi import decode_avi_mjpeg
+            if self.decoder in ("mjpeg_avi", "mjpeg_mp4"):
+                if self.decoder == "mjpeg_avi":
+                    from iresearch_ray.stages.avi import decode_avi_mjpeg as _dec
+                else:
+                    from iresearch_ray.stages.mp4 import decode_mp4_mjpeg as _dec
 
-                for f, px in decode_avi_mjpeg(payload, every=self.every):
+                for f, px in _dec(payload, every=self.every):
                     if px.shape != (self.h, self.w, 3):
                         raise ValueError("frame shape mismatch")
                     ids.append(batch["item_id"][i].as_py())
@@ -558,6 +565,36 @@ def synth_mjpeg_avi_table(
             "item_id": pa.array(range(n), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["video/x-msvideo"] * n, pa.string()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array([10.0] * n, pa.float32()),
+        }
+    )
+    return t, all_frames
+
+
+def synth_mjpeg_mp4_table(
+    n: int, n_frames: int = 12, h: int = 8, w: int = 8, seed: int = 9
+) -> tuple:
+    """REAL MJPEG-in-MP4 video corpus: payload = genuine ISO-BMFF bytes
+    whose samples are baseline JPEGs of SMOOTH seeded frames (same content
+    strategy as synth_mjpeg_avi_table).  Returns (table, frames-per-item)."""
+    from iresearch_ray.stages.mp4 import encode_mp4_mjpeg
+
+    rng = np.random.default_rng(seed)
+    payloads, all_frames = [], []
+    for _ in range(n):
+        frames = []
+        for _f in range(n_frames):
+            blocks = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3), dtype=np.uint8)
+            px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+            frames.append(np.ascontiguousarray(px))
+        all_frames.append(frames)
+        payloads.append(encode_mp4_mjpeg(frames, fps=10, quality=95))
+    t = pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/mp4"] * n, pa.string()),
             "n_frames": pa.array([n_frames] * n, pa.int32()),
             "fps": pa.array([10.0] * n, pa.float32()),
         }

@@ -278,8 +278,14 @@ def test_jpeg_roundtrip_gray_rgb_and_restarts():
         )
     blob = bytearray(encode_jpeg(gray, quality=90))
     sof_at = blob.find(b"\xff\xc0")
-    blob[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is an
+    # ILLEGAL progressive scan, so the decoder must refuse, not mis-decode
+    blob[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    # SOF1/SOF9 (extended/arithmetic) remain out of scope
+    blob[sof_at + 1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOTAJPEG")
@@ -382,3 +388,175 @@ def test_jpeg_420_subsampled_roundtrip():
 
     with pytest.raises(ValueError, match="non-integer|invalid"):
         decode_jpeg(bytes(b))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode: successive approximation is a lossless
+    bit-plane decomposition of the quantized coefficients, so a full scan
+    script must reconstruct EXACTLY the pixels the baseline (SOF0) path
+    produces from the same tables — gray, RGB, 4:2:0, odd dims, restarts,
+    and a custom spectral-selection-only script."""
+    import numpy as np
+
+    from iresearch_ray.stages.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    x = np.linspace(0, 6 * np.pi, 40)
+    gray = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 110 + 128).astype(np.uint8)
+    rgb = np.stack([gray, gray.T, 255 - gray], axis=-1)
+    noisy = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+
+    cases = [
+        (gray, {}),                      # gray, 5-scan script
+        (gray[:13, :9], {}),             # odd dims (crop after pad)
+        (rgb, {}),                       # color, 10-scan libjpeg-style script
+        (rgb, {"subsampling": "420"}),   # subsampled MCU interleave
+        (noisy, {"subsampling": "420"}),  # odd dims + 4:2:0
+        (rgb, {"restart_interval": 3}),  # RSTn resync inside every scan
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=88,
+                                       subsampling=kw.get("subsampling", "444")))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=88, **kw))
+        assert np.array_equal(base, prog), (img.shape, kw)
+
+    # spectral-selection-only script (no successive approximation) — the
+    # other legal progressive flavour real encoders emit
+    script = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 1, "se": 9, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 10, "se": 63, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+    ]
+    base = decode_jpeg(encode_jpeg(rgb, quality=88))
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, quality=88, scans=script))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eobn_runs_decode():
+    """EOBn (end-of-band run) symbols span multiple blocks in real
+    progressive files (custom optimized tables); our encoder never emits
+    them, so pin the decoder paths with a hand-built entropy stream over a
+    table that carries EOB1."""
+    import numpy as np
+
+    from iresearch_ray.stages.jpeg import (
+        _BitReader, _BitWriter, _canonical_codes, _decode_table,
+        _first_ac_block, _refine_ac_block)
+
+    # 4 symbols, all 2 bits: EOB(0x00), newly-nonzero size1, EOB1, ZRL
+    bits = [0, 4] + [0] * 14
+    values = [0x00, 0x01, 0x10, 0xF0]
+    enc = _canonical_codes(bits, values)
+    dec = _decode_table(bits, values)
+
+    # --- first AC scan: block0 places +1 at k=1 then EOB1(+ext 1) -> run
+    # covers this block plus the next TWO whole blocks
+    bw = _BitWriter()
+    code, ln = enc[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)            # amplitude bit: +1
+    code, ln = enc[0x10]
+    bw.write(code, ln)
+    bw.write(1, 1)            # EOB1 extension bit -> eobrun = (1<<1)-1+1 = 2
+    bw.flush()
+    br = _BitReader(bytes(bw.out))
+    zzs = [np.zeros(64, np.int64) for _ in range(3)]
+    eobrun = 0
+    for zz in zzs:
+        eobrun = _first_ac_block(br, zz, 1, 3, 0, dec, eobrun)
+    assert zzs[0].tolist()[:4] == [0, 1, 0, 0]
+    assert not zzs[1].any() and not zzs[2].any()
+    assert eobrun == 0
+
+    # --- refinement scan: EOB1(+ext 0) -> eobrun 2; correction bits are
+    # still consumed for history-nonzero coefficients in BOTH blocks
+    bw = _BitWriter()
+    code, ln = enc[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)            # eobrun = (1<<1)+0 = 2
+    bw.write(1, 1)            # block0 k=1 (history +2): correction 1 -> +3
+    bw.write(0, 1)            # block1 k=2 (history -2): correction 0 -> -2
+    bw.flush()
+    br = _BitReader(bytes(bw.out))
+    zz0 = np.zeros(64, np.int64); zz0[1] = 2
+    zz1 = np.zeros(64, np.int64); zz1[2] = -2
+    eobrun = _refine_ac_block(br, zz0, 1, 3, 0, dec, 0)
+    assert eobrun == 1
+    eobrun = _refine_ac_block(br, zz1, 1, 3, 0, dec, eobrun)
+    assert eobrun == 0
+    assert zz0[1] == 3 and zz1[2] == -2
+
+
+def test_mp4_mjpeg_codec_and_meta():
+    """ISO-BMFF (MP4) demuxer without Ray: header-only probe, sample-table
+    byte ranges, full + sampled Motion-JPEG decode, non-MJPEG codecs and
+    corrupt input rejected (stages/mp4.py)."""
+    import numpy as np
+    import pytest
+
+    from iresearch_ray.stages.mp4 import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+        mp4_meta,
+        mp4_sample_spans,
+    )
+
+    x = np.linspace(0, 4 * np.pi, 16)
+    base = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+    frames = [np.stack([np.roll(base, i, axis=1)] * 3, axis=-1) for i in range(7)]
+    mp4 = encode_mp4_mjpeg(frames, fps=5, quality=95)
+    assert mp4_meta(mp4) == {
+        "codec": "jpeg", "width": 16, "height": 16, "n_frames": 7, "fps": 5}
+    codec, spans = mp4_sample_spans(mp4)
+    assert codec == "jpeg" and len(spans) == 7
+    # spans are exact byte ranges: each one decodes standalone as a JPEG
+    from iresearch_ray.stages.jpeg import decode_jpeg
+    off, size = spans[3]
+    assert decode_jpeg(mp4[off : off + size]).shape == (16, 16, 3)
+
+    dec = decode_mp4_mjpeg(mp4)
+    assert [i for i, _ in dec] == list(range(7))
+    for (_, px), orig in zip(dec, frames):
+        assert np.abs(px.astype(float) - orig.astype(float)).max() <= 8
+    dec3 = decode_mp4_mjpeg(mp4, every=3)
+    assert [i for i, _ in dec3] == [0, 3, 6]
+    for i, px in dec3:
+        assert np.array_equal(px, dec[i][1])
+
+    # an H.264 track demuxes (spans) but refuses pixel decode -> PyAV seam
+    avc = bytearray(mp4)
+    at = avc.find(b"jpeg", avc.find(b"stsd"))
+    avc[at : at + 4] = b"avc1"
+    codec, spans2 = mp4_sample_spans(bytes(avc))
+    assert codec == "avc1" and spans2 == spans
+    with pytest.raises(ValueError, match="PyAV"):
+        decode_mp4_mjpeg(bytes(avc))
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        mp4_meta(b"NOTMP4--" * 4)
+
+
+def test_real_mjpeg_mp4_frame_sampling(ray_session):
+    """REAL MP4 video through the actor-pool FrameSample stage: sample
+    every k-th frame, reconstruct the block-constant source frames within
+    JPEG tolerance (mirrors the AVI path)."""
+    import numpy as np
+    import ray.data as rd
+
+    from iresearch_ray.stages.multimodal import FrameSample, synth_mjpeg_mp4_table
+
+    tbl, all_frames = synth_mjpeg_mp4_table(3, n_frames=12, h=8, w=8)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(FrameSample(every=5, height=8, width=8, decoder="mjpeg_mp4"),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 5, 10]
+    assert len(out) == 9
+    for row in out.itertuples():
+        got = np.asarray(row.pixels, dtype=np.uint8).reshape(8, 8, 3)
+        exp = all_frames[row.item_id][row.frame_idx]
+        assert np.abs(got.astype(float) - exp.astype(float)).max() <= 4
