@@ -279,9 +279,46 @@ class CollationAnalyzer:
     ``strength`` truncates levels like ICU: "primary" (accents+case
     ignored; variable elements — punctuation/whitespace — shifted out,
     so "foo-bar" == "Foo Bar"), "secondary" (accents matter, case
-    doesn't), "tertiary" (default — all three levels)."""
+    doesn't), "tertiary" (default — all three levels).
+
+    ``locale`` / ``rules`` add LDML-style TAILORINGS (UTS #10 §8; r4 —
+    closes the "no language tailorings" caveat for the common European
+    locales): a rule chain like ``"& z < å < ä < ö"`` re-anchors each
+    tailored character after the previous one at the stated strength
+    (``<`` primary, ``<<`` secondary, ``<<<`` tertiary, ``=`` equal —
+    multi-char right-hand anchors give EXPANSIONS, e.g. phonebook
+    ``"& ae << ä"``).  Compiled rules become per-character weight-piece
+    overrides: "after X at level L" = X's level-L piece + ``\\x7f`` +
+    rank, which sorts after X plus ANY untailored continuation because
+    0x7f exceeds every piece's first band byte.  Uppercase variants are
+    derived implicitly (same primary/secondary, uppercase tertiary), and
+    precomposed tailored characters are re-composed after NFD so both
+    input forms hit the override.  Built-in verified locales: sv/fi
+    (åäö after z), da/nb (æøå after z; da additionally caseFirst=upper),
+    es (ñ after n), de (= root), de_phonebook (umlauts as base+e
+    expansions at secondary) — the sv/fi/da/es orders are fuzz-verified
+    against DuckDB's bundled real ICU (whose reduced data aliases nb to
+    root, so nb is covered structurally via da).  CONTRACTIONS
+    (multi-char left-hand items, e.g. Danish 'aa' = å — which ICU
+    matches at the NFD level — or Hungarian 'cs') are out of scope for
+    the per-character kernel and raise ``ValueError``."""
 
     _SEP = "\x01"  # level separator, below every weight piece
+
+    # Verified locale tailorings (keep minimal and TESTED — each listed
+    # character's order is pinned by the DuckDB-ICU fuzz; characters not
+    # listed keep root behavior, which may diverge from a full ICU locale
+    # for letters like Swedish 'ü'→'y')
+    _LOCALE_RULES = {
+        "root": "",
+        "de": "",  # standard German umlauts == root (base + secondary mark)
+        "sv": "& z < å < ä < ö",
+        "fi": "& z < å < ä < ö",
+        "da": "& z < æ < ø < å",
+        "nb": "& z < æ < ø < å",
+        "es": "& n < ñ",
+        "de_phonebook": "& ae << ä & oe << ö & ue << ü",
+    }
 
     # DUCET primary order of common punctuation/symbols, derived once from
     # a real ICU instance (DuckDB's bundled icu, root/en locale) — NOT
@@ -298,10 +335,80 @@ class CollationAnalyzer:
                    0x0308, 0x0303, 0x0307, 0x0327, 0x0304)
     _MARK_RANK = {chr(cp): i for i, cp in enumerate(_MARK_ORDER)}
 
-    def __init__(self, strength: str = "tertiary"):
+    # locales whose default tertiary order is uppercase-FIRST (LDML
+    # caseFirst=upper; verified against DuckDB's ICU: 'A' < 'a' in da,
+    # while nb keeps lowercase-first despite sharing the æøå tailoring)
+    _UPPER_FIRST = frozenset({"da"})
+
+    def __init__(self, strength: str = "tertiary", locale: str = "root",
+                 rules: str | None = None, case_first: str | None = None):
         if strength not in ("primary", "secondary", "tertiary"):
             raise ValueError("strength must be primary|secondary|tertiary")
         self.strength = strength
+        if case_first is None:
+            case_first = "upper" if locale in self._UPPER_FIRST else "lower"
+        if case_first not in ("lower", "upper"):
+            raise ValueError("case_first must be lower|upper")
+        self._t_lo, self._t_up = (
+            ("\x02", "\x08") if case_first == "lower" else ("\x08", "\x02"))
+        if rules is None:
+            if locale not in self._LOCALE_RULES:
+                raise ValueError(
+                    f"unknown collation locale {locale!r}; built-ins: "
+                    f"{sorted(self._LOCALE_RULES)} — pass rules= for others")
+            rules = self._LOCALE_RULES[locale]
+        self._over: dict[str, tuple[str, str, str]] = {}
+        self._nfd_fix: list[tuple[str, str]] = []
+        self._compile_rules(rules)
+
+    def _compile_rules(self, src: str) -> None:
+        """LDML-ish reset chains → per-char weight-piece overrides."""
+        if not src or not src.strip():
+            return
+        import re as _re
+
+        for clause in src.split("&"):
+            clause = clause.strip()
+            if not clause:
+                continue
+            parts = [p.strip() for p in _re.split(r"(<<<|<<|<|=)", clause)]
+            anchor = parts[0]
+            a_p, a_s, a_t = self._string_pieces(anchor)
+            for op, item in zip(parts[1::2], parts[2::2]):
+                item = unicodedata.normalize("NFC", item)
+                if len(item) != 1:
+                    raise ValueError(
+                        f"contraction {item!r} unsupported by the per-char "
+                        "collation kernel (UTS #10 §8 contractions)")
+                if op == "<":
+                    p, s, t = a_p + "\x7f!", "\x20", None
+                elif op == "<<":
+                    p, s, t = a_p, a_s + "\x7f!", None
+                elif op == "<<<":
+                    p, s, t = a_p, a_s, a_t + "\x7f!"
+                else:  # '='
+                    p, s, t = a_p, a_s, a_t
+                lo, up = item.lower(), item.upper()
+                self._over[lo] = (p, s, self._t_lo if t is None else t)
+                if up != lo:
+                    self._over[up] = (p, s, self._t_up if t is None else t)
+                for ch in (lo, up):
+                    nfd = unicodedata.normalize("NFD", ch)
+                    if nfd != ch:
+                        self._nfd_fix.append((nfd, ch))
+                # chain: the next item anchors to THIS one
+                a_p, a_s, a_t = p, s, (self._t_lo if t is None else t)
+
+    def _string_pieces(self, s: str) -> tuple[str, str, str]:
+        """Root-or-already-tailored pieces of an anchor string (clauses
+        compile in order, so later clauses may anchor on earlier items)."""
+        s = unicodedata.normalize("NFD", s)
+        for seq, ch in self._nfd_fix:
+            s = s.replace(seq, ch)
+        trip = [self._char_pieces(ch) for ch in s]
+        return ("".join(p for p, _s, _t in trip),
+                "".join(x for _p, x, _t in trip),
+                "".join(tt for _p, _s, tt in trip))
 
     def _primary(self, c: str) -> str:
         """Two-char primary weight piece: band char + detail char.  Bands
@@ -322,6 +429,9 @@ class CollationAnalyzer:
         """(primary, secondary, tertiary) weight pieces contributed by ONE
         NFD char — fixed per (char, strength), which is what lets the batch
         kernel hoist all Unicode property work to unique code points."""
+        ov = self._over.get(ch)
+        if ov is not None:
+            return ov
         if unicodedata.combining(ch):
             # primary-ignorable; secondary weight = DUCET mark order
             r = self._MARK_RANK.get(ch)
@@ -334,7 +444,8 @@ class CollationAnalyzer:
         # tertiary: lowercase 0x02 < uppercase 0x08 < compatibility
         # expansions (ß→ss sorts after SS in ICU root — verified
         # against DuckDB's bundled ICU)
-        tw = "\x10" if len(folded) > 1 else ("\x08" if ch.isupper() else "\x02")
+        tw = ("\x10" if len(folded) > 1
+              else (self._t_up if ch.isupper() else self._t_lo))
         # ß → ss expands primary weights
         return ("".join(self._primary(c) for c in folded),
                 "\x20" * len(folded), tw * len(folded))
@@ -346,8 +457,16 @@ class CollationAnalyzer:
             return pj + self._SEP + sj
         return pj + self._SEP + sj + self._SEP + tj
 
+    def _pretailor(self, nfd: str) -> str:
+        """Re-compose tailored characters after NFD so both input forms
+        (precomposed 'ä' and 'a'+U+0308) hit the same override."""
+        for seq, ch in self._nfd_fix:
+            if seq in nfd:
+                nfd = nfd.replace(seq, ch)
+        return nfd
+
     def key(self, t: str) -> str:
-        nfd = unicodedata.normalize("NFD", t)
+        nfd = self._pretailor(unicodedata.normalize("NFD", t))
         trip = [self._char_pieces(ch) for ch in nfd]
         return self._join_levels(
             "".join(p for p, _s, _t in trip),
@@ -362,7 +481,7 @@ class CollationAnalyzer:
         str.join.  Byte-identical to ``key()`` per value."""
         import numpy as np
 
-        nfd = [unicodedata.normalize("NFD", t) for t in texts]
+        nfd = [self._pretailor(unicodedata.normalize("NFD", t)) for t in texts]
         big = "".join(nfd)
         if not big:
             empty = self._join_levels("", "", "")

@@ -265,3 +265,87 @@ def test_collation_order_matches_real_icu_fuzz():
     c = CollationAnalyzer()
     mine = sorted(words, key=lambda w: (c.key(w), w))
     assert mine == icu
+
+
+def test_tailored_collation_matches_real_icu_fuzz():
+    """Locale tailorings vs REAL ICU (DuckDB bundles the icu extension):
+    for each built-in tailored locale, 400 random words over ascii + that
+    locale's tailored characters, sorted by our tailored UCA key with the
+    raw string as tiebreak, must equal DuckDB's ORDER BY v COLLATE <loc>,
+    v.  Danish strings whose NFD casefold contains 'aa' are excluded —
+    ICU da has the aa→å CONTRACTION and matches it at the NFD level (so
+    'aå' = 'a'+'a'+ring triggers it too), which the per-char kernel
+    documents out of scope."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    from iresearch_ray.functions.analysis import CollationAnalyzer
+
+    cases = {
+        "sv": "åäö",
+        "fi": "åäö",
+        "da": "æøå",
+        # "nb" is EXCLUDED: DuckDB's reduced ICU data aliases nb to root
+        # (probe: 'å' < 'ab' under COLLATE nb, i.e. å = a+ring, no Danish
+        # tailoring), so it cannot oracle the real Norwegian order.  The
+        # nb registry entry is rule-identical to da minus caseFirst=upper
+        # and is covered by the da fuzz structurally.
+        "es": "ñ",
+    }
+    rng = random.Random(77)
+    con = duckdb.connect()
+    have = {r[0] for r in con.execute("select collname from pragma_collations()").fetchall()}
+    for loc, extra in cases.items():
+        assert loc in have, f"DuckDB build lost the {loc} collation"
+        alphabet = "abeonz" + extra + extra.upper() + "ABZ"
+        words = set()
+        while len(words) < 400:
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            if loc in ("da", "nb") and (
+                    "aa" in unicodedata.normalize("NFD", w).casefold()):
+                continue  # ICU da/nb contraction aa→å: documented out
+            words.add(w)
+        words = sorted(words)
+        con.execute("create or replace table w as select * from (select unnest(?) v)",
+                    [words])
+        icu = [r[0] for r in con.execute(
+            f'select v from w order by v collate "{loc}", v').fetchall()]
+        ana = CollationAnalyzer(locale=loc)
+        keys = dict(zip(words, ana.keys(words)))
+        mine = sorted(words, key=lambda w: (keys[w], w))
+        assert mine == icu, f"{loc}: first divergence " + str(
+            next((a, b) for a, b in zip(mine, icu) if a != b))
+
+
+def test_tailored_collation_rules_and_expansions():
+    """Rule compiler semantics without ICU: chains re-anchor, secondary
+    expansions place the tailored char between its expansion and the next
+    string, uppercase derives implicitly, NFD input hits the override,
+    strength still truncates, and contractions raise."""
+    import unicodedata
+
+    import pytest
+
+    from iresearch_ray.functions.analysis import CollationAnalyzer
+
+    sv = CollationAnalyzer(locale="sv")
+    assert sorted(["öga", "zebra", "åka", "ärlig", "apa"], key=sv.key) == [
+        "apa", "zebra", "åka", "ärlig", "öga"]
+    # NFD and NFC forms of ä produce the SAME key
+    assert sv.key("ärlig") == sv.key(unicodedata.normalize("NFC", "ärlig"))
+    # uppercase tailored letters: same primary, case at tertiary
+    assert sv.key("Ö") != sv.key("ö")
+    assert CollationAnalyzer(locale="sv", strength="secondary").key("Ö") == \
+        CollationAnalyzer(locale="sv", strength="secondary").key("ö")
+    # phonebook: ä sorts between 'ae' and 'af' (expansion at secondary)
+    ph = CollationAnalyzer(locale="de_phonebook")
+    assert sorted(["af", "ä", "ae", "ad"], key=ph.key) == ["ad", "ae", "ä", "af"]
+    # batch kernel byte-identical with tailorings active
+    words = ["Åka", "ärlig", "zebra", "ärlig", ""]
+    assert sv.keys(words) == [sv.key(w) for w in words]
+    with pytest.raises(ValueError, match="contraction"):
+        CollationAnalyzer(rules="& a < ch")
+    with pytest.raises(ValueError, match="unknown collation locale"):
+        CollationAnalyzer(locale="xx")
