@@ -17,9 +17,17 @@ Fidelity notes (documented, testable):
   of Emoji_Modifier / odd Mc cases) are approximation points and noted
   inline.  ASCII and Latin-1 behavior is exact.
 * ICU additionally runs DICTIONARY-based breaking for Thai/Lao/Khmer/CJK
-  sequences; pure UAX#29 (this module, and any non-dictionary ICU build)
-  instead breaks between every pair of such chars (WB999).  Tests pin
-  that behavior explicitly.
+  sequences; pure UAX#29 (this module's default, and any non-dictionary
+  ICU build) instead breaks between every pair of such chars (WB999).
+  Tests pin that behavior explicitly.  r4: the dictionary MECHANISM is
+  now implemented — ``SegmentationAnalyzer(dictionary=words)`` runs a
+  minimum-pieces Viterbi over maximal runs of the dictionary scripts
+  (Han, Hiragana, Thai, Lao, Khmer), exactly ICU's architecture
+  (BreakIterator delegates those ranges to DictionaryBreakEngine).  The
+  WORD LIST itself is a deployment input (ICU ships multi-MB frequency
+  dictionaries; bundling one would be fake data — same stance as the
+  IVF codebook); tests exercise the mechanism with small pinned
+  dictionaries.
 
 Modes mirror the reference options (`word_break`):
 ``alpha`` (default) keeps only word-like segments (contain an
@@ -276,6 +284,58 @@ def segment_words(text: str) -> list[str]:
     return out
 
 
+# scripts ICU hands to a DictionaryBreakEngine instead of UAX#29 rules
+_DICT_SCRIPT_RANGES = (
+    (0x3400, 0x4DBF),    # CJK Ext A
+    (0x4E00, 0x9FFF),    # CJK Unified
+    (0xF900, 0xFAFF),    # CJK Compatibility
+    (0x3040, 0x309F),    # Hiragana
+    (0x0E00, 0x0E7F),    # Thai
+    (0x0E80, 0x0EFF),    # Lao
+    (0x1780, 0x17FF),    # Khmer
+)
+
+
+def _is_dict_script(ch: str) -> bool:
+    cp = ord(ch)
+    return any(a <= cp <= b for a, b in _DICT_SCRIPT_RANGES)
+
+
+def dict_segment(run: str, words: frozenset, max_len: int) -> list[str]:
+    """Minimum-pieces Viterbi over one dictionary-script run: a dictionary
+    word costs 1, an unknown single char 1.5 (so known words win, then
+    fewer pieces win; ICU's engines minimize an equivalent cost with
+    corpus frequencies).  Leftmost-longest on exact ties."""
+    n = len(run)
+    INF = float("inf")
+    best = [INF] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(n):
+        b = best[i]
+        if b == INF:
+            continue
+        c = b + 1.5  # unknown-char fallback
+        if c < best[i + 1]:
+            best[i + 1] = c
+            back[i + 1] = i
+        # longest candidate first so an equal-cost longer word wins
+        for L in range(min(max_len, n - i), 0, -1):
+            if run[i : i + L] in words:
+                c = b + 1.0
+                if c < best[i + L]:
+                    best[i + L] = c
+                    back[i + L] = i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(run[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
 class SegmentationAnalyzer:
     """IResearch `segmentation` analyzer analog (ref:
     segmentation_token_stream.cpp — ICU word BreakIterator + token filter).
@@ -283,15 +343,27 @@ class SegmentationAnalyzer:
     Options mirror the reference JSON: ``word_break`` in {"alpha"
     (default: keep segments containing an alphanumeric), "graphic" (keep
     segments with any non-space printable), "all"}; ``case`` in {"lower"
-    (default), "upper", "none"}."""
+    (default), "upper", "none"}.
 
-    def __init__(self, word_break: str = "alpha", case: str = "lower"):
+    ``dictionary`` (r4) enables ICU-style dictionary breaking: maximal
+    runs of the dictionary scripts (Han/Hiragana/Thai/Lao/Khmer) bypass
+    the UAX#29 per-char WB999 breaks and are segmented by minimum-pieces
+    Viterbi over the given word list instead.  Splitting the text at
+    dictionary-script run edges is boundary-safe: a run edge is always a
+    UAX#29 break too (those classes never chain with ALetter/Numeric).
+    The word list is a deployment input — see the module header."""
+
+    def __init__(self, word_break: str = "alpha", case: str = "lower",
+                 dictionary=None):
         if word_break not in ("alpha", "graphic", "all"):
             raise ValueError("word_break must be alpha|graphic|all")
         if case not in ("lower", "upper", "none"):
             raise ValueError("case must be lower|upper|none")
         self.word_break = word_break
         self.case = case
+        self.dict_words = frozenset(dictionary) if dictionary else None
+        self._dict_max = max((len(w) for w in self.dict_words), default=1) \
+            if self.dict_words else 0
 
     def _keep(self, seg: str) -> bool:
         if self.word_break == "all":
@@ -300,10 +372,31 @@ class SegmentationAnalyzer:
             return any(c.isalnum() for c in seg)
         return any(not c.isspace() for c in seg)  # graphic
 
+    def _segment(self, text: str) -> list[str]:
+        if self.dict_words is None:
+            return segment_words(text)
+        # split into alternating (dictionary-script run, other) spans;
+        # UAX#29 inside the other spans, Viterbi inside the runs
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            j = i
+            if _is_dict_script(text[i]):
+                while j < n and _is_dict_script(text[j]):
+                    j += 1
+                out.extend(dict_segment(text[i:j], self.dict_words,
+                                        self._dict_max))
+            else:
+                while j < n and not _is_dict_script(text[j]):
+                    j += 1
+                out.extend(segment_words(text[i:j]))
+            i = j
+        return out
+
     def tokenize_one(self, text: str | None) -> list[str]:
         if text is None:
             return []
-        segs = [s for s in segment_words(text) if self._keep(s)]
+        segs = [s for s in self._segment(text) if self._keep(s)]
         if self.case == "lower":
             return [s.lower() for s in segs]
         if self.case == "upper":

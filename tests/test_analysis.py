@@ -349,3 +349,33 @@ def test_tailored_collation_rules_and_expansions():
         CollationAnalyzer(rules="& a < ch")
     with pytest.raises(ValueError, match="unknown collation locale"):
         CollationAnalyzer(locale="xx")
+
+
+def test_segmentation_dictionary_breaking():
+    """ICU-style dictionary breaking (r4): maximal Han/Thai runs bypass the
+    per-char WB999 breaks and segment by minimum-pieces Viterbi over a
+    pinned word list; mixed text keeps UAX#29 outside the runs; without a
+    dictionary the per-char behavior is unchanged."""
+    from iresearch_ray.functions.segmentation import (
+        SegmentationAnalyzer, dict_segment)
+
+    zh = ["北京", "大学", "北京大学", "生命", "起源", "研究", "研究生"]
+    # leftmost-longest on ties; unknown chars become single-char pieces
+    assert dict_segment("北京大学", frozenset(zh), 4) == ["北京大学"]
+    assert dict_segment("研究生命起源", frozenset(zh), 4) == ["研究", "生命", "起源"]
+    assert dict_segment("猫研究", frozenset(zh), 4) == ["猫", "研究"]
+
+    ana = SegmentationAnalyzer(dictionary=zh, case="none")
+    assert ana.tokenize_one("北京大学研究生命起源") == [
+        "北京大学", "研究", "生命", "起源"]
+    # mixed script: UAX#29 for Latin, dictionary for the Han run; the run
+    # edge is boundary-safe
+    assert ana.tokenize_one("I study 生命起源 daily") == [
+        "I", "study", "生命", "起源", "daily"]
+
+    th = SegmentationAnalyzer(dictionary=["สวัสดี", "ครับ"], case="none")
+    assert th.tokenize_one("สวัสดีครับ") == ["สวัสดี", "ครับ"]
+
+    # default stays pure UAX#29: per-char WB999 for ideographs
+    plain = SegmentationAnalyzer(case="none")
+    assert plain.tokenize_one("北京大学") == ["北", "京", "大", "学"]
