@@ -561,6 +561,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ft_collation_sort_sv(sf):
+        # Tailored collation e2e (r4): Swedish åäö-after-z.  The ASCII doc
+        # corpus is made tailoring-LOAD-BEARING by a deterministic char
+        # injection applied identically in the SQL oracle (an→å en→ä on→ö,
+        # chained left-to-right in the same order), then sorted with the
+        # sv-tailored UCA key vs DuckDB's real ICU COLLATE "sv".  Same
+        # scale shape as ft_collation_sort: per-batch partial top-50.
+        import pyarrow.compute as pc
+
+        from iresearch_ray.functions.analysis import CollationAnalyzer
+
+        coll = CollationAnalyzer(locale="sv")
+
+        def partial(batch: pa.Table) -> pa.Table:
+            txt = batch["text"]
+            for pat, rep in (("an", "å"), ("en", "ä"), ("on", "ö")):
+                txt = pc.replace_substring(txt, pattern=pat, replacement=rep)
+            keys = coll.keys(txt.to_pylist())
+            t = pa.table({"doc_id": batch["doc_id"],
+                          "ckey": pa.array(keys, pa.string())})
+            return t.sort_by(
+                [("ckey", "ascending"), ("doc_id", "ascending")]
+            ).slice(0, 50)
+
+        parts = _docs_ds(sf).map_batches(partial, batch_format="pyarrow").to_pandas()
+        top = (
+            parts.sort_values(["ckey", "doc_id"], kind="mergesort")
+            .head(50)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1, dtype="int64"),
+                "doc_id": top["doc_id"].astype("int64"),
+            }
+        )
+
     def ft_stats(sf):
         s = _searcher(sf)
         terms, dfs = s.stats.field_terms("text")
@@ -752,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_granular_range": ft_granular,
         "ft_stats_df": ft_stats,
         "ft_collation_sort": ft_collation_sort,
+        "ft_collation_sort_sv": ft_collation_sort_sv,
         "ft_dynamic_props": ft_dynamic_props,
         "ft_nested_minmatch": ft_nested_minmatch,
         "ft_offsets_first": ft_offsets_first,
@@ -1090,6 +1128,17 @@ WHERE w IN ('key','table','join','the') GROUP BY w ORDER BY w
         "ft_collation_sort": """
 SELECT row_number() OVER (ORDER BY text COLLATE "en", doc_id) AS rank, doc_id
 FROM documents ORDER BY text COLLATE "en", doc_id LIMIT 50
+""",
+        # Swedish-tailored collation vs real ICU sv; the deterministic
+        # injection (an->å en->ä on->ö, chained in this order) makes the
+        # å/ä/ö-after-z tailoring load-bearing on the ASCII corpus
+        "ft_collation_sort_sv": """
+WITH t AS (SELECT doc_id,
+  replace(replace(replace(text,'an','å'),'en','ä'),'on','ö') AS sv_text
+  FROM documents)
+SELECT row_number() OVER (ORDER BY sv_text COLLATE "sv", doc_id) AS rank,
+       doc_id
+FROM t ORDER BY sv_text COLLATE "sv", doc_id LIMIT 50
 """,
         # dynamic JSON fields: numeric leaf via granular range + keyword text
         "ft_dynamic_props": """
