@@ -188,7 +188,9 @@ def bench_query(idx: str) -> dict:
     dataset_cpu = []
     for _ in range(2):
         t0 = time.perf_counter()
-        out = s.search_ray(batch, k=10, concurrency=8)
+        # task-pool cold path: per-task fresh segment loads (cold I/O kept),
+        # executed in prestarted workers — no per-batch actor-pool spawn
+        out = s.search_ray(batch, k=10)
         dataset_batch_secs = min(dataset_batch_secs, time.perf_counter() - t0)
         dataset_cpu.append(read_meter().get("query", {}))
 

@@ -20,7 +20,11 @@ import pyarrow as pa
 
 from iresearch_ray.query.exec import segment_topk
 from iresearch_ray.query.filters import Filter, Prepared, ScorerCfg, prepare
-from iresearch_ray.stages.searcher import RESULT_SCHEMA, SegmentSearcher
+from iresearch_ray.stages.searcher import (
+    RESULT_SCHEMA,
+    SegmentSearcher,
+    search_batch_task,
+)
 from iresearch_ray.stages.segment import IndexConfig, SegmentReader
 from iresearch_ray.state.manifest import load_manifest, segment_dirs
 from iresearch_ray.state.stats import build_global_stats
@@ -133,11 +137,22 @@ class Searcher:
         k: int = 10,
         wand: bool = True,
         scorer: ScorerCfg | None = None,
-        concurrency: int | tuple[int, int] = 4,
+        concurrency: int | tuple[int, int] | None = None,
         batch_size: int | None = None,
+        compute: str = "tasks",
     ) -> pd.DataFrame:
         """Run a batch of named queries; returns (query_id, conv_id,
-        turn_idx, score) with ranks merged across segments."""
+        turn_idx, score) with ranks merged across segments.
+
+        ``compute="tasks"`` (default) runs each (segment × query-batch) work
+        unit as a Ray TASK: segment state is still loaded fresh per unit
+        (the cold path stays cold), but tasks execute in Ray's prestarted
+        worker processes, so a one-shot batch does not pay an actor pool's
+        per-process spawn+import (~2 s) before the first posting is read.
+        ``compute="actors"`` keeps the SegmentSearcher actor pool, which only
+        pays off when the same segment recurs across many batches (more
+        query groups than segments) and reader reuse matters; ``concurrency``
+        then sizes the pool (default 4)."""
         import ray.data as rd
 
         plans = {
@@ -166,20 +181,31 @@ class Searcher:
         if batch_size is None:
             batch_size = max(1, len(plans))
         ds = rd.from_items(items)
-        res = ds.map_batches(
-            SegmentSearcher,
-            # tombstones + index_dir ship ONCE via the constructor instead of
-            # being duplicated into every (segment x query) work item
-            fn_constructor_kwargs={
-                "tombstones_json": tombs_json,
-                "index_dir": self.index_dir,
-                "crypto": self.crypto,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
+        # tombstones + index_dir ship ONCE (constructor / fn_kwargs) instead
+        # of being duplicated into every (segment x query) work item
+        shared = {
+            "tombstones_json": tombs_json,
+            "index_dir": self.index_dir,
+            "crypto": self.crypto,
+        }
+        if compute == "actors":
+            res = ds.map_batches(
+                SegmentSearcher,
+                fn_constructor_kwargs=shared,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency or 4,
+                num_cpus=1,
+            )
+        else:
+            res = ds.map_batches(
+                search_batch_task,
+                fn_kwargs=shared,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
         frames = res.to_pandas()
         return merge_topk(frames, k)
 

@@ -28,6 +28,20 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+def search_batch_task(
+    batch: pa.Table, *, tombstones_json: str = "", index_dir: str = "", crypto=None
+) -> pa.Table:
+    """Stateless task-pool variant of :class:`SegmentSearcher` for one-shot
+    cold batches: readers are built fresh inside the task (identical cold
+    I/O), but the task runs in a prestarted Ray worker process — no actor
+    spawn/import before the first posting block is read.  Work items are
+    grouped one-segment × all-queries per batch, so an actor's cross-batch
+    reader cache would never hit on this path anyway."""
+    return SegmentSearcher(
+        tombstones_json=tombstones_json, index_dir=index_dir, crypto=crypto
+    )(batch)
+
+
 class SegmentSearcher:
     """Actor-pool callable; ``max_cached_segments`` bounds per-actor memory
     (LRU eviction) so a pool can serve an index wider than worker heap."""
