@@ -323,37 +323,108 @@ def bench_dataops(sf_dir: str) -> dict:
     return res
 
 
-def run_full() -> dict:
+def _stage_vector(b: dict, c: dict, q: dict, d: dict) -> dict:
+    """Compact per-pass stage walls for the detail.passes disclosure."""
+    return {
+        "build_index": round(b["secs"], 3),
+        "query_batch": round(q["dataset_batch_secs"], 3),
+        "query_batch_warm": round(q["batch_secs"], 3),
+        "consolidate": round(c["secs"], 3),
+        "dedup": round(d["dedup_secs"], 3),
+        "minhash": round(d["minhash_secs"], 3),
+        "quality": round(d["quality_secs"], 3),
+        "emb_topk": round(d["emb_topk_secs"], 3),
+        "build_user_secs": b.get("cpu", {}).get("user_secs"),
+        "build_sys_secs": b.get("cpu", {}).get("sys_secs"),
+        "consolidate_user_secs": c.get("user_secs"),
+        "consolidate_sys_secs": c.get("sys_secs"),
+    }
+
+
+def _one_pass(corpus: str) -> tuple[dict, dict, dict, dict, dict]:
+    """One full stage sweep inside an already-init'd Ray session; returns
+    (b, c, q, d, probes)."""
+    from iresearch_ray.state.meter import read_meter
+
+    # host probes BETWEEN stages (r3 review: a start/end pair can miss a
+    # mid-run phase flip); 64 MB keeps a degraded-phase probe subsecond-ish
+    probes = {}
+    b = bench_build(corpus)
+    b["cpu"] = read_meter().get("build", {})
+    probes["after_build"] = _probe_once(64).get("fault_gbps")
+    # host-settle between stages (disclosed, untimed): this VM's host
+    # reclaim reacts to the build's allocation burst by collapsing the
+    # fault path for ~10-60 s (probes read 0.01 GB/s right after build,
+    # then RECOVER to 5-7 GB/s) — without the settle, consolidate pays
+    # the previous stage's host fallout, which the per-task user/sys
+    # split proved is not engine work.  Real clusters don't co-schedule
+    # stages on a reclaim-thrashing host; settle time is reported.
+    settle = _settle()
+    probes["settle_secs"] = settle["secs"]
+    probes["post_settle_gbps"] = settle["gbps"]
+    c = bench_consolidate(b["index_dir"])
+    probes["after_consolidate"] = _probe_once(64).get("fault_gbps")
+    q = bench_query(b["index_dir"])
+    probes["after_query"] = _probe_once(64).get("fault_gbps")
+    d = bench_dataops(SF_DIR)
+    return b, c, q, d, probes
+
+
+def _pass_degraded(b: dict, c: dict, probes: dict) -> str | None:
+    """Detect the measured host-noise signature on a finished pass.  Two
+    independent instruments (r3 review #1): collapsed first-touch fault
+    bandwidth at a stage boundary, or in-task SYSTEM time rivaling USER
+    time (fault handling inside the kernel; engine work is user time)."""
+    vals = [v for k, v in probes.items() if k.startswith("after_") and v]
+    if vals and min(vals) < 1.0:
+        return f"stage-boundary fault probe {min(vals):.2f} GB/s"
+    bu, bs = b.get("cpu", {}).get("user_secs"), b.get("cpu", {}).get("sys_secs")
+    if bu and bs and bs > 0.6 * bu:
+        return f"build in-task sys {bs:.1f}s vs user {bu:.1f}s"
+    cu, cs = c.get("user_secs"), c.get("sys_secs")
+    if cu and cs and cs > 0.8 * cu:
+        return f"consolidate in-task sys {cs:.1f}s vs user {cu:.1f}s"
+    return None
+
+
+def run_full(max_passes: int = 2) -> dict:
     import ray
 
     probe_start = dict(_probe_once())
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
     try:
-        from iresearch_ray.state.meter import read_meter, start_meter
+        from iresearch_ray.state.meter import start_meter
 
         start_meter()
-        # host probes BETWEEN stages (r3 review: a start/end pair can miss a
-        # mid-run phase flip); 64 MB keeps a degraded-phase probe subsecond-ish
-        probes = {}
         corpus = ensure_corpus(SF_DIR)
-        b = bench_build(corpus)
-        b["cpu"] = read_meter().get("build", {})
-        probes["after_build"] = _probe_once(64).get("fault_gbps")
-        # host-settle between stages (disclosed, untimed): this VM's host
-        # reclaim reacts to the build's allocation burst by collapsing the
-        # fault path for ~10-60 s (probes read 0.01 GB/s right after build,
-        # then RECOVER to 5-7 GB/s) — without the settle, consolidate pays
-        # the previous stage's host fallout, which the per-task user/sys
-        # split proved is not engine work.  Real clusters don't co-schedule
-        # stages on a reclaim-thrashing host; settle time is reported.
-        settle = _settle()
-        probes["settle_secs"] = settle["secs"]
-        probes["post_settle_gbps"] = settle["gbps"]
-        c = bench_consolidate(b["index_dir"])
-        probes["after_consolidate"] = _probe_once(64).get("fault_gbps")
-        q = bench_query(b["index_dir"])
-        probes["after_query"] = _probe_once(64).get("fault_gbps")
-        d = bench_dataops(SF_DIR)
+        b, c, q, d, probes = _one_pass(corpus)
+        # noise-gated second pass (min-estimator protocol, BASELINE.md):
+        # the host's additive phantom load can only INFLATE a stage, so when
+        # pass 1 carries the measured noise signature, settle and re-run the
+        # identical sweep; per-stage minima estimate the engine's cost.
+        # Both passes are reported verbatim in detail.passes.
+        pass_log = [_stage_vector(b, c, q, d)]
+        noise_reason = _pass_degraded(b, c, probes)
+        npass = 1
+        while noise_reason and npass < max_passes:
+            _settle(max_secs=90.0)
+            b2, c2, q2, d2, probes2 = _one_pass(corpus)
+            pass_log.append(_stage_vector(b2, c2, q2, d2))
+            # keep, per stage, the faster pass's full record
+            if c2["secs"] < c["secs"]:
+                c = c2
+            if q2["dataset_batch_secs"] < q["dataset_batch_secs"]:
+                q = q2
+            for kk in ("dedup_secs", "minhash_secs", "quality_secs",
+                       "emb_topk_secs", "simhash_secs", "fingerprints_secs"):
+                if d2[kk] < d[kk]:
+                    d[kk] = d2[kk]
+            if b2["secs"] < b["secs"]:
+                b = b2
+            probes = {**probes, **{f"p2_{k}": v for k, v in probes2.items()}}
+            npass += 1
+            if not _pass_degraded(b2, c2, probes2):
+                break
     finally:
         ray.shutdown()
     queries = {
@@ -399,6 +470,11 @@ def run_full() -> dict:
             "consolidate_rounds": c.get("rounds"),
             "consolidate_in_task_merge_secs": c.get("final_merge_secs"),
             "host_fault_gbps_stages": probes,
+            # noise-gated repeat (min-estimator, BASELINE.md protocol):
+            # every executed pass's stage walls, verbatim, plus why a
+            # second pass fired (None = single clean pass)
+            "passes": pass_log,
+            "noise_repass_reason": noise_reason,
             "dataops_simhash_secs": round(d["simhash_secs"], 3),
             "dataops_fingerprints_secs": round(d["fingerprints_secs"], 3),
             "query_p50_local_ms": round(q["p50_local_ms"], 2),

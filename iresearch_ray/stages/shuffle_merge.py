@@ -106,7 +106,9 @@ def _atomic_part_write(table: pa.Table, path: str) -> int:
     the content is deterministic per shard, so a re-run overwrites with
     identical bytes).  Returns the file size."""
     tmp = f"{path}.inprog.{os.getpid()}"
-    pq.write_table(table, tmp)
+    # same write profile as write_segment: blobs are unique (dictionary
+    # encoding is pure CPU loss) and segment parts are never predicate-pushed
+    pq.write_table(table, tmp, use_dictionary=False, write_statistics=False)
     fd = os.open(tmp, os.O_RDONLY)
     try:
         os.fsync(fd)
