@@ -299,9 +299,16 @@ class CollationAnalyzer:
     expansions at secondary) — the sv/fi/da/es orders are fuzz-verified
     against DuckDB's bundled real ICU (whose reduced data aliases nb to
     root, so nb is covered structurally via da).  CONTRACTIONS
-    (multi-char left-hand items, e.g. Danish 'aa' = å — which ICU
-    matches at the NFD level — or Hungarian 'cs') are out of scope for
-    the per-character kernel and raise ``ValueError``."""
+    (multi-char items, e.g. Danish 'aa' = å or Hungarian 'cs') compile
+    to a PRIVATE-USE sentinel code point carrying the override pieces;
+    the sentinel is substituted longest-first in the same pre-tailor
+    pass that re-composes NFD sequences, so the per-character kernel
+    (including the batch ``keys()`` path) needs no changes.  Contraction
+    items match CASE-SENSITIVELY (write Aa/AA variants explicitly, as
+    CLDR does — ICU's da treats 'aA' as plain a+A, not as å).  The
+    built-in da locale carries the CLDR chain å <<< Å <<< aa <<< Aa <<<
+    AA expressed in caseFirst=upper order (Å < AA < Aa < å < aa —
+    fuzz-verified against DuckDB's real ICU)."""
 
     _SEP = "\x01"  # level separator, below every weight piece
 
@@ -314,7 +321,7 @@ class CollationAnalyzer:
         "de": "",  # standard German umlauts == root (base + secondary mark)
         "sv": "& z < å < ä < ö",
         "fi": "& z < å < ä < ö",
-        "da": "& z < æ < ø < å",
+        "da": "& z < æ < ø < å & Å <<< AA <<< Aa & å <<< aa",
         "nb": "& z < æ < ø < å",
         "es": "& n < ñ",
         "de_phonebook": "& ae << ä & oe << ö & ue << ü",
@@ -359,6 +366,9 @@ class CollationAnalyzer:
             rules = self._LOCALE_RULES[locale]
         self._over: dict[str, tuple[str, str, str]] = {}
         self._nfd_fix: list[tuple[str, str]] = []
+        # contraction source -> private-use sentinel char (U+E000+), applied
+        # longest-first in _pretailor so 'aaa' resolves as (aa)(a) like ICU
+        self._contr: list[tuple[str, str]] = []
         self._compile_rules(rules)
 
     def _compile_rules(self, src: str) -> None:
@@ -376,10 +386,6 @@ class CollationAnalyzer:
             a_p, a_s, a_t = self._string_pieces(anchor)
             for op, item in zip(parts[1::2], parts[2::2]):
                 item = unicodedata.normalize("NFC", item)
-                if len(item) != 1:
-                    raise ValueError(
-                        f"contraction {item!r} unsupported by the per-char "
-                        "collation kernel (UTS #10 §8 contractions)")
                 if op == "<":
                     p, s, t = a_p + "\x7f!", "\x20", None
                 elif op == "<<":
@@ -388,6 +394,20 @@ class CollationAnalyzer:
                     p, s, t = a_p, a_s, a_t + "\x7f!"
                 else:  # '='
                     p, s, t = a_p, a_s, a_t
+                if len(item) > 1:
+                    # CONTRACTION: one collation element for a multi-char
+                    # source.  Allocate a private-use sentinel, give IT the
+                    # override pieces, and substitute source->sentinel in
+                    # the pre-tailor pass.  Case-sensitive by design (CLDR
+                    # writes aa/Aa/AA as separate items; 'aA' is NOT a
+                    # Danish contraction in ICU).
+                    pua = chr(0xE000 + len(self._contr))
+                    self._contr.append((unicodedata.normalize("NFD", item), pua))
+                    self._contr.sort(key=lambda e: -len(e[0]))
+                    tt = self._t_lo if t is None else t
+                    self._over[pua] = (p, s, tt)
+                    a_p, a_s, a_t = p, s, tt
+                    continue
                 lo, up = item.lower(), item.upper()
                 self._over[lo] = (p, s, self._t_lo if t is None else t)
                 if up != lo:
@@ -402,9 +422,7 @@ class CollationAnalyzer:
     def _string_pieces(self, s: str) -> tuple[str, str, str]:
         """Root-or-already-tailored pieces of an anchor string (clauses
         compile in order, so later clauses may anchor on earlier items)."""
-        s = unicodedata.normalize("NFD", s)
-        for seq, ch in self._nfd_fix:
-            s = s.replace(seq, ch)
+        s = self._pretailor(unicodedata.normalize("NFD", s))
         trip = [self._char_pieces(ch) for ch in s]
         return ("".join(p for p, _s, _t in trip),
                 "".join(x for _p, x, _t in trip),
@@ -460,6 +478,14 @@ class CollationAnalyzer:
     def _pretailor(self, nfd: str) -> str:
         """Re-compose tailored characters after NFD so both input forms
         (precomposed 'ä' and 'a'+U+0308) hit the same override."""
+        # contractions FIRST, on the raw NFD sequence: ICU matches them at
+        # the NFD level ('aå' = a+a+ring triggers Danish aa→å, the ring
+        # then lands as a secondary mark on the contraction element —
+        # pinned against DuckDB's ICU), so the match must precede the
+        # precomposed-char fix-up.  Sources are NFD-normalized at compile.
+        for seq, pua in self._contr:  # longest-first (kept sorted)
+            if seq in nfd:
+                nfd = nfd.replace(seq, pua)
         for seq, ch in self._nfd_fix:
             if seq in nfd:
                 nfd = nfd.replace(seq, ch)

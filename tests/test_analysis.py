@@ -272,7 +272,10 @@ def test_tailored_collation_matches_real_icu_fuzz():
     for each built-in tailored locale, 400 random words over ascii + that
     locale's tailored characters, sorted by our tailored UCA key with the
     raw string as tiebreak, must equal DuckDB's ORDER BY v COLLATE <loc>,
-    v.  Danish strings whose NFD casefold contains 'aa' are excluded —
+    v.  Danish aa-contraction strings are INCLUDED (r4 late: the kernel
+    compiles contractions to private-use sentinels substituted on the
+    raw NFD sequence, so ICU's NFD-level matching is reproduced); prior
+    exclusion note kept for history —
     ICU da has the aa→å CONTRACTION and matches it at the NFD level (so
     'aå' = 'a'+'a'+ring triggers it too), which the per-char kernel
     documents out of scope."""
@@ -303,9 +306,6 @@ def test_tailored_collation_matches_real_icu_fuzz():
         words = set()
         while len(words) < 400:
             w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
-            if loc in ("da", "nb") and (
-                    "aa" in unicodedata.normalize("NFD", w).casefold()):
-                continue  # ICU da/nb contraction aa→å: documented out
             words.add(w)
         words = sorted(words)
         con.execute("create or replace table w as select * from (select unnest(?) v)",
@@ -323,7 +323,8 @@ def test_tailored_collation_rules_and_expansions():
     """Rule compiler semantics without ICU: chains re-anchor, secondary
     expansions place the tailored char between its expansion and the next
     string, uppercase derives implicitly, NFD input hits the override,
-    strength still truncates, and contractions raise."""
+    strength still truncates, and contractions compile to sentinel
+    elements (one element per source, NFD-level matched)."""
     import unicodedata
 
     import pytest
@@ -345,8 +346,21 @@ def test_tailored_collation_rules_and_expansions():
     # batch kernel byte-identical with tailorings active
     words = ["Åka", "ärlig", "zebra", "ärlig", ""]
     assert sv.keys(words) == [sv.key(w) for w in words]
-    with pytest.raises(ValueError, match="contraction"):
-        CollationAnalyzer(rules="& a < ch")
+    # contractions: a multi-char item compiles to ONE collation element
+    # ('ch' after h, the Hungarian/Czech shape) — 'ch'-words sort after
+    # every h-word while 'ci' stays in c; matching is case-sensitive
+    cz = CollationAnalyzer(rules="& h < ch")
+    assert sorted(["ca", "ha", "hz", "cha", "ci", "ia"], key=cz.key) == [
+        "ca", "ci", "ha", "hz", "cha", "ia"]
+    # Danish built-in chain incl. contractions — pinned real-ICU order
+    da = CollationAnalyzer(locale="da")
+    pinned = ["A", "a", "aA", "ab", "\u00c5", "AA", "Aa", "\u00e5", "aa", "aab"]
+    assert sorted(pinned, key=lambda w: (da.key(w), w)) == pinned
+    # NFD-level matching: 'a'+ring-composed a triggers the contraction
+    assert da.key("a\u00e5") == da.key("aa\u030a")
+    # batch kernel byte-identical with contractions active
+    daw = ["aa", "a\u00e5", "Aalborg", "bAa", ""]
+    assert da.keys(daw) == [da.key(w) for w in daw]
     with pytest.raises(ValueError, match="unknown collation locale"):
         CollationAnalyzer(locale="xx")
 
