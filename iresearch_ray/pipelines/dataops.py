@@ -587,6 +587,10 @@ def minhash_signature(shingles: np.ndarray, cfg: MinHashCfg) -> np.ndarray:
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 _BUCKET_CAP = 10_000
+# verify-stage semi-join broadcast cap: distinct candidate docs above this
+# skip the broadcast prune (40 MB of int64 at the cap) and take the full
+# doc-keyed exchange instead — correctness is identical
+_VERIFY_BCAST_CAP = 5_000_000
 
 
 def minhash_band_table(
@@ -702,6 +706,39 @@ def _verified_jaccard(cand, shingles, threshold: float, id_col: str):
     computes |A∩B| / |A∪B| exactly from the two delivered sets.  Shuffle
     volume = Σ over candidate pairs of (|A| + |B|) — proportional to the
     LSH candidate set, never to the corpus."""
+    import ray
+    import ray.data as rd
+
+    # semi-join prune (r4): the doc-keyed exchange below only needs the
+    # shingles of docs that appear in SOME candidate pair — a set bounded
+    # by 2 × |LSH pairs|, tiny next to the corpus.  Materialize the (small)
+    # pair set once, broadcast its distinct doc ids via ray.put, and filter
+    # the corpus-wide shingle explode BEFORE it enters the shuffle: the
+    # exchange carries O(candidate shingles) instead of O(corpus shingles),
+    # and the doc-groupby dispatches one Python group per CANDIDATE doc
+    # instead of one per corpus doc.  Above _VERIFY_BCAST_CAP distinct docs
+    # the prune is skipped (results identical either way, just slower).
+    cand = cand.materialize()
+    id_parts = []
+    for b in cand.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
+        id_parts.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        id_parts.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    cand_docs = (
+        np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+    )
+    if cand_docs.size == 0:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    if cand_docs.size <= _VERIFY_BCAST_CAP:
+        docs_ref = ray.put(cand_docs)  # sorted by np.unique
+
+        def prune(t: pa.Table, *, _ref=docs_ref) -> pa.Table:
+            ids = ray.get(_ref)  # zero-copy plasma read per task
+            col = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ids, col)
+            pos[pos == ids.size] = 0
+            return t.filter(pa.array(ids[pos] == col))
+
+        shingles = shingles.map_batches(prune, batch_format="pyarrow")
 
     def pair_rows(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
