@@ -514,6 +514,39 @@ def ngram_jaccard_pairs(
                 schema=_PAIR_SCHEMA,
             )
 
+        # semi-join prune (r4, mirrors _verified_jaccard): only docs that
+        # appear in some candidate pair need their size delivered.  The
+        # pair set is collision-bounded and already reduced — materialize
+        # it, broadcast its distinct doc ids, and filter the corpus-wide
+        # size table BEFORE the doc-keyed exchange (one group per
+        # CANDIDATE doc, not per corpus doc).  Above the cap: full
+        # exchange, identical results.
+        common = common.materialize()
+        id_parts = []
+        for b in common.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            id_parts.append(b["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+            id_parts.append(b["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cand_docs = (
+            np.unique(np.concatenate(id_parts)) if id_parts else np.empty(0, np.int64)
+        )
+        if cand_docs.size == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+        if cand_docs.size <= _VERIFY_BCAST_CAP:
+            docs_ref = ray.put(cand_docs)
+
+            def prune_sizes(t: pa.Table, *, _ref=docs_ref) -> pa.Table:
+                ids = ray.get(_ref)
+                col = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(ids, col)
+                pos[pos == ids.size] = 0
+                return t.filter(pa.array(ids[pos] == col))
+
+            sizes_ds = sizes_ds.map_batches(prune_sizes, batch_format="pyarrow")
+
         need = common.map_batches(pair_need, batch_format="pyarrow")
         szr = sizes_ds.map_batches(size_rows, batch_format="pyarrow")
         return (
