@@ -1417,6 +1417,27 @@ _EMB_TOPK_SCHEMA = pa.schema(
 )
 
 
+def brute_topk_batch(
+    batch: pa.Table,
+    *,
+    queries_ref,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Task-pool form of :class:`BruteForceTopK`: the query matrix arrives
+    pre-normalized in the object store (ray.put once by the caller) and is
+    ray.get'd zero-copy per task — there is no other per-worker state, so
+    running as tasks in prestarted workers skips the actor pool's
+    per-process spawn entirely (the r4 cold-query lesson)."""
+    import ray
+
+    q = queries_ref
+    if not isinstance(q, np.ndarray):
+        q = ray.get(q)
+    return BruteForceTopK.score(batch, q, k, id_col, vec_col)
+
+
 class BruteForceTopK:
     """Actor-pool stage: cosine top-k of every batch against a broadcast
     query matrix.  Queries are put in the object store ONCE (ray.put by the
@@ -1436,16 +1457,22 @@ class BruteForceTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _vec_matrix(batch, self.vec_col)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return self.score(batch, self.q, self.k, self.id_col, self.vec_col)
+
+    @staticmethod
+    def score(
+        batch: pa.Table, qnorm: np.ndarray, k: int, id_col: str, vec_col: str
+    ) -> pa.Table:
+        vecs = _vec_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if ids.size == 0:
             return _EMB_TOPK_SCHEMA.empty_table()
-        sims = _normalize(vecs) @ self.q.T  # (B, Q)
-        k = min(self.k, ids.size)
-        out_q = np.empty(self.q.shape[0] * k, np.int64)
+        sims = _normalize(vecs) @ qnorm.T  # (B, Q)
+        k = min(k, ids.size)
+        out_q = np.empty(qnorm.shape[0] * k, np.int64)
         out_id = np.empty_like(out_q)
-        out_s = np.empty(self.q.shape[0] * k, np.float64)
-        for qi in range(self.q.shape[0]):
+        out_s = np.empty(qnorm.shape[0] * k, np.float64)
+        for qi in range(qnorm.shape[0]):
             # exact tie-break (cosine desc, id asc) — same rule as the final
             # reduce, so partial pruning can never flip a tied boundary
             sel = np.lexsort((ids, -sims[:, qi]))[:k]
@@ -1453,9 +1480,9 @@ class BruteForceTopK:
             out_id[qi * k : (qi + 1) * k] = ids[sel]
             out_s[qi * k : (qi + 1) * k] = sims[sel, qi]
         return pa.table(
-            {"query_idx": out_q, self.id_col: out_id, "cosine": out_s},
+            {"query_idx": out_q, id_col: out_id, "cosine": out_s},
             schema=pa.schema(
-                [("query_idx", pa.int64()), (self.id_col, pa.int64()), ("cosine", pa.float64())]
+                [("query_idx", pa.int64()), (id_col, pa.int64()), ("cosine", pa.float64())]
             ),
         )
 
@@ -1466,21 +1493,15 @@ def embedding_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     (narrow; Q×k rows per block), then one tiny per-query reduce."""
     import ray
 
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-
-    # scale the actor pool with the cluster (round-2 review: a (1, 4) cap
-    # starved 32-CPU nodes on the most compute-bound curation op); min 1 so
-    # tiny test clusters can't deadlock, autoscale up to CPUs-1 (one core
-    # stays for the reduce)
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
+    # normalize ONCE on the driver so tasks do pure matmul; ray.put once,
+    # zero-copy ray.get per task.  Task pool (r4): there is no per-worker
+    # state beyond the broadcast matrix, so tasks in prestarted workers do
+    # the identical work without the actor pool's per-process spawn.
+    q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
     scored = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(q_ref, k, id_col, vec_col),
+        brute_topk_batch,
+        fn_kwargs={"queries_ref": q_ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=(1, max(2, ncpu - 1)),
         num_cpus=1,
     )
 
