@@ -243,7 +243,11 @@ def _run_merges(
     narrow = [s for s in sets if s not in wide]
     out: list[dict] = []
     if narrow:
-        if have_ray and len(narrow) > 1:
+        if have_ray:
+            # ALWAYS as tasks, even a single set: prestarted workers carry
+            # the pre-faulted retained arenas (runtime.py), so the merge's
+            # allocation burst reuses pages instead of first-touch faulting
+            # on the driver — and the driver stays free for metadata.
             remote_merge = ray.remote(num_cpus=1)(merge_segments)
             out += ray.get(
                 [remote_merge.remote(index_dir, s, generation, crypto) for s in narrow]
