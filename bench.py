@@ -387,7 +387,9 @@ def _pass_degraded(b: dict, c: dict, probes: dict) -> str | None:
     return None
 
 
-def run_full(max_passes: int = 2) -> dict:
+def run_full(max_passes: int | None = None) -> dict:
+    if max_passes is None:
+        max_passes = int(os.environ.get("IRE_BENCH_PASSES", "2"))
     import ray
 
     probe_start = dict(_probe_once())
@@ -397,7 +399,13 @@ def run_full(max_passes: int = 2) -> dict:
 
         start_meter()
         corpus = ensure_corpus(SF_DIR)
+        # untimed, disclosed initial settle: when the bench LAUNCHES inside
+        # a host phantom-load phase, waiting (bounded) for the fault path
+        # to recover measures the engine instead of the storm's tail
+        init_settle = _settle(max_secs=120.0)
         b, c, q, d, probes = _one_pass(corpus)
+        probes["initial_settle_secs"] = init_settle["secs"]
+        probes["initial_settle_gbps"] = init_settle["gbps"]
         # noise-gated second pass (min-estimator protocol, BASELINE.md):
         # the host's additive phantom load can only INFLATE a stage, so when
         # pass 1 carries the measured noise signature, settle and re-run the
