@@ -382,14 +382,21 @@ def _pass_degraded(b: dict, c: dict, probes: dict) -> str | None:
     if bu and bs and bs > 0.6 * bu:
         return f"build in-task sys {bs:.1f}s vs user {bu:.1f}s"
     cu, cs = c.get("user_secs"), c.get("sys_secs")
-    if cu and cs and cs > 0.8 * cu:
+    # quiet-host consolidate tasks carry a ~1.4-2.6 s sys FLOOR (reads,
+    # parquet writes, mmap) against only ~1.8 s user, so a pure ratio test
+    # false-flags quiet runs; require the ratio AND an absolute excess
+    if cu and cs and cs > 0.8 * cu and cs > 4.0:
         return f"consolidate in-task sys {cs:.1f}s vs user {cu:.1f}s"
     return None
 
 
 def run_full(max_passes: int | None = None) -> dict:
     if max_passes is None:
-        max_passes = int(os.environ.get("IRE_BENCH_PASSES", "2"))
+        # 3: a degraded pass settles and re-runs up to twice more (early
+        # exit as soon as a pass reads clean) — on a host whose phantom
+        # load arrives in multi-minute storms, two passes often both land
+        # inside one storm; all passes are disclosed in detail.passes
+        max_passes = int(os.environ.get("IRE_BENCH_PASSES", "3"))
     import ray
 
     probe_start = dict(_probe_once())
