@@ -111,6 +111,54 @@ def _topk(sf_dir: str, flt, k: int = 10, scorer=None) -> pd.DataFrame:
     )
 
 
+_VIEWS: dict = {}
+
+
+def _view_searcher(sf_dir: str):
+    """ArangoSearch view-link analog (pipelines/views.py): the documents
+    table split into two 'collections' by doc_id parity, one sub-index per
+    link, ONE ViewStats aggregate — so BM25 idf/avg_dl are view-global and
+    scores must equal whole-table BM25, which is exactly what the SQL
+    oracle computes over the undivided documents view."""
+    vs = _VIEWS.get(sf_dir)
+    if vs is not None:
+        return vs
+    import pyarrow.compute as pc
+
+    from iresearch_ray import FORMAT_VERSION
+    from iresearch_ray.pipelines.views import LinkDef, ViewSearcher, create_view
+    from iresearch_ray.sources.transcripts import documents_as_transcripts
+
+    root = os.path.join(
+        _CACHE_ROOT,
+        os.path.basename(os.path.normpath(sf_dir)) + f"-view-fv{FORMAT_VERSION}",
+    )
+    vdir = os.path.join(root, "view")
+    srcs = {c: os.path.join(root, f"{c}.parquet") for c in ("docs_even", "docs_odd")}
+    if not all(os.path.exists(p) for p in srcs.values()):
+        os.makedirs(root, exist_ok=True)
+        t = documents_as_transcripts(sf_dir)
+        ids = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 99), pa.int64())
+        even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+        for name, mask in (("docs_even", even), ("docs_odd", pc.invert(even))):
+            tmp = srcs[name] + f".tmp.{os.getpid()}"
+            pq.write_table(t.filter(mask), tmp)
+            os.replace(tmp, srcs[name])
+    create_view(
+        vdir,
+        "docs_view",
+        {
+            c: LinkDef(source=p, fields={"text": {"analyzers": ["text"]},
+                                         "role": {"analyzers": ["identity"]}})
+            for c, p in srcs.items()
+        },
+        num_partitions=2,
+    )
+    vs = ViewSearcher(vdir)
+    _VIEWS[sf_dir] = vs
+    return vs
+
+
 # ---------------------------------------------------------------------------
 # entry (flagship smoke: build → multi-query batch → merged top-k)
 # ---------------------------------------------------------------------------
@@ -447,6 +495,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "start": [int(sp[0][0]) for sp in h["spans"]],
             }
         ).sort_values("doc_id").reset_index(drop=True)
+
+    def ft_view_topk(sf):
+        # view-link layer (pipelines/views.py): documents split into two
+        # linked collections, scored with view-GLOBAL stats — identical to
+        # whole-table BM25; tie-break (score desc, collection, doc_id)
+        vs = _view_searcher(sf)
+        out = vs.search_pooled({"q": F.Term("text", "key")}, k=10, num_actors=2)
+        return pd.DataFrame(
+            {
+                "collection": out["collection"],
+                "doc_id": out["conv_id"].str.slice(1).astype("int64"),
+                "score": round_half_away(out["score"].to_numpy(), 4),
+            }
+        )
 
     _PAYLOAD_IDX: dict[str, str] = {}
 
@@ -794,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_nested_minmatch": ft_nested_minmatch,
         "ft_offsets_first": ft_offsets_first,
         "ft_payload_topk": ft_payload_topk,
+        "ft_view_topk": ft_view_topk,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -1172,6 +1235,20 @@ SELECT event_id, value AS score FROM events
 WHERE event_type = 'click' AND value IS NOT NULL
 ORDER BY value DESC, event_id ASC
 LIMIT 100
+""",
+        # view-link layer: two parity-split collections scored with
+        # view-global stats == whole-table BM25; engine tie-break is
+        # (score desc, collection asc, doc key asc)
+        "ft_view_topk": f"""
+{_BASE}, tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE w = 'key' GROUP BY doc_id
+), df AS (SELECT count(*) AS n FROM tf)
+SELECT CASE WHEN tf.doc_id % 2 = 0 THEN 'docs_even' ELSE 'docs_odd' END AS collection,
+       tf.doc_id, round({_IDF} * {_TFF}, 4) AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN df
+ORDER BY {_IDF} * {_TFF} DESC,
+         CASE WHEN tf.doc_id % 2 = 0 THEN 'docs_even' ELSE 'docs_odd' END ASC,
+         tf.doc_id ASC LIMIT 10
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

@@ -38,3 +38,9 @@ from iresearch_ray.pipelines.build import build_index  # noqa: F401
 from iresearch_ray.pipelines.search import QueryPool, Searcher, search  # noqa: F401
 from iresearch_ray.pipelines.build import build_index_local  # noqa: F401
 from iresearch_ray.state.crypto import IndexEncryption  # noqa: F401,E402
+from iresearch_ray.pipelines.views import (  # noqa: F401,E402
+    LinkDef,
+    ViewSearcher,
+    create_view,
+    update_links,
+)
