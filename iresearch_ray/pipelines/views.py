@@ -284,9 +284,11 @@ def update_links(
         for lname, ld in norm.items():
             if lname in view["links"]:
                 raise ValueError(f"link {lname!r} already in view; remove first")
-            # a crashed earlier remove may have left an orphan dir — clear it
-            if not os.path.exists(os.path.join(_link_dir(view_dir, lname), "MANIFEST")):
-                shutil.rmtree(_link_dir(view_dir, lname), ignore_errors=True)
+            # an earlier remove may have crashed between publish and delete,
+            # leaving an orphan dir — safe to build over: resume adoption is
+            # fingerprint+config matched (segments of other data are never
+            # adopted) and the fresh manifest references only this build's
+            # segments, so stale files are unreferenced garbage at worst
             _build_link(view_dir, lname, ld, num_partitions, crypto)
         for lname, ld in norm.items():
             view["links"][lname] = ld.to_json()

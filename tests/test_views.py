@@ -246,3 +246,30 @@ def test_merge_sum_and_viewstats_units():
     N, avg = vs.field("text")
     assert N == 20 and avg == 5.0
     assert vs.field("absent") == (0.0, 1.0)
+
+
+def test_encrypted_view_composes(corpora, ray_session, tmp_path):
+    """Views pass crypto through every lifecycle stage: an encrypted view
+    builds, searches, consolidates — and a wrong key fails loudly."""
+    from iresearch_ray import IndexEncryption
+
+    root, a, b, _ = corpora
+    key = IndexEncryption(b"k" * 32)
+    vdir = str(tmp_path / "v")
+    create_view(vdir, "eview", {
+        "docs_a": LinkDef(source=a, fields={"text": {"analyzers": ["text"]}}),
+        "docs_b": LinkDef(source=b, fields={"text": {"analyzers": ["text"]}}),
+    }, num_partitions=2, crypto=key,
+        properties={"consolidation_policy": {"type": "count", "threshold": 2}})
+    vs = ViewSearcher(vdir, crypto=key)
+    pre = vs.search_local(F.Term("text", "the"), k=15)
+    assert len(pre) == 15 and set(pre["collection"]) == {"docs_a", "docs_b"}
+    vs.close()
+    consolidate_view(vdir, crypto=key)
+    post = ViewSearcher(vdir, crypto=key).search_local(F.Term("text", "the"), k=15)
+    assert _frame_key(pre) == _frame_key(post)
+    with pytest.raises(Exception):
+        ViewSearcher(vdir, crypto=IndexEncryption(b"x" * 32)).search_local(
+            F.Term("text", "the"), k=5)
+    with pytest.raises(Exception):  # no key at all
+        ViewSearcher(vdir).search_local(F.Term("text", "the"), k=5)
