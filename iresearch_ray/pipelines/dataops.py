@@ -1801,6 +1801,82 @@ def embedding_ivf_topk(
     )
 
 
+def train_kmeans_codebook(
+    ds,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means — trains the IVF coarse codebook
+    INSIDE the engine (closes the "codebook is an external input" seam of
+    ``embedding_ivf_topk``).
+
+    Lloyd iterations as narrow Ray Data passes: centroids are broadcast
+    once per iteration (``ray.put``), every ``map_batches`` task assigns
+    its batch by argmax cosine and emits ONE (K × dim sums, K counts)
+    partial; the driver streams the partials (``iter_batches`` — bounded
+    memory at any corpus size) and reduces O(K·dim) state.  The corpus
+    never leaves the workers and is re-read per iteration via the lazy
+    Dataset — at 100 TB each iteration is one narrow scan, no shuffle.
+
+    Deterministic: init = the ``n_centroids`` smallest-id vectors (the
+    same pinned head the IVF default uses), argmax ties break to the
+    lowest centroid index, no RNG — identical inputs give identical
+    codebooks.  Empty clusters keep their previous centroid.  Stops early
+    when max centroid movement (1 − cos) < ``tol``.  Returns the
+    normalized (K, dim) codebook for ``embedding_ivf_topk(centroids=)``."""
+    import ray
+
+    head = (
+        ds.select_columns([id_col, vec_col]).sort(id_col).limit(n_centroids).to_pandas()
+    )
+    cn = _normalize(np.array(head[vec_col].to_list(), dtype=np.float64))
+    K, dim = cn.shape
+    src = ds.select_columns([vec_col])
+
+    for _ in range(n_iters):
+        cref = ray.put(cn)
+
+        def partial(b: pa.Table, *, _cref=cref) -> pa.Table:
+            import ray as _ray
+
+            cmat = _ray.get(_cref)
+            vecs = _normalize(_vec_matrix(b, vec_col))
+            # argmax = first max = lowest centroid index (the pinned tie)
+            a = np.argmax(vecs @ cmat.T, axis=1)
+            sums = np.zeros((K, dim), dtype=np.float64)
+            np.add.at(sums, a, vecs)
+            counts = np.bincount(a, minlength=K).astype(np.int64)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(K, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        sums = np.zeros((K, dim), dtype=np.float64)
+        counts = np.zeros(K, dtype=np.int64)
+        for b in src.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            c = b["centroid"].to_numpy(zero_copy_only=False)
+            counts[c] += b["count"].to_numpy(zero_copy_only=False)
+            flat = np.asarray(b["vsum"].combine_chunks().flatten(), dtype=np.float64)
+            sums[c] += flat.reshape(len(c), dim)
+
+        new = cn.copy()  # empty clusters keep their previous centroid
+        nz = counts > 0
+        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        moved = float(np.max(1.0 - np.sum(new * cn, axis=1)))
+        cn = new
+        if moved < tol:
+            break
+    return cn
+
+
 def embedding_lsh_topk(
     ds,
     queries: np.ndarray,

@@ -372,3 +372,53 @@ def test_near_dedup_distributed_matches_driver(docs_tbl, ray_session):
     assert a.sort_values("doc_id").reset_index(drop=True).equals(
         b[a.columns].sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_kmeans_codebook_recovers_clusters(ray_session):
+    """Distributed spherical k-means (train_kmeans_codebook): on four
+    well-separated direction clusters it must recover all four directions,
+    be deterministic across runs (no RNG), and make IVF nprobe=1 recall
+    exact for queries at the cluster centers."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 120
+    bases = np.zeros((4, dim))
+    for i in range(4):
+        bases[i, i * 4] = 1.0  # orthogonal cluster directions
+    vecs, ids = [], []
+    for ci in range(4):
+        noise = rng.normal(0, 0.05, size=(per, dim))
+        v = bases[ci] + noise
+        vecs.append(v)
+        ids.extend(range(ci * per, ci * per + per))
+    mat = np.concatenate(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float64())),
+    })
+    cb = ops.train_kmeans_codebook(rd.from_arrow(tbl), n_centroids=4, n_iters=15)
+    assert cb.shape == (4, dim)
+    assert np.allclose(np.linalg.norm(cb, axis=1), 1.0)
+    bn = bases / np.linalg.norm(bases, axis=1, keepdims=True)
+    # every true direction has a centroid within cos >= 0.99
+    assert (np.max(bn @ cb.T, axis=1) > 0.99).all()
+
+    cb2 = ops.train_kmeans_codebook(rd.from_arrow(tbl), n_centroids=4, n_iters=15)
+    assert np.array_equal(cb, cb2)  # deterministic end-to-end
+
+    # IVF with the trained codebook: nprobe=1 at a cluster center returns
+    # exactly the brute-force top-k (the whole cluster lives in one list)
+    queries = bn.copy()
+    brute = (
+        ops.embedding_topk(rd.from_arrow(tbl), queries, k=5)
+        .to_pandas().sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+    )
+    ivf = (
+        ops.embedding_ivf_topk(rd.from_arrow(tbl), queries, k=5,
+                               centroids=cb, nprobe=1)
+        .to_pandas().sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+    )
+    assert ivf[["query_idx", "vec_id", "cosine"]].equals(
+        brute[["query_idx", "vec_id", "cosine"]])
