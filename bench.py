@@ -663,6 +663,22 @@ def run_scaling() -> dict:
             "pass": eff(lo, hi) >= 0.8,
         },
     }
+
+    # instrument verdict on the PRIMARY pair legs: first-touch fault storms
+    # land in guest SYSTEM time (BASELINE.md round-4), so a leg whose
+    # in-task sys exceeds half its user CPU measured a degraded host, not
+    # the engine — clean campaigns run ~0.3 s sys per leg.  The header
+    # rewrite must carry this verdict so a storm-hit LATEST run can never
+    # silently present itself as a capability measurement (r3 review: the
+    # header always shows the latest run).
+    def _leg_degraded(c: int) -> bool:
+        r = results.get(c, {})
+        u, s = r.get("user_secs") or 0.0, r.get("sys_secs") or 0.0
+        return bool(u and s > 0.5 * u)
+
+    payload["detail"]["instrument_degraded_legs"] = [
+        c for c in (lo, hi) if _leg_degraded(c)
+    ]
     _record_scaling(payload, cpu_levels, results)
     return payload
 
@@ -696,9 +712,17 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     )
     pe = p["detail"].get("same_session_pair_effs") or []
     pe_str = f" pairs={pe} min={p['detail'].get('min_pair_eff')}" if pe else ""
+    deg = p["detail"].get("instrument_degraded_legs") or []
+    deg_str = (
+        " DEGRADED(instrument): leg(s) "
+        + ", ".join(f"{c}cpu" for c in deg)
+        + " ran sys > 0.5×user"
+        if deg
+        else ""
+    )
     log_entry = (
         f"- 2->8 eff {p['value']}{pe_str} ({thr_line}) "
-        f"[{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]\n"
+        f"[{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]{deg_str}\n"
     )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -713,7 +737,18 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
             f"Primary N vs 4N evidence = the {cpu_levels[0]}\u2192{cpu_levels[1]} pair: "
             f"**{p['value']}** (gate \u2265 {p['detail']['efficiency_gate']}: "
             f"{'PASS' if p['detail']['pass'] else 'FAIL'}).\n\n"
-            "Caveat: this sandbox is ONE VM; beyond ~8-12 concurrent workers the\n"
+            + (
+                "**This LATEST run is INSTRUMENT-FLAGGED DEGRADED** \u2014 leg(s) "
+                + ", ".join(f"{c} CPUs" for c in deg)
+                + " ran with in-task sys > 0.5\u00d7user CPU (first-touch fault\n"
+                "storms land in guest system time; clean campaigns run ~0.3 s\n"
+                "sys per leg).  It is a host-health data point, NOT a capability\n"
+                "measurement; the round's gate verdict stands on the best clean\n"
+                "same-session campaign in the measurement log below.\n\n"
+                if deg
+                else ""
+            )
+            + "Caveat: this sandbox is ONE VM; beyond ~8-12 concurrent workers the\n"
             "per-task build time inflates from shared memory-bandwidth saturation\n"
             "(per-partition build med 3.8s at 8 workers vs ~10s at 32 on identical\n"
             "partitions), so the 8\u219232 pair on this host measures the memory bus,\n"
