@@ -446,23 +446,49 @@ class ViewSearcher:
         for s in self.searchers.values():
             s.stats = self.stats  # view-global idf / avg_dl in every plan
 
-    def search_local(self, flt, k: int = 10, wand: bool = True, scorer=None) -> pd.DataFrame:
+    def _targets(self, collections) -> list:
+        if collections is None:
+            return self.collections
+        unknown = set(collections) - set(self.collections)
+        if unknown:
+            raise KeyError(f"no link(s) {sorted(unknown)} in view")
+        return [c for c in self.collections if c in set(collections)]
+
+    def search_local(self, flt, k: int = 10, wand: bool = True, scorer=None,
+                     collections=None) -> pd.DataFrame:
+        """``collections=`` restricts the fan-out to the named links —
+        whole sub-indexes are pruned, not post-filtered (the per-collection
+        FILTER idiom); scores stay view-global either way (one ViewStats)."""
         frames = []
-        for c in self.collections:
+        for c in self._targets(collections):
             f = self.searchers[c].search_local(flt, k=k, wand=wand, scorer=scorer)
             f.insert(0, "collection", c)
             frames.append(f)
         return _merge_view_topk(frames, k)
 
+    def highlights(self, flt, k: int = 10, scorer=None, field: str = "text",
+                   source: str = "stored", collections=None) -> pd.DataFrame:
+        """View-level highlights: per-link spans (stored-text recompute or
+        the indexed ``offs`` stream, same as Searcher.highlights) merged
+        under the view tie-break — spans are computed against each link's
+        own analyzer config, scores against the view-global stats."""
+        frames = []
+        for c in self._targets(collections):
+            f = self.searchers[c].highlights(flt, k=k, scorer=scorer,
+                                             field=field, source=source)
+            f.insert(0, "collection", c)
+            frames.append(f)
+        return _merge_view_topk(frames, k)
+
     def search_pooled(self, queries: dict, k: int = 10, wand: bool = True, scorer=None,
-                      num_actors: int = 4) -> pd.DataFrame:
+                      num_actors: int = 4, collections=None) -> pd.DataFrame:
         import ray
 
         # fan the plan out to every link's pool CONCURRENTLY (per-link pools
         # are disjoint actor sets; serializing them would stack latencies)
         frames = []
         pending = []
-        for c in self.collections:
+        for c in self._targets(collections):
             s = self.searchers[c]
             if s._pool is None:
                 from iresearch_ray.pipelines.search import QueryPool

@@ -273,3 +273,36 @@ def test_encrypted_view_composes(corpora, ray_session, tmp_path):
             F.Term("text", "the"), k=5)
     with pytest.raises(Exception):  # no key at all
         ViewSearcher(vdir).search_local(F.Term("text", "the"), k=5)
+
+
+def test_collections_restriction_and_view_highlights(corpora, ray_session, tmp_path):
+    """collections= prunes whole sub-indexes (scores stay view-global);
+    view highlights merge per-link spans under the view tie-break."""
+    root, a, b, _ = corpora
+    vdir = str(tmp_path / "v")
+    create_view(vdir, "hview", {
+        "docs_a": LinkDef(source=a, fields={"text": {"analyzers": ["text"]}}),
+        "docs_b": LinkDef(source=b, fields={"text": {"analyzers": ["text"]}}),
+    }, num_partitions=2)
+    vs = ViewSearcher(vdir)
+
+    only_a = vs.search_local(F.Term("text", "the"), k=10, collections=["docs_a"])
+    assert set(only_a["collection"]) == {"docs_a"}
+    # same docs as the full search filtered to docs_a's members (view-global
+    # scores are unchanged by the restriction: top-10 of docs_a's hits)
+    full = vs.search_local(F.Term("text", "the"), k=1000)
+    want = full[full["collection"] == "docs_a"].head(10).reset_index(drop=True)
+    assert _frame_key(only_a) == _frame_key(want)
+    with pytest.raises(KeyError):
+        vs.search_local(F.Term("text", "the"), k=5, collections=["nope"])
+    pooled_a = vs.search_pooled({"q": F.Term("text", "the")}, k=10,
+                                num_actors=2, collections=["docs_a"])
+    assert _frame_key(pooled_a) == _frame_key(only_a)
+
+    hl = vs.highlights(F.Term("text", "the"), k=10)
+    top = vs.search_local(F.Term("text", "the"), k=10)
+    assert _frame_key(hl) == _frame_key(top)  # same docs, same order
+    spans_col = [c for c in hl.columns if "span" in c or "offset" in c or "highlight" in c]
+    assert spans_col, f"no spans column in {list(hl.columns)}"
+    assert hl[spans_col[0]].map(len).gt(0).all()
+    vs.close()
