@@ -40,6 +40,17 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
+def bare_schema(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy).  Parquet written by pandas
+    carries a ``b'pandas'`` metadata dict that makes ``pa.Schema`` UNHASHABLE,
+    which defeats Ray Data's schema-dedup early exit in every reduce task of
+    a shuffle (``unify_schemas`` falls back to a full field-by-field unify
+    and logs "Failed to hash the schemas" per block).  Every first-stage
+    batch fn that PRESERVES the input schema and feeds a groupby/sort strips
+    it here; stages that rebuild via ``pa.table({...})`` are clean already."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def round_half_away(x, decimals: int = 4):
     """Round half away from zero — matches SQL ROUND() (numpy's np.round is
     half-even, which diverges from the DuckDB oracles on exact .5 ties,
@@ -175,6 +186,7 @@ def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text"):
     Returns survivors with original columns."""
 
     def add_fp(b: pa.Table) -> pa.Table:
+        b = bare_schema(b)
         return b.append_column("__fp", pa.array(md5_hex(b[text_col].to_pylist()), pa.string()))
 
     def keep_first(g: pa.Table) -> pa.Table:
@@ -417,6 +429,7 @@ def ngram_jaccard_pairs(
     SHARDS = 1024
 
     def add_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
         sh = (t["shingle"].to_numpy(zero_copy_only=False) % np.uint64(SHARDS)).astype(np.int64)
         return t.append_column("shard", pa.array(sh))
 
@@ -886,6 +899,7 @@ def minhash_lsh_pairs(
     SHARDS = 256
 
     def add_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
         sh = t["bucket"].to_numpy(zero_copy_only=False) % SHARDS
         return t.append_column("shard", pa.array(sh.astype(np.int64)))
 
@@ -1064,6 +1078,7 @@ def _near_dedup_distributed(ds, labels, text_col: str, id_col: str):
 
     def shard_by(col):
         def f(t: pa.Table) -> pa.Table:
+            t = bare_schema(t)
             v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
             return t.append_column("__shard", pa.array(v % S))
 
@@ -1121,6 +1136,7 @@ def _near_dedup_distributed(ds, labels, text_col: str, id_col: str):
     id_type = base_schema.field(id_col).type
 
     def corpus_tag(b: pa.Table) -> pa.Table:
+        b = bare_schema(b)
         return b.append_column("__loser", pa.array(np.zeros(b.num_rows, np.int8)))
 
     def loser_pad(b: pa.Table) -> pa.Table:
@@ -1140,6 +1156,7 @@ def _near_dedup_distributed(ds, labels, text_col: str, id_col: str):
         return g.filter(pa.array(keep)).drop_columns(["__loser", "__shard"])
 
     def shard_by_doc(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
         v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("__shard", pa.array(v % S))
 
@@ -1371,6 +1388,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
         )
 
     def add_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
         sh = t["val"].to_numpy(zero_copy_only=False).astype(np.int64) % SHARDS
         return t.append_column("shard", pa.array(sh))
 
@@ -1646,7 +1664,7 @@ def _embedding_neardup_lsh(
     _p1 = (1.0 - _math.acos(min(1.0, threshold)) / _math.pi) ** n_planes
 
     def explode_tables(b: pa.Table) -> pa.Table:
-        b = b.select([id_col, vec_col])
+        b = bare_schema(b).select([id_col, vec_col])
         n = b.num_rows
         if n == 0:
             return b.append_column("table", pa.array([], pa.int64())).append_column(
@@ -1751,6 +1769,7 @@ def embedding_ivf_topk(
         import ray as _ray
 
         cmat = _ray.get(cn_ref) if not isinstance(cn_ref, np.ndarray) else cn_ref
+        b = bare_schema(b)
         vecs = _normalize(_vec_matrix(b, vec_col))
         sims = vecs @ cmat.T
         lists = np.argmax(sims, axis=1).astype(np.int64)  # first max = lowest idx
@@ -1916,6 +1935,7 @@ def embedding_lsh_topk(
     probe_keys = np.array(sorted(probe), dtype=np.int64)
 
     def assign(b: pa.Table) -> pa.Table:
+        b = bare_schema(b)
         vecs = _normalize(_vec_matrix(b, vec_col))
         bk = bucket_of(vecs).astype(np.int64)
         keep = np.isin(bk, probe_keys)

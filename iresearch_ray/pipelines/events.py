@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from iresearch_ray.pipelines.dataops import round_half_away
+from iresearch_ray.pipelines.dataops import bare_schema, round_half_away
 
 US = 1_000_000
 SESSION_GAP_US = 30 * 60 * US  # pinned: a >30 min gap starts a new session
@@ -239,7 +239,11 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
         )
 
     return (
+        # bare_schema: shed the parquet pandas-metadata blob BEFORE the
+        # shuffle — an unhashable schema defeats Ray's reduce-side schema
+        # dedup (see dataops.bare_schema); zero-copy narrow stage
         ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(bare_schema, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
@@ -315,6 +319,7 @@ def asof_join(ds, left_type: str = "click", right_type: str = "view"):
 
     return (
         ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .map_batches(bare_schema, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
@@ -347,6 +352,7 @@ def range_join_count(
 
     return (
         ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .map_batches(bare_schema, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
