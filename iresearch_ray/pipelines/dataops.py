@@ -741,7 +741,7 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
-def _verified_jaccard(cand, shingles, threshold: float, id_col: str):
+def _verified_jaccard(cand, shingles, threshold: float, id_col: str, raw=None):
     """EXACT Jaccard for the candidate pair set, fully distributed — the
     100 TB-safe replacement for the v1 broadcast-shingle-sets verify.
 
@@ -764,6 +764,11 @@ def _verified_jaccard(cand, shingles, threshold: float, id_col: str):
     # and the doc-groupby dispatches one Python group per CANDIDATE doc
     # instead of one per corpus doc.  Above _VERIFY_BCAST_CAP distinct docs
     # the prune is skipped (results identical either way, just slower).
+    # When the caller hands ``raw=(ds, shingle_n, text_col)`` the prune runs
+    # on CORPUS ROWS before any shingle hashing — the verify pass then only
+    # re-shingles candidate docs instead of recomputing every doc's hashes
+    # a second time (the explode is pure compute the signature stage already
+    # paid once for the whole corpus).
     cand = cand.materialize()
     id_parts = []
     for b in cand.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
@@ -784,7 +789,21 @@ def _verified_jaccard(cand, shingles, threshold: float, id_col: str):
             pos[pos == ids.size] = 0
             return t.filter(pa.array(ids[pos] == col))
 
-        shingles = shingles.map_batches(prune, batch_format="pyarrow")
+        if raw is not None:
+            ds_r, n_sh, text_col = raw
+            shingles = shingle_explode(
+                ds_r.select_columns([id_col, text_col]).map_batches(
+                    prune, batch_format="pyarrow"
+                ),
+                n_sh,
+                text_col,
+                id_col,
+            )
+        else:
+            shingles = shingles.map_batches(prune, batch_format="pyarrow")
+    elif shingles is None:
+        ds_r, n_sh, text_col = raw
+        shingles = shingle_explode(ds_r, n_sh, text_col, id_col)
 
     def pair_rows(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -914,8 +933,12 @@ def minhash_lsh_pairs(
         .groupby(["a", "b"])
         .count()  # native aggregate dedupe (pairs colliding in >1 band)
     )
-    shingles = shingle_explode(ds, cfg.shingle_n, text_col, id_col)
-    return _verified_jaccard(cand, shingles, threshold, id_col)
+    # shingles=None + raw: the verify stage builds the explode itself with
+    # the candidate-doc row prune applied BEFORE hashing (one full-corpus
+    # shingle pass instead of two)
+    return _verified_jaccard(
+        cand, None, threshold, id_col, raw=(ds, cfg.shingle_n, text_col)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -374,6 +374,9 @@ class _PoolWorker:
         return _pd.concat(parts, ignore_index=True)
 
 
+_POOL_CLS_CACHE: dict = {}
+
+
 class QueryPool:
     """Persistent serving pool over one index generation: N raw Ray actors
     each caching a disjoint shard of segments (SURVEY §3.2 — the long-lived
@@ -409,7 +412,14 @@ class QueryPool:
         tombs = json.dumps(_entries(self.searcher.manifest))
         if tombs == "[]":
             tombs = ""
-        worker = ray.remote(num_cpus=num_cpus)(_PoolWorker)
+        # cache the remote actor class per num_cpus: re-wrapping mints a new
+        # class id and re-exports the pickled definition on every pool
+        # construction (cold-start path)
+        worker = _POOL_CLS_CACHE.get(num_cpus)
+        if worker is None:
+            worker = _POOL_CLS_CACHE[num_cpus] = ray.remote(num_cpus=num_cpus)(
+                _PoolWorker
+            )
         self.actors = [
             worker.remote(index_dir, sh, tombs, crypto=self.searcher.crypto)
             for sh in shards

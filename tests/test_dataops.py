@@ -160,6 +160,17 @@ def test_minhash_lsh_recall_and_precision(dup_corpus, ray_session):
         assert abs(got[k] - exp[k]) < 1e-6
 
 
+def test_minhash_verify_prune_path_parity(dup_corpus, ray_session, monkeypatch):
+    """The broadcast row-prune (re-shingle candidates only) and the
+    no-prune fallback (full corpus explode) must verify identical pairs —
+    the prune is a pure compute skip, never a semantics change."""
+    pruned = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    monkeypatch.setattr(ops, "_VERIFY_BCAST_CAP", 0)  # force the fallback
+    full = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))
+    assert key(pruned) == key(full)
+
+
 def test_simhash_pairs_find_neardups(dup_corpus, ray_session):
     out = ops.simhash_pairs(_ds(dup_corpus, ray_session), max_hamming=6).to_pandas()
     planted = {(r, 200000 + i) for i, r in enumerate(dup_corpus["doc_id"].to_pylist()[:15])}
