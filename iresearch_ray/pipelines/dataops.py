@@ -847,6 +847,22 @@ def _verified_jaccard(cand, shingles, threshold: float, id_col: str, raw=None):
             return _DIST_SCHEMA.empty_table()
         sh = g["shingle"].to_numpy(zero_copy_only=False)[own].astype(np.uint64)
         p = g.filter(pa.array(~own))
+        # dedupe candidate pairs HERE instead of a dedicated groupby(a, b)
+        # aggregate upstream: a pair colliding in k LSH bands arrives k
+        # times; replicating this doc's shingle set once per copy would
+        # multiply the pair exchange, and the dropped dedup shuffle carried
+        # every duplicate row anyway.  Within one doc group a pair appears
+        # with a single side (doc is either a or b), so (pair_a, pair_b)
+        # identifies the run.
+        if p.num_rows > 1:
+            a_np = p["pair_a"].to_numpy(zero_copy_only=False)
+            b_np = p["pair_b"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((b_np, a_np))
+            a_s, b_s = a_np[order], b_np[order]
+            first = np.concatenate(
+                ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+            )
+            p = p.take(pa.array(order[first]))
         reps = p.num_rows
         return pa.table(
             {
@@ -930,8 +946,10 @@ def minhash_lsh_pairs(
         .map_batches(add_shard, batch_format="pyarrow")
         .groupby(["band", "shard"])
         .map_groups(lambda g: _emit_band_pairs(g, id_col), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()  # native aggregate dedupe (pairs colliding in >1 band)
+        # no groupby(a, b) dedupe shuffle here: pairs colliding in >1 band
+        # are deduped inside the verify's doc-keyed distribute UDF — one
+        # fewer all-to-all, and the duplicate rows ride an exchange the
+        # verify pays anyway (they are bounded by bands × true pairs)
     )
     # shingles=None + raw: the verify stage builds the explode itself with
     # the candidate-doc row prune applied BEFORE hashing (one full-corpus
