@@ -789,11 +789,19 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
                 if deg
                 else ""
             )
-            + "Caveat: this sandbox is ONE VM; beyond ~8-12 concurrent workers the\n"
-            "per-task build time inflates from shared memory-bandwidth saturation\n"
-            "(per-partition build med 3.8s at 8 workers vs ~10s at 32 on identical\n"
-            "partitions), so the 8\u219232 pair on this host measures the memory bus,\n"
-            "not the engine: a real 4N-node cluster adds bandwidth with every node.\n"
+            + "Caveat: this sandbox is ONE VM; the 8\u219232 pair measures the host's\n"
+            "FIRST-TOUCH PAGE-FAULT path, not the engine.  Measured with\n"
+            "tools/membw_probe.py (no Ray, pure fork workers): streaming-READ\n"
+            "bandwidth scales near-linearly to 32 workers (6.5 GB/s \u00d71 \u2192 144 GB/s\n"
+            "aggregate \u00d732, per-worker \u221231%), but first-touch FAULT bandwidth\n"
+            "(fresh mmap, one write per 4K page \u2014 the allocation-burst shape of a\n"
+            "cold build task) saturates at ~3.6 GB/s aggregate by 8\u201316 workers and\n"
+            "COLLAPSES to 0.85 GB/s aggregate at 32 (0.03 GB/s per worker \u2014\n"
+            "negative scaling; guest zero-fill + hypervisor page-backing\n"
+            "serialize).  That is why every 32-CPU leg burns 500\u2013900 s of guest\n"
+            "sys CPU while 2/8-CPU legs run ~0.3\u201316 s, and why a real 4N-node\n"
+            "cluster \u2014 which adds an independent kernel and memory backend with\n"
+            "every node \u2014 does not see this cliff.\n"
             "The build itself is embarrassingly parallel (64 independent partition\n"
             "tasks, two-stage hash exchange, no driver-side bottleneck).\n\n"
             "Warm comparability (ADVICE r3): bench_build rows from round 3 on\n"
