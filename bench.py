@@ -578,9 +578,17 @@ def run_scaling() -> dict:
     # record alongside the optimistic pairing.
     results = {}
     pair_runs: list[dict] = []  # one entry per repeat: {cpus: result}
-    for rep in range(repeats):
-        degraded = False
-        max_load = float(os.environ.get("GRAFT_SCALE_MAX_LOAD", "4"))
+    max_load = float(os.environ.get("GRAFT_SCALE_MAX_LOAD", "4"))
+    # storms arrive MID-campaign (r4 log: a rep passed its gate, then the
+    # 8-CPU leg recorded 59.6 s of in-task sys) — so gate before EVERY leg,
+    # and re-run a leg whose own instrument shows contamination (sys over
+    # the clean budget), up to a bound.  Retries are disclosed in the
+    # payload; the protocol stays min-estimator (noise is strictly
+    # additive, so a retried leg can only replace a WORSE reading).
+    leg_retries = int(os.environ.get("GRAFT_SCALE_LEG_RETRIES", "2"))
+    total_retries = 0
+
+    def _wait_quiet() -> bool:
         for _ in range(max_waits):
             pr = _probe_once(128)
             g = pr.get("fault_gbps", 0.0) or 0.0
@@ -588,10 +596,15 @@ def run_scaling() -> dict:
             # both gates: fault path healthy AND the box drained (a prior
             # job's load inflates legs long after the fault probe recovers)
             if g >= min_gbps and la1 <= max_load:
-                break
+                return True
             time.sleep(60)
-        else:
-            degraded = True
+        return False
+
+    def _leg_sys_dirty(r: dict) -> bool:
+        u, s = r.get("user_secs") or 0.0, r.get("sys_secs") or 0.0
+        return bool(u and (s > 0.5 * u or s > 10.0))
+
+    for rep in range(repeats):
         rep_res = {}
         for cpus in cpu_levels:
             env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
@@ -604,16 +617,25 @@ def run_scaling() -> dict:
                 "IRESEARCH_PREFAULT_MB",
                 str(max(64, min(512, 8192 // (cpus * 2)))),
             )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_scale_child", str(cpus)],
-                capture_output=True,
-                text=True,
-                env=env,
-                check=True,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            r["degraded_gate"] = degraded
+            r = None
+            for attempt in range(1 + leg_retries):
+                degraded = not _wait_quiet()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--_scale_child", str(cpus)],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    check=True,
+                )
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                cand = json.loads(line)
+                cand["degraded_gate"] = degraded
+                if r is None or cand["secs"] < r["secs"]:
+                    r = cand
+                if not _leg_sys_dirty(cand):
+                    break
+                if attempt < leg_retries:
+                    total_retries += 1
             rep_res[cpus] = r
             if cpus not in results or r["secs"] < results[cpus]["secs"]:
                 results[cpus] = r
@@ -661,6 +683,7 @@ def run_scaling() -> dict:
             },
             "efficiency_gate": 0.8,
             "pass": eff(lo, hi) >= 0.8,
+            "leg_retries_used": total_retries,
         },
     }
 
