@@ -501,7 +501,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # linked collections, scored with view-GLOBAL stats — identical to
         # whole-table BM25; tie-break (score desc, collection, doc_id)
         vs = _view_searcher(sf)
-        out = vs.search_pooled({"q": F.Term("text", "key")}, k=10, num_actors=2)
+        try:
+            out = vs.search_pooled({"q": F.Term("text", "key")}, k=10, num_actors=2)
+        finally:
+            # release the per-link pool ACTORS before returning: the cached
+            # ViewSearcher would otherwise hold num_links × num_actors CPUs
+            # for the rest of the session, and on a small cluster (the
+            # driver's correctness gate runs at 8 CPUs) the NEXT query's
+            # Dataset tasks deadlock waiting for them (observed live:
+            # 8.0/8.0 CPU held after this query, dd_exact_dedup hung).
+            # close() only drops pools; the searcher stays reusable.
+            vs.close()
         return pd.DataFrame(
             {
                 "collection": out["collection"],

@@ -396,11 +396,18 @@ class QueryPool:
         self.searcher = searcher if searcher is not None else Searcher(index_dir)
         seg_dirs = self.searcher.seg_dirs
         # cap by schedulable CPUs: requesting more num_cpus=1 actors than the
-        # cluster has would deadlock the first ray.get on small clusters
+        # cluster has would deadlock the first ray.get on small clusters.
+        # Leave 2 CPUs of headroom on small clusters: a pool that pins EVERY
+        # CPU starves any Dataset stage scheduled while it lives (observed:
+        # an 8-CPU correctness session deadlocked when cached pools summed
+        # to 8 actors and the next query's map_batches tasks could never
+        # start).  On big clusters the reserve is negligible.
         try:
             cluster_cpus = int(ray.cluster_resources().get("CPU", num_actors))
         except Exception:
             cluster_cpus = num_actors
+        if cluster_cpus > 2:
+            cluster_cpus -= 2
         num_actors = max(1, min(num_actors, max(1, len(seg_dirs)), max(1, cluster_cpus)))
         shards = [seg_dirs[i::num_actors] for i in range(num_actors)]
         shards = [sh for sh in shards if sh]
