@@ -194,6 +194,35 @@ def test_search_pooled_matches_search_ray(ray_built):
         s.close()
 
 
+def test_pool_leaves_dataset_headroom(ray_built):
+    """A live QueryPool must never pin every cluster CPU: pools cap their
+    actor count at cluster_cpus - 2 on small clusters, so a Dataset stage
+    scheduled while the pool lives can still start (regression: an 8-CPU
+    correctness session deadlocked when cached pools summed to 8 actors
+    and the next query's map_batches tasks starved forever)."""
+    import ray
+    import ray.data as rd
+
+    from iresearch_ray import QueryPool
+    from iresearch_ray.query import filters as F
+
+    idx = ray_built[0] if isinstance(ray_built, tuple) else ray_built
+    pool = QueryPool(idx, num_actors=64)  # asks for far more than the cluster
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        assert len(pool.actors) <= max(1, cpus - 2)
+        pool.search({"q": F.Term("text", "agent")}, k=5)  # pool is live
+        # a Dataset job must complete while the pool holds its CPUs
+        n = (
+            rd.range(1000)
+            .map_batches(lambda b: b, batch_format="pyarrow")
+            .count()
+        )
+        assert n == 1000
+    finally:
+        pool.shutdown()
+
+
 def test_pool_result_cache(ray_built):
     """Proxy/caching-filter analog: repeat identical queries hit the
     per-worker LRU and return identical results."""
