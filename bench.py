@@ -762,7 +762,8 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     # parsed from the log itself so it can never drift from the records
     import re as _re
 
-    best_eff, best_pair = p["value"], max(pe or [p["value"]])
+    best_eff = p["value"]
+    best_pair = max([v for v in (pe or [p["value"]]) if v <= 1.0] or [0.0])
     for line in (prior_log + log_entry).splitlines():
         m = _re.match(r"- 2->8 eff ([0-9.]+)", line)
         if m:
