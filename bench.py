@@ -617,8 +617,13 @@ def run_scaling() -> dict:
                 "IRESEARCH_PREFAULT_MB",
                 str(max(64, min(512, 8192 // (cpus * 2)))),
             )
+            # retries only for the PRIMARY gate pair (first two levels):
+            # the 32-CPU leg is a disclosed secondary data point on this
+            # host (first-touch-fault-bound, see the header caveat) and
+            # re-running it mostly re-measures the storm it causes
+            n_retries = leg_retries if cpus in cpu_levels[:2] else 0
             r = None
-            for attempt in range(1 + leg_retries):
+            for attempt in range(1 + n_retries):
                 degraded = not _wait_quiet()
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--_scale_child", str(cpus)],
@@ -634,7 +639,7 @@ def run_scaling() -> dict:
                     r = cand
                 if not _leg_sys_dirty(cand):
                     break
-                if attempt < leg_retries:
+                if attempt < n_retries:
                     total_retries += 1
             rep_res[cpus] = r
             if cpus not in results or r["secs"] < results[cpus]["secs"]:
