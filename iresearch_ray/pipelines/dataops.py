@@ -1889,9 +1889,37 @@ def train_kmeans_codebook(
     normalized (K, dim) codebook for ``embedding_ivf_topk(centroids=)``."""
     import ray
 
-    head = (
-        ds.select_columns([id_col, vec_col]).sort(id_col).limit(n_centroids).to_pandas()
-    )
+    # Deterministic init WITHOUT a global sort: each batch emits its own
+    # bottom-K rows by id (a few KB), the driver merges the partials and
+    # keeps the global bottom-K.  One narrow scan instead of an all-to-all
+    # sort of the whole embedding table — the same partial-top-k idiom the
+    # collation query uses.
+    def _bottomk(b: pa.Table) -> pa.Table:
+        if b.num_rows > n_centroids:
+            idx = pc.select_k_unstable(
+                b, k=n_centroids, sort_keys=[(id_col, "ascending")]
+            )
+            b = b.take(idx)
+        return b
+
+    parts = []
+    for b in (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(_bottomk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            parts.append(b)
+    merged = pa.concat_tables(parts)
+    if merged.num_rows > n_centroids:
+        merged = merged.take(
+            pc.select_k_unstable(
+                merged, k=n_centroids, sort_keys=[(id_col, "ascending")]
+            )
+        )
+    else:
+        merged = merged.sort_by(id_col)
+    head = merged.to_pandas()
     cn = _normalize(np.array(head[vec_col].to_list(), dtype=np.float64))
     K, dim = cn.shape
     src = ds.select_columns([vec_col])

@@ -408,7 +408,11 @@ class QueryPool:
             cluster_cpus = num_actors
         if cluster_cpus > 2:
             cluster_cpus -= 2
-        num_actors = max(1, min(num_actors, max(1, len(seg_dirs)), max(1, cluster_cpus)))
+        # budget in ACTORS, not CPUs: each actor reserves `num_cpus`, so a
+        # num_cpus=2 pool capped only by actor count could still reserve
+        # 2× the cluster and recreate the starvation deadlock.
+        cpu_budget = max(1, int(cluster_cpus / max(float(num_cpus), 1e-9)))
+        num_actors = max(1, min(num_actors, max(1, len(seg_dirs)), cpu_budget))
         shards = [seg_dirs[i::num_actors] for i in range(num_actors)]
         shards = [sh for sh in shards if sh]
         from iresearch_ray.pipelines.delete import _entries

@@ -296,22 +296,66 @@ def update_links(
     return view
 
 
-def refresh_link(view_dir: str, collection: str, source, num_partitions: int | None = None,
-                 crypto=None) -> dict:
-    """Index NEW documents of a linked collection (the view-maintenance tick:
-    ArangoSearch consumes the collection's changes; we ingest the new Parquet
-    batch as new segments via append_index, then record it in the link)."""
-    from iresearch_ray.pipelines.build import append_index
+def refresh_link(view_dir: str, collection: str, source=None,
+                 num_partitions: int | None = None, crypto=None,
+                 deletes=None, updates=None,
+                 source_lineage_max: int = 32) -> dict:
+    """Apply one view-maintenance tick — the full change stream ArangoSearch
+    consumes from a linked collection, not just inserts:
 
+    - ``source``  — NEW documents (Parquet path/paths): ingested as new
+      segments via ``append_index`` under the link's own config;
+    - ``updates`` — CHANGED documents (a full-row ``pa.Table``): applied via
+      ``update_rows`` (tombstone the old copies + build replacement segments
+      in ONE committed generation of the link's sub-index);
+    - ``deletes`` — REMOVED documents (a (conv_id, turn_idx) keys table or
+      list of tuples): applied via ``delete_keys`` as one tombstone commit.
+
+    Each mutation rides the sub-index's own two-phase manifest commit, so a
+    crash between steps leaves the link on a consistent generation; the
+    view.json publish at the end only records lineage metadata.
+
+    Lineage compaction: the link's ``source`` list is capped at
+    ``source_lineage_max`` entries — older entries are dropped and counted in
+    the link's ``source_compacted`` field (the sub-index is the authoritative
+    data; ``source`` is provenance, and an unboundedly growing list would
+    bloat every view.json publish).
+
+    Returns ``{"append": manifest?, "update": result?, "delete": result?}``
+    for whichever changes were supplied."""
     view = load_view(view_dir)
     if collection not in view["links"]:
         raise KeyError(f"no link {collection!r} in view")
-    manifest = append_index(source, _link_dir(view_dir, collection),
-                            num_partitions=num_partitions, crypto=crypto)
-    new = source if isinstance(source, list) else [source]
-    view["links"][collection]["source"] = list(view["links"][collection]["source"]) + new
+    if source is None and deletes is None and updates is None:
+        raise ValueError("refresh_link: supply source=, updates= and/or deletes=")
+    d = _link_dir(view_dir, collection)
+    out: dict = {}
+    if source is not None:
+        from iresearch_ray.pipelines.build import append_index
+
+        out["append"] = append_index(source, d, num_partitions=num_partitions,
+                                     crypto=crypto)
+    if updates is not None:
+        from iresearch_ray.pipelines.delete import update_rows
+
+        out["update"] = update_rows(d, updates,
+                                    num_partitions=num_partitions or 1,
+                                    crypto=crypto)
+    if deletes is not None:
+        from iresearch_ray.pipelines.delete import delete_keys
+
+        out["delete"] = delete_keys(d, deletes)
+    if source is not None:
+        link = view["links"][collection]
+        new = source if isinstance(source, list) else [source]
+        lineage = list(link["source"]) + new
+        if len(lineage) > source_lineage_max:
+            dropped = len(lineage) - source_lineage_max
+            lineage = lineage[dropped:]
+            link["source_compacted"] = int(link.get("source_compacted", 0)) + dropped
+        link["source"] = lineage
     _publish(view_dir, view)
-    return manifest
+    return out
 
 
 def consolidate_view(view_dir: str, crypto=None) -> dict:
@@ -458,7 +502,11 @@ class ViewSearcher:
                      collections=None) -> pd.DataFrame:
         """``collections=`` restricts the fan-out to the named links —
         whole sub-indexes are pruned, not post-filtered (the per-collection
-        FILTER idiom); scores stay view-global either way (one ViewStats)."""
+        FILTER idiom); scores stay view-global either way (one ViewStats).
+
+        Links are scanned SEQUENTIALLY on the driver, so latency stacks per
+        link — this is the in-process debugging path; use ``search_pooled``
+        for concurrent fan-out in serving."""
         frames = []
         for c in self._targets(collections):
             f = self.searchers[c].search_local(flt, k=k, wand=wand, scorer=scorer)
@@ -481,19 +529,26 @@ class ViewSearcher:
         return _merge_view_topk(frames, k)
 
     def search_pooled(self, queries: dict, k: int = 10, wand: bool = True, scorer=None,
-                      num_actors: int = 4, collections=None) -> pd.DataFrame:
+                      num_actors: int = 8, collections=None) -> pd.DataFrame:
+        """``num_actors`` is a VIEW-level actor budget shared across links,
+        not a per-link count: it is floor-divided over the targeted links
+        (min 1 each), so a view with many links cannot quietly allocate
+        links × N actors.  With more links than budget each link still gets
+        one actor — the floor — and the total equals the link count."""
         import ray
 
+        targets = self._targets(collections)
+        per_link = max(1, num_actors // max(1, len(targets)))
         # fan the plan out to every link's pool CONCURRENTLY (per-link pools
         # are disjoint actor sets; serializing them would stack latencies)
         frames = []
         pending = []
-        for c in self._targets(collections):
+        for c in targets:
             s = self.searchers[c]
             if s._pool is None:
                 from iresearch_ray.pipelines.search import QueryPool
 
-                s._pool = QueryPool(s.index_dir, num_actors=num_actors, searcher=s)
+                s._pool = QueryPool(s.index_dir, num_actors=per_link, searcher=s)
             pool = s._pool
             plans = {qid: json.dumps(s.prepare(f, scorer).plan) for qid, f in queries.items()}
             pending.append((c, [a.run.remote(plans, k, wand) for a in pool.actors]))

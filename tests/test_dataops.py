@@ -419,6 +419,26 @@ def test_kmeans_codebook_recovers_clusters(ray_session):
     cb2 = ops.train_kmeans_codebook(rd.from_arrow(tbl), n_centroids=4, n_iters=15)
     assert np.array_equal(cb, cb2)  # deterministic end-to-end
 
+    # Scale invariant: the deterministic init must NOT plan a global sort
+    # (an all-to-all shuffle of the whole embedding table just to pick K
+    # smallest ids).  Guard it structurally: any Dataset.sort call during
+    # training is a regression.
+    import ray.data as _rd
+    orig_sort = _rd.Dataset.sort
+    calls = []
+
+    def _spy(self, *a, **kw):
+        calls.append(a)
+        return orig_sort(self, *a, **kw)
+
+    _rd.Dataset.sort = _spy
+    try:
+        cb3 = ops.train_kmeans_codebook(rd.from_arrow(tbl), n_centroids=4, n_iters=15)
+    finally:
+        _rd.Dataset.sort = orig_sort
+    assert calls == []  # no Sort operator anywhere in the trainer's plan
+    assert np.array_equal(cb, cb3)
+
     # IVF with the trained codebook: nprobe=1 at a cluster center returns
     # exactly the brute-force top-k (the whole cluster lives in one list)
     queries = bn.copy()

@@ -306,3 +306,94 @@ def test_collections_restriction_and_view_highlights(corpora, ray_session, tmp_p
     assert spans_col, f"no spans column in {list(hl.columns)}"
     assert hl[spans_col[0]].map(len).gt(0).all()
     vs.close()
+
+
+def test_view_pool_actor_budget(corpora, ray_session, tmp_path):
+    """search_pooled's num_actors is a VIEW-level budget split across links:
+    a 4-link view with num_actors=4 must allocate at most 4 pool actors in
+    total (one per link), not 4 per link."""
+    root, a, *_ = corpora
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(a)
+    quarter = max(1, tbl.num_rows // 4)
+    links = {}
+    for i in range(4):
+        p = str(tmp_path / f"part{i}.parquet")
+        _pq.write_table(tbl.slice(i * quarter, quarter), p)
+        links[f"l{i}"] = LinkDef(source=p, fields={"text": {"analyzers": ["text"]}})
+    vdir = str(tmp_path / "v")
+    create_view(vdir, "budget_view", links, num_partitions=1)
+    vs = ViewSearcher(vdir)
+    budget = 4
+    pooled = vs.search_pooled({"q": F.Term("text", "the")}, k=10, num_actors=budget)
+    total = sum(len(s._pool.actors) for s in vs.searchers.values() if s._pool)
+    assert total <= budget, f"{total} actors allocated for budget {budget}"
+    # correctness under the shared budget: pooled == local fan-out
+    local = vs.search_local(F.Term("text", "the"), k=10)
+    assert _frame_key(pooled) == _frame_key(local)
+    vs.close()
+
+
+def test_refresh_link_change_capture(corpora, ray_session, tmp_path):
+    """Full change-stream tick (inserts + updates + deletes) on a linked
+    collection: after consolidation purges the tombstones, the view must be
+    indistinguishable from a view rebuilt over the logically-equal table."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    root, a, b, b2 = corpora
+    vdir = str(tmp_path / "v")
+    create_view(vdir, "ccview", {
+        "docs_b": LinkDef(source=b, fields={"text": {"analyzers": ["text"]}}),
+    }, num_partitions=2)
+
+    tbl = _pq.read_table(b)
+    extra = _pq.read_table(b2)
+    # change stream: update 5 turns' text, delete 7 other turns, append b2
+    upd_rows = tbl.slice(0, 5).to_pylist()
+    for r in upd_rows:
+        r["text"] = "zzupdated sentinel corpus text " + r["conv_id"]
+    updates = pa.Table.from_pylist(upd_rows, schema=tbl.schema)
+    del_keys = [(tbl["conv_id"][i].as_py(), tbl["turn_idx"][i].as_py())
+                for i in range(5, 12)]
+
+    out = refresh_link(vdir, "docs_b", b2, num_partitions=1,
+                       updates=updates, deletes=del_keys)
+    assert set(out) == {"append", "update", "delete"}
+    consolidate_view(vdir)  # purge tombstones so stats equal a rebuild
+
+    # the logically-equal collection, rebuilt from scratch
+    key = {(r["conv_id"], r["turn_idx"]) for r in upd_rows}
+    dead = set(del_keys)
+    kept = [r for r in tbl.to_pylist()
+            if (r["conv_id"], r["turn_idx"]) not in key | dead]
+    logical = pa.Table.from_pylist(kept + upd_rows + extra.to_pylist(),
+                                   schema=tbl.schema)
+    lp = str(tmp_path / "logical.parquet")
+    _pq.write_table(logical, lp)
+    rdir = str(tmp_path / "rebuilt")
+    create_view(rdir, "ccview2", {
+        "docs_b": LinkDef(source=lp, fields={"text": {"analyzers": ["text"]}}),
+    }, num_partitions=2)
+
+    got_s, want_s = ViewSearcher(vdir), ViewSearcher(rdir)
+    for flt in (F.Term("text", "the"), F.Term("text", "zzupdated"),
+                F.Prefix("text", "err")):
+        got = got_s.search_local(flt, k=500)
+        want = want_s.search_local(flt, k=500)
+        assert _frame_key(got) == _frame_key(want)
+    # deletes are gone, updates replaced (old text unmatchable)
+    hit = got_s.search_local(F.Term("text", "zzupdated"), k=100)
+    assert set(zip(hit["conv_id"], hit["turn_idx"])) == key
+    got_s.close(); want_s.close()
+
+    # lineage compaction: many ticks under a small cap never grow the list
+    before = len(load_view(vdir)["links"]["docs_b"]["source"])
+    for i in range(4):
+        p = str(tmp_path / f"tick{i}.parquet")
+        _pq.write_table(extra.slice(0, 1), p)
+        refresh_link(vdir, "docs_b", p, num_partitions=1, source_lineage_max=3)
+    link = load_view(vdir)["links"]["docs_b"]
+    assert len(link["source"]) <= 3
+    assert link["source_compacted"] >= before + 4 - 3
