@@ -555,7 +555,13 @@ def _scale_child(cpus: int) -> None:
                       "sys_secs": round(bc.get("sys_secs", 0.0), 2)}))
 
 
-def run_scaling() -> dict:
+def run_scaling(prereg: bool = False) -> dict:
+    """``prereg=True`` runs the PRE-REGISTERED fixed protocol (r4 review #5):
+    N=3 repeats, interleaved legs, ZERO retries, ZERO exclusions — every
+    pair is published and the campaign verdict is the MEDIAN pair, so no
+    selection machinery (min-estimator, retry, >1.0 exclusion) touches the
+    number.  The quiet-wait gate before each leg still applies (it decides
+    WHEN to run, never which samples to keep)."""
     # pre-generate the corpus once so children only time the build
     import ray
 
@@ -565,8 +571,9 @@ def run_scaling() -> dict:
     finally:
         ray.shutdown()
 
-    cpu_levels = [int(c) for c in os.environ.get("GRAFT_SCALE_CPUS", "2,8,32").split(",")]
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    cpu_levels = [int(c) for c in os.environ.get(
+        "GRAFT_SCALE_CPUS", "2,8" if prereg else "2,8,32").split(",")]
+    repeats = 3 if prereg else int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     min_gbps = float(os.environ.get("GRAFT_SCALE_MIN_GBPS", "1.5"))
     max_waits = int(os.environ.get("GRAFT_SCALE_MAX_WAITS", "10"))
     # Protocol (r3 review #2): interleave the levels A/B/A/B in ONE session;
@@ -585,7 +592,7 @@ def run_scaling() -> dict:
     # the clean budget), up to a bound.  Retries are disclosed in the
     # payload; the protocol stays min-estimator (noise is strictly
     # additive, so a retried leg can only replace a WORSE reading).
-    leg_retries = int(os.environ.get("GRAFT_SCALE_LEG_RETRIES", "2"))
+    leg_retries = 0 if prereg else int(os.environ.get("GRAFT_SCALE_LEG_RETRIES", "2"))
     total_retries = 0
 
     def _wait_quiet() -> bool:
@@ -622,7 +629,12 @@ def run_scaling() -> dict:
             # host (first-touch-fault-bound, see the header caveat) and
             # re-running it mostly re-measures the storm it causes
             n_retries = leg_retries if cpus in cpu_levels[:2] else 0
-            r = None
+            # keep the fastest CLEAN attempt when one exists; fall back to
+            # min-secs only if every attempt is instrument-dirty (ADVICE r4:
+            # the old min-secs-always rule could retain a dirty-but-faster
+            # reading over a clean retry, which on the HIGH leg inflates
+            # efficiency against the header's own doctrine)
+            attempts = []
             for attempt in range(1 + n_retries):
                 degraded = not _wait_quiet()
                 out = subprocess.run(
@@ -635,12 +647,19 @@ def run_scaling() -> dict:
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 cand = json.loads(line)
                 cand["degraded_gate"] = degraded
-                if r is None or cand["secs"] < r["secs"]:
-                    r = cand
-                if not _leg_sys_dirty(cand):
+                cand["sys_dirty"] = _leg_sys_dirty(cand)
+                attempts.append(cand)
+                if not cand["sys_dirty"]:
                     break
                 if attempt < n_retries:
                     total_retries += 1
+            clean = [c for c in attempts if not c["sys_dirty"]]
+            r = min(clean or attempts, key=lambda c: c["secs"])
+            r["attempt_verdicts"] = [
+                {"secs": round(c["secs"], 3), "sys_dirty": c["sys_dirty"],
+                 "degraded_gate": c["degraded_gate"]}
+                for c in attempts
+            ]
             rep_res[cpus] = r
             if cpus not in results or r["secs"] < results[cpus]["secs"]:
                 results[cpus] = r
@@ -687,7 +706,6 @@ def run_scaling() -> dict:
                 for c, r in results.items()
             },
             "efficiency_gate": 0.8,
-            "pass": eff(lo, hi) >= 0.8,
             "leg_retries_used": total_retries,
         },
     }
@@ -708,9 +726,27 @@ def run_scaling() -> dict:
         # ratio test while costing ~0.2 of pair efficiency
         return bool(u and (s > 0.5 * u or s > 10.0))
 
-    payload["detail"]["instrument_degraded_legs"] = [
-        c for c in (lo, hi) if _leg_degraded(c)
-    ]
+    degraded_legs = [c for c in (lo, hi) if _leg_degraded(c)]
+    # low-leg PLAUSIBILITY check (ADVICE r4): the sys-CPU instrument cannot
+    # see user-time/steal degradation, and additive noise on the LOW leg
+    # RAISES measured efficiency.  The job is identical on both legs, so
+    # in-task USER CPU must be level-invariant (measured r4: 62.1 vs
+    # 63.4 s); a lo-leg user CPU >20% above the hi-leg's measured a
+    # contended host and the pair is not gate evidence.
+    u_lo = results.get(lo, {}).get("user_secs") or 0.0
+    u_hi = results.get(hi, {}).get("user_secs") or 0.0
+    user_imbalance = bool(u_lo and u_hi and u_lo > 1.2 * u_hi)
+    if user_imbalance and lo not in degraded_legs:
+        degraded_legs.append(lo)
+    payload["detail"]["instrument_degraded_legs"] = degraded_legs
+    payload["detail"]["user_cpu_lo_hi"] = [round(u_lo, 1), round(u_hi, 1)]
+    payload["detail"]["user_imbalance_flag"] = user_imbalance
+    # the gate verdict is only a capability PASS when BOTH legs are clean
+    # (ADVICE r4: a flagged-leg campaign is a host-health data point on
+    # either side of 0.8 — low-leg noise inflates efficiency, so "flagged
+    # PASS = conservative lower bound" does not hold in general)
+    payload["detail"]["pass"] = bool(eff(lo, hi) >= 0.8 and not degraded_legs)
+    payload["detail"]["pass_if_clean"] = eff(lo, hi) >= 0.8
     _record_scaling(payload, cpu_levels, results)
     return payload
 
@@ -749,7 +785,12 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     def _deg_reason(c: int) -> str:
         r = results.get(c, {})
         u, s = r.get("user_secs") or 0.0, r.get("sys_secs") or 0.0
-        why = "sys > 0.5×user" if (u and s > 0.5 * u) else "sys > 10s abs budget"
+        if u and s > 0.5 * u:
+            why = "sys > 0.5×user"
+        elif s > 10.0:
+            why = "sys > 10s abs budget"
+        else:
+            why = "lo-leg user CPU >1.2× hi leg (plausibility)"
         return f"{c}cpu sys {round(s, 1)}s/user {round(u, 1)}s ({why})"
 
     deg_str = (
@@ -767,24 +808,33 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
     # parsed from the log itself so it can never drift from the records
     import re as _re
 
-    best_eff = p["value"]
-    best_pair = max([v for v in (pe or [p["value"]]) if v <= 1.0] or [0.0])
+    # best-on-record is computed over CLEAN campaigns only (ADVICE r4: a
+    # DEGRADED low leg inflates efficiency — additive noise does NOT only
+    # subtract on that side — so flagged lines are host-health data, never
+    # round evidence).  The all-campaign best is reported separately.
+    best_eff = best_pair = 0.0
+    best_eff_all = best_pair_all = 0.0
     for line in (prior_log + log_entry).splitlines():
+        clean = "DEGRADED" not in line
         m = _re.match(r"- 2->8 eff ([0-9.]+)", line)
         if m:
-            best_eff = max(best_eff, float(m.group(1)))
+            v = float(m.group(1))
+            best_eff_all = max(best_eff_all, v)
+            if clean:
+                best_eff = max(best_eff, v)
         mp_ = _re.search(r"pairs=\[([0-9., ]+)\]", line)
         if mp_:
             # pairs > 1.0 are physically implausible (a noise-hit LOW leg)
-            # and never count as evidence
-            best_pair = max(
-                [best_pair]
-                + [
-                    v
-                    for v in (float(x) for x in mp_.group(1).split(","))
-                    if v <= 1.0
-                ]
-            )
+            # and never count as evidence even on clean lines
+            vals = [
+                v
+                for v in (float(x) for x in mp_.group(1).split(","))
+                if v <= 1.0
+            ]
+            if vals:
+                best_pair_all = max(best_pair_all, max(vals))
+                if clean:
+                    best_pair = max(best_pair, max(vals))
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline (measured)\n\n"
@@ -798,23 +848,23 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
             f"Primary N vs 4N evidence = the {cpu_levels[0]}\u2192{cpu_levels[1]} pair: "
             f"**{p['value']}** (gate \u2265 {p['detail']['efficiency_gate']}: "
             f"{'PASS' if p['detail']['pass'] else 'FAIL'}).\n\n"
-            f"Best on record across all campaigns (measurement log below): "
+            f"Best on record across CLEAN campaigns (measurement log below): "
             f"campaign estimator **{best_eff}**, best same-session pair "
-            f"**{best_pair}** (implausible >1.0 pairs excluded) \u2014 the "
-            f"gate verdict for the ROUND is the best clean campaign, since "
-            f"host storms only ever subtract (noise on this VM is strictly "
-            f"additive; see per-leg sys-CPU instrument in each log row).\n\n"
+            f"**{best_pair}** (implausible >1.0 pairs excluded; "
+            f"instrument-DEGRADED lines never count \u2014 low-leg noise can "
+            f"INFLATE efficiency, so flagged runs are host-health data on "
+            f"either side of the gate).  All-campaign best incl. flagged "
+            f"lines, for transparency: {best_eff_all} / {best_pair_all}.\n\n"
             + (
                 "**This LATEST run is INSTRUMENT-FLAGGED DEGRADED** \u2014 "
                 + ", ".join(_deg_reason(c) for c in deg)
                 + " (first-touch fault\n"
                 "storms land in guest system time; clean campaigns run ~0.3 s\n"
-                "sys per leg).  Excess sys CPU on the HIGH leg depresses its\n"
-                "throughput and therefore the measured efficiency \u2014 a flagged\n"
-                "run that still PASSES is a conservative lower bound; a flagged\n"
-                "FAIL is a host-health data point, NOT a capability measurement,\n"
-                "and the gate verdict then stands on the best clean same-session\n"
-                "campaign in the measurement log below.\n\n"
+                "sys per leg).  A flagged run is a host-health data point on\n"
+                "EITHER side of the gate: noise on the HIGH leg depresses the\n"
+                "measured efficiency, but noise on the LOW leg inflates it, so\n"
+                "no directional 'lower bound' claim is made.  The gate verdict\n"
+                "stands only on clean campaigns in the measurement log below.\n\n"
                 if deg
                 else ""
             )

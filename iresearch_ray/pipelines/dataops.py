@@ -644,7 +644,12 @@ def minhash_band_table(
 ) -> pa.Table:
     """Narrow signature stage, fully vectorized: per-row minhash signature
     via (P × S) affine perms + ``np.minimum.reduceat`` over row runs, then
-    per-band FNV-1a folds → (id, band, bucket) rows (bands × rows)."""
+    per-band FNV-1a folds → (id, bucket) rows (bands × rows).  The band
+    index is BAKED INTO the bucket hash (the FNV accumulator is seeded with
+    ``offset ^ (band+1)``), so no separate band column travels through the
+    exchange: same-band same-signature docs still collide, cross-band
+    collisions need a 2⁻⁶³ hash coincidence — and any such false candidate
+    is rejected by the exact-Jaccard verify anyway."""
     p, h = _shingle_parent_hash(batch[text_col], cfg.shingle_n)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n_rows = batch.num_rows
@@ -653,7 +658,6 @@ def minhash_band_table(
         return pa.table(
             {
                 id_col: pa.array([], pa.int64()),
-                "band": pa.array([], pa.int32()),
                 "bucket": pa.array([], pa.int64()),
             }
         )
@@ -677,7 +681,6 @@ def minhash_band_table(
     return pa.table(
         {
             id_col: pa.array(np.tile(ids, cfg.bands)),
-            "band": pa.array(np.repeat(np.arange(cfg.bands, dtype=np.int32), n_rows)),
             "bucket": pa.array((buckets.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
         }
     )
@@ -721,10 +724,92 @@ def _emit_run_pairs(
 
 
 def _emit_band_pairs(g: pa.Table, id_col: str, cap: int = _BUCKET_CAP) -> pa.Table:
-    """One whole BAND's bucket pairs (coarse group → vectorized runs)."""
+    """One bucket-hash SHARD's pairs (coarse group → vectorized runs over
+    whole buckets; band identity lives inside the bucket hash)."""
     ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     buckets = g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
     return _emit_run_pairs(ids, buckets, cap)
+
+
+_VERIFY_DRIVER_DOC_CAP = 100_000  # candidate docs for the driver fast path
+_VERIFY_DRIVER_HASH_CAP = 8_000_000  # total collected shingle hashes (~64 MB)
+
+
+def _driver_verify(cand, cand_docs: np.ndarray, raw, threshold: float, id_col: str):
+    """Exact Jaccard for a SMALL candidate pair set on the driver: one
+    pruned narrow corpus pass emits (doc, shingle-set) rows for candidate
+    docs only, the driver collects them under a hard hash budget and
+    finishes the pair math vectorized.  Returns None when the budget is
+    exceeded (caller falls back to the distributed verify)."""
+    import ray
+    import ray.data as rd
+
+    ds_r, n_sh, text_col = raw
+    docs_ref = ray.put(cand_docs)  # sorted by np.unique
+
+    def doc_sets(t: pa.Table, *, _ref=docs_ref) -> pa.Table:
+        ids_sorted = ray.get(_ref)
+        col = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids_sorted, col)
+        pos[pos == ids_sorted.size] = 0
+        t = t.filter(pa.array(ids_sorted[pos] == col))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "set": pa.array([], pa.list_(pa.uint64()))})
+        # distinct-within-row sorted (parent, hash); every row yields ≥1
+        # shingle, so searchsorted run boundaries align 1:1 with rows
+        p, h = _shingle_parent_hash(t[text_col], n_sh)
+        starts = np.searchsorted(p, np.arange(t.num_rows))
+        offsets = np.concatenate((starts, [p.size])).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(h))
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "set": la.cast(pa.list_(pa.uint64()))})
+
+    sets: dict[int, np.ndarray] = {}
+    total = 0
+    src = ds_r.select_columns([id_col, text_col]).map_batches(
+        doc_sets, batch_format="pyarrow"
+    )
+    for b in src.iter_batches(batch_format="pyarrow"):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        col = b["set"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for i, d in enumerate(ids):
+            arr = np.asarray(col[i].values, dtype=np.uint64)
+            total += arr.size
+            d = int(d)
+            prev = sets.get(d)
+            # duplicate doc ids union (the distributed path's doc-groupby
+            # semantics); unique ids — the common case — just assign
+            sets[d] = arr if prev is None else np.union1d(prev, arr)
+        if total > _VERIFY_DRIVER_HASH_CAP:
+            return None
+    a_parts, b_parts = [], []
+    for t in cand.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
+        a_parts.append(t["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        b_parts.append(t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    a = np.concatenate(a_parts)
+    bb = np.concatenate(b_parts)
+    # dedup pairs (a pair colliding in k LSH bands arrives k times)
+    order = np.lexsort((bb, a))
+    a, bb = a[order], bb[order]
+    first = np.concatenate(([True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])))
+    a, bb = a[first], bb[first]
+    out_a, out_b, out_j = [], [], []
+    for x, y in zip(a, bb):
+        A, B = sets[int(x)], sets[int(y)]
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        j = inter / (A.size + B.size - inter)
+        if j >= threshold:
+            out_a.append(int(x))
+            out_b.append(int(y))
+            out_j.append(float(round_half_away(j, 4)))
+    return rd.from_arrow(pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+         "jaccard": pa.array(out_j, pa.float64())},
+        schema=_PAIR_SCHEMA,
+    ))
 
 
 _DIST_SCHEMA = pa.schema(
@@ -779,6 +864,24 @@ def _verified_jaccard(cand, shingles, threshold: float, id_col: str, raw=None):
     )
     if cand_docs.size == 0:
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    if raw is not None and cand_docs.size <= _VERIFY_DRIVER_DOC_CAP:
+        # SMALL-candidate fast path (r5): LSH at a real threshold leaves a
+        # pair set that is tiny relative to the corpus by construction
+        # (same argument as cluster_pairs' driver union-find, which the
+        # corpus-scale design review already accepts).  The two groupby
+        # exchanges below cost ~1.5 s EACH in fixed all-to-all machinery at
+        # 32 CPUs even when they move a few hundred rows — so when the
+        # candidate docs' shingle sets fit an explicit driver budget, skip
+        # both: one pruned narrow pass computes each candidate doc's
+        # distinct shingle set (a doc's text lives in exactly one corpus
+        # row, so its set needs NO exchange to assemble), the driver
+        # collects ≤ _VERIFY_DRIVER_HASH_CAP hashes (~64 MB) and finishes
+        # the exact Jaccards vectorized.  If the budget is exceeded
+        # mid-collect, fall through to the fully distributed path —
+        # results are identical either way.
+        got = _driver_verify(cand, cand_docs, raw, threshold, id_col)
+        if got is not None:
+            return got
     if cand_docs.size <= _VERIFY_BCAST_CAP:
         docs_ref = ray.put(cand_docs)  # sorted by np.unique
 
@@ -926,11 +1029,14 @@ def minhash_lsh_pairs(
     """
     cfg = cfg or MinHashCfg()
 
-    # group key = (band, bucket % SHARDS): COARSE enough that each group
-    # holds many whole buckets (the per-bucket UDF dispatch dominated
-    # ds.stats() with ~100k singleton groups), FINE enough that a group is
-    # ~1/(bands·SHARDS) of the exploded rows — bounded at any corpus size.
-    # bucket % SHARDS never splits a bucket, so pair emission is exact.
+    # group key = bucket % SHARDS (band is baked into the bucket hash, so a
+    # single int64 key column suffices — r5: the (band, shard) two-column
+    # key and the band column itself are gone from the exchange, cutting
+    # bytes shuffled and sort width): COARSE enough that each group holds
+    # many whole buckets (the per-bucket UDF dispatch dominated ds.stats()
+    # with ~100k singleton groups), FINE enough that a group is ~1/SHARDS
+    # of the exploded rows — bounded at any corpus size.  bucket % SHARDS
+    # never splits a bucket, so pair emission is exact.
     SHARDS = 256
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -944,7 +1050,7 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
         )
         .map_batches(add_shard, batch_format="pyarrow")
-        .groupby(["band", "shard"])
+        .groupby("shard")
         .map_groups(lambda g: _emit_band_pairs(g, id_col), batch_format="pyarrow")
         # no groupby(a, b) dedupe shuffle here: pairs colliding in >1 band
         # are deduped inside the verify's doc-keyed distribute UDF — one

@@ -164,11 +164,29 @@ def test_minhash_verify_prune_path_parity(dup_corpus, ray_session, monkeypatch):
     """The broadcast row-prune (re-shingle candidates only) and the
     no-prune fallback (full corpus explode) must verify identical pairs —
     the prune is a pure compute skip, never a semantics change."""
+    monkeypatch.setattr(ops, "_VERIFY_DRIVER_DOC_CAP", 0)  # distributed only
     pruned = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
     monkeypatch.setattr(ops, "_VERIFY_BCAST_CAP", 0)  # force the fallback
     full = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
     key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))
     assert key(pruned) == key(full)
+
+
+def test_minhash_driver_verify_parity(dup_corpus, ray_session, monkeypatch):
+    """The r5 small-candidate DRIVER verify (per-doc shingle sets collected
+    under a hash budget, pair math on the driver) must produce exactly the
+    distributed verify's pairs — and the budget fallback must engage when
+    the cap is exceeded, not crash or truncate."""
+    fast = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    monkeypatch.setattr(ops, "_VERIFY_DRIVER_DOC_CAP", 0)
+    dist = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"]))
+    assert key(fast) == key(dist)
+    # budget-exceeded mid-collect: falls back to the distributed path
+    monkeypatch.setattr(ops, "_VERIFY_DRIVER_DOC_CAP", 100_000)
+    monkeypatch.setattr(ops, "_VERIFY_DRIVER_HASH_CAP", 1)
+    fb = ops.minhash_lsh_pairs(_ds(dup_corpus, ray_session), threshold=0.5).to_pandas()
+    assert key(fb) == key(dist)
 
 
 def test_simhash_pairs_find_neardups(dup_corpus, ray_session):

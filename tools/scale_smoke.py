@@ -69,9 +69,21 @@ def _warm() -> int:
 
 t0 = time.time()
 ray.get([_warm.remote() for _ in range(64)])
-_refs = [ray.put(np.empty(256 * 1024 * 1024 // 8)) for _ in range(64)]  # ~16 GB
-del _refs
-print(f"SMOKE warm (untimed, disclosed): {round(time.time() - t0, 1)}s")
+# Fault the plasma arena sized to THIS host's store (80% of capacity), in a
+# rolling window of ≤4 live refs — a fixed 16 GB with all refs held would
+# trigger disk SPILLING on hosts with a smaller store, silently degrading
+# the pre-fault into an I/O storm (and leaving spilled objects behind).
+_store = int(ray.cluster_resources().get("object_store_memory", 2 * 1024**3))
+_chunk = 256 * 1024 * 1024
+_n = max(1, int(0.8 * _store) // _chunk)
+_window: list = []
+for _ in range(_n):
+    _window.append(ray.put(np.empty(_chunk // 8)))
+    if len(_window) > 4:
+        _window.pop(0)
+del _window
+print(f"SMOKE warm (untimed, disclosed): {round(time.time() - t0, 1)}s "
+      f"({_n} x 256MB faulted, store {_store // 1024**3} GB)")
 
 t0 = time.time()
 m = build_index_direct(files, idx, num_partitions=128, resume=False)
