@@ -747,6 +747,21 @@ def run_scaling(prereg: bool = False) -> dict:
     # PASS = conservative lower bound" does not hold in general)
     payload["detail"]["pass"] = bool(eff(lo, hi) >= 0.8 and not degraded_legs)
     payload["detail"]["pass_if_clean"] = eff(lo, hi) >= 0.8
+    if prereg:
+        # pre-registered verdict: the MEDIAN of ALL same-session pairs, no
+        # sample ever discarded; instrument flags are disclosed alongside
+        # but do not edit the sample set
+        med = sorted(pair_effs)[len(pair_effs) // 2] if pair_effs else None
+        payload["metric"] = (
+            f"PRE-REGISTERED no-retry scaling campaign, {lo}→{hi} CPUs: "
+            "median of all same-session pairs (3 reps, interleaved legs, "
+            "zero retries, zero exclusions)"
+        )
+        payload["value"] = med
+        payload["detail"]["prereg"] = True
+        payload["detail"]["prereg_pairs"] = pair_effs
+        payload["detail"]["prereg_median"] = med
+        payload["detail"]["pass"] = bool(med is not None and med >= 0.8)
     _record_scaling(payload, cpu_levels, results)
     return payload
 
@@ -798,9 +813,14 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
         if deg
         else ""
     )
+    prereg_tag = ""
+    if p["detail"].get("prereg"):
+        prereg_tag = (
+            f" PREREG(no-retry, all pairs shown, median={p['detail']['prereg_median']})"
+        )
     log_entry = (
         f"- 2->8 eff {p['value']}{pe_str} ({thr_line}) "
-        f"[{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]{deg_str}\n"
+        f"[{os.path.basename(p['sf'])} x{SCALING_MULTIPLIER}]{prereg_tag}{deg_str}\n"
     )
     # round-best evidence line: the header table shows the LATEST run only
     # (storms come and go on this VM), so the header also states the best
@@ -899,6 +919,8 @@ def _record_scaling(p: dict, cpu_levels: list[int], results: dict) -> None:
 if __name__ == "__main__":
     if "--_scale_child" in sys.argv:
         _scale_child(int(sys.argv[sys.argv.index("--_scale_child") + 1]))
+    elif "--scaling-prereg" in sys.argv:
+        print(json.dumps(run_scaling(prereg=True)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

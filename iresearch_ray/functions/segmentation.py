@@ -405,3 +405,21 @@ class SegmentationAnalyzer:
 
     def __call__(self, texts: Sequence[str | None]) -> list[list[str]]:
         return [self.tokenize_one(t) for t in texts]
+
+
+def load_test_lexicon() -> frozenset:
+    """The shipped ~1k-word synthetic CJK TEST lexicon
+    (resources/cjk_test_lexicon.txt) — deterministic fixture words plus the
+    hand-picked sentinels the dictionary-segmentation driver query and
+    tests rely on.  A production deployment supplies its own multi-MB word
+    list (module header); this fixture exists so the Viterbi path is
+    load-bearing end-to-end, not just unit-tested on toy lists."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), os.pardir, "resources",
+                     "cjk_test_lexicon.txt")
+    with open(p, encoding="utf-8") as f:
+        return frozenset(
+            w for w in (line.strip() for line in f)
+            if w and not w.startswith("#")
+        )

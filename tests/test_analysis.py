@@ -393,3 +393,26 @@ def test_segmentation_dictionary_breaking():
     # default stays pure UAX#29: per-char WB999 for ideographs
     plain = SegmentationAnalyzer(case="none")
     assert plain.tokenize_one("北京大学") == ["北", "京", "大", "学"]
+
+
+def test_shipped_cjk_lexicon_loadbearing():
+    """The shipped test lexicon (resources/cjk_test_lexicon.txt, ~1k words)
+    drives the same Viterbi decisions the dd_cjk_tokens driver oracle pins:
+    the decoy 机器学 must lose to 机器+学习模型 (greedy-longest would pick
+    the decoy) and 北京大学+生活 must beat 北京+大学+生活 (min pieces)."""
+    from iresearch_ray.functions.segmentation import (
+        SegmentationAnalyzer, load_test_lexicon)
+
+    lex = load_test_lexicon()
+    assert len(lex) >= 1000
+    for w in ("机器", "学习模型", "机器学", "北京大学", "北京", "大学", "生活"):
+        assert w in lex
+    ana = SegmentationAnalyzer(dictionary=lex)
+    assert ana.tokenize_one("机器学习模型") == ["机器", "学习模型"]
+    assert ana.tokenize_one("北京大学生活") == ["北京大学", "生活"]
+    # adjacent injected runs never produce cross-boundary words (the
+    # synthetic pool excludes every sentinel character)
+    assert ana.tokenize_one("机器学习模型北京大学生活") == [
+        "机器", "学习模型", "北京大学", "生活"]
+    assert ana.tokenize_one("value 机器学习模型 merge") == [
+        "value", "机器", "学习模型", "merge"]
