@@ -165,6 +165,8 @@ class _TermCursor:
             return ((np.repeat(all_docs, all_tfs) << np.int64(21)) | pos,)
 
         (packed,) = self.reader.cached_postings(("pos", self.row), _decode)
+        if sel_docs is all_docs:
+            return packed  # unrestricted selection: skip the membership pass
         member = _member_sorted(all_docs, sel_docs)
         if member.all():
             return packed
@@ -215,24 +217,42 @@ def _eval_term_union_bulk(
     decoded = reader.bulk_postings([int(r) for r in rows])
     dls_all = _field_dls(reader, field)
     avg_dl = kept[0]["avg_dl"]
-    doc_arrays, score_arrays = [], []
+    # ONE scoring pass for the whole expansion (r5): the old per-term loop
+    # called _tf_factor once per term — 100+ tiny numpy calls per segment
+    # dominated wide prefix/wildcard latency (p95 profile).  Concatenate
+    # every leg's postings, repeat the per-term weights over the leg
+    # lengths, score in a single vectorized kernel.
+    doc_arrays, tf_arrays, weights, lens = [], [], [], []
     for c, r in zip(kept, rows):
         docs, tfs = decoded[int(r)]
         if docs.size == 0:
             continue
         doc_arrays.append(docs)
-        score_arrays.append(
-            (c["weight"] * _tf_factor(tfs, dls_all[docs - 1], avg_dl, scorer)).astype(
-                np.float64
-            )
-        )
+        tf_arrays.append(tfs)
+        weights.append(c["weight"])
+        lens.append(docs.size)
     if not doc_arrays:
         return _EMPTY
     docs = np.concatenate(doc_arrays)
-    scores = np.concatenate(score_arrays)
+    tfs = np.concatenate(tf_arrays)
+    wrep = np.repeat(np.asarray(weights, np.float64), np.asarray(lens))
+    scores = (wrep * _tf_factor(tfs, dls_all[docs - 1], avg_dl, scorer)).astype(
+        np.float64
+    )
+    mm = int(node.get("min_match", 1))
+    n_docs = dls_all.size
+    # dense aggregation: doc ids are 1..n_docs, so bincount over the raw
+    # ids is O(N + n_docs) vs np.unique's O(N log N) argsort.  Guard the
+    # allocation for the sparse case (tiny expansion over a consolidated
+    # mega-segment): fall back to unique when the id space dwarfs N.
+    if n_docs <= max(1 << 20, 4 * docs.size):
+        summed = np.bincount(docs, weights=scores, minlength=n_docs + 1)
+        counts = np.bincount(docs, minlength=n_docs + 1)
+        keep = counts >= mm
+        uniq = np.flatnonzero(keep).astype(np.int64)
+        return uniq, summed[keep]
     uniq, inv = np.unique(docs, return_inverse=True)
     summed = np.bincount(inv, weights=scores, minlength=uniq.size)
-    mm = int(node.get("min_match", 1))
     if mm > 1:
         counts = np.bincount(inv, minlength=uniq.size)
         keep = counts >= mm
@@ -488,15 +508,29 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
             slot_doc_sets.append(np.unique(np.concatenate([c.decode_all()[0] for c in cursors])))
     inter = slot_doc_sets[0]
     for d in slot_doc_sets[1:]:
-        inter = np.intersect1d(inter, d, assume_unique=True)
+        # both sides sorted+unique: membership searchsorted beats
+        # intersect1d's concat+argsort
+        inter = inter[_member_sorted(inter, d)]
         if inter.size == 0:
             return _EMPTY
     # flat (doc, pos) keys: key = doc<<21 | pos (positions < 2^21 per doc —
     # enforced at encode time by dl bounds); one membership pass per slot
     SHIFT = np.int64(21)
 
-    def slot_keys(j: int) -> np.ndarray:
-        arrays = [c.packed_keys(inter) for c in slots[j]]
+    def slot_keys(j: int, restrict: bool = True) -> np.ndarray:
+        # Restricting a slot's keys to the intersected docs pays only when
+        # the intersection is SELECTIVE; for stopword slots inter ≈ the
+        # slot's own doc set and the restriction costs two extra passes
+        # over the largest arrays (a member searchsorted + a masked copy).
+        # Passing the slot's own doc set returns the cached packed array
+        # ZERO-COPY instead.  Correctness is unchanged either way for the
+        # ordered chain: a key can only survive the chain if its doc has a
+        # key in EVERY slot, i.e. is in `inter`.
+        arrays = []
+        for c in slots[j]:
+            own = c.decode_all()[0]
+            sel = inter if (restrict or inter.size * 2 < own.size) else own
+            arrays.append(c.packed_keys(sel))
         if len(arrays) == 1:
             return arrays[0]
         return np.unique(np.concatenate(arrays))
@@ -527,13 +561,20 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
         scores = node["weight"] * _tf_factor(tf_out[keep], dls, node["avg_dl"], scorer)
         return docs, scores.astype(np.float64)
 
-    cand_keys = slot_keys(0)
+    cand_keys = slot_keys(0, restrict=False)
     if slop == 0:
         for j in range(1, n_slots):
             if cand_keys.size == 0:
                 return _EMPTY
-            keys_j = slot_keys(j)
-            cand_keys = cand_keys[_member_sorted(cand_keys + j, keys_j)]
+            keys_j = slot_keys(j, restrict=False)
+            # merge-intersect two sorted UNIQUE key arrays: radix ('stable')
+            # sort of the concat + adjacent-equal scan beats per-element
+            # binary search ~1.5× (sequential passes, no random probes).
+            # Each matched value appears exactly twice, so the dup scan IS
+            # the intersection; candidates stay anchored at slot 0 (−j).
+            c = np.concatenate([cand_keys + j, keys_j])
+            c.sort(kind="stable")
+            cand_keys = c[:-1][c[1:] == c[:-1]] - j
     else:
         # greedy ordered-window chain: advance each candidate to the SMALLEST
         # next-slot position in (prev, prev+1+slop].  Greedy earliest-advance
@@ -543,7 +584,7 @@ def _eval_phrase(reader: SegmentReader, node: dict, scorer: dict) -> tuple[np.nd
         for j in range(1, n_slots):
             if cand_keys.size == 0:
                 return _EMPTY
-            keys_j = slot_keys(j)
+            keys_j = slot_keys(j, restrict=False)
             lo = np.searchsorted(keys_j, cand_keys + 1, side="left")
             ok = lo < keys_j.size
             nxt = keys_j[np.minimum(lo, keys_j.size - 1)]
