@@ -1,0 +1,1713 @@
+"""From-scratch H.264/AVC **I-frame** codec (ITU-T H.264 / ISO 14496-10),
+dependency-free numpy — closes the "every real MP4 is H.264" gap in the
+multimodal stack (SURVEY §2.12; VERDICT r4 "What's missing #1").
+
+Scope (Constrained-Baseline-shaped, I/IDR slices only):
+
+- NAL parsing (Annex-B and MP4 length-prefixed), RBSP emulation-byte strip;
+- SPS/PPS parse (Exp-Golomb) — frame_mbs_only, 4:2:0, 8-bit, CAVLC only;
+- I-slice macroblock layer: I_NxN (intra 4×4, all 9 prediction modes),
+  Intra_16x16 (V/H/DC/Plane + DC-transformed luma), I_PCM;
+- chroma 8×8 intra prediction (DC/H/V/Plane), 2×2 chroma-DC transform;
+- CAVLC residual decoding: coeff_token (all nC contexts incl. chroma DC),
+  trailing-one signs, adaptive level suffixes, total_zeros, run_before
+  (spec §9.2, Tables 9-5 .. 9-10);
+- dequant (§8.5.9 LevelScale, qP/6 shifts) + the exact 4×4 integer inverse
+  transform (§8.5.12), 4×4 luma-DC Hadamard, 2×2 chroma-DC transform;
+- NO deblocking filter (fixtures set disable_deblocking_filter_idc=1; a
+  stream that expects the loop filter decodes to the un-filtered
+  reconstruction), no CABAC, no P/B slices, no interlace — non-IDR samples
+  are SKIPPED by the frame sampler (the same skip semantics as the AVI
+  sampler) and CABAC raises toward the PyAV seam.
+
+The matching ``encode_h264_iframes`` emits a conformant-shaped baseline
+stream (SPS/PPS + one IDR slice per frame) from CHOSEN quantized
+coefficients — it exists to generate real fixtures exercising every
+decoder path (all mb types, every coeff_token context, level suffix
+escalation, run_before tails).
+
+Conformance caveat, stated plainly: the VLC tables are transcribed from
+the public spec text; in this sandbox there is no external H.264
+implementation to differ against, so validation is (a) structural — every
+VLC table is programmatically checked to be a complete prefix-free code at
+import (tests), and (b) behavioural — byte-exact encode→decode round-trips
+over fuzzed coefficient sets covering every table row, plus analytic
+goldens (I_PCM passthrough, DC-only macroblocks whose reconstruction is
+computable by hand).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit I/O + Exp-Golomb
+# ---------------------------------------------------------------------------
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-golomb runaway")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if (k & 1) else -(k // 2)
+
+
+class BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def put_str(self, bits: str) -> None:
+        for b in bits:
+            self.u(1 if b == "1" else 0, 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        nbits = k.bit_length()
+        self.u(0, nbits - 1)
+        self.u(k, nbits)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        while self.n:
+            self.u(0, 1)
+
+    def byte_align_zero(self) -> None:
+        while self.n:
+            self.u(0, 1)
+
+    def getvalue(self) -> bytes:
+        assert self.n == 0, "unaligned"
+        return bytes(self.bytes)
+
+
+def rbsp_from_ebsp(ebsp: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def ebsp_from_rbsp(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (ITU-T H.264 §9.2, Tables 9-5, 9-7, 9-8, 9-9(a), 9-10)
+# Each table maps a VLC bitstring -> symbol; tests assert every table is a
+# complete prefix-free code (structural transcription check).
+# ---------------------------------------------------------------------------
+
+# Table 9-5, coeff_token: {(TrailingOnes, TotalCoeff): bits} per nC context.
+COEFF_TOKEN_NC_0_2 = {
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101", (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101", (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101", (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101", (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101", (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010", (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110", (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010", (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110", (2, 11): "00000000001001", (3, 11): "00000000001100",
+    (0, 12): "000000000001011", (1, 12): "000000000001010", (2, 12): "000000000001101", (3, 12): "00000000001000",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001", (2, 13): "000000000001001", (3, 13): "000000000001100",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110", (2, 14): "0000000000001101", (3, 14): "000000000001000",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010", (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110", (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+}
+
+COEFF_TOKEN_NC_2_4 = {
+    (0, 0): "11",
+    (0, 1): "001011", (1, 1): "10",
+    (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+    (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+    (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+    (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101", (3, 5): "00110",
+    (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101", (3, 6): "001000",
+    (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101", (3, 7): "000100",
+    (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101", (3, 8): "0000100",
+    (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001", (3, 9): "000000100",
+    (0, 10): "000000001011", (1, 10): "000000001110", (2, 10): "000000001101", (3, 10): "00000001100",
+    (0, 11): "000000001000", (1, 11): "000000001010", (2, 11): "000000001001", (3, 11): "00000001000",
+    (0, 12): "0000000001111", (1, 12): "0000000001110", (2, 12): "0000000001101", (3, 12): "000000001100",
+    (0, 13): "0000000001011", (1, 13): "0000000001010", (2, 13): "0000000001001", (3, 13): "0000000001100",
+    (0, 14): "0000000000111", (1, 14): "00000000001011", (2, 14): "0000000000110", (3, 14): "0000000001000",
+    (0, 15): "00000000001001", (1, 15): "00000000001000", (2, 15): "00000000001010", (3, 15): "0000000000001",
+    (0, 16): "00000000000111", (1, 16): "00000000000110", (2, 16): "00000000000101", (3, 16): "00000000000100",
+}
+
+COEFF_TOKEN_NC_4_8 = {
+    (0, 0): "1111",
+    (0, 1): "001111", (1, 1): "1110",
+    (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+    (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+    (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+    (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+    (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+    (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+    (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101", (3, 8): "01101",
+    (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010", (3, 9): "001100",
+    (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101", (3, 10): "0001100",
+    (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001", (3, 11): "00001100",
+    (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101", (3, 12): "00001000",
+    (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001", (3, 13): "000001100",
+    (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011", (3, 14): "0000001010",
+    (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111", (3, 15): "0000000110",
+    (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011", (3, 16): "0000000010",
+}
+
+# nC == -1 (chroma DC, 4:2:0 — max 4 coefficients)
+COEFF_TOKEN_CHROMA_DC = {
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010", (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010", (3, 4): "0000000",
+}
+
+# Tables 9-7 / 9-8: total_zeros for 4x4 blocks, indexed by TotalCoeff.
+# TOTAL_ZEROS_4x4[tc][tz] = bits.
+TOTAL_ZEROS_4x4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+        "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+        "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+        "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+        "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+        "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+        "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001", "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# Table 9-9(a): total_zeros for chroma DC (4:2:0).
+TOTAL_ZEROS_CHROMA_DC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
+# Table 9-10: run_before. RUN_BEFORE[min(zerosLeft,7)][run] = bits.
+RUN_BEFORE = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+        "000001", "0000001", "00000001", "000000001", "0000000001",
+        "00000000001"],
+}
+
+
+def _invert(table) -> dict:
+    """{bits: symbol} from {symbol: bits} or a list (index = symbol)."""
+    if isinstance(table, dict):
+        return {bits: sym for sym, bits in table.items()}
+    return {bits: i for i, bits in enumerate(table)}
+
+
+_CT_DEC = {
+    0: _invert(COEFF_TOKEN_NC_0_2),
+    2: _invert(COEFF_TOKEN_NC_2_4),
+    4: _invert(COEFF_TOKEN_NC_4_8),
+    -1: _invert(COEFF_TOKEN_CHROMA_DC),
+}
+_TZ_DEC = {tc: _invert(v) for tc, v in TOTAL_ZEROS_4x4.items()}
+_TZC_DEC = {tc: _invert(v) for tc, v in TOTAL_ZEROS_CHROMA_DC.items()}
+_RB_DEC = {zl: _invert(v) for zl, v in RUN_BEFORE.items()}
+
+
+def _read_vlc(br: BitReader, inv: dict, max_len: int = 16):
+    bits = ""
+    for _ in range(max_len):
+        bits += "1" if br.u(1) else "0"
+        sym = inv.get(bits)
+        if sym is not None:
+            return sym
+    raise ValueError(f"invalid VLC prefix {bits!r}")
+
+
+def all_prefix_tables() -> dict:
+    """Every VLC table, for the structural completeness test."""
+    out = {
+        "ct_nc0": COEFF_TOKEN_NC_0_2,
+        "ct_nc2": COEFF_TOKEN_NC_2_4,
+        "ct_nc4": COEFF_TOKEN_NC_4_8,
+        "ct_chroma_dc": COEFF_TOKEN_CHROMA_DC,
+    }
+    for tc, rows in TOTAL_ZEROS_4x4.items():
+        out[f"tz4x4_{tc}"] = {i: b for i, b in enumerate(rows)}
+    for tc, rows in TOTAL_ZEROS_CHROMA_DC.items():
+        out[f"tzchroma_{tc}"] = {i: b for i, b in enumerate(rows)}
+    for zl, rows in RUN_BEFORE.items():
+        # zerosLeft>6 row is intentionally open-ended (run<=14 by geometry)
+        out[f"run_before_{zl}"] = {i: b for i, b in enumerate(rows)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block decode / encode (§9.2.1-9.2.4)
+# ---------------------------------------------------------------------------
+
+
+def _ct_table_for(nc: int):
+    if nc == -1:
+        return _CT_DEC[-1], None
+    if nc < 2:
+        return _CT_DEC[0], None
+    if nc < 4:
+        return _CT_DEC[2], None
+    if nc < 8:
+        return _CT_DEC[4], None
+    return None, "flc"  # 6-bit FLC: xxxxyy = (TotalCoeff-? ) see below
+
+
+def decode_residual_block(br: BitReader, nc: int, max_coeffs: int) -> np.ndarray:
+    """One CAVLC residual block -> coefficient array in SCAN order
+    (lowest frequency first), length ``max_coeffs``."""
+    inv, flc = _ct_table_for(nc)
+    if flc is None:
+        t1, tc = _read_vlc(br, inv)
+    else:
+        code = br.u(6)
+        if code == 0b000011:
+            t1, tc = 0, 0
+        else:
+            tc = (code >> 2) + 1
+            t1 = code & 3
+    coeffs = np.zeros(max_coeffs, dtype=np.int32)
+    if tc == 0:
+        return coeffs
+    # levels, highest frequency first
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if br.u(1) else 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        # level_prefix: count zeros before a 1
+        prefix = 0
+        while br.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("level_prefix runaway")
+        level_suffix_size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            level_suffix_size = 4
+        elif prefix >= 15:
+            level_suffix_size = prefix - 3
+        suffix = br.u(level_suffix_size) if level_suffix_size else 0
+        code = (min(15, prefix) << suffix_len) + suffix
+        if prefix >= 15 and suffix_len == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            code += 2
+        level = (code + 2) >> 1 if (code & 1) == 0 else -((code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    if tc < max_coeffs:
+        if nc == -1:
+            tz = _read_vlc(br, _TZC_DEC[tc])
+        else:
+            tz = _read_vlc(br, _TZ_DEC[tc])
+    else:
+        tz = 0
+    # run_before
+    runs = []
+    zeros_left = tz
+    for i in range(tc - 1):
+        if zeros_left > 0:
+            run = _read_vlc(br, _RB_DEC[min(zeros_left, 7)])
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)
+    # place: levels[0] is the highest-frequency coefficient
+    idx = tz + tc - 1
+    for i in range(tc):
+        coeffs[idx] = levels[i]
+        idx -= 1 + runs[i]
+    return coeffs
+
+
+def encode_residual_block(bw: BitWriter, coeffs: np.ndarray, nc: int) -> None:
+    """Inverse of ``decode_residual_block`` (fixture generator)."""
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    max_coeffs = coeffs.size
+    nz = np.flatnonzero(coeffs)
+    tc = int(nz.size)
+    # trailing ones: up to 3 |1| values at the high-frequency end
+    t1 = 0
+    for j in range(tc - 1, -1, -1):
+        if abs(int(coeffs[nz[j]])) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    if nc == -1:
+        table = COEFF_TOKEN_CHROMA_DC
+        bw.put_str(table[(t1, tc)])
+    elif nc < 2:
+        bw.put_str(COEFF_TOKEN_NC_0_2[(t1, tc)])
+    elif nc < 4:
+        bw.put_str(COEFF_TOKEN_NC_2_4[(t1, tc)])
+    elif nc < 8:
+        bw.put_str(COEFF_TOKEN_NC_4_8[(t1, tc)])
+    else:
+        if tc == 0:
+            bw.u(0b000011, 6)
+        else:
+            bw.u(((tc - 1) << 2) | t1, 6)
+    if tc == 0:
+        return
+    levels = [int(coeffs[nz[j]]) for j in range(tc - 1, -1, -1)]
+    for i in range(t1):
+        bw.u(1 if levels[i] < 0 else 0, 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        level = levels[i]
+        code = (level << 1) - 2 if level > 0 else (-level << 1) - 1
+        if i == t1 and t1 < 3:
+            code -= 2
+            if code < 0:
+                raise ValueError(
+                    "first regular level after <3 trailing ones must be |l|>=2"
+                )
+        if suffix_len == 0:
+            if code < 14:
+                bw.u(0, code)
+                bw.u(1, 1)
+            elif code < 30:
+                bw.u(0, 14)
+                bw.u(1, 1)
+                bw.u(code - 14, 4)
+            else:
+                prefix = 15
+                while True:
+                    base = 30 + (((1 << (prefix - 3)) - 4096) if prefix >= 16 else 0)
+                    if code - base < (1 << (prefix - 3)):
+                        break
+                    prefix += 1
+                    if prefix > 32:
+                        raise ValueError("level too large to encode")
+                bw.u(0, prefix)
+                bw.u(1, 1)
+                bw.u(code - base, prefix - 3)
+        else:
+            if (code >> suffix_len) < 15:
+                bw.u(0, code >> suffix_len)
+                bw.u(1, 1)
+                bw.u(code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                prefix = 15
+                while True:
+                    base = (15 << suffix_len) + (
+                        ((1 << (prefix - 3)) - 4096) if prefix >= 16 else 0
+                    )
+                    if code - base < (1 << (prefix - 3)):
+                        break
+                    prefix += 1
+                    if prefix > 32:
+                        raise ValueError("level too large to encode")
+                bw.u(0, prefix)
+                bw.u(1, 1)
+                bw.u(code - base, prefix - 3)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total zeros = zeros below the highest-frequency nonzero coefficient
+    tz = int(nz[-1]) - (tc - 1)
+    if tc < max_coeffs:
+        if nc == -1:
+            bw.put_str(TOTAL_ZEROS_CHROMA_DC[tc][tz])
+        else:
+            bw.put_str(TOTAL_ZEROS_4x4[tc][tz])
+    zeros_left = tz
+    for j in range(tc - 1, 0, -1):
+        run = int(nz[j] - nz[j - 1] - 1)
+        if zeros_left > 0:
+            bw.put_str(RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+
+
+# ---------------------------------------------------------------------------
+# scans, quant, transforms (§8.5)
+# ---------------------------------------------------------------------------
+
+# 4x4 zig-zag scan (frame coding): scan index -> (row, col)
+ZIGZAG_4x4 = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+
+# §8.5.9 LevelScale V matrix entries per qP%6 for the 3 position classes
+_DEQUANT_V = np.array(
+    [
+        [10, 16, 13],
+        [11, 18, 14],
+        [13, 20, 16],
+        [14, 23, 18],
+        [16, 25, 20],
+        [18, 29, 23],
+    ],
+    dtype=np.int64,
+)
+# position class per (row, col): 0 for (0,0),(0,2),(2,0),(2,2); 1 for odd/odd;
+# 2 otherwise
+_POS_CLASS = np.array(
+    [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]], dtype=np.int64
+)
+
+
+def dequant4x4(coeffs_scan: np.ndarray, qp: int, dc_override: "int | None" = None) -> np.ndarray:
+    """Scan-order int coefficients -> dequantized 4x4 block (§8.5.12.1):
+    d = level × LevelScale(qP%6, pos) << (qP/6); the +32 >> 6 rounding
+    lives in ``itransform4x4``.  ``dc_override`` replaces the (0,0) entry
+    with an already-scaled DC (the Intra_16x16 / chroma DC paths scale
+    their DC in the secondary transform, §8.5.10/§8.5.11)."""
+    blk = np.zeros((4, 4), dtype=np.int64)
+    for i, (r, c) in enumerate(ZIGZAG_4x4[: coeffs_scan.size]):
+        blk[r, c] = int(coeffs_scan[i])
+    d = blk * _DEQUANT_V[qp % 6][_POS_CLASS]
+    d = d << (qp // 6)
+    if dc_override is not None:
+        d[0, 0] = int(dc_override)
+    return d
+
+
+def itransform4x4(d: np.ndarray) -> np.ndarray:
+    """Exact §8.5.12.2 inverse core transform; input dequantized (already
+    <<qP/6), output residual (rounded >>6)."""
+    d = d.astype(np.int64)
+    e = np.empty((4, 4), dtype=np.int64)
+    # horizontal
+    for i in range(4):
+        a, b, c, dd = d[i, 0], d[i, 1], d[i, 2], d[i, 3]
+        e0 = a + c
+        e1 = a - c
+        e2 = (b >> 1) - dd
+        e3 = b + (dd >> 1)
+        e[i, 0] = e0 + e3
+        e[i, 1] = e1 + e2
+        e[i, 2] = e1 - e2
+        e[i, 3] = e0 - e3
+    f = np.empty((4, 4), dtype=np.int64)
+    for j in range(4):
+        a, b, c, dd = e[0, j], e[1, j], e[2, j], e[3, j]
+        g0 = a + c
+        g1 = a - c
+        g2 = (b >> 1) - dd
+        g3 = b + (dd >> 1)
+        f[0, j] = g0 + g3
+        f[1, j] = g1 + g2
+        f[2, j] = g1 - g2
+        f[3, j] = g0 - g3
+    return (f + 32) >> 6
+
+
+def transform4x4(res: np.ndarray) -> np.ndarray:
+    """Forward core transform (encoder side, §8.5 derivation)."""
+    r = res.astype(np.int64)
+    Cf = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+                  dtype=np.int64)
+    return Cf @ r @ Cf.T
+
+
+def quant4x4(w: np.ndarray, qp: int) -> np.ndarray:
+    """Encoder quantization matched to ``dequant4x4``+``itransform4x4``:
+    uses the standard MF multipliers (inverse of V up to the 2^15/2^6
+    scaling) with round-half-up — fixtures only need EXACT round-trip of
+    the chosen levels, which the tests pin."""
+    _MF = np.array(
+        [
+            [13107, 5243, 8066],
+            [11916, 4660, 7490],
+            [10082, 4194, 6554],
+            [9362, 3647, 5825],
+            [8192, 3355, 5243],
+            [7282, 2893, 4559],
+        ],
+        dtype=np.int64,
+    )
+    mf = _MF[qp % 6][_POS_CLASS]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    sign = np.sign(w)
+    level = (np.abs(w) * mf + f) >> qbits
+    return (sign * level).astype(np.int64)
+
+
+def hadamard4x4(x: np.ndarray) -> np.ndarray:
+    H = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+                 dtype=np.int64)
+    return H @ x.astype(np.int64) @ H.T
+
+
+def scan_order(blk: np.ndarray) -> np.ndarray:
+    return np.array([blk[r, c] for r, c in ZIGZAG_4x4], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# headers (SPS / PPS / slice header — the baseline-I subset)
+# ---------------------------------------------------------------------------
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    br = BitReader(rbsp)
+    profile = br.u(8)
+    br.u(8)  # constraint flags + reserved
+    level = br.u(8)
+    sps_id = br.ue()
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma = br.ue()
+        if chroma == 3:
+            br.u(1)
+        if br.ue() or br.ue():  # bit depths
+            raise ValueError("only 8-bit supported")
+        br.u(1)  # qpprime
+        if br.u(1):  # seq_scaling_matrix_present
+            raise ValueError("scaling matrices not supported")
+        if chroma != 1:
+            raise ValueError("only 4:2:0 supported")
+    log2_max_frame_num = br.ue() + 4
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()
+    elif poc_type == 1:
+        br.u(1)
+        br.se()
+        br.se()
+        for _ in range(br.ue()):
+            br.se()
+    br.ue()  # max_num_ref_frames
+    br.u(1)  # gaps allowed
+    w_mbs = br.ue() + 1
+    h_map = br.ue() + 1
+    frame_mbs_only = br.u(1)
+    if not frame_mbs_only:
+        raise ValueError("interlace not supported")
+    br.u(1)  # direct_8x8
+    crop = [0, 0, 0, 0]
+    if br.u(1):
+        crop = [br.ue(), br.ue(), br.ue(), br.ue()]
+    return {
+        "profile": profile, "level": level, "sps_id": sps_id,
+        "log2_max_frame_num": log2_max_frame_num,
+        "w_mbs": w_mbs, "h_mbs": h_map,
+        "width": w_mbs * 16 - 2 * (crop[0] + crop[1]),
+        "height": h_map * 16 - 2 * (crop[2] + crop[3]),
+        "crop": crop,
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    br = BitReader(rbsp)
+    pps_id = br.ue()
+    sps_id = br.ue()
+    entropy = br.u(1)
+    if entropy:
+        raise ValueError("CABAC stream: in-engine decoder is CAVLC-only "
+                         "(PyAV seam)")
+    br.u(1)  # bottom_field_pic_order
+    if br.ue() != 0:
+        raise ValueError("slice groups not supported")
+    br.ue()
+    br.ue()
+    br.u(1)
+    br.u(2)
+    pic_init_qp = br.se() + 26
+    br.se()  # qs
+    chroma_qp_off = br.se()
+    deblock_ctrl = br.u(1)
+    br.u(1)  # constrained_intra
+    br.u(1)  # redundant
+    return {
+        "pps_id": pps_id, "sps_id": sps_id, "pic_init_qp": pic_init_qp,
+        "chroma_qp_index_offset": chroma_qp_off,
+        "deblocking_control": deblock_ctrl,
+    }
+
+
+_QPC_TABLE = list(range(30)) + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+                                36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+
+def _chroma_qp(qp: int, offset: int) -> int:
+    qpi = max(0, min(51, qp + offset))
+    return _QPC_TABLE[qpi]
+
+
+# Table 9-4, intra column: codeNum -> coded_block_pattern
+CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {v: i for i, v in enumerate(CBP_INTRA)}
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (§8.3)
+# ---------------------------------------------------------------------------
+
+
+def _pred4x4(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
+             avail_t: bool, avail_l: bool, avail_tr: bool) -> np.ndarray:
+    """9 intra 4x4 modes.  ``top`` is 8 samples (4 above + 4 above-right,
+    above-right already substituted with top[3] when unavailable)."""
+    p = np.empty((4, 4), dtype=np.int64)
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+    if mode == 0:  # Vertical
+        if not avail_t:
+            raise ValueError("V pred needs top")
+        p[:] = t[:4]
+    elif mode == 1:  # Horizontal
+        if not avail_l:
+            raise ValueError("H pred needs left")
+        p[:] = l[:, None]
+    elif mode == 2:  # DC
+        if avail_t and avail_l:
+            dc = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif avail_t:
+            dc = (int(t[:4].sum()) + 2) >> 2
+        elif avail_l:
+            dc = (int(l.sum()) + 2) >> 2
+        else:
+            dc = 128
+        p[:] = dc
+    elif mode == 3:  # Diagonal Down-Left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    i = x + y
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    i = x - y - 2
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2 \
+                        if i >= 0 else (t[0] + 2 * tl + l[0] + 2) >> 2 \
+                        if i == -1 else 0
+                    if i == -1:
+                        p[y, x] = (tl + 2 * t[0] + t[1] + 2) >> 2
+                elif x < y:
+                    i = y - x - 2
+                    if i == -1:
+                        p[y, x] = (tl + 2 * l[0] + l[1] + 2) >> 2
+                    else:
+                        p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1) - 1
+                    a = tl if i < 0 else t[i]
+                    b = t[i + 1] if i + 1 >= 0 else tl
+                    p[y, x] = (a + b + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1) - 2
+                    a = tl if i < 0 else t[i]
+                    b = tl if i + 1 < 0 else t[i + 1]
+                    c = t[i + 2]
+                    p[y, x] = (a + 2 * b + c + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    i = y - 2 * x - 2
+                    p[y, x] = (l[i + 1] + 2 * l[i] + (l[i - 1] if i >= 1 else tl) + 2) >> 2 \
+                        if i >= 1 else (l[1] + 2 * l[0] + tl + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1) - 1
+                    a = tl if i < 0 else l[i]
+                    b = l[i + 1]
+                    p[y, x] = (a + b + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1) - 2
+                    a = tl if i < 0 else l[i]
+                    b = tl if i + 1 < 0 else l[i + 1]
+                    c = l[i + 2]
+                    p[y, x] = (a + 2 * b + c + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+                else:
+                    i = x - 2 * y - 2
+                    p[y, x] = (t[i + 1] + 2 * t[i] + (t[i - 1] if i >= 1 else tl) + 2) >> 2 \
+                        if i >= 1 else (t[1] + 2 * t[0] + tl + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    p[y, x] = l[3]
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+    else:
+        raise ValueError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def _pred16x16(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
+               avail_t: bool, avail_l: bool) -> np.ndarray:
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+    p = np.empty((16, 16), dtype=np.int64)
+    if mode == 0:
+        if not avail_t:
+            raise ValueError("16x16 V needs top")
+        p[:] = t
+    elif mode == 1:
+        if not avail_l:
+            raise ValueError("16x16 H needs left")
+        p[:] = l[:, None]
+    elif mode == 2:
+        if avail_t and avail_l:
+            dc = (int(t.sum()) + int(l.sum()) + 16) >> 5
+        elif avail_t:
+            dc = (int(t.sum()) + 8) >> 4
+        elif avail_l:
+            dc = (int(l.sum()) + 8) >> 4
+        else:
+            dc = 128
+        p[:] = dc
+    elif mode == 3:  # Plane
+        if not (avail_t and avail_l):
+            raise ValueError("16x16 plane needs both edges")
+        h = sum((x + 1) * (int(t[8 + x]) - int(t[6 - x])) for x in range(8))
+        # x=7 term uses p[-1,-1] = tl
+        h = sum((x + 1) * (int(t[8 + x]) - (int(t[6 - x]) if 6 - x >= 0 else tl))
+                for x in range(8))
+        v = sum((y + 1) * (int(l[8 + y]) - (int(l[6 - y]) if 6 - y >= 0 else tl))
+                for y in range(8))
+        a = 16 * (int(l[15]) + int(t[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        for y in range(16):
+            for x in range(16):
+                p[y, x] = np.clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5, 0, 255)
+    else:
+        raise ValueError(f"bad intra16x16 mode {mode}")
+    return p
+
+
+def _pred_chroma(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
+                 avail_t: bool, avail_l: bool) -> np.ndarray:
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+    p = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:  # DC, per 4x4 quadrant (§8.3.4.1)
+        for by in (0, 4):
+            for bx in (0, 4):
+                ts = t[bx:bx + 4]
+                ls = l[by:by + 4]
+                use_t, use_l = avail_t, avail_l
+                # corner blocks prefer their own edge (spec block rules)
+                if bx == 4 and by == 0 and avail_t:
+                    use_l = False
+                if bx == 0 and by == 4 and avail_l:
+                    use_t = False
+                if use_t and use_l:
+                    dc = (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+                elif use_t:
+                    dc = (int(ts.sum()) + 2) >> 2
+                elif use_l:
+                    dc = (int(ls.sum()) + 2) >> 2
+                else:
+                    dc = 128
+                p[by:by + 4, bx:bx + 4] = dc
+    elif mode == 1:  # Horizontal
+        if not avail_l:
+            raise ValueError("chroma H needs left")
+        p[:] = l[:, None]
+    elif mode == 2:  # Vertical
+        if not avail_t:
+            raise ValueError("chroma V needs top")
+        p[:] = t
+    elif mode == 3:  # Plane
+        if not (avail_t and avail_l):
+            raise ValueError("chroma plane needs both edges")
+        h = sum((x + 1) * (int(t[4 + x]) - (int(t[2 - x]) if 2 - x >= 0 else tl))
+                for x in range(4))
+        v = sum((y + 1) * (int(l[4 + y]) - (int(l[2 - y]) if 2 - y >= 0 else tl))
+                for y in range(4))
+        a = 16 * (int(l[7]) + int(t[7]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        for y in range(8):
+            for x in range(8):
+                p[y, x] = np.clip((a + b * (x - 3) + c * (y - 3) + 16) >> 5, 0, 255)
+    else:
+        raise ValueError(f"bad chroma mode {mode}")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# I-slice decoder (§7.3.5 slice data + §8.3/§8.5 reconstruction)
+# ---------------------------------------------------------------------------
+
+_BLK_XY = [(8 * ((i >> 2) & 1) + 4 * (i & 1), 8 * ((i >> 3) & 1) + 4 * ((i >> 1) & 1))
+           for i in range(16)]  # luma4x4BlkIdx (z-scan) -> (x, y) in MB
+
+
+class _Frame:
+    def __init__(self, w_mbs: int, h_mbs: int):
+        self.w_mbs, self.h_mbs = w_mbs, h_mbs
+        self.Y = np.zeros((16 * h_mbs, 16 * w_mbs), dtype=np.int64)
+        self.Cb = np.zeros((8 * h_mbs, 8 * w_mbs), dtype=np.int64)
+        self.Cr = np.zeros((8 * h_mbs, 8 * w_mbs), dtype=np.int64)
+        # per-4x4-block TotalCoeff for nC contexts; -1 = not yet decoded
+        self.tcY = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int16)
+        self.tcCb = np.full((2 * h_mbs, 2 * w_mbs), -1, dtype=np.int16)
+        self.tcCr = np.full((2 * h_mbs, 2 * w_mbs), -1, dtype=np.int16)
+        # intra4x4 mode per block; 2 (DC) for non-I4 MBs, -1 undecoded
+        self.i4 = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int8)
+        # PIXEL-reconstruction bitmap — distinct from tcY: residuals for a
+        # whole MB are PARSED (tc set) before any block is reconstructed,
+        # but intra sample availability follows reconstruction order
+        self.recon = np.zeros((4 * h_mbs, 4 * w_mbs), dtype=bool)
+        self.mb_done = np.zeros((h_mbs, w_mbs), dtype=bool)
+
+    def nc(self, tc: np.ndarray, by: int, bx: int) -> int:
+        na = int(tc[by, bx - 1]) if bx > 0 else -1
+        nb = int(tc[by - 1, bx]) if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return na
+        if nb >= 0:
+            return nb
+        return 0
+
+
+def _parse_i4_modes(br: BitReader, fr: _Frame, bx0: int, by0: int) -> list:
+    """16 intra-4x4 modes in z-scan order, with the min(A,B) predictor
+    (§8.3.1.1); fills fr.i4 as it goes (later predictors see earlier
+    in-MB modes)."""
+    modes = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        ma = int(fr.i4[gby, gbx - 1]) if gbx > 0 else -1
+        mb = int(fr.i4[gby - 1, gbx]) if gby > 0 else -1
+        pred = 2 if (ma < 0 or mb < 0) else min(ma, mb)
+        if br.u(1):
+            mode = pred
+        else:
+            rem = br.u(3)
+            mode = rem if rem < pred else rem + 1
+        fr.i4[gby, gbx] = mode
+        modes.append(mode)
+    return modes
+
+
+def _luma_edges4x4(fr: _Frame, gx: int, gy: int):
+    """(top8, left4, tl, avail_t, avail_l, avail_tr) for the 4x4 luma block
+    whose top-left PIXEL is (gx, gy).  Availability is read off the decoded
+    RECONSTRUCTION bitmap, which encodes picture edges AND reconstruction
+    order (z-scan within MB, raster across MBs) in one rule."""
+    bx, by = gx // 4, gy // 4
+    av_t = by > 0 and fr.recon[by - 1, bx]
+    av_l = bx > 0 and fr.recon[by, bx - 1]
+    av_tl = by > 0 and bx > 0 and fr.recon[by - 1, bx - 1]
+    av_tr = by > 0 and bx + 1 < fr.recon.shape[1] and fr.recon[by - 1, bx + 1]
+    top = np.full(8, 128, dtype=np.int64)
+    left = np.full(4, 128, dtype=np.int64)
+    tl = 128
+    if av_t:
+        top[:4] = fr.Y[gy - 1, gx:gx + 4]
+        if av_tr:
+            top[4:] = fr.Y[gy - 1, gx + 4:gx + 8]
+        else:
+            top[4:] = top[3]  # §8.3.1.2: substitute p[3,-1]
+    if av_l:
+        left[:] = fr.Y[gy:gy + 4, gx - 1]
+    if av_tl:
+        tl = int(fr.Y[gy - 1, gx - 1])
+    return top, left, tl, av_t, av_l, av_tr
+
+
+def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
+               chroma_qp_off: int) -> int:
+    """Parse + reconstruct one I-slice macroblock.  Returns the updated QP."""
+    mb_type = br.ue()
+    bx0, by0 = 4 * mbx, 4 * mby  # luma block coords
+    px, py = 16 * mbx, 16 * mby  # luma pixel coords
+    cx, cy = 8 * mbx, 8 * mby    # chroma pixel coords
+    cbx, cby = 2 * mbx, 2 * mby  # chroma block coords
+
+    if mb_type == 25:  # I_PCM
+        while br.pos & 7:
+            if br.u(1):
+                raise ValueError("pcm_alignment bits must be zero")
+        for y in range(16):
+            for x in range(16):
+                fr.Y[py + y, px + x] = br.u(8)
+        for plane in (fr.Cb, fr.Cr):
+            for y in range(8):
+                for x in range(8):
+                    plane[cy + y, cx + x] = br.u(8)
+        fr.tcY[by0:by0 + 4, bx0:bx0 + 4] = 16
+        fr.tcCb[cby:cby + 2, cbx:cbx + 2] = 16
+        fr.tcCr[cby:cby + 2, cbx:cbx + 2] = 16
+        fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+        fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+        fr.mb_done[mby, mbx] = True
+        return qp
+    if mb_type > 25:
+        raise ValueError(f"bad I-slice mb_type {mb_type}")
+
+    if mb_type == 0:  # I_NxN
+        modes = _parse_i4_modes(br, fr, bx0, by0)
+        chroma_mode = br.ue()
+        cbp = CBP_INTRA[br.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se() + 52) % 52
+        # parse luma residuals in z-order (nC needs in-MB tc chain)
+        luma_coeffs = []
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            gbx, gby = bx0 + x // 4, by0 + y // 4
+            if cbp_luma & (1 << (i // 4)):
+                nc = fr.nc(fr.tcY, gby, gbx)
+                c = decode_residual_block(br, nc, 16)
+                fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+            else:
+                c = np.zeros(16, dtype=np.int32)
+                fr.tcY[gby, gbx] = 0
+            luma_coeffs.append(c)
+        chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
+        # reconstruct luma block-by-block (prediction sees earlier recon)
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            gx, gy = px + x, py + y
+            top, left, tl, at, al, atr = _luma_edges4x4(fr, gx, gy)
+            pred = _pred4x4(modes[i], top, left, tl, at, al, atr)
+            res = itransform4x4(dequant4x4(np.asarray(luma_coeffs[i]), qp))
+            fr.Y[gy:gy + 4, gx:gx + 4] = np.clip(pred + res, 0, 255)
+            fr.recon[gy // 4, gx // 4] = True
+        _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
+        fr.mb_done[mby, mbx] = True
+        return qp
+
+    # Intra_16x16
+    k = mb_type - 1
+    pred_mode = k % 4
+    cbp_chroma = (k // 4) % 3
+    cbp_luma = 15 if k >= 12 else 0
+    chroma_mode = br.ue()
+    qp = (qp + br.se() + 52) % 52
+    # luma DC block: nC from block-0 neighbors
+    nc0 = fr.nc(fr.tcY, by0, bx0)
+    dc_scan = decode_residual_block(br, nc0, 16)
+    ac = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        if cbp_luma:
+            nc = fr.nc(fr.tcY, gby, gbx)
+            c = decode_residual_block(br, nc, 15)
+            fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+        else:
+            c = np.zeros(15, dtype=np.int32)
+            fr.tcY[gby, gbx] = 0
+        ac.append(c)
+    chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
+    # prediction over the whole 16x16
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
+    left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
+    tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
+    pred = _pred16x16(pred_mode, top, left, tl, av_t, av_l)
+    # luma DC: zig-zag scan -> 4x4 DC grid (block-raster), Hadamard, scale
+    dc_grid = np.zeros((4, 4), dtype=np.int64)
+    for i, (r, c_) in enumerate(ZIGZAG_4x4):
+        dc_grid[r, c_] = int(dc_scan[i])
+    f = hadamard4x4(dc_grid)
+    # §8.5.10 with flat weightScale: LevelScale = 16 * normAdjust
+    ls0 = 16 * int(_DEQUANT_V[qp % 6][0])
+    if qp >= 36:
+        dc_sc = (f * ls0) << (qp // 6 - 6)
+    else:
+        dc_sc = (f * ls0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    out = np.empty((16, 16), dtype=np.int64)
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        scan = np.concatenate(([0], np.asarray(ac[i])))
+        d = dequant4x4(scan, qp, dc_override=int(dc_sc[y // 4, x // 4]))
+        res = itransform4x4(d)
+        out[y:y + 4, x:x + 4] = pred[y:y + 4, x:x + 4] + res
+    fr.Y[py:py + 16, px:px + 16] = np.clip(out, 0, 255)
+    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+    _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
+    fr.mb_done[mby, mbx] = True
+    return qp
+
+
+def _parse_chroma_residuals(br: BitReader, fr: _Frame, cbx: int, cby: int,
+                            cbp_chroma: int):
+    """(dc_cb, dc_cr, ac_cb[4], ac_cr[4]) scan-order coefficient arrays;
+    fills the chroma tc arrays for later nC contexts."""
+    dc = []
+    for _ in range(2):
+        if cbp_chroma:
+            dc.append(decode_residual_block(br, -1, 4))
+        else:
+            dc.append(np.zeros(4, dtype=np.int32))
+    acs = []
+    for comp, tc in ((0, fr.tcCb), (1, fr.tcCr)):
+        blocks = []
+        for i in range(4):  # 2x2 blocks, raster
+            gbx, gby = cbx + (i & 1), cby + (i >> 1)
+            if cbp_chroma == 2:
+                nc = fr.nc(tc, gby, gbx)
+                c = decode_residual_block(br, nc, 15)
+                tc[gby, gbx] = int(np.count_nonzero(c))
+            else:
+                c = np.zeros(15, dtype=np.int32)
+                tc[gby, gbx] = 0
+            blocks.append(c)
+        acs.append(blocks)
+    return dc[0], dc[1], acs[0], acs[1]
+
+
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
+                  qp: int, chroma_qp_off: int) -> None:
+    dc_cb, dc_cr, ac_cb, ac_cr = chroma
+    qpc = _chroma_qp(qp, chroma_qp_off)
+    cx, cy = 8 * mbx, 8 * mby
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    ls0 = 16 * int(_DEQUANT_V[qpc % 6][0])  # §8.5.11, flat weightScale
+    for plane, dc_scan, acs in ((fr.Cb, dc_cb, ac_cb), (fr.Cr, dc_cr, ac_cr)):
+        top = plane[cy - 1, cx:cx + 8] if av_t else np.full(8, 128, np.int64)
+        left = plane[cy:cy + 8, cx - 1] if av_l else np.full(8, 128, np.int64)
+        tl = int(plane[cy - 1, cx - 1]) if (av_t and av_l) else 128
+        pred = _pred_chroma(mode, top, left, tl, av_t, av_l)
+        # 2x2 DC: raster scan c00,c01,c10,c11 (§8.5.11)
+        cgrid = np.array([[dc_scan[0], dc_scan[1]], [dc_scan[2], dc_scan[3]]],
+                         dtype=np.int64)
+        f = _H2 @ cgrid @ _H2
+        dc_sc = ((f * ls0) << (qpc // 6)) >> 5
+        out = np.empty((8, 8), dtype=np.int64)
+        for i in range(4):
+            bx, by = 4 * (i & 1), 4 * (i >> 1)
+            scan = np.concatenate(([0], np.asarray(acs[i])))
+            d = dequant4x4(scan, qpc, dc_override=int(dc_sc[by // 4, bx // 4]))
+            res = itransform4x4(d)
+            out[by:by + 4, bx:bx + 4] = pred[by:by + 4, bx:bx + 4] + res
+        plane[cy:cy + 8, cx:cx + 8] = np.clip(out, 0, 255)
+
+
+def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
+    """One IDR slice RBSP -> (Y, Cb, Cr) uint8 planes (full MB grid,
+    uncropped)."""
+    br = BitReader(rbsp)
+    first_mb = br.ue()
+    if first_mb != 0:
+        raise ValueError("multi-slice pictures not supported")
+    slice_type = br.ue()
+    if slice_type % 5 != 2:
+        raise ValueError(f"not an I slice (slice_type {slice_type}): "
+                         "P/B frames are skipped by the sampler or need the "
+                         "PyAV seam")
+    br.ue()  # pps id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    br.ue()  # idr_pic_id
+    # pic_order_cnt_type == 2 in our streams: nothing; dec_ref_pic_marking
+    br.u(1)  # no_output_of_prior_pics
+    br.u(1)  # long_term_reference
+    qp = pps["pic_init_qp"] + br.se()
+    if pps["deblocking_control"]:
+        idc = br.ue()
+        if idc != 1:
+            # decode anyway: reconstruction is the UN-deblocked picture
+            # (documented scope cut — no loop filter)
+            if idc == 0 or idc == 2:
+                br.se()
+                br.se()
+    fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    for mby in range(sps["h_mbs"]):
+        for mbx in range(sps["w_mbs"]):
+            qp = _decode_mb(br, fr, mbx, mby, qp, pps["chroma_qp_index_offset"])
+    return (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
+            fr.Cr.astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# stream plumbing: Annex-B / length-prefixed NAL walk, frame decode
+# ---------------------------------------------------------------------------
+
+
+def split_annexb(stream: bytes):
+    """[(nal_type, rbsp)] from an Annex-B byte stream."""
+    out = []
+    i = 0
+    n = len(stream)
+    starts = []
+    while i + 3 <= n:
+        if stream[i:i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        # trim the 4-byte start code's extra zero of the NEXT nal
+        while e > s and stream[e - 1] == 0 and k + 1 < len(starts):
+            e -= 1
+        nal = stream[s:e]
+        if not nal:
+            continue
+        out.append((nal[0] & 0x1F, rbsp_from_ebsp(nal[1:])))
+    return out
+
+
+def iter_avc_nals(sample: bytes, length_size: int = 4):
+    """NALs of one MP4 avc1 sample (length-prefixed)."""
+    i = 0
+    while i + length_size <= len(sample):
+        ln = int.from_bytes(sample[i:i + length_size], "big")
+        i += length_size
+        yield sample[i] & 0x1F, rbsp_from_ebsp(sample[i + 1:i + ln])
+        i += ln
+
+
+def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
+                   width: int, height: int) -> np.ndarray:
+    """Full-range BT.601 (the same matrix as stages/jpeg.py), chroma
+    nearest-upsampled; cropped to the SPS display window."""
+    up_cb = np.repeat(np.repeat(Cb, 2, axis=0), 2, axis=1)
+    up_cr = np.repeat(np.repeat(Cr, 2, axis=0), 2, axis=1)
+    from iresearch_ray.stages.jpeg import _ycbcr_to_rgb
+
+    ycc = np.stack([Y, up_cb[: Y.shape[0], : Y.shape[1]],
+                    up_cr[: Y.shape[0], : Y.shape[1]]], axis=-1)
+    return _ycbcr_to_rgb(ycc.astype(np.float64))[:height, :width]
+
+
+def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
+    """[(frame_idx, array)] for every k-th IDR frame of an Annex-B H.264
+    stream.  Non-IDR (P/B) access units are SKIPPED without entropy
+    decoding — the I-frame-sampling semantics of the AVI/MJPEG samplers."""
+    sps = pps = None
+    frames = []
+    idx = 0
+    for nal_type, rbsp in split_annexb(stream):
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type == 5:
+            if sps is None or pps is None:
+                raise ValueError("IDR before SPS/PPS")
+            if idx % every == 0:
+                Y, Cb, Cr = decode_idr_slice(rbsp, sps, pps)
+                img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
+                       if rgb else (Y[: sps["height"], : sps["width"]],
+                                    Cb, Cr))
+                frames.append((idx, img))
+            idx += 1
+        elif nal_type == 1:
+            idx += 1  # non-IDR slice: skipped, never entropy-decoded
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder: baseline I-frame streams from real pixels.
+# The encoder never duplicates reconstruction logic — it writes each MB's
+# bits, then runs the DECODER (_decode_mb) on those very bits to advance the
+# shared reconstruction state, so encoder recon == decoder recon BY
+# CONSTRUCTION (prediction contexts can never drift).
+# ---------------------------------------------------------------------------
+
+
+class _StrBits:
+    """BitWriter facade that records the bitstring (per-MB scratch)."""
+
+    def __init__(self):
+        self.s = []
+
+    def u(self, value: int, n: int) -> None:
+        self.s.append(format(value & ((1 << n) - 1), f"0{n}b") if n else "")
+
+    def put_str(self, bits: str) -> None:
+        self.s.append(bits)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def bits(self) -> str:
+        return "".join(self.s)
+
+
+_MF_DC = np.array([13107, 11916, 10082, 9362, 8192, 7282], dtype=np.int64)
+
+
+def _quant_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 15 + qp // 6
+    rnd = (1 << (qbits + 1)) // 3
+    return (np.sign(f) * ((np.abs(f) * _MF_DC[qp % 6] + rnd) >> (qbits + 1))
+            ).astype(np.int64)
+
+
+def _i4_avail_modes(at: bool, al: bool) -> list:
+    m = [2]
+    if at:
+        m += [0, 3, 7]
+    if al:
+        m += [1, 8]
+    if at and al:
+        m += [4, 5, 6]
+    return sorted(m)
+
+
+def _enforce_t1(scan: np.ndarray) -> np.ndarray:
+    """Nudge coefficients so the CAVLC trailing-ones invariant holds (the
+    first regular level after <3 trailing ones must be |l| >= 2)."""
+    nz = np.flatnonzero(scan)
+    t1 = 0
+    for j in range(len(nz) - 1, -1, -1):
+        if abs(int(scan[nz[j]])) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    if t1 < 3 and len(nz) > t1:
+        k = nz[len(nz) - 1 - t1]
+        if abs(int(scan[k])) == 1:
+            scan[k] = 2 * np.sign(scan[k])
+    return scan
+
+
+def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
+                    chroma_qp_off: int, kind: str) -> str:
+    """Bitstring for one MB of the given kind against the CURRENT recon
+    state ``fr`` (reads nC / mode predictors exactly like the decoder)."""
+    sy, scb, scr = src
+    bw = _StrBits()
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+    bx0, by0, cbx, cby = 4 * mbx, 4 * mby, 2 * mbx, 2 * mby
+
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    cmode = [0, 1, 2, 3][(mbx + mby) % 4] if (av_t and av_l) else 0
+
+    # scratch copies: in-MB prediction chains + nC contexts during encode
+    scY = fr.Y.copy()
+    tcY = fr.tcY.copy()
+    rec_map = fr.recon.copy()
+    tcCb, tcCr = fr.tcCb.copy(), fr.tcCr.copy()
+    i4s = fr.i4.copy()
+
+    def chroma_bits(qp_now: int) -> str:
+        # spec parse order (§7.3.5.3.3): BOTH chroma DC blocks first, then
+        # the 4 AC blocks of Cb, then the 4 AC blocks of Cr
+        cb = _StrBits()
+        qpc = _chroma_qp(qp_now, chroma_qp_off)
+        per_comp = []
+        for plane in (scb, scr):
+            rplane = fr.Cb if plane is scb else fr.Cr
+            topc = rplane[cy - 1, cx:cx + 8] if av_t else np.full(8, 128, np.int64)
+            leftc = rplane[cy:cy + 8, cx - 1] if av_l else np.full(8, 128, np.int64)
+            tlc = int(rplane[cy - 1, cx - 1]) if (av_t and av_l) else 128
+            predc = _pred_chroma(cmode, topc, leftc, tlc, av_t, av_l)
+            res = plane[cy:cy + 8, cx:cx + 8].astype(np.int64) - predc
+            dcg = np.zeros((2, 2), np.int64)
+            acs = []
+            for i in range(4):
+                bx, by = 4 * (i & 1), 4 * (i >> 1)
+                W = transform4x4(res[by:by + 4, bx:bx + 4])
+                dcg[i >> 1, i & 1] = W[0, 0]
+                q = quant4x4(W, qpc)
+                q[0, 0] = 0
+                acs.append(_enforce_t1(scan_order(q)[1:]))
+            fdc = _H2 @ dcg @ _H2
+            per_comp.append((_enforce_t1(_quant_dc(fdc, qpc).reshape(-1)), acs))
+        for dc_lv, _ in per_comp:
+            encode_residual_block(_BWAdapter(cb), dc_lv, -1)
+        for (_, acs), tc in zip(per_comp, (tcCb, tcCr)):
+            for i in range(4):
+                gbx, gby = cbx + (i & 1), cby + (i >> 1)
+                nc = fr.nc(tc, gby, gbx)
+                encode_residual_block(_BWAdapter(cb), acs[i], nc)
+                tc[gby, gbx] = int(np.count_nonzero(acs[i]))
+        return cb.bits()
+
+    if kind == "i16":
+        pred_mode = [2, 0, 1, 3][(mbx + 2 * mby) % 4]
+        if pred_mode in (0, 3) and not av_t:
+            pred_mode = 2
+        if pred_mode in (1, 3) and not av_l:
+            pred_mode = 2
+        if pred_mode == 3 and not (av_t and av_l):
+            pred_mode = 2
+        k = pred_mode + 4 * 2 + 12  # cbp_chroma=2, cbp_luma=15
+        bw.ue(1 + k)
+        bw.ue(cmode)
+        bw.se(0)  # mb_qp_delta
+        top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
+        left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
+        tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
+        pred = _pred16x16(pred_mode, top, left, tl, av_t, av_l)
+        res = sy[py:py + 16, px:px + 16].astype(np.int64) - pred
+        dcg = np.zeros((4, 4), np.int64)
+        acs = []
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            W = transform4x4(res[y:y + 4, x:x + 4])
+            dcg[y // 4, x // 4] = W[0, 0]
+            q = quant4x4(W, qp)
+            q[0, 0] = 0
+            acs.append(_enforce_t1(scan_order(q)[1:]))
+        fdc = hadamard4x4(dcg)
+        fdc = np.sign(fdc) * (np.abs(fdc) >> 1)  # spec forward DC: /2
+        dc_scan = _enforce_t1(scan_order(
+            _quant_dc(fdc, qp).reshape(4, 4)))
+        nc0 = fr.nc(tcY, by0, bx0)
+        encode_residual_block(_BWAdapter(bw), dc_scan, nc0)
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            gbx, gby = bx0 + x // 4, by0 + y // 4
+            nc = fr.nc(tcY, gby, gbx)
+            encode_residual_block(_BWAdapter(bw), acs[i], nc)
+            tcY[gby, gbx] = int(np.count_nonzero(acs[i]))
+        bw.put_str(chroma_bits(qp))
+        return bw.bits()
+
+    # kind == "i4"
+    bw.ue(0)
+    mode_bits = _StrBits()
+    resid_bits = _StrBits()
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        gx, gy = px + x, py + y
+        # availability off the scratch RECON bitmap (same rule as decoder)
+        at = gby > 0 and rec_map[gby - 1, gbx]
+        al = gbx > 0 and rec_map[gby, gbx - 1]
+        cand = _i4_avail_modes(at, al)
+        mode = cand[(i + mbx + 3 * mby) % len(cand)]
+        ma = int(i4s[gby, gbx - 1]) if gbx > 0 else -1
+        mbm = int(i4s[gby - 1, gbx]) if gby > 0 else -1
+        pred_m = 2 if (ma < 0 or mbm < 0) else min(ma, mbm)
+        if mode == pred_m:
+            mode_bits.u(1, 1)
+        else:
+            mode_bits.u(0, 1)
+            rem = mode if mode < pred_m else mode - 1
+            mode_bits.u(rem, 3)
+        i4s[gby, gbx] = mode
+        # prediction against the scratch recon (same order as decoder)
+        sc = _Frame.__new__(_Frame)
+        sc.Y, sc.recon = scY, rec_map  # duck-typed view for _luma_edges4x4
+        top, left, tl, eat, eal, eatr = _luma_edges4x4(sc, gx, gy)
+        p4 = _pred4x4(mode, top, left, tl, eat, eal, eatr)
+        res = sy[gy:gy + 4, gx:gx + 4].astype(np.int64) - p4
+        q = _enforce_t1(scan_order(quant4x4(transform4x4(res), qp)))
+        nc = fr.nc(tcY, gby, gbx)
+        encode_residual_block(_BWAdapter(resid_bits), q, nc)
+        tcY[gby, gbx] = int(np.count_nonzero(q))
+        # reconstruct into the scratch so later in-MB blocks predict right
+        rec = p4 + itransform4x4(dequant4x4(q, qp))
+        scY[gy:gy + 4, gx:gx + 4] = np.clip(rec, 0, 255)
+        rec_map[gby, gbx] = True
+    bw.put_str(mode_bits.bits())
+    bw.ue(cmode)
+    bw.ue(_CBP_INTRA_INV[47])  # cbp 47 = luma 15 + chroma 2
+    bw.se(0)
+    bw.put_str(resid_bits.bits())
+    bw.put_str(chroma_bits(qp))
+    return bw.bits()
+
+
+class _BWAdapter:
+    """encode_residual_block targets BitWriter's (u, put_str) surface."""
+
+    def __init__(self, sink):
+        self.sink = sink
+
+    def u(self, value: int, n: int) -> None:
+        self.sink.u(value, n)
+
+    def put_str(self, bits: str) -> None:
+        self.sink.put_str(bits)
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    pad = (-len(bits)) % 8
+    bits = bits + "0" * pad
+    return int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
+
+
+def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn) -> bytes:
+    """One IDR slice RBSP from (Y, Cb, Cr) source planes (already padded to
+    the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.
+
+    Self-checking by construction: after appending each MB's bits the
+    encoder runs the real DECODER (_decode_mb) over those bits to advance
+    its reconstruction state, asserting bit-exact consumption — prediction
+    contexts and recon can never drift between the two sides."""
+    sy = src[0]
+    hb = _StrBits()
+    hb.ue(0)                      # first_mb_in_slice
+    hb.ue(7)                      # slice_type = I (all slices in pic)
+    hb.ue(pps["pps_id"])
+    hb.u(0, sps["log2_max_frame_num"])  # frame_num
+    hb.ue(0)                      # idr_pic_id
+    hb.u(0, 1)                    # no_output_of_prior_pics
+    hb.u(0, 1)                    # long_term_reference
+    hb.se(qp - pps["pic_init_qp"])
+    if pps["deblocking_control"]:
+        hb.ue(1)                  # disable_deblocking_filter_idc = 1
+    bits = hb.bits()
+    fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    cur_qp = qp
+    for mby in range(sps["h_mbs"]):
+        for mbx in range(sps["w_mbs"]):
+            kind = kind_fn(mbx, mby)
+            if kind == "pcm":
+                mb = _StrBits()
+                mb.ue(25)
+                px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+                head = mb.bits()
+                pad = (-(len(bits) + len(head))) % 8
+                payload = []
+                for y in range(16):
+                    for x in range(16):
+                        payload.append(format(int(sy[py + y, px + x]), "08b"))
+                for plane in (src[1], src[2]):
+                    for y in range(8):
+                        for x in range(8):
+                            payload.append(format(int(plane[cy + y, cx + x]), "08b"))
+                mb_bits = head + "0" * pad + "".join(payload)
+            else:
+                mb_bits = _encode_mb_bits(src, fr, mbx, mby, cur_qp,
+                                          pps["chroma_qp_index_offset"], kind)
+            start = len(bits)
+            bits += mb_bits
+            br = BitReader(_bits_to_bytes(bits))
+            br.pos = start
+            cur_qp = _decode_mb(br, fr, mbx, mby, cur_qp,
+                                pps["chroma_qp_index_offset"])
+            assert br.pos == len(bits), (
+                f"encoder/decoder bit drift at MB ({mbx},{mby}): "
+                f"{br.pos} != {len(bits)}"
+            )
+    bw = BitWriter()
+    bw.put_str(bits)
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
+def write_sps(w_mbs: int, h_mbs: int, width: int, height: int) -> bytes:
+    bw = BitWriter()
+    bw.u(66, 8)   # profile_idc: Baseline
+    bw.u(0, 8)    # constraint flags
+    bw.u(20, 8)   # level 2.0
+    bw.ue(0)      # sps_id
+    bw.ue(0)      # log2_max_frame_num_minus4
+    bw.ue(2)      # pic_order_cnt_type = 2 (no POC fields)
+    bw.ue(0)      # max_num_ref_frames
+    bw.u(0, 1)    # gaps_in_frame_num
+    bw.ue(w_mbs - 1)
+    bw.ue(h_mbs - 1)
+    bw.u(1, 1)    # frame_mbs_only
+    bw.u(1, 1)    # direct_8x8_inference
+    crop_r = (16 * w_mbs - width) // 2
+    crop_b = (16 * h_mbs - height) // 2
+    if crop_r or crop_b:
+        bw.u(1, 1)
+        bw.ue(0)
+        bw.ue(crop_r)
+        bw.ue(0)
+        bw.ue(crop_b)
+    else:
+        bw.u(0, 1)
+    bw.u(0, 1)    # vui
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
+def write_pps() -> bytes:
+    bw = BitWriter()
+    bw.ue(0)      # pps_id
+    bw.ue(0)      # sps_id
+    bw.u(0, 1)    # entropy_coding_mode = CAVLC
+    bw.u(0, 1)    # bottom_field_pic_order
+    bw.ue(0)      # num_slice_groups_minus1
+    bw.ue(0)      # num_ref_idx_l0
+    bw.ue(0)      # num_ref_idx_l1
+    bw.u(0, 1)    # weighted_pred
+    bw.u(0, 2)    # weighted_bipred
+    bw.se(0)      # pic_init_qp_minus26
+    bw.se(0)      # pic_init_qs_minus26
+    bw.se(0)      # chroma_qp_index_offset
+    bw.u(1, 1)    # deblocking_filter_control_present
+    bw.u(0, 1)    # constrained_intra_pred
+    bw.u(0, 1)    # redundant_pic_cnt_present
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return bytes([(ref_idc << 5) | nal_type]) + ebsp_from_rbsp(rbsp)
+
+
+def rgb_to_yuv420(frame: np.ndarray):
+    """(h, w, 3) uint8 RGB -> MB-grid-padded (Y, Cb, Cr) uint8 planes
+    (full-range BT.601, same matrix as stages/jpeg.py; chroma = 2x2 mean)."""
+    from iresearch_ray.stages.jpeg import _rgb_to_ycbcr
+
+    h, w = frame.shape[:2]
+    ph, pw = -h % 16, -w % 16
+    fx = np.pad(frame, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(fx.astype(np.float64))
+    Y = np.round(ycc[..., 0]).clip(0, 255).astype(np.uint8)
+    cb = ycc[..., 1].reshape(Y.shape[0] // 2, 2, Y.shape[1] // 2, 2).mean((1, 3))
+    cr = ycc[..., 2].reshape(Y.shape[0] // 2, 2, Y.shape[1] // 2, 2).mean((1, 3))
+    return Y, np.round(cb).clip(0, 255).astype(np.uint8), \
+        np.round(cr).clip(0, 255).astype(np.uint8)
+
+
+def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed") -> bytes:
+    """RGB frames -> Annex-B baseline I-frame-only stream.  ``kinds``:
+    'pcm' (lossless planes), 'i16', 'i4', or 'mixed' (cycles all three per
+    MB — the full-coverage fixture)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError("even dimensions required (4:2:0)")
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    sps_rbsp = write_sps(w_mbs, h_mbs, w, h)
+    pps_rbsp = write_pps()
+    sps = parse_sps(sps_rbsp)
+    pps = parse_pps(pps_rbsp)
+    cycle = ("i16", "i4", "pcm")
+
+    def kind_fn(mbx, mby):
+        if kinds == "mixed":
+            return cycle[(mbx + mby) % 3]
+        return kinds
+
+    out = [b"\x00\x00\x00\x01" + _nal(7, sps_rbsp),
+           b"\x00\x00\x00\x01" + _nal(8, pps_rbsp)]
+    for f in frames:
+        src = rgb_to_yuv420(f)
+        rbsp = encode_iframe_slice(src, sps, pps, qp, kind_fn)
+        out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
+    return b"".join(out)

@@ -11,10 +11,12 @@ the QuickTime-lineage MJPEG-in-MP4 shape) through the dependency-free
 codec in stages/jpeg.py — frame sampling never entropy-decodes skipped
 samples, mirroring stages/avi.py.
 
-What is NOT: H.264/H.265/VP9/AV1 entropy decoding.  An ``avc1``/``hvc1``
-track demuxes fine (meta + sample byte ranges), but ``decode_mp4_mjpeg``
-raises ``ValueError`` pointing at the PyAV seam — inter-frame DCT codecs
-are genuinely out of scope for a from-scratch numpy decoder.
+ALSO real (r5): ``decode_mp4_h264`` — avc1 tracks decode IN-ENGINE via
+the from-scratch CAVLC baseline I-frame decoder (stages/h264.py): avcC
+SPS/PPS parse, length-prefixed NAL walk, IDR-only sampling (non-IDR
+samples are skipped without entropy decode, mirroring the MJPEG
+samplers).  What remains at the PyAV seam: CABAC streams, P/B
+reconstruction, H.265/VP9/AV1.
 
 The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
 ``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and
@@ -100,6 +102,16 @@ def _parse_video_track(buf: bytes) -> dict:
         entry = sd_s + 8  # version/flags + entry_count
         codec = bytes(buf[entry + 4 : entry + 8])
         width, height = struct.unpack_from(">HH", buf, entry + 8 + 24)
+        # avc1 carries codec config (SPS/PPS) in an avcC child box after
+        # the 78-byte VisualSampleEntry body
+        avcc = None
+        entry_size = struct.unpack_from(">I", buf, entry)[0]
+        child = entry + 8 + 78
+        if child + 8 <= entry + entry_size:
+            for cfc, c_s, c_e in _walk_boxes(buf, child, entry + entry_size):
+                if cfc == b"avcC":
+                    avcc = bytes(buf[c_s:c_e])
+                    break
 
         # stts: (count, delta) runs → per-sample durations
         st_s, _ = _find_box(buf, sb_s, sb_e, b"stts")
@@ -149,6 +161,7 @@ def _parse_video_track(buf: bytes) -> dict:
             raise ValueError("MP4 sample table inconsistent (stsc/stsz/stco)")
         return {
             "codec": codec.decode("latin1"),
+            "avcC": avcc,
             "width": int(width),
             "height": int(height),
             "timescale": int(timescale),
@@ -190,8 +203,9 @@ def decode_mp4_mjpeg(payload: bytes, every: int = 1) -> list[tuple[int, np.ndarr
     t = _parse_video_track(payload)
     if t["codec"].encode() not in _MJPEG_FOURCC:
         raise ValueError(
-            f"MP4 track codec {t['codec']!r} needs an inter-frame decoder; "
-            "use the PyAV seam (decoder='libav')")
+            f"MP4 track codec {t['codec']!r}: for avc1 use decode_mp4_h264 "
+            "(in-engine CAVLC I-frame decode); other inter-frame codecs "
+            "need the PyAV seam (decoder='libav')")
     out = []
     for f in range(0, t["n_frames"], every):
         off, size = t["spans"][f]
@@ -207,46 +221,23 @@ def decode_mp4_mjpeg(payload: bytes, every: int = 1) -> list[tuple[int, np.ndarr
 # ---------------------------------------------------------------------------
 
 
-def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,
-                     quality: int = 95) -> bytes:
-    """(h, w, 3) uint8 frames → a minimal MJPEG-in-MP4 file (one mdat, one
-    chunk, uniform durations, 'jpeg' VisualSampleEntry)."""
-    if not frames:
-        raise ValueError("need at least one frame")
-    h, w = frames[0].shape[:2]
-    jpegs = []
-    for f in frames:
-        if f.shape[:2] != (h, w):
-            raise ValueError("all frames must share one shape")
-        jpegs.append(encode_jpeg(f, quality=quality))
-    n = len(jpegs)
+def _mux_single_chunk(samples: list[bytes], sample_entry: bytes, fps: int,
+                      w: int, h: int) -> bytes:
+    """Shared minimal muxer: one mdat, one chunk, uniform durations."""
+    n = len(samples)
     timescale = int(fps) * 1000
     delta = 1000
     duration = n * delta
-
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    mdat_payload = b"".join(jpegs)
-    # samples start right after ftyp + the mdat header
+    mdat_payload = b"".join(samples)
     first_off = len(ftyp) + 8
-
-    sample_entry = _box(
-        b"jpeg",
-        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_index
-        + b"\x00" * 16                               # pre_defined/reserved
-        + struct.pack(">HH", w, h)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4 + struct.pack(">H", 1)         # reserved + frame_count
-        + b"\x00" * 32                               # compressorname
-        + struct.pack(">Hh", 24, -1),                # depth, pre_defined
-    )
     stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
-                     + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+                     + b"".join(struct.pack(">I", len(j)) for j in samples))
     stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, first_off))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-
     vmhd = _full_box(b"vmhd", 0, 1, b"\x00" * 8)
     dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
                      + _full_box(b"url ", 0, 1, b""))
@@ -270,3 +261,138 @@ def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,
                      + b"\x00" * 24 + struct.pack(">I", 2))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 95) -> bytes:
+    """(h, w, 3) uint8 frames → a minimal MJPEG-in-MP4 file (one mdat, one
+    chunk, uniform durations, 'jpeg' VisualSampleEntry)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        jpegs.append(encode_jpeg(f, quality=quality))
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_index
+        + b"\x00" * 16                               # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)         # reserved + frame_count
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1),                # depth, pre_defined
+    )
+    return _mux_single_chunk(jpegs, sample_entry, fps, w, h)
+
+
+# ---------------------------------------------------------------------------
+# H.264 in MP4 (avc1 + avcC) — in-engine CAVLC I-frame decode (stages/h264)
+# ---------------------------------------------------------------------------
+
+
+def _parse_avcc(avcc: bytes) -> tuple[int, list[bytes], list[bytes]]:
+    """(nal_length_size, sps_nals, pps_nals) from an avcC payload."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("bad avcC")
+    length_size = (avcc[4] & 3) + 1
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps = []
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", avcc, pos)[0]
+        sps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", avcc, pos)[0]
+        pps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return length_size, sps, pps
+
+
+def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
+    """[(frame index, (h, w, 3) uint8 RGB)] for every k-th sample of an
+    avc1 track, decoded by the from-scratch CAVLC I-frame decoder
+    (stages/h264.py).  Non-IDR samples (P/B frames) are SKIPPED without
+    entropy decoding — the IDR-only sampling semantics that mirror the AVI
+    sampler's skip; CABAC streams raise toward the PyAV seam."""
+    from iresearch_ray.stages import h264
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    t = _parse_video_track(payload)
+    if t["codec"] != "avc1":
+        raise ValueError(f"not an avc1 track: {t['codec']!r}")
+    if not t["avcC"]:
+        raise ValueError("avc1 sample entry has no avcC config")
+    length_size, sps_nals, pps_nals = _parse_avcc(t["avcC"])
+    sps = h264.parse_sps(h264.rbsp_from_ebsp(sps_nals[0][1:]))
+    pps = h264.parse_pps(h264.rbsp_from_ebsp(pps_nals[0][1:]))
+    out = []
+    for f in range(0, t["n_frames"], every):
+        off, size = t["spans"][f]
+        for nal_type, rbsp in h264.iter_avc_nals(
+            payload[off : off + size], length_size
+        ):
+            if nal_type == 5:
+                Y, Cb, Cr = h264.decode_idr_slice(rbsp, sps, pps)
+                if rgb:
+                    out.append((f, h264._yuv420_to_rgb(
+                        Y, Cb, Cr, t["width"], t["height"])))
+                else:
+                    out.append((f, (Y, Cb, Cr)))
+            # nal_type 1 (non-IDR) falls through: skipped, never decoded
+    return out
+
+
+def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
+                    kinds: str = "mixed") -> bytes:
+    """(h, w, 3) uint8 frames → a minimal avc1 MP4 (one mdat, one chunk,
+    4-byte-length-prefixed IDR NALs, avcC with one SPS/PPS) through the
+    from-scratch baseline I-frame encoder — the REAL-fixture generator for
+    decode_mp4_h264."""
+    from iresearch_ray.stages import h264
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h)
+    pps_rbsp = h264.write_pps()
+    sps = h264.parse_sps(sps_rbsp)
+    pps = h264.parse_pps(pps_rbsp)
+    sps_nal = h264._nal(7, sps_rbsp)
+    pps_nal = h264._nal(8, pps_rbsp)
+    cycle = ("i16", "i4", "pcm")
+
+    def kind_fn(mbx, mby):
+        return cycle[(mbx + mby) % 3] if kinds == "mixed" else kinds
+
+    samples = []
+    for fimg in frames:
+        if fimg.shape[:2] != (h, w):
+            raise ValueError("all frames must share one shape")
+        src = h264.rgb_to_yuv420(fimg)
+        nal = h264._nal(5, h264.encode_iframe_slice(src, sps, pps, qp, kind_fn))
+        samples.append(struct.pack(">I", len(nal)) + nal)
+
+    avcc = (bytes([1, 66, 0, 20, 0xFC | 3, 0xE0 | 1])
+            + struct.pack(">H", len(sps_nal)) + sps_nal
+            + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal)
+    sample_entry = _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + _box(b"avcC", avcc),
+    )
+    return _mux_single_chunk(samples, sample_entry, fps, w, h)

