@@ -969,10 +969,22 @@ class _Frame:
         # but intra sample availability follows reconstruction order
         self.recon = np.zeros((4 * h_mbs, 4 * w_mbs), dtype=bool)
         self.mb_done = np.zeros((h_mbs, w_mbs), dtype=bool)
+        # slice number per MB (-1 undecoded): neighbors in a DIFFERENT
+        # slice are unavailable for prediction AND for nC contexts (§6.4.9
+        # — the slice-boundary rule real multi-slice encoders rely on)
+        self.slice_no = np.full((h_mbs, w_mbs), -1, dtype=np.int32)
+        self.cur_slice = 0
 
-    def nc(self, tc: np.ndarray, by: int, bx: int) -> int:
-        na = int(tc[by, bx - 1]) if bx > 0 else -1
-        nb = int(tc[by - 1, bx]) if by > 0 else -1
+    def same_slice(self, mby: int, mbx: int) -> bool:
+        return int(self.slice_no[mby, mbx]) == int(self.cur_slice)
+
+    def blk_ok(self, by: int, bx: int, shift: int) -> bool:
+        """Neighbor block availability for nC: decoded AND same slice."""
+        return self.same_slice(by >> shift, bx >> shift)
+
+    def nc(self, tc: np.ndarray, by: int, bx: int, shift: int = 2) -> int:
+        na = int(tc[by, bx - 1]) if (bx > 0 and self.blk_ok(by, bx - 1, shift)) else -1
+        nb = int(tc[by - 1, bx]) if (by > 0 and self.blk_ok(by - 1, bx, shift)) else -1
         if na >= 0 and nb >= 0:
             return (na + nb + 1) >> 1
         if na >= 0:
@@ -990,8 +1002,10 @@ def _parse_i4_modes(br: BitReader, fr: _Frame, bx0: int, by0: int) -> list:
     for i in range(16):
         x, y = _BLK_XY[i]
         gbx, gby = bx0 + x // 4, by0 + y // 4
-        ma = int(fr.i4[gby, gbx - 1]) if gbx > 0 else -1
-        mb = int(fr.i4[gby - 1, gbx]) if gby > 0 else -1
+        ma = int(fr.i4[gby, gbx - 1]) \
+            if (gbx > 0 and fr.same_slice(gby >> 2, (gbx - 1) >> 2)) else -1
+        mb = int(fr.i4[gby - 1, gbx]) \
+            if (gby > 0 and fr.same_slice((gby - 1) >> 2, gbx >> 2)) else -1
         pred = 2 if (ma < 0 or mb < 0) else min(ma, mb)
         if br.u(1):
             mode = pred
@@ -1009,10 +1023,14 @@ def _luma_edges4x4(fr: _Frame, gx: int, gy: int):
     RECONSTRUCTION bitmap, which encodes picture edges AND reconstruction
     order (z-scan within MB, raster across MBs) in one rule."""
     bx, by = gx // 4, gy // 4
-    av_t = by > 0 and fr.recon[by - 1, bx]
-    av_l = bx > 0 and fr.recon[by, bx - 1]
-    av_tl = by > 0 and bx > 0 and fr.recon[by - 1, bx - 1]
-    av_tr = by > 0 and bx + 1 < fr.recon.shape[1] and fr.recon[by - 1, bx + 1]
+
+    def ok(b_y, b_x):
+        return fr.recon[b_y, b_x] and fr.same_slice(b_y >> 2, b_x >> 2)
+
+    av_t = by > 0 and ok(by - 1, bx)
+    av_l = bx > 0 and ok(by, bx - 1)
+    av_tl = by > 0 and bx > 0 and ok(by - 1, bx - 1)
+    av_tr = by > 0 and bx + 1 < fr.recon.shape[1] and ok(by - 1, bx + 1)
     top = np.full(8, 128, dtype=np.int64)
     left = np.full(4, 128, dtype=np.int64)
     tl = 128
@@ -1033,6 +1051,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                chroma_qp_off: int) -> int:
     """Parse + reconstruct one I-slice macroblock.  Returns the updated QP."""
     mb_type = br.ue()
+    fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby  # luma block coords
     px, py = 16 * mbx, 16 * mby  # luma pixel coords
     cx, cy = 8 * mbx, 8 * mby    # chroma pixel coords
@@ -1117,8 +1136,8 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
         ac.append(c)
     chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
     # prediction over the whole 16x16
-    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
-    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
     top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
     left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
     tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
@@ -1165,7 +1184,7 @@ def _parse_chroma_residuals(br: BitReader, fr: _Frame, cbx: int, cby: int,
         for i in range(4):  # 2x2 blocks, raster
             gbx, gby = cbx + (i & 1), cby + (i >> 1)
             if cbp_chroma == 2:
-                nc = fr.nc(tc, gby, gbx)
+                nc = fr.nc(tc, gby, gbx, shift=1)
                 c = decode_residual_block(br, nc, 15)
                 tc[gby, gbx] = int(np.count_nonzero(c))
             else:
@@ -1184,8 +1203,8 @@ def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
     dc_cb, dc_cr, ac_cb, ac_cr = chroma
     qpc = _chroma_qp(qp, chroma_qp_off)
     cx, cy = 8 * mbx, 8 * mby
-    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
-    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
     ls0 = 16 * int(_DEQUANT_V[qpc % 6][0])  # §8.5.11, flat weightScale
     for plane, dc_scan, acs in ((fr.Cb, dc_cb, ac_cb), (fr.Cr, dc_cr, ac_cr)):
         top = plane[cy - 1, cx:cx + 8] if av_t else np.full(8, 128, np.int64)
@@ -1207,13 +1226,24 @@ def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
         plane[cy:cy + 8, cx:cx + 8] = np.clip(out, 0, 255)
 
 
-def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
-    """One IDR slice RBSP -> (Y, Cb, Cr) uint8 planes (full MB grid,
-    uncropped)."""
+def _rbsp_data_end(rbsp: bytes) -> int:
+    """Bit index of the rbsp_stop_one_bit (the LAST set bit) — slice data
+    ends just before it (more_rbsp_data(), §7.2)."""
+    for i in range(len(rbsp) - 1, -1, -1):
+        b = rbsp[i]
+        if b:
+            low = (b & -b).bit_length() - 1
+            return i * 8 + (7 - low)
+    return 0
+
+
+def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
+    """Decode one IDR slice into a shared picture frame.  Returns
+    first_mb_in_slice.  Slice-boundary availability is enforced through
+    fr.cur_slice / fr.slice_no (neighbors in other slices are unavailable
+    for prediction and nC, §6.4.9)."""
     br = BitReader(rbsp)
     first_mb = br.ue()
-    if first_mb != 0:
-        raise ValueError("multi-slice pictures not supported")
     slice_type = br.ue()
     if slice_type % 5 != 2:
         raise ValueError(f"not an I slice (slice_type {slice_type}): "
@@ -1234,12 +1264,32 @@ def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
             if idc == 0 or idc == 2:
                 br.se()
                 br.se()
+    total = sps["w_mbs"] * sps["h_mbs"]
+    end = _rbsp_data_end(rbsp)
+    mb = first_mb
+    while mb < total and br.pos < end:
+        qp = _decode_mb(br, fr, mb % sps["w_mbs"], mb // sps["w_mbs"], qp,
+                        pps["chroma_qp_index_offset"])
+        mb += 1
+    fr.cur_slice += 1
+    return first_mb
+
+
+def decode_idr_picture(rbsps: list, sps: dict, pps: dict):
+    """One access unit (>= 1 IDR slice RBSPs) -> (Y, Cb, Cr) uint8 planes
+    (full MB grid, uncropped)."""
     fr = _Frame(sps["w_mbs"], sps["h_mbs"])
-    for mby in range(sps["h_mbs"]):
-        for mbx in range(sps["w_mbs"]):
-            qp = _decode_mb(br, fr, mbx, mby, qp, pps["chroma_qp_index_offset"])
+    for rbsp in rbsps:
+        _decode_slice_into(fr, rbsp, sps, pps)
+    if not fr.mb_done.all():
+        raise ValueError("picture is missing macroblocks (incomplete slices)")
     return (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
             fr.Cr.astype(np.uint8))
+
+
+def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
+    """Single-slice picture convenience wrapper."""
+    return decode_idr_picture([rbsp], sps, pps)
 
 
 # ---------------------------------------------------------------------------
@@ -1295,29 +1345,48 @@ def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
 
 
 def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
-    """[(frame_idx, array)] for every k-th IDR frame of an Annex-B H.264
-    stream.  Non-IDR (P/B) access units are SKIPPED without entropy
-    decoding — the I-frame-sampling semantics of the AVI/MJPEG samplers."""
+    """[(frame_idx, array)] for every k-th IDR access unit of an Annex-B
+    H.264 stream.  Consecutive IDR slices form ONE picture (a new access
+    unit starts at first_mb_in_slice == 0).  Non-IDR (P/B) access units
+    are SKIPPED without entropy decoding — the I-frame-sampling semantics
+    of the AVI/MJPEG samplers."""
     sps = pps = None
     frames = []
     idx = 0
+    cur: list = []
+
+    def flush():
+        nonlocal idx, cur
+        if not cur:
+            return
+        if idx % every == 0:
+            Y, Cb, Cr = decode_idr_picture(cur, sps, pps)
+            img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
+                   if rgb else (Y[: sps["height"], : sps["width"]], Cb, Cr))
+            frames.append((idx, img))
+        idx += 1
+        cur = []
+
     for nal_type, rbsp in split_annexb(stream):
         if nal_type == 7:
+            flush()
             sps = parse_sps(rbsp)
         elif nal_type == 8:
+            flush()
             pps = parse_pps(rbsp)
         elif nal_type == 5:
             if sps is None or pps is None:
                 raise ValueError("IDR before SPS/PPS")
-            if idx % every == 0:
-                Y, Cb, Cr = decode_idr_slice(rbsp, sps, pps)
-                img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
-                       if rgb else (Y[: sps["height"], : sps["width"]],
-                                    Cb, Cr))
-                frames.append((idx, img))
-            idx += 1
+            if BitReader(rbsp).ue() == 0:  # first_mb==0 opens a new AU
+                flush()
+            cur.append(rbsp)
         elif nal_type == 1:
-            idx += 1  # non-IDR slice: skipped, never entropy-decoded
+            flush()
+            # non-IDR slice: skipped, never entropy-decoded; a new AU
+            # starts when its header says first_mb == 0
+            if BitReader(rbsp).ue() == 0:
+                idx += 1
+    flush()
     return frames
 
 
@@ -1402,11 +1471,12 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     bx0, by0, cbx, cby = 4 * mbx, 4 * mby, 2 * mbx, 2 * mby
 
-    av_t = mby > 0 and fr.mb_done[mby - 1, mbx]
-    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1]
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
     cmode = [0, 1, 2, 3][(mbx + mby) % 4] if (av_t and av_l) else 0
 
     # scratch copies: in-MB prediction chains + nC contexts during encode
+    fr.slice_no[mby, mbx] = fr.cur_slice  # decoder sets the same at entry
     scY = fr.Y.copy()
     tcY = fr.tcY.copy()
     rec_map = fr.recon.copy()
@@ -1442,7 +1512,7 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         for (_, acs), tc in zip(per_comp, (tcCb, tcCr)):
             for i in range(4):
                 gbx, gby = cbx + (i & 1), cby + (i >> 1)
-                nc = fr.nc(tc, gby, gbx)
+                nc = fr.nc(tc, gby, gbx, shift=1)
                 encode_residual_block(_BWAdapter(cb), acs[i], nc)
                 tc[gby, gbx] = int(np.count_nonzero(acs[i]))
         return cb.bits()
@@ -1497,12 +1567,14 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         gbx, gby = bx0 + x // 4, by0 + y // 4
         gx, gy = px + x, py + y
         # availability off the scratch RECON bitmap (same rule as decoder)
-        at = gby > 0 and rec_map[gby - 1, gbx]
-        al = gbx > 0 and rec_map[gby, gbx - 1]
+        at = gby > 0 and rec_map[gby - 1, gbx] and fr.same_slice((gby - 1) >> 2, gbx >> 2)
+        al = gbx > 0 and rec_map[gby, gbx - 1] and fr.same_slice(gby >> 2, (gbx - 1) >> 2)
         cand = _i4_avail_modes(at, al)
         mode = cand[(i + mbx + 3 * mby) % len(cand)]
-        ma = int(i4s[gby, gbx - 1]) if gbx > 0 else -1
-        mbm = int(i4s[gby - 1, gbx]) if gby > 0 else -1
+        ma = int(i4s[gby, gbx - 1]) \
+            if (gbx > 0 and fr.same_slice(gby >> 2, (gbx - 1) >> 2)) else -1
+        mbm = int(i4s[gby - 1, gbx]) \
+            if (gby > 0 and fr.same_slice((gby - 1) >> 2, gbx >> 2)) else -1
         pred_m = 2 if (ma < 0 or mbm < 0) else min(ma, mbm)
         if mode == pred_m:
             mode_bits.u(1, 1)
@@ -1514,6 +1586,7 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         # prediction against the scratch recon (same order as decoder)
         sc = _Frame.__new__(_Frame)
         sc.Y, sc.recon = scY, rec_map  # duck-typed view for _luma_edges4x4
+        sc.slice_no, sc.cur_slice = fr.slice_no, fr.cur_slice
         top, left, tl, eat, eal, eatr = _luma_edges4x4(sc, gx, gy)
         p4 = _pred4x4(mode, top, left, tl, eat, eal, eatr)
         res = sy[gy:gy + 4, gx:gx + 4].astype(np.int64) - p4
@@ -1553,9 +1626,14 @@ def _bits_to_bytes(bits: str) -> bytes:
     return int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
 
 
-def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn) -> bytes:
+def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
+                        first_mb: int = 0, n_mbs: int | None = None,
+                        fr: "_Frame | None" = None) -> bytes:
     """One IDR slice RBSP from (Y, Cb, Cr) source planes (already padded to
-    the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.
+    the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.  For a
+    multi-slice picture pass the shared ``fr`` plus this slice's MB band
+    (``first_mb``/``n_mbs``); the caller bumps ``fr.cur_slice`` between
+    slices (matching the decoder's per-slice increment).
 
     Self-checking by construction: after appending each MB's bits the
     encoder runs the real DECODER (_decode_mb) over those bits to advance
@@ -1563,7 +1641,7 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn) -> bytes:
     contexts and recon can never drift between the two sides."""
     sy = src[0]
     hb = _StrBits()
-    hb.ue(0)                      # first_mb_in_slice
+    hb.ue(first_mb)               # first_mb_in_slice
     hb.ue(7)                      # slice_type = I (all slices in pic)
     hb.ue(pps["pps_id"])
     hb.u(0, sps["log2_max_frame_num"])  # frame_num
@@ -1574,10 +1652,14 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn) -> bytes:
     if pps["deblocking_control"]:
         hb.ue(1)                  # disable_deblocking_filter_idc = 1
     bits = hb.bits()
-    fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    if fr is None:
+        fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    total = sps["w_mbs"] * sps["h_mbs"]
+    if n_mbs is None:
+        n_mbs = total - first_mb
     cur_qp = qp
-    for mby in range(sps["h_mbs"]):
-        for mbx in range(sps["w_mbs"]):
+    for mb_i in range(first_mb, first_mb + n_mbs):
+            mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
             kind = kind_fn(mbx, mby)
             if kind == "pcm":
                 mb = _StrBits()
@@ -1683,10 +1765,14 @@ def rgb_to_yuv420(frame: np.ndarray):
         np.round(cr).clip(0, 255).astype(np.uint8)
 
 
-def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed") -> bytes:
+def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
+                       slices: int = 1) -> bytes:
     """RGB frames -> Annex-B baseline I-frame-only stream.  ``kinds``:
     'pcm' (lossless planes), 'i16', 'i4', or 'mixed' (cycles all three per
-    MB — the full-coverage fixture)."""
+    MB — the full-coverage fixture).  ``slices`` > 1 splits each picture
+    into that many contiguous MB bands, one IDR NAL each (the shape real
+    encoders emit for intra-picture parallelism) — slice-boundary
+    availability rules apply on both sides."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
@@ -1704,10 +1790,18 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed") -> byte
             return cycle[(mbx + mby) % 3]
         return kinds
 
+    total = w_mbs * h_mbs
+    n_slices = max(1, min(int(slices), total))
+    bounds = [round(i * total / n_slices) for i in range(n_slices + 1)]
     out = [b"\x00\x00\x00\x01" + _nal(7, sps_rbsp),
            b"\x00\x00\x00\x01" + _nal(8, pps_rbsp)]
     for f in frames:
         src = rgb_to_yuv420(f)
-        rbsp = encode_iframe_slice(src, sps, pps, qp, kind_fn)
-        out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
+        fr = _Frame(w_mbs, h_mbs)
+        for si in range(n_slices):
+            rbsp = encode_iframe_slice(
+                src, sps, pps, qp, kind_fn,
+                first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si], fr=fr)
+            fr.cur_slice += 1  # mirror the decoder's per-slice increment
+            out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
     return b"".join(out)

@@ -336,17 +336,18 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     out = []
     for f in range(0, t["n_frames"], every):
         off, size = t["spans"][f]
-        for nal_type, rbsp in h264.iter_avc_nals(
-            payload[off : off + size], length_size
-        ):
-            if nal_type == 5:
-                Y, Cb, Cr = h264.decode_idr_slice(rbsp, sps, pps)
-                if rgb:
-                    out.append((f, h264._yuv420_to_rgb(
-                        Y, Cb, Cr, t["width"], t["height"])))
-                else:
-                    out.append((f, (Y, Cb, Cr)))
-            # nal_type 1 (non-IDR) falls through: skipped, never decoded
+        slices = [rbsp for nal_type, rbsp in h264.iter_avc_nals(
+            payload[off : off + size], length_size) if nal_type == 5]
+        # non-IDR NALs (type 1 — P/B samples) yield no slices: skipped,
+        # never entropy-decoded
+        if not slices:
+            continue
+        Y, Cb, Cr = h264.decode_idr_picture(slices, sps, pps)
+        if rgb:
+            out.append((f, h264._yuv420_to_rgb(
+                Y, Cb, Cr, t["width"], t["height"])))
+        else:
+            out.append((f, (Y, Cb, Cr)))
     return out
 
 

@@ -159,7 +159,9 @@ def test_non_idr_samples_skipped():
     # splice a fake non-IDR NAL (type 1) between the two IDRs
     parts = stream.split(b"\x00\x00\x00\x01")
     assert len(parts) == 5  # '', sps, pps, idr, idr
-    fake_p = bytes([0x41]) + b"\x10\x20\x30"
+    # slice header starts with first_mb_in_slice = ue(0) = '1' bit, so the
+    # AU grouping sees a NEW non-IDR access unit
+    fake_p = bytes([0x41]) + b"\x88\x20\x30"
     doctored = (b"\x00\x00\x00\x01" + parts[1] + b"\x00\x00\x00\x01" + parts[2]
                 + b"\x00\x00\x00\x01" + parts[3]
                 + b"\x00\x00\x00\x01" + fake_p
@@ -222,3 +224,39 @@ def test_crop_non_multiple_of_16():
     stream = h264.encode_h264_annexb([frame], qp=8, kinds="i16")
     img = h264.decode_annexb(stream, rgb=True)[0][1]
     assert img.shape == (30, 40, 3)
+
+
+def test_multi_slice_pictures():
+    """Real encoders split a picture into several slices; consecutive IDR
+    slices must assemble into ONE access unit, and slice-boundary
+    availability (neighbors in another slice are unavailable for
+    prediction/nC) must hold on BOTH sides — the encoder's self-check
+    (decoder consumes its exact bits per MB) makes any asymmetry a hard
+    failure, and reconstruction must stay within quant error of the
+    source."""
+    frame = _test_frame()
+    src = h264.rgb_to_yuv420(frame)
+    for slices in (2, 3, 5):
+        stream = h264.encode_h264_annexb([frame], qp=8, kinds="mixed",
+                                         slices=slices)
+        assert stream.count(b"\x00\x00\x00\x01") == slices + 2
+        frames = h264.decode_annexb(stream, rgb=False)
+        assert len(frames) == 1  # slices grouped into one picture
+        Y = frames[0][1][0]
+        err = np.abs(Y.astype(int) - src[0].astype(int))
+        assert err.mean() < 1.0 and err.max() <= 4
+    # flat frame stays EXACT across slice boundaries (DC fallback = 128)
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    st = h264.encode_h264_annexb([flat], qp=30, kinds="i4", slices=2)
+    Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+    assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+    # two multi-slice frames keep AU boundaries straight
+    st2 = h264.encode_h264_annexb([frame, frame], qp=24, kinds="i16",
+                                  slices=2)
+    assert [f[0] for f in h264.decode_annexb(st2, rgb=False)] == [0, 1]
+    # a picture with a missing slice raises instead of returning garbage
+    parts = st2.split(b"\x00\x00\x00\x01")
+    broken = b"\x00\x00\x00\x01" + b"\x00\x00\x00\x01".join(
+        [parts[1], parts[2], parts[3]])  # sps, pps, first slice only
+    with pytest.raises(ValueError, match="missing macroblocks"):
+        h264.decode_annexb(broken, rgb=False)
