@@ -14,11 +14,12 @@ Scope (Constrained-Baseline-shaped, I/IDR slices only):
   (spec §9.2, Tables 9-5 .. 9-10);
 - dequant (§8.5.9 LevelScale, qP/6 shifts) + the exact 4×4 integer inverse
   transform (§8.5.12), 4×4 luma-DC Hadamard, 2×2 chroma-DC transform;
-- NO deblocking filter (fixtures set disable_deblocking_filter_idc=1; a
-  stream that expects the loop filter decodes to the un-filtered
-  reconstruction), no CABAC, no P/B slices, no interlace — non-IDR samples
-  are SKIPPED by the frame sampler (the same skip semantics as the AVI
-  sampler) and CABAC raises toward the PyAV seam.
+- in-loop deblocking filter (§8.7, all-intra bS: 4 on MB edges, 3 on
+  internal 4x4 edges) honouring per-slice disable_deblocking_filter_idc
+  0/1/2 and the alpha/beta offsets; no CABAC, no P/B slices, no
+  interlace — non-IDR samples are SKIPPED by the frame sampler (the same
+  skip semantics as the AVI sampler) and CABAC raises toward the PyAV
+  seam.
 
 The matching ``encode_h264_iframes`` emits a conformant-shaped baseline
 stream (SPS/PPS + one IDR slice per frame) from CHOSEN quantized
@@ -974,6 +975,9 @@ class _Frame:
         # — the slice-boundary rule real multi-slice encoders rely on)
         self.slice_no = np.full((h_mbs, w_mbs), -1, dtype=np.int32)
         self.cur_slice = 0
+        self.mb_qp = np.zeros((h_mbs, w_mbs), dtype=np.int32)
+        # per-slice deblocking params: {slice: (idc, alpha_off, beta_off)}
+        self.deblock = {}
 
     def same_slice(self, mby: int, mbx: int) -> bool:
         return int(self.slice_no[mby, mbx]) == int(self.cur_slice)
@@ -1074,6 +1078,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
         fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
         fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
         fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = 0  # §8.7.2: I_PCM deblocks with QPY = 0
         return qp
     if mb_type > 25:
         raise ValueError(f"bad I-slice mb_type {mb_type}")
@@ -1110,6 +1115,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
             fr.recon[gy // 4, gx // 4] = True
         _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
         fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = qp
         return qp
 
     # Intra_16x16
@@ -1165,6 +1171,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
     _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
     fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
     return qp
 
 
@@ -1256,14 +1263,13 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
     br.u(1)  # no_output_of_prior_pics
     br.u(1)  # long_term_reference
     qp = pps["pic_init_qp"] + br.se()
+    idc, a_off, b_off = 0, 0, 0
     if pps["deblocking_control"]:
         idc = br.ue()
         if idc != 1:
-            # decode anyway: reconstruction is the UN-deblocked picture
-            # (documented scope cut — no loop filter)
-            if idc == 0 or idc == 2:
-                br.se()
-                br.se()
+            a_off = 2 * br.se()
+            b_off = 2 * br.se()
+    fr.deblock[fr.cur_slice] = (idc, a_off, b_off)
     total = sps["w_mbs"] * sps["h_mbs"]
     end = _rbsp_data_end(rbsp)
     mb = first_mb
@@ -1283,6 +1289,8 @@ def decode_idr_picture(rbsps: list, sps: dict, pps: dict):
         _decode_slice_into(fr, rbsp, sps, pps)
     if not fr.mb_done.all():
         raise ValueError("picture is missing macroblocks (incomplete slices)")
+    if any(v[0] != 1 for v in fr.deblock.values()):
+        deblock_picture(fr, pps)
     return (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
             fr.Cr.astype(np.uint8))
 
@@ -1628,7 +1636,8 @@ def _bits_to_bytes(bits: str) -> bytes:
 
 def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
                         first_mb: int = 0, n_mbs: int | None = None,
-                        fr: "_Frame | None" = None) -> bytes:
+                        fr: "_Frame | None" = None,
+                        deblock_idc: int = 1) -> bytes:
     """One IDR slice RBSP from (Y, Cb, Cr) source planes (already padded to
     the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.  For a
     multi-slice picture pass the shared ``fr`` plus this slice's MB band
@@ -1650,7 +1659,10 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
     hb.u(0, 1)                    # long_term_reference
     hb.se(qp - pps["pic_init_qp"])
     if pps["deblocking_control"]:
-        hb.ue(1)                  # disable_deblocking_filter_idc = 1
+        hb.ue(deblock_idc)        # disable_deblocking_filter_idc
+        if deblock_idc != 1:
+            hb.se(0)              # slice_alpha_c0_offset_div2
+            hb.se(0)              # slice_beta_offset_div2
     bits = hb.bits()
     if fr is None:
         fr = _Frame(sps["w_mbs"], sps["h_mbs"])
@@ -1766,13 +1778,15 @@ def rgb_to_yuv420(frame: np.ndarray):
 
 
 def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
-                       slices: int = 1) -> bytes:
+                       slices: int = 1, deblock_idc: int = 1) -> bytes:
     """RGB frames -> Annex-B baseline I-frame-only stream.  ``kinds``:
     'pcm' (lossless planes), 'i16', 'i4', or 'mixed' (cycles all three per
     MB — the full-coverage fixture).  ``slices`` > 1 splits each picture
     into that many contiguous MB bands, one IDR NAL each (the shape real
     encoders emit for intra-picture parallelism) — slice-boundary
-    availability rules apply on both sides."""
+    availability rules apply on both sides.  ``deblock_idc`` is signalled
+    per slice: 1 = loop filter off (the roundtrip-exact fixtures), 0 = on,
+    2 = on but never across slice boundaries."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
@@ -1801,7 +1815,164 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
         for si in range(n_slices):
             rbsp = encode_iframe_slice(
                 src, sps, pps, qp, kind_fn,
-                first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si], fr=fr)
+                first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si], fr=fr,
+                deblock_idc=deblock_idc)
             fr.cur_slice += 1  # mirror the decoder's per-slice increment
             out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (§8.7) — all-intra scope: bS = 4 on MB edges,
+# bS = 3 on internal 4x4 edges.  Filter order is normative: per MB in
+# raster order, all vertical edges left→right, then all horizontal edges
+# top→bottom, each operating on the progressively filtered picture.
+# Prediction already used the UNfiltered samples (the filter runs after
+# the whole picture reconstructs — legal for all-intra pictures since no
+# later block predicts from filtered output).
+# ---------------------------------------------------------------------------
+
+_ALPHA = np.array(
+    [0] * 16
+    + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+       40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+       226, 255, 255],
+    dtype=np.int64,
+)
+_BETA = np.array(
+    [0] * 16
+    + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+       11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    dtype=np.int64,
+)
+# tc0 for bS = 3 (Table 8-17 column 3), indexA 0..51
+_TC0_BS3 = np.array(
+    [0] * 16
+    + [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8,
+       9, 10, 11, 13, 14, 16, 18, 20, 23, 25, 27, 30, 33, 36],
+    dtype=np.int64,
+)
+
+
+def _filter_lines(p3, p2, p1, p0, q0, q1, q2, q3, bs4: bool, alpha: int,
+                  beta: int, tc0: int, chroma: bool):
+    """Vectorized §8.7.2.3/8.7.2.4 filtering of N parallel lines across one
+    edge.  Inputs int64 arrays; returns the (possibly) modified sample
+    arrays (p2..q2)."""
+    filt = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) \
+        & (np.abs(q1 - q0) < beta)
+    if not filt.any():
+        return p2, p1, p0, q0, q1, q2
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    clip255 = lambda x: np.clip(x, 0, 255)
+    if bs4:
+        if chroma:
+            np0 = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+            nq0 = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+            return p2, p1, np0, nq0, q1, q2
+        small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        strong_p = filt & ap & small
+        strong_q = filt & aq & small
+        np0 = np.where(
+            strong_p, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+            np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0))
+        np1 = np.where(strong_p, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+        np2 = np.where(strong_p, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+        nq0 = np.where(
+            strong_q, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+            np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0))
+        nq1 = np.where(strong_q, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+        nq2 = np.where(strong_q, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+        return np2, np1, np0, nq0, nq1, nq2
+    # bS < 4 (here always 3)
+    if chroma:
+        tc = np.full(p0.shape, tc0 + 1, dtype=np.int64)
+    else:
+        tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = np.where(filt, clip255(p0 + delta), p0)
+    nq0 = np.where(filt, clip255(q0 - delta), q0)
+    np1, nq1 = p1, q1
+    if not chroma:
+        dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+        dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+        np1 = np.where(filt & ap, p1 + dp1, p1)
+        nq1 = np.where(filt & aq, q1 + dq1, q1)
+    return p2, np1, np0, nq0, nq1, q2
+
+
+def _edge_qp(fr: _Frame, mby: int, mbx: int, nby: int, nbx: int,
+             chroma_off: int, chroma: bool) -> int:
+    qa = int(fr.mb_qp[nby, nbx])
+    qb = int(fr.mb_qp[mby, mbx])
+    if chroma:
+        qa, qb = _chroma_qp(qa, chroma_off), _chroma_qp(qb, chroma_off)
+    return (qa + qb + 1) >> 1
+
+
+def _deblock_edge(plane, x0, y0, n, vertical, bs4, qp, a_off, b_off, chroma):
+    """Filter one edge of ``n`` lines at (x0, y0) in ``plane``."""
+    ia = max(0, min(51, qp + a_off))
+    ib = max(0, min(51, qp + b_off))
+    alpha, beta = int(_ALPHA[ia]), int(_BETA[ib])
+    if alpha == 0 or beta == 0:
+        return
+    tc0 = int(_TC0_BS3[ia])
+    if vertical:
+        cols = [plane[y0:y0 + n, x0 + k] for k in (-4, -3, -2, -1, 0, 1, 2, 3)]
+    else:
+        cols = [plane[y0 + k, x0:x0 + n] for k in (-4, -3, -2, -1, 0, 1, 2, 3)]
+    p3, p2, p1, p0, q0, q1, q2, q3 = [c.astype(np.int64) for c in cols]
+    np2, np1, np0, nq0, nq1, nq2 = _filter_lines(
+        p3, p2, p1, p0, q0, q1, q2, q3, bs4, alpha, beta, tc0, chroma)
+    outs = (np2, np1, np0, nq0, nq1, nq2)
+    offs = (-3, -2, -1, 0, 1, 2)
+    for off, arr in zip(offs, outs):
+        if vertical:
+            plane[y0:y0 + n, x0 + off] = arr
+        else:
+            plane[y0 + off, x0:x0 + n] = arr
+
+
+def deblock_picture(fr: _Frame, pps: dict) -> None:
+    """§8.7 over an all-intra picture.  idc per slice: 0 = filter, 1 = off,
+    2 = filter but never across slice boundaries."""
+    coff = pps["chroma_qp_index_offset"]
+    for mby in range(fr.h_mbs):
+        for mbx in range(fr.w_mbs):
+            sl = int(fr.slice_no[mby, mbx])
+            idc, a_off, b_off = fr.deblock.get(sl, (1, 0, 0))
+            if idc == 1:
+                continue
+            px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+            # vertical edges, left -> right
+            if mbx > 0 and not (idc == 2 and int(fr.slice_no[mby, mbx - 1]) != sl):
+                qp = _edge_qp(fr, mby, mbx, mby, mbx - 1, coff, False)
+                _deblock_edge(fr.Y, px, py, 16, True, True, qp, a_off, b_off, False)
+                qpc = _edge_qp(fr, mby, mbx, mby, mbx - 1, coff, True)
+                _deblock_edge(fr.Cb, cx, cy, 8, True, True, qpc, a_off, b_off, True)
+                _deblock_edge(fr.Cr, cx, cy, 8, True, True, qpc, a_off, b_off, True)
+            qp_in = int(fr.mb_qp[mby, mbx])
+            qpc_in = _chroma_qp(qp_in, coff)
+            for k in (4, 8, 12):
+                _deblock_edge(fr.Y, px + k, py, 16, True, False, qp_in,
+                              a_off, b_off, False)
+            _deblock_edge(fr.Cb, cx + 4, cy, 8, True, False, qpc_in,
+                          a_off, b_off, True)
+            _deblock_edge(fr.Cr, cx + 4, cy, 8, True, False, qpc_in,
+                          a_off, b_off, True)
+            # horizontal edges, top -> bottom
+            if mby > 0 and not (idc == 2 and int(fr.slice_no[mby - 1, mbx]) != sl):
+                qp = _edge_qp(fr, mby, mbx, mby - 1, mbx, coff, False)
+                _deblock_edge(fr.Y, px, py, 16, False, True, qp, a_off, b_off, False)
+                qpc = _edge_qp(fr, mby, mbx, mby - 1, mbx, coff, True)
+                _deblock_edge(fr.Cb, cx, cy, 8, False, True, qpc, a_off, b_off, True)
+                _deblock_edge(fr.Cr, cx, cy, 8, False, True, qpc, a_off, b_off, True)
+            for k in (4, 8, 12):
+                _deblock_edge(fr.Y, px, py + k, 16, False, False, qp_in,
+                              a_off, b_off, False)
+            _deblock_edge(fr.Cb, cx, cy + 4, 8, False, False, qpc_in,
+                          a_off, b_off, True)
+            _deblock_edge(fr.Cr, cx, cy + 4, 8, False, False, qpc_in,
+                          a_off, b_off, True)

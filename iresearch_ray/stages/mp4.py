@@ -352,7 +352,7 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
 
 
 def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
-                    kinds: str = "mixed") -> bytes:
+                    kinds: str = "mixed", deblock_idc: int = 1) -> bytes:
     """(h, w, 3) uint8 frames → a minimal avc1 MP4 (one mdat, one chunk,
     4-byte-length-prefixed IDR NALs, avcC with one SPS/PPS) through the
     from-scratch baseline I-frame encoder — the REAL-fixture generator for
@@ -379,7 +379,8 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
         if fimg.shape[:2] != (h, w):
             raise ValueError("all frames must share one shape")
         src = h264.rgb_to_yuv420(fimg)
-        nal = h264._nal(5, h264.encode_iframe_slice(src, sps, pps, qp, kind_fn))
+        nal = h264._nal(5, h264.encode_iframe_slice(src, sps, pps, qp, kind_fn,
+                                                    deblock_idc=deblock_idc))
         samples.append(struct.pack(">I", len(nal)) + nal)
 
     avcc = (bytes([1, 66, 0, 20, 0xFC | 3, 0xE0 | 1])

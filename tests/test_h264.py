@@ -260,3 +260,145 @@ def test_multi_slice_pictures():
         [parts[1], parts[2], parts[3]])  # sps, pps, first slice only
     with pytest.raises(ValueError, match="missing macroblocks"):
         h264.decode_annexb(broken, rgb=False)
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (§8.7)
+# ---------------------------------------------------------------------------
+
+
+def _scalar_filter_line(p3, p2, p1, p0, q0, q1, q2, q3, bs4, alpha, beta,
+                        tc0, chroma):
+    """Independent per-line transliteration of §8.7.2.3/8.7.2.4 (the spec's
+    scalar equations, written without looking at the vectorized kernel) —
+    the parity oracle for h264._filter_lines."""
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return p2, p1, p0, q0, q1, q2
+    ap = abs(p2 - p0) < beta
+    aq = abs(q2 - q0) < beta
+    if bs4:
+        if chroma:
+            return (p2, p1, (2 * p1 + p0 + q1 + 2) >> 2,
+                    (2 * q1 + q0 + p1 + 2) >> 2, q1, q2)
+        small = abs(p0 - q0) < (alpha >> 2) + 2
+        np2, np1, np0 = p2, p1, (2 * p1 + p0 + q1 + 2) >> 2
+        if ap and small:
+            np0 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            np1 = (p2 + p1 + p0 + q0 + 2) >> 2
+            np2 = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        nq2, nq1, nq0 = q2, q1, (2 * q1 + q0 + p1 + 2) >> 2
+        if aq and small:
+            nq0 = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            nq1 = (q2 + q1 + q0 + p0 + 2) >> 2
+            nq2 = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        return np2, np1, np0, nq0, nq1, nq2
+    tc = tc0 + 1 if chroma else tc0 + int(ap) + int(aq)
+    d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+    np0 = max(0, min(255, p0 + d))
+    nq0 = max(0, min(255, q0 - d))
+    np1, nq1 = p1, q1
+    if not chroma:
+        if ap:
+            np1 = p1 + max(-tc0, min(tc0,
+                                     (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+        if aq:
+            nq1 = q1 + max(-tc0, min(tc0,
+                                     (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+    return p2, np1, np0, nq0, nq1, q2
+
+
+def test_deblock_filter_lines_scalar_parity():
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        n = int(rng.integers(1, 17))
+        lines = [rng.integers(0, 256, n).astype(np.int64) for _ in range(8)]
+        # half the time make the edge "smooth" so the filter actually fires
+        if rng.random() < 0.5:
+            base = rng.integers(40, 200)
+            lines = [np.clip(base + rng.integers(-3, 4, n), 0, 255)
+                     .astype(np.int64) for _ in range(8)]
+        bs4 = bool(rng.random() < 0.5)
+        chroma = bool(rng.random() < 0.3)
+        ia = int(rng.integers(0, 52))
+        ib = int(rng.integers(0, 52))
+        alpha = int(h264._ALPHA[ia])
+        beta = int(h264._BETA[ib])
+        tc0 = int(h264._TC0_BS3[ia])
+        got = h264._filter_lines(*lines, bs4, alpha, beta, tc0, chroma)
+        for j in range(n):
+            want = _scalar_filter_line(*(int(ln[j]) for ln in lines),
+                                       bs4, alpha, beta, tc0, chroma)
+            for g, w in zip(got, want):
+                assert int(g[j]) == w, (bs4, chroma, ia, ib, j)
+
+
+def test_deblock_flat_picture_invariant():
+    """Strong/weak/chroma filters are all weighted means — a flat picture
+    is a fixed point, so flat-128 decodes exactly even with the loop
+    filter ON."""
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    for kinds in ("i16", "i4", "mixed"):
+        st = h264.encode_h264_annexb([flat], qp=32, kinds=kinds,
+                                     deblock_idc=0)
+        Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+        assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def test_deblock_improves_smooth_content_at_high_qp():
+    """The point of the loop filter: on smooth content quantized hard, the
+    deblocked reconstruction is strictly closer to the source than the
+    unfiltered one, and the two streams differ only in the idc symbol so
+    any difference in output is the filter itself."""
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([(60 + 1.9 * xx + 1.1 * yy) % 256] * 3,
+                      axis=-1).astype(np.uint8)
+    src_y = h264.rgb_to_yuv420(smooth)[0].astype(int)
+    st_off = h264.encode_h264_annexb([smooth], qp=40, kinds="i16",
+                                     deblock_idc=1)
+    st_on = h264.encode_h264_annexb([smooth], qp=40, kinds="i16",
+                                    deblock_idc=0)
+    y_off = h264.decode_annexb(st_off, rgb=False)[0][1][0].astype(int)
+    y_on = h264.decode_annexb(st_on, rgb=False)[0][1][0].astype(int)
+    assert not np.array_equal(y_off, y_on)  # the filter fired
+    mae_off = np.abs(y_off - src_y).mean()
+    mae_on = np.abs(y_on - src_y).mean()
+    assert mae_on < mae_off, (mae_on, mae_off)
+    # near-lossless content must NOT be smeared: at qp 4 the gradients are
+    # real (|p0-q0| tiny but tc0 ~ 0), output stays near the source
+    st4 = h264.encode_h264_annexb([smooth], qp=4, kinds="i16",
+                                  deblock_idc=0)
+    y4 = h264.decode_annexb(st4, rgb=False)[0][1][0].astype(int)
+    assert np.abs(y4 - src_y).mean() < 0.5
+
+
+def test_deblock_idc2_respects_slice_boundaries():
+    """idc=2 filters everywhere EXCEPT across slice boundaries.  Two
+    streams identical but for the idc symbol: the unfiltered recon is
+    identical, so outputs may differ only where the cross-slice edge
+    filter (idc=0) fired — at/after the boundary row — and must be
+    byte-identical well above it."""
+    frame = _test_frame(64, 64)  # 4x4 MBs; 2 slices -> boundary at y=32
+    st0 = h264.encode_h264_annexb([frame], qp=38, kinds="i16", slices=2,
+                                  deblock_idc=0)
+    st2 = h264.encode_h264_annexb([frame], qp=38, kinds="i16", slices=2,
+                                  deblock_idc=2)
+    y0 = h264.decode_annexb(st0, rgb=False)[0][1][0]
+    y2 = h264.decode_annexb(st2, rgb=False)[0][1][0]
+    # the boundary edge modifies p2..q2 = rows 29..34; everything above is
+    # untouched by the only differing edge
+    assert np.array_equal(y0[:29], y2[:29])
+    assert not np.array_equal(y0[29:35], y2[29:35])
+
+
+def test_deblock_i_pcm_qp_zero():
+    """§8.7.2: I_PCM macroblocks deblock with QPY = 0, so an all-PCM
+    picture has qPav = 0 -> alpha = 0 -> the filter never fires and PCM
+    stays lossless even with idc=0."""
+    frame = _test_frame()
+    src = h264.rgb_to_yuv420(frame)
+    st = h264.encode_h264_annexb([frame], qp=30, kinds="pcm", deblock_idc=0)
+    Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+    assert np.array_equal(Y, src[0])
+    assert np.array_equal(Cb, src[1])
+    assert np.array_equal(Cr, src[2])
