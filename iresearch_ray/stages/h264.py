@@ -2,24 +2,29 @@
 dependency-free numpy — closes the "every real MP4 is H.264" gap in the
 multimodal stack (SURVEY §2.12; VERDICT r4 "What's missing #1").
 
-Scope (Constrained-Baseline-shaped, I/IDR slices only):
+Scope (Baseline/Main-shaped, I/IDR slices only):
 
 - NAL parsing (Annex-B and MP4 length-prefixed), RBSP emulation-byte strip;
-- SPS/PPS parse (Exp-Golomb) — frame_mbs_only, 4:2:0, 8-bit, CAVLC only;
+- SPS/PPS parse (Exp-Golomb) — frame_mbs_only, 4:2:0, 8-bit;
 - I-slice macroblock layer: I_NxN (intra 4×4, all 9 prediction modes),
   Intra_16x16 (V/H/DC/Plane + DC-transformed luma), I_PCM;
 - chroma 8×8 intra prediction (DC/H/V/Plane), 2×2 chroma-DC transform;
 - CAVLC residual decoding: coeff_token (all nC contexts incl. chroma DC),
   trailing-one signs, adaptive level suffixes, total_zeros, run_before
   (spec §9.2, Tables 9-5 .. 9-10);
+- CABAC entropy decoding AND encoding (§9.3, Main-profile I slices, 4x4
+  transform): arithmetic engine, I-slice context init, mb_type / intra
+  modes / cbp / mb_qp_delta binarizations, significance map + UEG0
+  levels — see the CABAC section at the bottom of this file for the
+  conformance caveat and the out-of-scope raises (I_PCM-in-CABAC, 8x8
+  transform);
 - dequant (§8.5.9 LevelScale, qP/6 shifts) + the exact 4×4 integer inverse
   transform (§8.5.12), 4×4 luma-DC Hadamard, 2×2 chroma-DC transform;
 - in-loop deblocking filter (§8.7, all-intra bS: 4 on MB edges, 3 on
   internal 4x4 edges) honouring per-slice disable_deblocking_filter_idc
-  0/1/2 and the alpha/beta offsets; no CABAC, no P/B slices, no
-  interlace — non-IDR samples are SKIPPED by the frame sampler (the same
-  skip semantics as the AVI sampler) and CABAC raises toward the PyAV
-  seam.
+  0/1/2 and the alpha/beta offsets; no P/B slices, no interlace —
+  non-IDR samples are SKIPPED by the frame sampler (the same skip
+  semantics as the AVI sampler).
 
 The matching ``encode_h264_iframes`` emits a conformant-shaped baseline
 stream (SPS/PPS + one IDR slice per frame) from CHOSEN quantized
@@ -684,10 +689,7 @@ def parse_pps(rbsp: bytes) -> dict:
     br = BitReader(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
-    entropy = br.u(1)
-    if entropy:
-        raise ValueError("CABAC stream: in-engine decoder is CAVLC-only "
-                         "(PyAV seam)")
+    entropy = br.u(1)  # 0 = CAVLC, 1 = CABAC (§9.3 layer below)
     br.u(1)  # bottom_field_pic_order
     if br.ue() != 0:
         raise ValueError("slice groups not supported")
@@ -705,6 +707,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "pps_id": pps_id, "sps_id": sps_id, "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_off,
         "deblocking_control": deblock_ctrl,
+        "entropy": entropy,
     }
 
 
@@ -978,6 +981,18 @@ class _Frame:
         self.mb_qp = np.zeros((h_mbs, w_mbs), dtype=np.int32)
         # per-slice deblocking params: {slice: (idc, alpha_off, beta_off)}
         self.deblock = {}
+        # --- CABAC context state (written only by the CABAC parse path) ---
+        # mb class: 0 undecoded, 1 I_NxN, 2 Intra_16x16, 3 I_PCM
+        self.mb_class = np.zeros((h_mbs, w_mbs), dtype=np.int8)
+        self.cbp_arr = np.zeros((h_mbs, w_mbs), dtype=np.int16)
+        self.cmode_arr = np.zeros((h_mbs, w_mbs), dtype=np.int8)
+        # coded_block_flag grids (§9.3.3.1.1.9 neighbor conditions)
+        self.cbf_ldc = np.zeros((h_mbs, w_mbs), dtype=np.int8)
+        self.cbf_l4 = np.zeros((4 * h_mbs, 4 * w_mbs), dtype=np.int8)
+        self.cbf_cdc = np.zeros((2, h_mbs, w_mbs), dtype=np.int8)
+        self.cbf_cac = np.zeros((2, 2 * h_mbs, 2 * w_mbs), dtype=np.int8)
+        # previous decoded mb_qp_delta (ctx 60/61 switch); reset per slice
+        self.prev_qp_delta = 0
 
     def same_slice(self, mby: int, mbx: int) -> bool:
         return int(self.slice_no[mby, mbx]) == int(self.cur_slice)
@@ -1019,6 +1034,58 @@ def _parse_i4_modes(br: BitReader, fr: _Frame, bx0: int, by0: int) -> list:
         fr.i4[gby, gbx] = mode
         modes.append(mode)
     return modes
+
+
+def _recon_i4_luma(fr: _Frame, mbx: int, mby: int, modes: list,
+                   luma_coeffs: list, qp: int) -> None:
+    """Reconstruct the 16 luma 4x4 blocks of an I_NxN MB in z-order
+    (prediction sees earlier recon) — shared by the CAVLC and CABAC
+    parsers."""
+    px, py = 16 * mbx, 16 * mby
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gx, gy = px + x, py + y
+        top, left, tl, at, al, atr = _luma_edges4x4(fr, gx, gy)
+        pred = _pred4x4(modes[i], top, left, tl, at, al, atr)
+        res = itransform4x4(dequant4x4(np.asarray(luma_coeffs[i]), qp))
+        fr.Y[gy:gy + 4, gx:gx + 4] = np.clip(pred + res, 0, 255)
+        fr.recon[gy // 4, gx // 4] = True
+
+
+def _recon_i16_luma(fr: _Frame, mbx: int, mby: int, pred_mode: int,
+                    dc_scan: np.ndarray, ac: list, qp: int) -> None:
+    """Reconstruct the luma plane of an Intra_16x16 MB (prediction, DC
+    Hadamard + §8.5.10 scaling, per-block AC) — shared by both entropy
+    parsers."""
+    px, py = 16 * mbx, 16 * mby
+    bx0, by0 = 4 * mbx, 4 * mby
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
+    top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
+    left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
+    tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
+    pred = _pred16x16(pred_mode, top, left, tl, av_t, av_l)
+    # luma DC: zig-zag scan -> 4x4 DC grid (block-raster), Hadamard, scale
+    dc_grid = np.zeros((4, 4), dtype=np.int64)
+    for i, (r, c_) in enumerate(ZIGZAG_4x4):
+        dc_grid[r, c_] = int(dc_scan[i])
+    f = hadamard4x4(dc_grid)
+    # §8.5.10 with flat weightScale: LevelScale = 16 * normAdjust
+    ls0 = 16 * int(_DEQUANT_V[qp % 6][0])
+    if qp >= 36:
+        dc_sc = (f * ls0) << (qp // 6 - 6)
+    else:
+        dc_sc = (f * ls0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    out = np.empty((16, 16), dtype=np.int64)
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        scan = np.concatenate(([0], np.asarray(ac[i])))
+        d = dequant4x4(scan, qp, dc_override=int(dc_sc[y // 4, x // 4]))
+        res = itransform4x4(d)
+        out[y:y + 4, x:x + 4] = pred[y:y + 4, x:x + 4] + res
+    fr.Y[py:py + 16, px:px + 16] = np.clip(out, 0, 255)
+    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
 
 
 def _luma_edges4x4(fr: _Frame, gx: int, gy: int):
@@ -1105,14 +1172,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
             luma_coeffs.append(c)
         chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
         # reconstruct luma block-by-block (prediction sees earlier recon)
-        for i in range(16):
-            x, y = _BLK_XY[i]
-            gx, gy = px + x, py + y
-            top, left, tl, at, al, atr = _luma_edges4x4(fr, gx, gy)
-            pred = _pred4x4(modes[i], top, left, tl, at, al, atr)
-            res = itransform4x4(dequant4x4(np.asarray(luma_coeffs[i]), qp))
-            fr.Y[gy:gy + 4, gx:gx + 4] = np.clip(pred + res, 0, 255)
-            fr.recon[gy // 4, gx // 4] = True
+        _recon_i4_luma(fr, mbx, mby, modes, luma_coeffs, qp)
         _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
         fr.mb_done[mby, mbx] = True
         fr.mb_qp[mby, mbx] = qp
@@ -1141,34 +1201,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
             fr.tcY[gby, gbx] = 0
         ac.append(c)
     chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
-    # prediction over the whole 16x16
-    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
-    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
-    top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
-    left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
-    tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
-    pred = _pred16x16(pred_mode, top, left, tl, av_t, av_l)
-    # luma DC: zig-zag scan -> 4x4 DC grid (block-raster), Hadamard, scale
-    dc_grid = np.zeros((4, 4), dtype=np.int64)
-    for i, (r, c_) in enumerate(ZIGZAG_4x4):
-        dc_grid[r, c_] = int(dc_scan[i])
-    f = hadamard4x4(dc_grid)
-    # §8.5.10 with flat weightScale: LevelScale = 16 * normAdjust
-    ls0 = 16 * int(_DEQUANT_V[qp % 6][0])
-    if qp >= 36:
-        dc_sc = (f * ls0) << (qp // 6 - 6)
-    else:
-        dc_sc = (f * ls0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
-    out = np.empty((16, 16), dtype=np.int64)
-    for i in range(16):
-        x, y = _BLK_XY[i]
-        scan = np.concatenate(([0], np.asarray(ac[i])))
-        d = dequant4x4(scan, qp, dc_override=int(dc_sc[y // 4, x // 4]))
-        res = itransform4x4(d)
-        out[y:y + 4, x:x + 4] = pred[y:y + 4, x:x + 4] + res
-    fr.Y[py:py + 16, px:px + 16] = np.clip(out, 0, 255)
-    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
-    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+    _recon_i16_luma(fr, mbx, mby, pred_mode, dc_scan, ac, qp)
     _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
     fr.mb_done[mby, mbx] = True
     fr.mb_qp[mby, mbx] = qp
@@ -1271,6 +1304,24 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
             b_off = 2 * br.se()
     fr.deblock[fr.cur_slice] = (idc, a_off, b_off)
     total = sps["w_mbs"] * sps["h_mbs"]
+    if pps.get("entropy"):
+        # CABAC slice data: alignment ones, then the arithmetic stream;
+        # the MB loop ends on the end_of_slice_flag terminate bin, not on
+        # rbsp position (§7.3.4, §9.3.3.2.4)
+        while br.pos & 7:
+            if br.u(1) != 1:
+                raise ValueError("cabac_alignment_one_bit must be 1")
+        fr.prev_qp_delta = 0
+        ent = _CabacRead(CabacDecoder(rbsp, br.pos), CabacContexts(qp))
+        mb = first_mb
+        while mb < total:
+            qp = _mb_cabac(ent, fr, mb % sps["w_mbs"], mb // sps["w_mbs"],
+                           qp, pps["chroma_qp_index_offset"])
+            mb += 1
+            if ent.end_of_slice():
+                break
+        fr.cur_slice += 1
+        return first_mb
     end = _rbsp_data_end(rbsp)
     mb = first_mb
     while mb < total and br.pos < end:
@@ -1707,9 +1758,10 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
     return bw.getvalue()
 
 
-def write_sps(w_mbs: int, h_mbs: int, width: int, height: int) -> bytes:
+def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
+              profile: int = 66) -> bytes:
     bw = BitWriter()
-    bw.u(66, 8)   # profile_idc: Baseline
+    bw.u(profile, 8)  # 66 = Baseline (CAVLC), 77 = Main (CABAC)
     bw.u(0, 8)    # constraint flags
     bw.u(20, 8)   # level 2.0
     bw.ue(0)      # sps_id
@@ -1736,11 +1788,11 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int) -> bytes:
     return bw.getvalue()
 
 
-def write_pps() -> bytes:
+def write_pps(entropy: int = 0) -> bytes:
     bw = BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
-    bw.u(0, 1)    # entropy_coding_mode = CAVLC
+    bw.u(entropy, 1)  # entropy_coding_mode: 0 = CAVLC, 1 = CABAC
     bw.u(0, 1)    # bottom_field_pic_order
     bw.ue(0)      # num_slice_groups_minus1
     bw.ue(0)      # num_ref_idx_l0
@@ -1778,23 +1830,29 @@ def rgb_to_yuv420(frame: np.ndarray):
 
 
 def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
-                       slices: int = 1, deblock_idc: int = 1) -> bytes:
-    """RGB frames -> Annex-B baseline I-frame-only stream.  ``kinds``:
-    'pcm' (lossless planes), 'i16', 'i4', or 'mixed' (cycles all three per
-    MB — the full-coverage fixture).  ``slices`` > 1 splits each picture
-    into that many contiguous MB bands, one IDR NAL each (the shape real
-    encoders emit for intra-picture parallelism) — slice-boundary
-    availability rules apply on both sides.  ``deblock_idc`` is signalled
-    per slice: 1 = loop filter off (the roundtrip-exact fixtures), 0 = on,
-    2 = on but never across slice boundaries."""
+                       slices: int = 1, deblock_idc: int = 1,
+                       entropy: str = "cavlc") -> bytes:
+    """RGB frames -> Annex-B I-frame-only stream.  ``kinds``: 'pcm'
+    (lossless planes; CAVLC only), 'i16', 'i4', or 'mixed' (cycles all
+    per MB — the full-coverage fixture).  ``slices`` > 1 splits each
+    picture into that many contiguous MB bands, one IDR NAL each (the
+    shape real encoders emit for intra-picture parallelism) —
+    slice-boundary availability rules apply on both sides.
+    ``deblock_idc`` is signalled per slice: 1 = loop filter off (the
+    roundtrip-exact fixtures), 0 = on, 2 = on but never across slice
+    boundaries.  ``entropy``: 'cavlc' (Baseline profile) or 'cabac'
+    (Main profile, §9.3; PCM MB kinds are substituted with i16)."""
     if not frames:
         raise ValueError("need at least one frame")
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError(f"entropy must be cavlc|cabac, got {entropy!r}")
+    cabac = entropy == "cabac"
     h, w = frames[0].shape[:2]
     if h % 2 or w % 2:
         raise ValueError("even dimensions required (4:2:0)")
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
-    sps_rbsp = write_sps(w_mbs, h_mbs, w, h)
-    pps_rbsp = write_pps()
+    sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=77 if cabac else 66)
+    pps_rbsp = write_pps(entropy=1 if cabac else 0)
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
@@ -1804,6 +1862,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
             return cycle[(mbx + mby) % 3]
         return kinds
 
+    slice_fn = encode_iframe_slice_cabac if cabac else encode_iframe_slice
     total = w_mbs * h_mbs
     n_slices = max(1, min(int(slices), total))
     bounds = [round(i * total / n_slices) for i in range(n_slices + 1)]
@@ -1813,7 +1872,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
         src = rgb_to_yuv420(f)
         fr = _Frame(w_mbs, h_mbs)
         for si in range(n_slices):
-            rbsp = encode_iframe_slice(
+            rbsp = slice_fn(
                 src, sps, pps, qp, kind_fn,
                 first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si], fr=fr,
                 deblock_idc=deblock_idc)
@@ -1976,3 +2035,914 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
                           a_off, b_off, True)
             _deblock_edge(fr.Cr, cx, cy + 4, 8, False, False, qpc_in,
                           a_off, b_off, True)
+
+
+# ---------------------------------------------------------------------------
+# CABAC entropy layer (§9.3) — I-slice scope, 4x4 transform.
+#
+# The arithmetic engine (§9.3.3.2 decode, §9.3.4 encode) and the I-slice
+# context-init column (Tables 9-12 .. 9-23) are transcribed from the public
+# ITU-T H.264 spec, the same stance as the CAVLC tables above.  Conformance
+# caveat, stated plainly: this sandbox has no third-party H.264
+# implementation or reference streams, so the init constants cannot be
+# differentially validated here — validation is (a) engine round-trip
+# (encode->decode bit-exact over fuzzed decision/bypass/terminate mixes on
+# every context), (b) full-stream round-trip where the fixture encoder and
+# the decoder share ONE parse+recon path (_mb_cabac) so reconstruction
+# parity is structural, and (c) behavioural checks (context adaptation
+# compresses, streams parse deterministically).  A transcription slip in an
+# init pair would shift compression slightly and break third-party-stream
+# parity, but cannot break in-repo round-trips — treat third-party CABAC
+# decode as best-effort until differentially tested outside the sandbox.
+#
+# Out of scope (clear raise, not silent wrong output): I_PCM inside CABAC
+# slices (the post-terminate byte-realignment path; real encoders
+# essentially never emit PCM) and the 8x8 transform (High-profile PPS with
+# transform_8x8_mode — ctxBlockCat 5).  P/B slices are skipped upstream by
+# the same sampler rule as CAVLC.
+# ---------------------------------------------------------------------------
+
+# Table 9-44: rangeTabLPS[pStateIdx][ (codIRange >> 6) & 3 ]
+_LPS_RANGE = np.array([
+    [128, 176, 208, 240], [128, 167, 197, 227], [128, 158, 187, 216],
+    [123, 150, 178, 205], [116, 142, 169, 195], [111, 135, 160, 185],
+    [105, 128, 152, 175], [100, 122, 144, 166], [95, 116, 137, 158],
+    [90, 110, 130, 150], [85, 104, 123, 142], [81, 99, 117, 135],
+    [77, 94, 111, 128], [73, 89, 105, 122], [69, 85, 100, 116],
+    [66, 80, 95, 110], [62, 76, 90, 104], [59, 72, 86, 99],
+    [56, 69, 81, 94], [53, 65, 77, 89], [51, 62, 73, 85],
+    [48, 59, 69, 80], [46, 56, 66, 76], [43, 53, 63, 72],
+    [41, 50, 59, 69], [39, 48, 56, 65], [37, 45, 54, 62],
+    [35, 43, 51, 59], [33, 41, 48, 56], [32, 39, 46, 53],
+    [30, 37, 43, 50], [28, 35, 41, 48], [27, 33, 39, 45],
+    [26, 31, 37, 43], [24, 30, 35, 41], [23, 28, 33, 39],
+    [22, 27, 32, 37], [21, 26, 30, 35], [20, 24, 29, 33],
+    [19, 23, 27, 31], [18, 22, 26, 30], [17, 21, 25, 28],
+    [16, 20, 23, 27], [15, 19, 22, 25], [14, 18, 21, 24],
+    [14, 17, 20, 23], [13, 16, 19, 22], [12, 15, 18, 21],
+    [12, 14, 17, 20], [11, 14, 16, 19], [11, 13, 15, 18],
+    [10, 12, 15, 17], [10, 12, 14, 16], [9, 11, 13, 15],
+    [9, 11, 12, 14], [8, 10, 12, 14], [8, 9, 11, 13],
+    [7, 9, 11, 12], [7, 9, 10, 12], [7, 8, 10, 11],
+    [6, 8, 9, 11], [6, 7, 9, 10], [6, 7, 8, 9], [2, 2, 2, 2],
+], dtype=np.int32)
+
+# Table 9-45: transIdxLPS (MPS transition is min(pStateIdx + 1, 62))
+_LPS_TRANS = np.array([
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
+    16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24, 24, 25, 26, 26, 27,
+    27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35,
+    35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+], dtype=np.int32)
+
+# I-slice context init (m, n) pairs, ctxIdx 0..275 (Tables 9-12 .. 9-23,
+# intra column).  ctxIdx 11..59 are P/B-only syntax (never referenced in an
+# I slice) — filled with the neutral (0, 64).
+_NEUTRAL = [(0, 64)]
+_INIT_I = (
+    # 0..10: mb_type (SI prefix 0..2 shares the I values), Table 9-12
+    [(20, -15), (2, 54), (3, 74), (20, -15), (2, 54), (3, 74),
+     (-28, 127), (-23, 104), (-6, 53), (-1, 54), (7, 51)]
+    + _NEUTRAL * 49                                   # 11..59 P/B-only
+    # 60..63: mb_qp_delta
+    + [(0, 41), (0, 63), (0, 63), (0, 63)]
+    # 64..67: intra_chroma_pred_mode
+    + [(-9, 83), (4, 86), (0, 97), (-7, 72)]
+    # 68: prev_intra4x4_pred_mode_flag, 69: rem_intra4x4_pred_mode
+    + [(13, 41), (3, 62)]
+    # 70..72: mb_field_decoding_flag (frame_mbs_only here; kept for parity)
+    + [(0, 45), (-4, 78), (-3, 96)]
+    # 73..76: coded_block_pattern luma
+    + [(-27, 126), (-28, 98), (-25, 101), (-23, 67)]
+    # 77..84: coded_block_pattern chroma
+    + [(-28, 82), (-20, 94), (-16, 83), (-22, 110),
+       (-21, 91), (-18, 102), (-13, 93), (-29, 127)]
+    # 85..104: coded_block_flag, ctxBlockCat 0..4
+    + [(-7, 92), (-5, 89), (-7, 96), (-13, 108),
+       (-3, 46), (-1, 65), (-1, 57), (-9, 93),
+       (-3, 74), (-9, 92), (-8, 87), (-23, 126),
+       (5, 54), (6, 60), (6, 59), (6, 69),
+       (-1, 48), (0, 68), (-4, 69), (-8, 88)]
+    # 105..165: significant_coeff_flag (frame-coded)
+    + [(-2, 85), (-6, 78), (-1, 75), (-7, 77), (2, 54), (5, 50),
+       (-3, 68), (1, 50), (6, 42), (-4, 81), (1, 63), (-4, 70),
+       (0, 67), (2, 57), (-2, 76), (11, 35), (4, 64), (1, 61),
+       (11, 35), (18, 25), (12, 24), (13, 29), (13, 36), (-10, 93),
+       (-7, 73), (-2, 73), (13, 46), (9, 49), (-7, 100), (9, 53),
+       (2, 53), (5, 53), (-2, 61), (0, 56), (0, 56), (-13, 63),
+       (-5, 60), (-1, 62), (4, 57), (-6, 69), (4, 57), (14, 39),
+       (4, 51), (13, 68), (3, 64), (1, 61), (9, 63), (7, 50),
+       (16, 39), (5, 44), (4, 52), (11, 48), (-5, 60), (-1, 59),
+       (0, 59), (22, 33), (5, 44), (14, 43), (-1, 78), (0, 60),
+       (9, 69)]
+    # 166..226: last_significant_coeff_flag (frame-coded)
+    + [(11, 28), (2, 40), (3, 44), (0, 49), (0, 46), (2, 44),
+       (2, 51), (0, 47), (4, 39), (2, 62), (6, 46), (0, 54),
+       (3, 54), (2, 58), (4, 63), (6, 51), (6, 57), (7, 53),
+       (6, 52), (6, 55), (11, 45), (14, 36), (8, 53), (-1, 82),
+       (7, 55), (-3, 78), (15, 46), (22, 31), (-1, 84), (25, 7),
+       (30, -7), (28, 3), (28, 4), (32, 0), (34, -1), (30, 6),
+       (30, 6), (32, 9), (31, 19), (26, 27), (26, 30), (37, 20),
+       (28, 34), (17, 70), (1, 67), (5, 59), (9, 67), (16, 30),
+       (18, 32), (18, 35), (22, 29), (24, 31), (23, 38), (18, 43),
+       (20, 41), (11, 63), (9, 59), (9, 64), (-1, 94), (-2, 89),
+       (-9, 108)]
+    # 227..275: coeff_abs_level_minus1
+    + [(-6, 76), (-2, 44), (0, 45), (0, 52), (-3, 64), (-2, 59),
+       (-4, 70), (-4, 75), (-8, 82), (-17, 102), (-9, 77), (3, 24),
+       (0, 42), (0, 48), (0, 55), (-6, 59), (-7, 71), (-12, 83),
+       (-11, 87), (-30, 119), (1, 58), (-3, 29), (-1, 36), (1, 38),
+       (2, 43), (-6, 55), (0, 58), (0, 64), (-3, 74), (-10, 90),
+       (0, 70), (-4, 29), (5, 31), (7, 42), (1, 59), (-2, 58),
+       (-3, 72), (-3, 81), (-11, 97), (0, 58), (8, 5), (10, 14),
+       (14, 18), (13, 27), (2, 40), (0, 58), (-3, 70), (-6, 79),
+       (-8, 85)]
+)
+assert len(_INIT_I) == 276
+
+# per-ctxBlockCat bases inside the 61-context sig/last blocks and the
+# 49-context abs-level block (§9.3.3.1.3)
+_SIG_CAT_BASE = (0, 15, 29, 44, 47)
+_LVL_CAT_BASE = (0, 10, 20, 30, 39)
+# bins > 0 of the abs-level TU prefix: 5 + min(cap, numDecodAbsLevelGt1);
+# chroma DC (cat 3) has one fewer context
+_LVL_GT1_CAP = (4, 4, 4, 3, 4)
+
+
+class CabacContexts:
+    """pStateIdx / valMPS per ctxIdx, initialised from SliceQPY
+    (§9.3.1.1)."""
+
+    def __init__(self, slice_qp: int):
+        q = max(0, min(51, slice_qp))
+        m = np.array([p[0] for p in _INIT_I], dtype=np.int32)
+        n = np.array([p[1] for p in _INIT_I], dtype=np.int32)
+        pre = np.clip(((m * q) >> 4) + n, 1, 126)
+        self.state = np.where(pre <= 63, 63 - pre, pre - 64).astype(np.int32)
+        self.mps = (pre > 63).astype(np.int32)
+
+
+class CabacDecoder:
+    """§9.3.3.2 arithmetic decoding engine over an RBSP byte string,
+    starting at a byte-aligned bit position.  Reads past the end return 0
+    bits (the encoder zero-pads to the byte boundary)."""
+
+    def __init__(self, data: bytes, start_bit: int):
+        assert start_bit % 8 == 0, "CABAC data must start byte-aligned"
+        self.data = data
+        self.pos = start_bit
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+
+    def _bit(self) -> int:
+        byte_i = self.pos >> 3
+        b = ((self.data[byte_i] >> (7 - (self.pos & 7))) & 1) \
+            if byte_i < len(self.data) else 0
+        self.pos += 1
+        return b
+
+    def decision(self, ctxs: CabacContexts, idx: int) -> int:
+        state = int(ctxs.state[idx])
+        mps = int(ctxs.mps[idx])
+        lps = int(_LPS_RANGE[state, (self.range >> 6) & 3])
+        self.range -= lps
+        if self.offset >= self.range:
+            bit = 1 - mps
+            self.offset -= self.range
+            self.range = lps
+            if state == 0:
+                ctxs.mps[idx] = 1 - mps
+            ctxs.state[idx] = _LPS_TRANS[state]
+        else:
+            bit = mps
+            if state < 62:
+                ctxs.state[idx] = state + 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return bit
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return 0
+
+
+class CabacEncoder:
+    """§9.3.4 arithmetic encoding engine (PutBit with bitsOutstanding and
+    the discarded leading bit)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+        self.out: list = []
+
+    def _put(self, b: int) -> None:
+        if self.first:
+            self.first = False
+        else:
+            self.out.append(b)
+        while self.outstanding:
+            self.out.append(1 - b)
+            self.outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            if self.low >= 512:
+                self._put(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.low <<= 1
+            self.range <<= 1
+
+    def decision(self, ctxs: CabacContexts, idx: int, bit: int) -> int:
+        state = int(ctxs.state[idx])
+        mps = int(ctxs.mps[idx])
+        lps = int(_LPS_RANGE[state, (self.range >> 6) & 3])
+        self.range -= lps
+        if bit != mps:
+            self.low += self.range
+            self.range = lps
+            if state == 0:
+                ctxs.mps[idx] = 1 - mps
+            ctxs.state[idx] = _LPS_TRANS[state]
+        else:
+            if state < 62:
+                ctxs.state[idx] = state + 1
+        self._renorm()
+        return bit
+
+    def bypass(self, bit: int) -> int:
+        self.low <<= 1
+        if bit:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+        return bit
+
+    def terminate(self, bit: int) -> int:
+        self.range -= 2
+        if bit:
+            self.low += self.range
+        else:
+            self._renorm()
+        return bit
+
+    def flush(self) -> None:
+        """§9.3.4.1.2 EncodeFlush — call once, right after terminate(1)."""
+        self.range = 2
+        self._renorm()
+        self._put((self.low >> 9) & 1)
+        v = ((self.low >> 7) & 3) | 1  # ends in the rbsp stop bit
+        self.out.append((v >> 1) & 1)
+        self.out.append(v & 1)
+
+    def getbits(self) -> str:
+        return "".join("1" if b else "0" for b in self.out)
+
+
+class _CabacSyntax:
+    """I-slice syntax binarizations (§9.3.2) + context assignment
+    (§9.3.3.1), written ONCE for both directions: every bin goes through
+    ``_dec``/``_byp``/``_term``, whose read implementation decodes and
+    whose write implementation encodes the bin derived from the planned
+    value (``_plan_val`` returns None on the read side).  One body means
+    the encoder can never disagree with the decoder about bin order or
+    context selection."""
+
+    def _dec(self, ctx: int, val):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _byp(self, val):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _term(self, val):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _plan_val(self, key):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def mb_type(self, inc: int) -> int:
+        """I-slice mb_type (Table 9-36 binarization, ctxIdxOffset 3)."""
+        t = self._plan_val("mb_type")
+        if not self._dec(3 + inc, None if t is None else (1 if t else 0)):
+            return 0  # I_NxN
+        if self._term(None if t is None else (1 if t == 25 else 0)):
+            return 25  # I_PCM
+        k = None if t is None else t - 1
+        b_lu = self._dec(6, None if k is None else (1 if k >= 12 else 0))
+        cc = None if k is None else (k // 4) % 3
+        if self._dec(7, None if cc is None else (1 if cc else 0)):
+            cchr = 1 + self._dec(8, None if cc is None else
+                                 (1 if cc == 2 else 0))
+        else:
+            cchr = 0
+        pv = None if k is None else k % 4
+        p1 = self._dec(9, None if pv is None else (pv >> 1) & 1)
+        p0 = self._dec(10, None if pv is None else pv & 1)
+        return 1 + (2 * p1 + p0) + 4 * cchr + 12 * b_lu
+
+    def i4_mode(self, pred: int) -> int:
+        """prev_intra4x4_pred_mode_flag (ctx 68) + rem (3 FL bins, ctx 69,
+        LSB-first — the bin order deployed decoders use)."""
+        t = self._plan_val("i4_modes")
+        if self._dec(68, None if t is None else (1 if t == pred else 0)):
+            return pred
+        rt = None if t is None else (t if t < pred else t - 1)
+        b0 = self._dec(69, None if rt is None else rt & 1)
+        b1 = self._dec(69, None if rt is None else (rt >> 1) & 1)
+        b2 = self._dec(69, None if rt is None else (rt >> 2) & 1)
+        rem = b0 | (b1 << 1) | (b2 << 2)
+        return rem if rem < pred else rem + 1
+
+    def chroma_mode(self, inc: int) -> int:
+        """intra_chroma_pred_mode: TU cMax 3, ctx 64+inc then 67."""
+        t = self._plan_val("chroma_mode")
+        if not self._dec(64 + inc, None if t is None else (1 if t else 0)):
+            return 0
+        if not self._dec(67, None if t is None else (1 if t > 1 else 0)):
+            return 1
+        if not self._dec(67, None if t is None else (1 if t > 2 else 0)):
+            return 2
+        return 3
+
+    def cbp(self, left, top) -> int:
+        """coded_block_pattern: 4 luma FL bins (ctx 73 block, §9.3.3.1.1.4
+        inverted-bit conditions) + TU-2 chroma (ctx 77 block).  ``left`` /
+        ``top`` are the neighbor MBs' cbp values (I_PCM passed as 47) or
+        None when unavailable."""
+        t = self._plan_val("cbp")
+        cur = 0
+        for i in range(4):
+            x8, y8 = i & 1, i >> 1
+            if x8:
+                cond_a = 0 if (cur >> (i - 1)) & 1 else 1
+            elif left is None:
+                cond_a = 0
+            else:
+                cond_a = 0 if (left >> (i + 1)) & 1 else 1
+            if y8:
+                cond_b = 0 if (cur >> (i - 2)) & 1 else 1
+            elif top is None:
+                cond_b = 0
+            else:
+                cond_b = 0 if (top >> (i + 2)) & 1 else 1
+            bit = self._dec(73 + cond_a + 2 * cond_b,
+                            None if t is None else (t >> i) & 1)
+            cur |= bit << i
+        ca = 0 if left is None else (1 if (left >> 4) else 0)
+        cb = 0 if top is None else (1 if (top >> 4) else 0)
+        tc = None if t is None else t >> 4
+        chroma = 0
+        if self._dec(77 + ca + 2 * cb,
+                     None if tc is None else (1 if tc else 0)):
+            ca2 = 0 if left is None else (1 if (left >> 4) == 2 else 0)
+            cb2 = 0 if top is None else (1 if (top >> 4) == 2 else 0)
+            chroma = 1 + self._dec(81 + ca2 + 2 * cb2,
+                                   None if tc is None else
+                                   (1 if tc == 2 else 0))
+        return cur | (chroma << 4)
+
+    def qp_delta(self, prev_nonzero: bool) -> int:
+        """mb_qp_delta: unary of the se() mapping, ctx 60/61 then 62, 63."""
+        t = self._plan_val("qp_delta")
+        mt = None if t is None else (2 * t - 1 if t > 0 else -2 * t)
+        if not self._dec(60 + (1 if prev_nonzero else 0),
+                         None if mt is None else (1 if mt else 0)):
+            return 0
+        k = 1
+        while self._dec(62 if k == 1 else 63,
+                        None if mt is None else (1 if mt > k else 0)):
+            k += 1
+            if k > 90:
+                raise ValueError("mb_qp_delta unary runaway")
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+    def residual(self, cat: int, cbf_inc: int, maxc: int):
+        """residual_block_cabac (§7.3.5.3.3 + §9.3.2.3): coded_block_flag,
+        significance map, then levels in reverse scan order (UEG0 with
+        uCoff 14).  Returns (coded_block_flag, scan-order coefficients)."""
+        tgt = self._plan_val("coeffs")
+        cbf = self._dec(85 + 4 * cat + cbf_inc,
+                        None if tgt is None else
+                        (1 if np.any(tgt) else 0))
+        scan = np.zeros(maxc, dtype=np.int32)
+        if not cbf:
+            return 0, scan
+        sbase = 105 + _SIG_CAT_BASE[cat]
+        lbase = 166 + _SIG_CAT_BASE[cat]
+        last_t = -1
+        if tgt is not None:
+            last_t = int(np.flatnonzero(tgt)[-1])
+        positions = []
+        i = 0
+        while i < maxc - 1:
+            s = self._dec(sbase + i, None if tgt is None else
+                          (1 if tgt[i] else 0))
+            if s:
+                positions.append(i)
+                if self._dec(lbase + i, None if tgt is None else
+                             (1 if i == last_t else 0)):
+                    break
+            i += 1
+        else:
+            positions.append(maxc - 1)  # implied significant (§9.3.2.3)
+        abase = 227 + _LVL_CAT_BASE[cat]
+        cap = _LVL_GT1_CAP[cat]
+        eq1 = gt1 = 0
+        for idx in reversed(positions):
+            mt = None if tgt is None else abs(int(tgt[idx])) - 1
+            ctx0 = abase + (0 if gt1 else min(4, 1 + eq1))
+            if not self._dec(ctx0, None if mt is None else
+                             (1 if mt > 0 else 0)):
+                m = 0
+            else:
+                ctxg = abase + 5 + min(cap, gt1)
+                m = 1
+                while m < 14 and self._dec(ctxg, None if mt is None else
+                                           (1 if mt > m else 0)):
+                    m += 1
+                if m == 14:  # UEG0 escape, bypass-coded
+                    if mt is None:
+                        big = 0
+                        k = 0
+                        while self._byp(None):
+                            big += 1 << k
+                            k += 1
+                            if k > 40:
+                                raise ValueError("EG0 runaway")
+                        v = 0
+                        for _ in range(k):
+                            v = (v << 1) | self._byp(None)
+                        m = 14 + big + v
+                    else:
+                        e = mt - 14
+                        k = (e + 1).bit_length() - 1
+                        for _ in range(k):
+                            self._byp(1)
+                        self._byp(0)
+                        v = e - ((1 << k) - 1)
+                        for j in range(k - 1, -1, -1):
+                            self._byp((v >> j) & 1)
+                        m = mt
+            sign = self._byp(None if tgt is None else
+                             (1 if tgt[idx] < 0 else 0))
+            scan[idx] = -(m + 1) if sign else (m + 1)
+            if m == 0:
+                eq1 += 1
+            else:
+                gt1 += 1
+        return 1, scan
+
+    def end_of_slice(self, val=None) -> int:
+        return self._term(val)
+
+
+class _CabacRead(_CabacSyntax):
+    def __init__(self, cd: CabacDecoder, ctxs: CabacContexts):
+        self.cd, self.ctxs = cd, ctxs
+
+    def _dec(self, ctx, val):
+        return self.cd.decision(self.ctxs, ctx)
+
+    def _byp(self, val):
+        return self.cd.bypass()
+
+    def _term(self, val):
+        return self.cd.terminate()
+
+    def _plan_val(self, key):
+        return None
+
+
+class _CabacWrite(_CabacSyntax):
+    def __init__(self, enc: CabacEncoder, ctxs: CabacContexts):
+        self.enc, self.ctxs = enc, ctxs
+        self.plan = None
+
+    def set_plan(self, plan: dict) -> None:
+        self.plan = dict(plan)
+        self.plan["coeffs"] = list(plan.get("coeffs", ()))
+        self.plan["_i4_i"] = 0
+
+    def plan_done(self) -> bool:
+        return not self.plan["coeffs"] and \
+            self.plan["_i4_i"] == len(self.plan.get("i4_modes", ()))
+
+    def _dec(self, ctx, val):
+        assert val is not None, "write path needs a planned bin"
+        return self.enc.decision(self.ctxs, ctx, val)
+
+    def _byp(self, val):
+        assert val is not None
+        return self.enc.bypass(val)
+
+    def _term(self, val):
+        assert val is not None
+        return self.enc.terminate(val)
+
+    def _plan_val(self, key):
+        if key == "coeffs":
+            return self.plan["coeffs"].pop(0)
+        if key == "i4_modes":
+            v = self.plan["i4_modes"][self.plan["_i4_i"]]
+            self.plan["_i4_i"] += 1
+            return v
+        return self.plan[key]
+
+
+def _mb_cabac(ent: _CabacSyntax, fr: _Frame, mbx: int, mby: int, qp: int,
+              chroma_qp_off: int) -> int:
+    """Parse + reconstruct one CABAC I-slice macroblock.  The SAME body
+    runs under _CabacRead (decode) and _CabacWrite (fixture encode), so
+    context selection, bin order and reconstruction cannot drift between
+    the two sides.  Returns the updated QP."""
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    bx0, by0 = 4 * mbx, 4 * mby
+    cbx, cby = 2 * mbx, 2 * mby
+
+    def mbclass(my: int, mx: int) -> int:
+        """Neighbor MB class, -1 when unavailable (edge or other slice)."""
+        if mx < 0 or my < 0:
+            return -1
+        if not fr.same_slice(my, mx):
+            return -1
+        return int(fr.mb_class[my, mx])
+
+    ca, cb = mbclass(mby, mbx - 1), mbclass(mby - 1, mbx)
+    inc = (1 if ca in (2, 3) else 0) + (1 if cb in (2, 3) else 0)
+    mb_type = ent.mb_type(inc)
+    if mb_type == 25:
+        raise NotImplementedError(
+            "I_PCM inside a CABAC slice (post-terminate byte realignment) "
+            "is not implemented — real encoders essentially never emit it")
+
+    def nb_cbp(my: int, mx: int):
+        c = mbclass(my, mx)
+        if c <= 0:
+            return None
+        return 47 if c == 3 else int(fr.cbp_arr[my, mx])
+
+    def nb_cmode(my: int, mx: int) -> int:
+        c = mbclass(my, mx)
+        return 0 if c <= 0 or c == 3 else int(fr.cmode_arr[my, mx])
+
+    # §9.3.3.1.1.9 condTermFlags (current MB is always intra here, so an
+    # unavailable neighbor contributes 1)
+    def cbf_inc_ldc() -> int:
+        conds = []
+        for my, mx in ((mby, mbx - 1), (mby - 1, mbx)):
+            c = mbclass(my, mx)
+            if c < 0 or c == 3:
+                conds.append(1)
+            elif c == 2:
+                conds.append(int(fr.cbf_ldc[my, mx]))
+            else:
+                conds.append(0)  # neighbor MB has no luma-DC block
+        return conds[0] + 2 * conds[1]
+
+    def cbf_inc_l4(gby: int, gbx: int) -> int:
+        conds = []
+        for ny, nx in ((gby, gbx - 1), (gby - 1, gbx)):
+            if ny < 0 or nx < 0 or not fr.same_slice(ny >> 2, nx >> 2):
+                conds.append(1)
+            elif int(fr.mb_class[ny >> 2, nx >> 2]) == 3:
+                conds.append(1)
+            else:
+                conds.append(int(fr.cbf_l4[ny, nx]))
+        return conds[0] + 2 * conds[1]
+
+    def cbf_inc_cdc(comp: int) -> int:
+        conds = []
+        for my, mx in ((mby, mbx - 1), (mby - 1, mbx)):
+            c = mbclass(my, mx)
+            if c < 0 or c == 3:
+                conds.append(1)
+            else:
+                conds.append(int(fr.cbf_cdc[comp, my, mx]))
+        return conds[0] + 2 * conds[1]
+
+    def cbf_inc_cac(comp: int, gby: int, gbx: int) -> int:
+        conds = []
+        for ny, nx in ((gby, gbx - 1), (gby - 1, gbx)):
+            if ny < 0 or nx < 0 or not fr.same_slice(ny >> 1, nx >> 1):
+                conds.append(1)
+            elif int(fr.mb_class[ny >> 1, nx >> 1]) == 3:
+                conds.append(1)
+            else:
+                conds.append(int(fr.cbf_cac[comp, ny, nx]))
+        return conds[0] + 2 * conds[1]
+
+    def chroma_residuals(cbp_chroma: int):
+        dc = []
+        for comp in (0, 1):
+            if cbp_chroma:
+                f, c = ent.residual(3, cbf_inc_cdc(comp), 4)
+            else:
+                f, c = 0, np.zeros(4, dtype=np.int32)
+            fr.cbf_cdc[comp, mby, mbx] = f
+            dc.append(c)
+        acs = []
+        for comp, tc in ((0, fr.tcCb), (1, fr.tcCr)):
+            blocks = []
+            for i in range(4):
+                gbx, gby = cbx + (i & 1), cby + (i >> 1)
+                if cbp_chroma == 2:
+                    f, c = ent.residual(4, cbf_inc_cac(comp, gby, gbx), 15)
+                else:
+                    f, c = 0, np.zeros(15, dtype=np.int32)
+                fr.cbf_cac[comp, gby, gbx] = f
+                tc[gby, gbx] = int(np.count_nonzero(c))
+                blocks.append(c)
+            acs.append(blocks)
+        return dc[0], dc[1], acs[0], acs[1]
+
+    cm_inc = (1 if nb_cmode(mby, mbx - 1) else 0) \
+        + 2 * (1 if nb_cmode(mby - 1, mbx) else 0)
+
+    if mb_type == 0:  # I_NxN
+        modes = []
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            gbx, gby = bx0 + x // 4, by0 + y // 4
+            ma = int(fr.i4[gby, gbx - 1]) \
+                if (gbx > 0 and fr.same_slice(gby >> 2, (gbx - 1) >> 2)) \
+                else -1
+            mb_ = int(fr.i4[gby - 1, gbx]) \
+                if (gby > 0 and fr.same_slice((gby - 1) >> 2, gbx >> 2)) \
+                else -1
+            pred = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+            mode = ent.i4_mode(pred)
+            fr.i4[gby, gbx] = mode
+            modes.append(mode)
+        chroma_mode = ent.chroma_mode(cm_inc)
+        cbp = ent.cbp(nb_cbp(mby, mbx - 1), nb_cbp(mby - 1, mbx))
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            delta = ent.qp_delta(fr.prev_qp_delta != 0)
+            qp = (qp + delta + 52) % 52
+            fr.prev_qp_delta = delta
+        else:
+            fr.prev_qp_delta = 0  # inferred 0 (§7.4.5)
+        luma_coeffs = []
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            gbx, gby = bx0 + x // 4, by0 + y // 4
+            if cbp_luma & (1 << (i // 4)):
+                f, c = ent.residual(2, cbf_inc_l4(gby, gbx), 16)
+            else:
+                f, c = 0, np.zeros(16, dtype=np.int32)
+            fr.cbf_l4[gby, gbx] = f
+            fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+            luma_coeffs.append(c)
+        chroma = chroma_residuals(cbp_chroma)
+        fr.mb_class[mby, mbx] = 1
+        fr.cbp_arr[mby, mbx] = cbp
+        fr.cmode_arr[mby, mbx] = chroma_mode
+        _recon_i4_luma(fr, mbx, mby, modes, luma_coeffs, qp)
+        _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
+        fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = qp
+        return qp
+
+    # Intra_16x16
+    k = mb_type - 1
+    pred_mode = k % 4
+    cbp_chroma = (k // 4) % 3
+    cbp_luma = 15 if k >= 12 else 0
+    chroma_mode = ent.chroma_mode(cm_inc)
+    delta = ent.qp_delta(fr.prev_qp_delta != 0)
+    qp = (qp + delta + 52) % 52
+    fr.prev_qp_delta = delta
+    f0, dc_scan = ent.residual(0, cbf_inc_ldc(), 16)
+    fr.cbf_ldc[mby, mbx] = f0
+    ac = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        if cbp_luma:
+            f, c = ent.residual(1, cbf_inc_l4(gby, gbx), 15)
+        else:
+            f, c = 0, np.zeros(15, dtype=np.int32)
+        fr.cbf_l4[gby, gbx] = f
+        fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+        ac.append(c)
+    chroma = chroma_residuals(cbp_chroma)
+    fr.mb_class[mby, mbx] = 2
+    fr.cbp_arr[mby, mbx] = cbp_luma | (cbp_chroma << 4)
+    fr.cmode_arr[mby, mbx] = chroma_mode
+    _recon_i16_luma(fr, mbx, mby, pred_mode, dc_scan, ac, qp)
+    _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
+    fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
+    return qp
+
+
+def _plan_mb_cabac(src, fr: _Frame, mbx: int, mby: int, qp: int,
+                   chroma_qp_off: int, kind: str, mb_i: int) -> dict:
+    """Choose one CABAC MB's syntax values + quantized coefficients against
+    the CURRENT recon state (scratch copies, no fr mutation beyond
+    slice_no).  Deliberately varies qp_delta / cbp / modes by position so
+    fixtures cover every binarization branch (qp_delta unary > 1 bins,
+    cbp_luma 0, cbp_chroma 0/1/2, cbf 0 blocks, chroma_mode TU tails).
+    Unlike the CAVLC planner there is no trailing-ones nudge — CABAC has
+    no such stream invariant."""
+    sy, scb, scr = src
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+    bx0, by0 = 4 * mbx, 4 * mby
+    fr.slice_no[mby, mbx] = fr.cur_slice  # _mb_cabac sets the same value
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
+    cmode = [0, 1, 2, 3][(mbx + mby) % 4] if (av_t and av_l) else 0
+    qp_delta = [0, 2, -2, 0, 5][mb_i % 5]
+    new_qp = (qp + qp_delta + 52) % 52
+    qpc = _chroma_qp(new_qp, chroma_qp_off)
+
+    def chroma_plan(cbp_chroma: int, coeffs: list) -> None:
+        """Append chroma DC (and AC when cbp_chroma == 2) scan arrays in
+        parse order (both DCs, then 4 Cb ACs, then 4 Cr ACs) — only the
+        arrays the parser will actually request for this cbp_chroma."""
+        if not cbp_chroma:
+            return
+        per_comp = []
+        for plane, rplane in ((scb, fr.Cb), (scr, fr.Cr)):
+            topc = rplane[cy - 1, cx:cx + 8] if av_t \
+                else np.full(8, 128, np.int64)
+            leftc = rplane[cy:cy + 8, cx - 1] if av_l \
+                else np.full(8, 128, np.int64)
+            tlc = int(rplane[cy - 1, cx - 1]) if (av_t and av_l) else 128
+            predc = _pred_chroma(cmode, topc, leftc, tlc, av_t, av_l)
+            res = plane[cy:cy + 8, cx:cx + 8].astype(np.int64) - predc
+            dcg = np.zeros((2, 2), np.int64)
+            acs = []
+            for i in range(4):
+                bx, by = 4 * (i & 1), 4 * (i >> 1)
+                W = transform4x4(res[by:by + 4, bx:bx + 4])
+                dcg[i >> 1, i & 1] = W[0, 0]
+                q = quant4x4(W, qpc)
+                q[0, 0] = 0
+                acs.append(scan_order(q)[1:].astype(np.int32))
+            fdc = _H2 @ dcg @ _H2
+            per_comp.append((_quant_dc(fdc, qpc).reshape(-1).astype(np.int32),
+                             acs))
+        for dc_lv, _ in per_comp:
+            coeffs.append(dc_lv)
+        if cbp_chroma == 2:
+            for _, acs in per_comp:
+                coeffs.extend(acs)
+
+    if kind == "i16":
+        pred_mode = [2, 0, 1, 3][(mbx + 2 * mby) % 4]
+        if pred_mode in (0, 3) and not av_t:
+            pred_mode = 2
+        if pred_mode in (1, 3) and not av_l:
+            pred_mode = 2
+        cbp_luma_on = 0 if mb_i % 6 == 5 else 1
+        cbp_chroma = (2, 1, 0)[mb_i % 3] if av_t or av_l else 2
+        coeffs = []
+        top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
+        left = fr.Y[py:py + 16, px - 1] if av_l else np.full(16, 128, np.int64)
+        tl = int(fr.Y[py - 1, px - 1]) if (av_t and av_l) else 128
+        pred = _pred16x16(pred_mode, top, left, tl, av_t, av_l)
+        res = sy[py:py + 16, px:px + 16].astype(np.int64) - pred
+        dcg = np.zeros((4, 4), np.int64)
+        acs = []
+        for i in range(16):
+            x, y = _BLK_XY[i]
+            W = transform4x4(res[y:y + 4, x:x + 4])
+            dcg[y // 4, x // 4] = W[0, 0]
+            q = quant4x4(W, new_qp)
+            q[0, 0] = 0
+            acs.append(scan_order(q)[1:].astype(np.int32))
+        fdc = hadamard4x4(dcg)
+        fdc = np.sign(fdc) * (np.abs(fdc) >> 1)  # spec forward DC: /2
+        coeffs.append(scan_order(
+            _quant_dc(fdc, new_qp).reshape(4, 4)).astype(np.int32))
+        if cbp_luma_on:
+            coeffs.extend(acs)
+        chroma_plan(cbp_chroma, coeffs)
+        return {
+            "mb_type": 1 + pred_mode + 4 * cbp_chroma + 12 * cbp_luma_on,
+            "chroma_mode": cmode, "qp_delta": qp_delta, "coeffs": coeffs,
+        }
+
+    # kind == "i4"
+    variant = mb_i % 7
+    cbp_luma = 0 if variant == 6 else 15
+    cbp_chroma = 1 if variant == 4 else (0 if variant == 6 else 2)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    if cbp == 0:
+        qp_delta = 0  # mb_qp_delta absent, inferred 0
+        new_qp = qp
+        qpc = _chroma_qp(new_qp, chroma_qp_off)
+    scY = fr.Y.copy()
+    rec_map = fr.recon.copy()
+    modes = []
+    coeffs = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        gx, gy = px + x, py + y
+        at = gby > 0 and rec_map[gby - 1, gbx] \
+            and fr.same_slice((gby - 1) >> 2, gbx >> 2)
+        al = gbx > 0 and rec_map[gby, gbx - 1] \
+            and fr.same_slice(gby >> 2, (gbx - 1) >> 2)
+        cand = _i4_avail_modes(at, al)
+        mode = cand[(i + mbx + 3 * mby) % len(cand)]
+        modes.append(mode)
+        sc = _Frame.__new__(_Frame)
+        sc.Y, sc.recon = scY, rec_map
+        sc.slice_no, sc.cur_slice = fr.slice_no, fr.cur_slice
+        top, left, tl, eat, eal, eatr = _luma_edges4x4(sc, gx, gy)
+        p4 = _pred4x4(mode, top, left, tl, eat, eal, eatr)
+        res = sy[gy:gy + 4, gx:gx + 4].astype(np.int64) - p4
+        q = scan_order(quant4x4(transform4x4(res), new_qp)).astype(np.int32) \
+            if cbp_luma else np.zeros(16, np.int32)
+        if cbp_luma:
+            coeffs.append(q)
+        rec = p4 + itransform4x4(dequant4x4(q, new_qp))
+        scY[gy:gy + 4, gx:gx + 4] = np.clip(rec, 0, 255)
+        rec_map[gby, gbx] = True
+    chroma_plan(cbp_chroma, coeffs)
+    return {
+        "mb_type": 0, "i4_modes": modes, "chroma_mode": cmode,
+        "cbp": cbp, "qp_delta": qp_delta, "coeffs": coeffs,
+    }
+
+
+def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
+                              first_mb: int = 0, n_mbs: int | None = None,
+                              fr: "_Frame | None" = None,
+                              deblock_idc: int = 1) -> bytes:
+    """One CABAC IDR slice RBSP.  The planner picks values; _mb_cabac —
+    the decoder's own parse+recon body, running over a _CabacWrite — emits
+    the bins and advances reconstruction, so encoder recon == decoder
+    recon by construction (the CABAC analogue of the CAVLC encoder's
+    decode-back self-check).  'pcm' MB kinds are substituted with 'i16'
+    (I_PCM is out of CABAC scope)."""
+    hb = _StrBits()
+    hb.ue(first_mb)
+    hb.ue(7)                      # slice_type = I (all slices in pic)
+    hb.ue(pps["pps_id"])
+    hb.u(0, sps["log2_max_frame_num"])
+    hb.ue(0)                      # idr_pic_id
+    hb.u(0, 1)                    # no_output_of_prior_pics
+    hb.u(0, 1)                    # long_term_reference
+    hb.se(qp - pps["pic_init_qp"])
+    if pps["deblocking_control"]:
+        hb.ue(deblock_idc)
+        if deblock_idc != 1:
+            hb.se(0)
+            hb.se(0)
+    bits = hb.bits()
+    bits += "1" * ((-len(bits)) % 8)  # cabac_alignment_one_bit
+    if fr is None:
+        fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    fr.prev_qp_delta = 0
+    enc = CabacEncoder()
+    ent = _CabacWrite(enc, CabacContexts(qp))
+    total = sps["w_mbs"] * sps["h_mbs"]
+    if n_mbs is None:
+        n_mbs = total - first_mb
+    cur_qp = qp
+    for mb_i in range(first_mb, first_mb + n_mbs):
+        mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
+        kind = kind_fn(mbx, mby)
+        if kind == "pcm":
+            kind = "i16"
+        plan = _plan_mb_cabac(src, fr, mbx, mby, cur_qp,
+                              pps["chroma_qp_index_offset"], kind, mb_i)
+        ent.set_plan(plan)
+        cur_qp = _mb_cabac(ent, fr, mbx, mby, cur_qp,
+                           pps["chroma_qp_index_offset"])
+        assert ent.plan_done(), f"unconsumed plan at MB ({mbx},{mby})"
+        ent.end_of_slice(1 if mb_i == first_mb + n_mbs - 1 else 0)
+    enc.flush()
+    bits += enc.getbits()
+    bits += "0" * ((-len(bits)) % 8)
+    return _bits_to_bytes(bits)

@@ -12,11 +12,12 @@ codec in stages/jpeg.py — frame sampling never entropy-decodes skipped
 samples, mirroring stages/avi.py.
 
 ALSO real (r5): ``decode_mp4_h264`` — avc1 tracks decode IN-ENGINE via
-the from-scratch CAVLC baseline I-frame decoder (stages/h264.py): avcC
-SPS/PPS parse, length-prefixed NAL walk, IDR-only sampling (non-IDR
-samples are skipped without entropy decode, mirroring the MJPEG
-samplers).  What remains at the PyAV seam: CABAC streams, P/B
-reconstruction, H.265/VP9/AV1.
+the from-scratch I-frame decoder (stages/h264.py), BOTH entropy coders
+(Baseline CAVLC and Main-profile CABAC): avcC SPS/PPS parse,
+length-prefixed NAL walk, IDR-only sampling (non-IDR samples are
+skipped without entropy decode, mirroring the MJPEG samplers).  What
+remains at the PyAV seam: P/B reconstruction, the High-profile 8x8
+transform, H.265/VP9/AV1.
 
 The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
 ``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and
@@ -317,10 +318,10 @@ def _parse_avcc(avcc: bytes) -> tuple[int, list[bytes], list[bytes]]:
 
 def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     """[(frame index, (h, w, 3) uint8 RGB)] for every k-th sample of an
-    avc1 track, decoded by the from-scratch CAVLC I-frame decoder
-    (stages/h264.py).  Non-IDR samples (P/B frames) are SKIPPED without
-    entropy decoding — the IDR-only sampling semantics that mirror the AVI
-    sampler's skip; CABAC streams raise toward the PyAV seam."""
+    avc1 track, decoded by the from-scratch I-frame decoder
+    (stages/h264.py; CAVLC and CABAC).  Non-IDR samples (P/B frames) are
+    SKIPPED without entropy decoding — the IDR-only sampling semantics
+    that mirror the AVI sampler's skip."""
     from iresearch_ray.stages import h264
 
     if every < 1:
@@ -352,19 +353,23 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
 
 
 def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
-                    kinds: str = "mixed", deblock_idc: int = 1) -> bytes:
+                    kinds: str = "mixed", deblock_idc: int = 1,
+                    entropy: str = "cavlc") -> bytes:
     """(h, w, 3) uint8 frames → a minimal avc1 MP4 (one mdat, one chunk,
     4-byte-length-prefixed IDR NALs, avcC with one SPS/PPS) through the
-    from-scratch baseline I-frame encoder — the REAL-fixture generator for
-    decode_mp4_h264."""
+    from-scratch I-frame encoder — the REAL-fixture generator for
+    decode_mp4_h264.  ``entropy``: 'cavlc' (Baseline) or 'cabac' (Main
+    profile; 'pcm' MB kinds become i16)."""
     from iresearch_ray.stages import h264
 
     if not frames:
         raise ValueError("need at least one frame")
+    cabac = entropy == "cabac"
+    profile = 77 if cabac else 66
     h, w = frames[0].shape[:2]
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
-    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h)
-    pps_rbsp = h264.write_pps()
+    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h, profile=profile)
+    pps_rbsp = h264.write_pps(entropy=1 if cabac else 0)
     sps = h264.parse_sps(sps_rbsp)
     pps = h264.parse_pps(pps_rbsp)
     sps_nal = h264._nal(7, sps_rbsp)
@@ -374,16 +379,18 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
     def kind_fn(mbx, mby):
         return cycle[(mbx + mby) % 3] if kinds == "mixed" else kinds
 
+    slice_fn = h264.encode_iframe_slice_cabac if cabac \
+        else h264.encode_iframe_slice
     samples = []
     for fimg in frames:
         if fimg.shape[:2] != (h, w):
             raise ValueError("all frames must share one shape")
         src = h264.rgb_to_yuv420(fimg)
-        nal = h264._nal(5, h264.encode_iframe_slice(src, sps, pps, qp, kind_fn,
-                                                    deblock_idc=deblock_idc))
+        nal = h264._nal(5, slice_fn(src, sps, pps, qp, kind_fn,
+                                    deblock_idc=deblock_idc))
         samples.append(struct.pack(">I", len(nal)) + nal)
 
-    avcc = (bytes([1, 66, 0, 20, 0xFC | 3, 0xE0 | 1])
+    avcc = (bytes([1, profile, 0, 20, 0xFC | 3, 0xE0 | 1])
             + struct.pack(">H", len(sps_nal)) + sps_nal
             + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal)
     sample_entry = _box(

@@ -143,14 +143,168 @@ def test_golden_stream_and_planes_pinned():
     assert hashlib.sha256(Cr.tobytes()).hexdigest() == GOLD_CR
 
 
-def test_cabac_raises_toward_seam():
-    bw = h264.BitWriter()
-    bw.ue(0)
-    bw.ue(0)
-    bw.u(1, 1)  # entropy_coding_mode = CABAC
-    bw.rbsp_trailing()
-    with pytest.raises(ValueError, match="CABAC"):
-        h264.parse_pps(bw.getvalue())
+def test_cabac_engine_roundtrip_fuzz():
+    """§9.3.3.2/§9.3.4 arithmetic engines are exact inverses over fuzzed
+    decision/bypass/terminate mixes on every context, and both sides land
+    in identical context states."""
+    import random
+
+    random.seed(7)
+    for _ in range(25):
+        qp = random.randint(0, 51)
+        enc_ctx, dec_ctx = h264.CabacContexts(qp), h264.CabacContexts(qp)
+        enc = h264.CabacEncoder()
+        ops = []
+        for _ in range(random.randint(1, 400)):
+            r = random.random()
+            if r < 0.6:
+                ctx, bit = random.randint(0, 275), random.randint(0, 1)
+                enc.decision(enc_ctx, ctx, bit)
+                ops.append(("d", ctx, bit))
+            elif r < 0.9:
+                bit = random.randint(0, 1)
+                enc.bypass(bit)
+                ops.append(("b", None, bit))
+            else:
+                enc.terminate(0)
+                ops.append(("t", None, 0))
+        enc.terminate(1)
+        ops.append(("t", None, 1))
+        enc.flush()
+        dec = h264.CabacDecoder(h264._bits_to_bytes(enc.getbits()), 0)
+        for kind, ctx, bit in ops:
+            got = dec.decision(dec_ctx, ctx) if kind == "d" else (
+                dec.bypass() if kind == "b" else dec.terminate())
+            assert got == bit
+        assert np.array_equal(enc_ctx.state, dec_ctx.state)
+        assert np.array_equal(enc_ctx.mps, dec_ctx.mps)
+
+
+def test_cabac_context_init():
+    """Init states are in-range for every SliceQP and actually depend on
+    QP (the (m, n) slopes are live, not neutral)."""
+    for qp in (0, 10, 26, 40, 51):
+        c = h264.CabacContexts(qp)
+        assert c.state.shape == (276,)
+        assert (c.state >= 0).all() and (c.state <= 62).all()
+        assert set(np.unique(c.mps)) <= {0, 1}
+    a, b = h264.CabacContexts(10), h264.CabacContexts(40)
+    assert (a.state != b.state).any() or (a.mps != b.mps).any()
+
+
+def _cabac_encode_picture(frame, qp, kinds, slices=1, deblock_idc=1):
+    """Encode one CABAC picture with a shared frame state; returns
+    (annexb_stream, encoder_recon_planes)."""
+    h, w = frame.shape[:2]
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h, profile=77)
+    pps_rbsp = h264.write_pps(entropy=1)
+    sps, pps = h264.parse_sps(sps_rbsp), h264.parse_pps(pps_rbsp)
+    src = h264.rgb_to_yuv420(frame)
+    fr = h264._Frame(w_mbs, h_mbs)
+    cycle = ("i16", "i4", "pcm")
+    kf = (lambda x, y: cycle[(x + y) % 3]) if kinds == "mixed" \
+        else (lambda x, y: kinds)
+    total = w_mbs * h_mbs
+    bounds = [round(i * total / slices) for i in range(slices + 1)]
+    out = [b"\x00\x00\x00\x01" + h264._nal(7, sps_rbsp),
+           b"\x00\x00\x00\x01" + h264._nal(8, pps_rbsp)]
+    for si in range(slices):
+        rbsp = h264.encode_iframe_slice_cabac(
+            src, sps, pps, qp, kf, first_mb=bounds[si],
+            n_mbs=bounds[si + 1] - bounds[si], fr=fr,
+            deblock_idc=deblock_idc)
+        fr.cur_slice += 1
+        out.append(b"\x00\x00\x00\x01" + h264._nal(5, rbsp))
+    return b"".join(out), (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
+                           fr.Cr.astype(np.uint8))
+
+
+def test_cabac_stream_roundtrip_exact():
+    """Decoder output == encoder reconstruction for every MB kind, QP band
+    and slice split.  The encoder drives the DECODER's own _mb_cabac body
+    (via _CabacWrite), so a pass proves the whole bin chain — contexts,
+    binarizations, significance maps, level escapes — inverts exactly.
+    The 80x112 frame spans 35 MBs, covering all planner variants
+    (qp_delta unary > 1, cbp_luma 0, cbp_chroma 0/1/2, cbf-0 blocks)."""
+    frame = _test_frame(80, 112)
+    for kinds in ("i16", "i4", "mixed"):
+        for qp in (10, 26, 40):
+            for slices in (1, 3):
+                st, (ey, ecb, ecr) = _cabac_encode_picture(
+                    frame, qp, kinds, slices=slices)
+                (idx, (Y, Cb, Cr)), = h264.decode_annexb(st, rgb=False)
+                assert idx == 0
+                assert np.array_equal(Y, ey), (kinds, qp, slices)
+                assert np.array_equal(Cb, ecb), (kinds, qp, slices)
+                assert np.array_equal(Cr, ecr), (kinds, qp, slices)
+
+
+def test_cabac_golden_pinned():
+    """Byte-identical CABAC stream + decoded luma for a fixed frame — any
+    drift in the init tables, rangeTabLPS, transition tables or bin
+    plumbing trips this."""
+    frame = _test_frame()
+    st = h264.encode_h264_annexb([frame], qp=24, kinds="mixed",
+                                 entropy="cabac")
+    assert hashlib.sha256(st).hexdigest() == \
+        "58b78a1b8aa6c2a2d29bd82c7220c34c2fe357f072741db1592ac96405efa5ae"
+    Y = h264.decode_annexb(st, rgb=False)[0][1][0]
+    assert hashlib.sha256(Y.tobytes()).hexdigest() == \
+        "4ed115e1275365bcf608adac54b880198ec51be2c5bf76826786f5252732db6c"
+
+
+def test_cabac_via_public_encoder():
+    """encode_h264_annexb(entropy='cabac') produces a Main-profile stream
+    that decodes; PCM kinds are substituted (never raise)."""
+    frame = _test_frame(48, 64)
+    st = h264.encode_h264_annexb([frame, frame], qp=20, kinds="mixed",
+                                 entropy="cabac")
+    nals = h264.split_annexb(st)
+    assert h264.parse_sps(nals[0][1])["profile"] == 77
+    frames = h264.decode_annexb(st, rgb=False)
+    assert [f[0] for f in frames] == [0, 1]
+    assert np.array_equal(frames[0][1][0], frames[1][1][0])
+
+
+def test_cabac_adapts_and_compresses():
+    """Behavioural check that context adaptation is live: on smooth
+    content the CABAC stream is measurably smaller than the CAVLC stream
+    of the same picture shape."""
+    yy, xx = np.mgrid[0:64, 0:96]
+    smooth = np.stack([128 + 30 * np.sin(xx / 40),
+                       128 + 20 * np.cos(yy / 30),
+                       np.full_like(xx, 100)], axis=-1).astype(np.uint8)
+    cavlc = h264.encode_h264_annexb([smooth], qp=28, kinds="i16")
+    cabac = h264.encode_h264_annexb([smooth], qp=28, kinds="i16",
+                                    entropy="cabac")
+    assert len(cabac) < len(cavlc)
+
+
+def test_cabac_deblock_composes():
+    """Loop filter runs after CABAC decode exactly as after CAVLC: a flat
+    picture is invariant, and idc is honoured per slice."""
+    flat = np.full((48, 48, 3), 128, np.uint8)
+    for idc in (0, 2):
+        st = h264.encode_h264_annexb([flat], qp=32, kinds="i16", slices=2,
+                                     deblock_idc=idc, entropy="cabac")
+        Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+        assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def test_cabac_pcm_is_a_clear_raise():
+    """A CABAC mb_type that selects I_PCM hits the documented
+    NotImplementedError, not silent corruption."""
+    ctxs = h264.CabacContexts(26)
+    enc = h264.CabacEncoder()
+    enc.decision(ctxs, 3, 1)  # bin0: not I_NxN (no neighbors -> inc 0)
+    enc.terminate(1)          # bin1: I_PCM
+    enc.flush()
+    data = h264._bits_to_bytes(enc.getbits())
+    fr = h264._Frame(2, 2)
+    ent = h264._CabacRead(h264.CabacDecoder(data, 0), h264.CabacContexts(26))
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        h264._mb_cabac(ent, fr, 0, 0, 26, 0)
 
 
 def test_non_idr_samples_skipped():
@@ -192,6 +346,23 @@ def test_mp4_avc1_roundtrip_and_sampling():
     # mjpeg decode entry politely routes avc1 elsewhere
     with pytest.raises(ValueError, match="decode_mp4_h264"):
         mp4.decode_mp4_mjpeg(v)
+
+
+def test_mp4_avc1_cabac_roundtrip():
+    """Main-profile (CABAC) avc1 MP4s decode through the same demux +
+    sampler path as Baseline ones."""
+    f1 = _test_frame(32, 48)
+    f2 = np.roll(f1, 5, axis=1)
+    v = mp4.encode_mp4_h264([f1, f2], fps=5, qp=8, kinds="mixed",
+                            entropy="cabac")
+    meta = mp4.mp4_meta(v)
+    assert (meta["codec"], meta["n_frames"]) == ("avc1", 2)
+    frames = mp4.decode_mp4_h264(v, every=1, rgb=False)
+    assert len(frames) == 2
+    src = h264.rgb_to_yuv420(f1)
+    Y = frames[0][1][0]
+    assert np.abs(Y.astype(int) - src[0].astype(int)).mean() < 1.5  # qp8
+    assert len(mp4.decode_mp4_h264(v, every=2)) == 1
 
 
 def test_framesample_stage_h264(ray_session):
