@@ -12,12 +12,15 @@ Scope (Baseline/Main-shaped, I/IDR slices only):
 - CAVLC residual decoding: coeff_token (all nC contexts incl. chroma DC),
   trailing-one signs, adaptive level suffixes, total_zeros, run_before
   (spec §9.2, Tables 9-5 .. 9-10);
-- CABAC entropy decoding AND encoding (§9.3, Main-profile I slices, 4x4
-  transform): arithmetic engine, I-slice context init, mb_type / intra
+- CABAC entropy decoding AND encoding (§9.3, Main/High-profile I
+  slices): arithmetic engine, I-slice context init, mb_type / intra
   modes / cbp / mb_qp_delta binarizations, significance map + UEG0
-  levels — see the CABAC section at the bottom of this file for the
-  conformance caveat and the out-of-scope raises (I_PCM-in-CABAC, 8x8
-  transform);
+  levels — see the CABAC section below for the conformance caveat and
+  the one out-of-scope raise (I_PCM inside CABAC slices);
+- the High-profile 8x8 transform path (transform_size_8x8_flag, §8.3.2
+  intra 8x8 prediction with reference-sample filtering, §8.5.13 scaling,
+  the exact 8x8 inverse butterfly) in BOTH entropy coders — CAVLC codes
+  each 8x8 as 4 interleaved 4x4 blocks, CABAC as ctxBlockCat 5;
 - dequant (§8.5.9 LevelScale, qP/6 shifts) + the exact 4×4 integer inverse
   transform (§8.5.12), 4×4 luma-DC Hadamard, 2×2 chroma-DC transform;
 - in-loop deblocking filter (§8.7, all-intra bS: 4 on MB edges, 3 on
@@ -703,11 +706,18 @@ def parse_pps(rbsp: bytes) -> dict:
     deblock_ctrl = br.u(1)
     br.u(1)  # constrained_intra
     br.u(1)  # redundant
+    transform_8x8 = 0
+    if br.pos < _rbsp_data_end(rbsp):  # more_rbsp_data(): High-profile tail
+        transform_8x8 = br.u(1)
+        if br.u(1):  # pic_scaling_matrix_present
+            raise ValueError("PPS scaling matrices not supported")
+        br.se()  # second_chroma_qp_index_offset (mirrors the first here)
     return {
         "pps_id": pps_id, "sps_id": sps_id, "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_off,
         "deblocking_control": deblock_ctrl,
         "entropy": entropy,
+        "transform_8x8": transform_8x8,
     }
 
 
@@ -993,6 +1003,9 @@ class _Frame:
         self.cbf_cac = np.zeros((2, 2 * h_mbs, 2 * w_mbs), dtype=np.int8)
         # previous decoded mb_qp_delta (ctx 60/61 switch); reset per slice
         self.prev_qp_delta = 0
+        # transform_size_8x8_flag per MB (High-profile I_8x8; drives the
+        # CABAC ctx 399 neighbor condition and deblock edge selection)
+        self.t8 = np.zeros((h_mbs, w_mbs), dtype=np.int8)
 
     def same_slice(self, mby: int, mbx: int) -> bool:
         return int(self.slice_no[mby, mbx]) == int(self.cur_slice)
@@ -1119,8 +1132,10 @@ def _luma_edges4x4(fr: _Frame, gx: int, gy: int):
 
 
 def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
-               chroma_qp_off: int) -> int:
-    """Parse + reconstruct one I-slice macroblock.  Returns the updated QP."""
+               chroma_qp_off: int, t8_allowed: bool = False) -> int:
+    """Parse + reconstruct one I-slice macroblock.  Returns the updated QP.
+    ``t8_allowed`` mirrors the PPS transform_8x8_mode_flag (High profile:
+    I_NxN carries a transform_size_8x8_flag)."""
     mb_type = br.ue()
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby  # luma block coords
@@ -1150,7 +1165,48 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     if mb_type > 25:
         raise ValueError(f"bad I-slice mb_type {mb_type}")
 
-    if mb_type == 0:  # I_NxN
+    if mb_type == 0 and t8_allowed and br.u(1):  # I_NxN, 8x8 transform
+        fr.t8[mby, mbx] = 1
+        modes8 = []
+        for b in range(4):
+            cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+            pred = _i8_pred_mode(fr, cx4, cy4)
+            if br.u(1):
+                mode = pred
+            else:
+                rem = br.u(3)
+                mode = rem if rem < pred else rem + 1
+            fr.i4[cy4:cy4 + 2, cx4:cx4 + 2] = mode
+            modes8.append(mode)
+        chroma_mode = br.ue()
+        cbp = CBP_INTRA[br.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se() + 52) % 52
+        blocks64 = []
+        for b in range(4):
+            cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+            lv = np.zeros(64, dtype=np.int32)
+            if cbp_luma & (1 << b):
+                # 4 interleaved 4x4 CAVLC blocks: sub-block k carries the
+                # 8x8 scan positions 4*i + k (§7.4.5.3.3)
+                for k in range(4):
+                    gbx, gby = cx4 + (k & 1), cy4 + (k >> 1)
+                    nc = fr.nc(fr.tcY, gby, gbx)
+                    c = decode_residual_block(br, nc, 16)
+                    lv[k::4] = c
+                    fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+            else:
+                fr.tcY[cy4:cy4 + 2, cx4:cx4 + 2] = 0
+            blocks64.append(lv)
+        chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
+        _recon_i8_luma(fr, mbx, mby, modes8, blocks64, qp)
+        _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp, chroma_qp_off)
+        fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = qp
+        return qp
+
+    if mb_type == 0:  # I_NxN, 4x4 transform
         modes = _parse_i4_modes(br, fr, bx0, by0)
         chroma_mode = br.ue()
         cbp = CBP_INTRA[br.ue()]
@@ -1316,7 +1372,8 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
         mb = first_mb
         while mb < total:
             qp = _mb_cabac(ent, fr, mb % sps["w_mbs"], mb // sps["w_mbs"],
-                           qp, pps["chroma_qp_index_offset"])
+                           qp, pps["chroma_qp_index_offset"],
+                           t8_allowed=bool(pps.get("transform_8x8")))
             mb += 1
             if ent.end_of_slice():
                 break
@@ -1326,7 +1383,8 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
     mb = first_mb
     while mb < total and br.pos < end:
         qp = _decode_mb(br, fr, mb % sps["w_mbs"], mb // sps["w_mbs"], qp,
-                        pps["chroma_qp_index_offset"])
+                        pps["chroma_qp_index_offset"],
+                        t8_allowed=bool(pps.get("transform_8x8")))
         mb += 1
     fr.cur_slice += 1
     return first_mb
@@ -1522,9 +1580,12 @@ def _enforce_t1(scan: np.ndarray) -> np.ndarray:
 
 
 def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
-                    chroma_qp_off: int, kind: str) -> str:
+                    chroma_qp_off: int, kind: str,
+                    t8_allowed: bool = False) -> str:
     """Bitstring for one MB of the given kind against the CURRENT recon
-    state ``fr`` (reads nC / mode predictors exactly like the decoder)."""
+    state ``fr`` (reads nC / mode predictors exactly like the decoder).
+    ``t8_allowed`` mirrors the PPS transform_8x8_mode flag: I_NxN MBs then
+    carry a transform_size_8x8_flag (1 for kind 'i8', 0 for 'i4')."""
     sy, scb, scr = src
     bw = _StrBits()
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
@@ -1617,8 +1678,68 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         bw.put_str(chroma_bits(qp))
         return bw.bits()
 
+    if kind == "i8":
+        # I_NxN + transform_size_8x8_flag = 1 (requires a High-profile PPS
+        # with transform_8x8_mode; encode_h264_annexb arranges that)
+        bw.ue(0)
+        bw.u(1, 1)
+        mode_bits = _StrBits()
+        resid_bits = _StrBits()
+        for b in range(4):
+            cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+            gx, gy = px + 8 * (b & 1), py + 8 * (b >> 1)
+            at = cy4 > 0 and rec_map[cy4 - 1, cx4] \
+                and rec_map[cy4 - 1, cx4 + 1] \
+                and fr.same_slice((cy4 - 1) >> 2, cx4 >> 2)
+            al = cx4 > 0 and rec_map[cy4, cx4 - 1] \
+                and rec_map[cy4 + 1, cx4 - 1] \
+                and fr.same_slice(cy4 >> 2, (cx4 - 1) >> 2)
+            cand = _i4_avail_modes(at, al)  # same legal sets as 4x4
+            mode = cand[(b + mbx + 3 * mby) % len(cand)]
+            ma = int(i4s[cy4, cx4 - 1]) \
+                if (cx4 > 0 and fr.same_slice(cy4 >> 2, (cx4 - 1) >> 2)) \
+                else -1
+            mbm = int(i4s[cy4 - 1, cx4]) \
+                if (cy4 > 0 and fr.same_slice((cy4 - 1) >> 2, cx4 >> 2)) \
+                else -1
+            pred_m = 2 if (ma < 0 or mbm < 0) else min(ma, mbm)
+            if mode == pred_m:
+                mode_bits.u(1, 1)
+            else:
+                mode_bits.u(0, 1)
+                rem = mode if mode < pred_m else mode - 1
+                mode_bits.u(rem, 3)
+            i4s[cy4:cy4 + 2, cx4:cx4 + 2] = mode
+            sc = _Frame.__new__(_Frame)
+            sc.Y, sc.recon = scY, rec_map
+            sc.slice_no, sc.cur_slice = fr.slice_no, fr.cur_slice
+            top, left, tl, eat, eal, eatl = _luma_edges8x8(sc, gx, gy)
+            ft, fl, ftl = _filter_ref8x8(top, left, tl, eat, eal, eatl)
+            p8 = _pred8x8(mode, ft, fl, ftl, eat, eal)
+            res = sy[gy:gy + 8, gx:gx + 8].astype(np.int64) - p8
+            scan64 = scan_order8(quant8x8(transform8x8(res), qp))
+            for k in range(4):  # interleaved 4x4 CAVLC sub-blocks
+                gbx, gby = cx4 + (k & 1), cy4 + (k >> 1)
+                c16 = _enforce_t1(scan64[k::4].copy())
+                scan64[k::4] = c16
+                nc = fr.nc(tcY, gby, gbx)
+                encode_residual_block(_BWAdapter(resid_bits), c16, nc)
+                tcY[gby, gbx] = int(np.count_nonzero(c16))
+            rec = p8 + itransform8x8(dequant8x8(scan64, qp))
+            scY[gy:gy + 8, gx:gx + 8] = np.clip(rec, 0, 255)
+            rec_map[cy4:cy4 + 2, cx4:cx4 + 2] = True
+        bw.put_str(mode_bits.bits())
+        bw.ue(cmode)
+        bw.ue(_CBP_INTRA_INV[47])  # cbp 47 = luma 15 + chroma 2
+        bw.se(0)
+        bw.put_str(resid_bits.bits())
+        bw.put_str(chroma_bits(qp))
+        return bw.bits()
+
     # kind == "i4"
     bw.ue(0)
+    if t8_allowed:
+        bw.u(0, 1)  # transform_size_8x8_flag = 0
     mode_bits = _StrBits()
     resid_bits = _StrBits()
     for i in range(16):
@@ -1740,14 +1861,16 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
                             payload.append(format(int(plane[cy + y, cx + x]), "08b"))
                 mb_bits = head + "0" * pad + "".join(payload)
             else:
-                mb_bits = _encode_mb_bits(src, fr, mbx, mby, cur_qp,
-                                          pps["chroma_qp_index_offset"], kind)
+                mb_bits = _encode_mb_bits(
+                    src, fr, mbx, mby, cur_qp, pps["chroma_qp_index_offset"],
+                    kind, t8_allowed=bool(pps.get("transform_8x8")))
             start = len(bits)
             bits += mb_bits
             br = BitReader(_bits_to_bytes(bits))
             br.pos = start
             cur_qp = _decode_mb(br, fr, mbx, mby, cur_qp,
-                                pps["chroma_qp_index_offset"])
+                                pps["chroma_qp_index_offset"],
+                                t8_allowed=bool(pps.get("transform_8x8")))
             assert br.pos == len(bits), (
                 f"encoder/decoder bit drift at MB ({mbx},{mby}): "
                 f"{br.pos} != {len(bits)}"
@@ -1761,10 +1884,16 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
 def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
               profile: int = 66) -> bytes:
     bw = BitWriter()
-    bw.u(profile, 8)  # 66 = Baseline (CAVLC), 77 = Main (CABAC)
+    bw.u(profile, 8)  # 66 Baseline (CAVLC), 77 Main (CABAC), 100 High (8x8)
     bw.u(0, 8)    # constraint flags
     bw.u(20, 8)   # level 2.0
     bw.ue(0)      # sps_id
+    if profile == 100:
+        bw.ue(1)  # chroma_format_idc 4:2:0
+        bw.ue(0)  # bit_depth_luma_minus8
+        bw.ue(0)  # bit_depth_chroma_minus8
+        bw.u(0, 1)  # qpprime_y_zero_transform_bypass
+        bw.u(0, 1)  # seq_scaling_matrix_present
     bw.ue(0)      # log2_max_frame_num_minus4
     bw.ue(2)      # pic_order_cnt_type = 2 (no POC fields)
     bw.ue(0)      # max_num_ref_frames
@@ -1788,7 +1917,7 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
     return bw.getvalue()
 
 
-def write_pps(entropy: int = 0) -> bytes:
+def write_pps(entropy: int = 0, transform_8x8: int = 0) -> bytes:
     bw = BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -1805,6 +1934,10 @@ def write_pps(entropy: int = 0) -> bytes:
     bw.u(1, 1)    # deblocking_filter_control_present
     bw.u(0, 1)    # constrained_intra_pred
     bw.u(0, 1)    # redundant_pic_cnt_present
+    if transform_8x8:
+        bw.u(1, 1)  # transform_8x8_mode_flag
+        bw.u(0, 1)  # pic_scaling_matrix_present
+        bw.se(0)    # second_chroma_qp_index_offset
     bw.rbsp_trailing()
     return bw.getvalue()
 
@@ -1833,33 +1966,41 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
                        entropy: str = "cavlc") -> bytes:
     """RGB frames -> Annex-B I-frame-only stream.  ``kinds``: 'pcm'
-    (lossless planes; CAVLC only), 'i16', 'i4', or 'mixed' (cycles all
-    per MB — the full-coverage fixture).  ``slices`` > 1 splits each
-    picture into that many contiguous MB bands, one IDR NAL each (the
-    shape real encoders emit for intra-picture parallelism) —
+    (lossless planes; CAVLC only), 'i16', 'i4', 'i8' (High-profile 8x8
+    transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
+    i16/i4/i8/pcm — the widest-coverage fixture).  ``slices`` > 1 splits
+    each picture into that many contiguous MB bands, one IDR NAL each
+    (the shape real encoders emit for intra-picture parallelism) —
     slice-boundary availability rules apply on both sides.
     ``deblock_idc`` is signalled per slice: 1 = loop filter off (the
     roundtrip-exact fixtures), 0 = on, 2 = on but never across slice
     boundaries.  ``entropy``: 'cavlc' (Baseline profile) or 'cabac'
-    (Main profile, §9.3; PCM MB kinds are substituted with i16)."""
+    (Main profile, §9.3; PCM MB kinds are substituted with i16).  Any
+    8x8 kind forces High profile + a transform_8x8_mode PPS."""
     if not frames:
         raise ValueError("need at least one frame")
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"entropy must be cavlc|cabac, got {entropy!r}")
     cabac = entropy == "cabac"
+    t8 = kinds in ("i8", "mixed8")  # High profile: 8x8 transform
     h, w = frames[0].shape[:2]
     if h % 2 or w % 2:
         raise ValueError("even dimensions required (4:2:0)")
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
-    sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=77 if cabac else 66)
-    pps_rbsp = write_pps(entropy=1 if cabac else 0)
+    profile = 100 if t8 else (77 if cabac else 66)
+    sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile)
+    pps_rbsp = write_pps(entropy=1 if cabac else 0,
+                         transform_8x8=1 if t8 else 0)
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
+    cycle8 = ("i16", "i4", "i8", "pcm")
 
     def kind_fn(mbx, mby):
         if kinds == "mixed":
             return cycle[(mbx + mby) % 3]
+        if kinds == "mixed8":
+            return cycle8[(mbx + mby) % 4]
         return kinds
 
     slice_fn = encode_iframe_slice_cabac if cabac else encode_iframe_slice
@@ -2014,7 +2155,9 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
                 _deblock_edge(fr.Cr, cx, cy, 8, True, True, qpc, a_off, b_off, True)
             qp_in = int(fr.mb_qp[mby, mbx])
             qpc_in = _chroma_qp(qp_in, coff)
-            for k in (4, 8, 12):
+            # 8x8-transform MBs have no 4x4 transform edges at 4/12 (§8.7)
+            inner = (8,) if fr.t8[mby, mbx] else (4, 8, 12)
+            for k in inner:
                 _deblock_edge(fr.Y, px + k, py, 16, True, False, qp_in,
                               a_off, b_off, False)
             _deblock_edge(fr.Cb, cx + 4, cy, 8, True, False, qpc_in,
@@ -2028,7 +2171,7 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
                 qpc = _edge_qp(fr, mby, mbx, mby - 1, mbx, coff, True)
                 _deblock_edge(fr.Cb, cx, cy, 8, False, True, qpc, a_off, b_off, True)
                 _deblock_edge(fr.Cr, cx, cy, 8, False, True, qpc, a_off, b_off, True)
-            for k in (4, 8, 12):
+            for k in inner:
                 _deblock_edge(fr.Y, px, py + k, 16, False, False, qp_in,
                               a_off, b_off, False)
             _deblock_edge(fr.Cb, cx, cy + 4, 8, False, False, qpc_in,
@@ -2057,9 +2200,9 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
 #
 # Out of scope (clear raise, not silent wrong output): I_PCM inside CABAC
 # slices (the post-terminate byte-realignment path; real encoders
-# essentially never emit PCM) and the 8x8 transform (High-profile PPS with
-# transform_8x8_mode — ctxBlockCat 5).  P/B slices are skipped upstream by
-# the same sampler rule as CAVLC.
+# essentially never emit PCM).  P/B slices are skipped upstream by the
+# same sampler rule as CAVLC.  The High-profile 8x8 transform
+# (ctxBlockCat 5) IS implemented — see the 8x8 section below.
 # ---------------------------------------------------------------------------
 
 # Table 9-44: rangeTabLPS[pStateIdx][ (codIRange >> 6) & 3 ]
@@ -2157,8 +2300,35 @@ _INIT_I = (
        (-3, 72), (-3, 81), (-11, 97), (0, 58), (8, 5), (10, 14),
        (14, 18), (13, 27), (2, 40), (0, 58), (-3, 70), (-6, 79),
        (-8, 85)]
+    # 276..398: end_of_slice placeholder + field-coded sig/last (never
+    # referenced by this frame-only decoder) — neutral
+    + _NEUTRAL * 123
+    # 399..401: transform_size_8x8_flag
+    + [(31, 21), (31, 31), (25, 50)]
+    # 402..416: significant_coeff_flag, ctxBlockCat 5 (frame)
+    + [(-17, 120), (-20, 112), (-18, 114), (-11, 85), (-15, 92),
+       (-14, 89), (-26, 71), (-15, 81), (-14, 80), (0, 68),
+       (-14, 70), (-24, 56), (-23, 68), (-24, 50), (-11, 74)]
+    # 417..425: last_significant_coeff_flag, ctxBlockCat 5 (frame)
+    + [(23, -13), (26, -13), (40, -15), (49, -14), (44, 3),
+       (45, 6), (44, 34), (33, 54), (19, 82)]
+    # 426..435: coeff_abs_level_minus1, ctxBlockCat 5
+    + [(-3, 75), (-1, 23), (1, 34), (1, 43), (0, 54),
+       (-2, 55), (0, 61), (1, 64), (0, 68), (-9, 92)]
 )
-assert len(_INIT_I) == 276
+assert len(_INIT_I) == 436
+
+# Table 9-43: position -> ctxIdxInc maps for the 8x8 (cat 5) significance
+# pass, frame-coded
+_SIG8_MAP = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12,
+)
+_LAST8_MAP = (0,) + (1,) * 31 + (2,) * 8 + (3,) * 8 + (4,) * 8 \
+    + (5,) * 4 + (6,) * 3
+assert len(_SIG8_MAP) == 63 and len(_LAST8_MAP) == 63
 
 # per-ctxBlockCat bases inside the 61-context sig/last blocks and the
 # 49-context abs-level block (§9.3.3.1.3)
@@ -2472,8 +2642,14 @@ class _CabacSyntax:
             i += 1
         else:
             positions.append(maxc - 1)  # implied significant (§9.3.2.3)
-        abase = 227 + _LVL_CAT_BASE[cat]
-        cap = _LVL_GT1_CAP[cat]
+        self._abs_levels(positions, scan, tgt,
+                         227 + _LVL_CAT_BASE[cat], _LVL_GT1_CAP[cat])
+        return 1, scan
+
+    def _abs_levels(self, positions, scan, tgt, abase: int,
+                    cap: int) -> None:
+        """coeff_abs_level_minus1 (UEG0, uCoff 14) + sign for the
+        significant positions, in reverse scan order."""
         eq1 = gt1 = 0
         for idx in reversed(positions):
             mt = None if tgt is None else abs(int(tgt[idx])) - 1
@@ -2517,7 +2693,35 @@ class _CabacSyntax:
                 eq1 += 1
             else:
                 gt1 += 1
-        return 1, scan
+
+    def residual8(self):
+        """ctxBlockCat 5 residual (8x8 luma, High profile): no
+        coded_block_flag bin (the cbp bit covers it), Table 9-43 position
+        maps for the significance pass, abs levels at ctx 426."""
+        tgt = self._plan_val("coeffs")
+        scan = np.zeros(64, dtype=np.int32)
+        last_t = -1
+        if tgt is not None:
+            last_t = int(np.flatnonzero(tgt)[-1])
+        positions = []
+        i = 0
+        while i < 63:
+            s = self._dec(402 + _SIG8_MAP[i], None if tgt is None else
+                          (1 if tgt[i] else 0))
+            if s:
+                positions.append(i)
+                if self._dec(417 + _LAST8_MAP[i], None if tgt is None else
+                             (1 if i == last_t else 0)):
+                    break
+            i += 1
+        else:
+            positions.append(63)
+        self._abs_levels(positions, scan, tgt, 426, 4)
+        return scan
+
+    def t8_flag(self, inc: int) -> int:
+        """transform_size_8x8_flag (ctx 399 + neighbor-flag condition)."""
+        return self._dec(399 + inc, self._plan_val("t8"))
 
     def end_of_slice(self, val=None) -> int:
         return self._term(val)
@@ -2577,11 +2781,12 @@ class _CabacWrite(_CabacSyntax):
 
 
 def _mb_cabac(ent: _CabacSyntax, fr: _Frame, mbx: int, mby: int, qp: int,
-              chroma_qp_off: int) -> int:
+              chroma_qp_off: int, t8_allowed: bool = False) -> int:
     """Parse + reconstruct one CABAC I-slice macroblock.  The SAME body
     runs under _CabacRead (decode) and _CabacWrite (fixture encode), so
     context selection, bin order and reconstruction cannot drift between
-    the two sides.  Returns the updated QP."""
+    the two sides.  ``t8_allowed`` mirrors the PPS transform_8x8_mode
+    flag.  Returns the updated QP."""
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby
     cbx, cby = 2 * mbx, 2 * mby
@@ -2684,6 +2889,54 @@ def _mb_cabac(ent: _CabacSyntax, fr: _Frame, mbx: int, mby: int, qp: int,
 
     cm_inc = (1 if nb_cmode(mby, mbx - 1) else 0) \
         + 2 * (1 if nb_cmode(mby - 1, mbx) else 0)
+
+    if mb_type == 0 and t8_allowed:
+        inc8 = (1 if (mbclass(mby, mbx - 1) > 0
+                      and fr.t8[mby, mbx - 1]) else 0) \
+            + (1 if (mbclass(mby - 1, mbx) > 0
+                     and fr.t8[mby - 1, mbx]) else 0)
+        if ent.t8_flag(inc8):  # I_8x8
+            fr.t8[mby, mbx] = 1
+            modes8 = []
+            for b in range(4):
+                cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+                mode = ent.i4_mode(_i8_pred_mode(fr, cx4, cy4))
+                fr.i4[cy4:cy4 + 2, cx4:cx4 + 2] = mode
+                modes8.append(mode)
+            chroma_mode = ent.chroma_mode(cm_inc)
+            cbp = ent.cbp(nb_cbp(mby, mbx - 1), nb_cbp(mby - 1, mbx))
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                delta = ent.qp_delta(fr.prev_qp_delta != 0)
+                qp = (qp + delta + 52) % 52
+                fr.prev_qp_delta = delta
+            else:
+                fr.prev_qp_delta = 0
+            blocks64 = []
+            for b in range(4):
+                cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+                if cbp_luma & (1 << b):
+                    scan64 = ent.residual8()
+                else:
+                    scan64 = np.zeros(64, dtype=np.int32)
+                blocks64.append(scan64)
+                # a coded 8x8 has no own cbf bin: neighbors read its cbp
+                # bit (§9.3.3.1.1.9 for 8x8-transform MBs)
+                fr.cbf_l4[cy4:cy4 + 2, cx4:cx4 + 2] = \
+                    1 if (cbp_luma >> b) & 1 else 0
+                for k in range(4):
+                    gbx, gby = cx4 + (k & 1), cy4 + (k >> 1)
+                    fr.tcY[gby, gbx] = int(np.count_nonzero(scan64[k::4]))
+            chroma = chroma_residuals(cbp_chroma)
+            fr.mb_class[mby, mbx] = 1
+            fr.cbp_arr[mby, mbx] = cbp
+            fr.cmode_arr[mby, mbx] = chroma_mode
+            _recon_i8_luma(fr, mbx, mby, modes8, blocks64, qp)
+            _recon_chroma(fr, mbx, mby, chroma_mode, chroma, qp,
+                          chroma_qp_off)
+            fr.mb_done[mby, mbx] = True
+            fr.mb_qp[mby, mbx] = qp
+            return qp
 
     if mb_type == 0:  # I_NxN
         modes = []
@@ -2851,6 +3104,50 @@ def _plan_mb_cabac(src, fr: _Frame, mbx: int, mby: int, qp: int,
             "chroma_mode": cmode, "qp_delta": qp_delta, "coeffs": coeffs,
         }
 
+    if kind == "i8":
+        cbp_chroma = (2, 1, 0)[mb_i % 3] if av_t or av_l else 2
+        scY = fr.Y.copy()
+        rec_map = fr.recon.copy()
+        modes8 = []
+        blocks = []
+        for b in range(4):
+            cx4, cy4 = bx0 + 2 * (b & 1), by0 + 2 * (b >> 1)
+            gx, gy = px + 8 * (b & 1), py + 8 * (b >> 1)
+            at = cy4 > 0 and rec_map[cy4 - 1, cx4] \
+                and rec_map[cy4 - 1, cx4 + 1] \
+                and fr.same_slice((cy4 - 1) >> 2, cx4 >> 2)
+            al = cx4 > 0 and rec_map[cy4, cx4 - 1] \
+                and rec_map[cy4 + 1, cx4 - 1] \
+                and fr.same_slice(cy4 >> 2, (cx4 - 1) >> 2)
+            cand = _i4_avail_modes(at, al)
+            mode = cand[(b + mbx + 3 * mby) % len(cand)]
+            modes8.append(mode)
+            sc = _Frame.__new__(_Frame)
+            sc.Y, sc.recon = scY, rec_map
+            sc.slice_no, sc.cur_slice = fr.slice_no, fr.cur_slice
+            top, left, tl, eat, eal, eatl = _luma_edges8x8(sc, gx, gy)
+            ft, fl, ftl = _filter_ref8x8(top, left, tl, eat, eal, eatl)
+            p8 = _pred8x8(mode, ft, fl, ftl, eat, eal)
+            res = sy[gy:gy + 8, gx:gx + 8].astype(np.int64) - p8
+            scan64 = scan_order8(
+                quant8x8(transform8x8(res), new_qp)).astype(np.int32)
+            blocks.append(scan64)
+            rec = p8 + itransform8x8(dequant8x8(scan64, new_qp))
+            scY[gy:gy + 8, gx:gx + 8] = np.clip(rec, 0, 255)
+            rec_map[cy4:cy4 + 2, cx4:cx4 + 2] = True
+        # an 8x8 block has no cbf bin — the cbp bit IS the flag, so it
+        # must reflect actual content
+        cbp_luma = sum(1 << b for b in range(4) if np.any(blocks[b]))
+        cbp = cbp_luma | (cbp_chroma << 4)
+        if cbp == 0:
+            qp_delta = 0  # mb_qp_delta absent
+        coeffs = [blocks[b] for b in range(4) if (cbp_luma >> b) & 1]
+        chroma_plan(cbp_chroma, coeffs)
+        return {
+            "mb_type": 0, "t8": 1, "i4_modes": modes8, "chroma_mode": cmode,
+            "cbp": cbp, "qp_delta": qp_delta, "coeffs": coeffs,
+        }
+
     # kind == "i4"
     variant = mb_i % 7
     cbp_luma = 0 if variant == 6 else 15
@@ -2890,7 +3187,7 @@ def _plan_mb_cabac(src, fr: _Frame, mbx: int, mby: int, qp: int,
         rec_map[gby, gbx] = True
     chroma_plan(cbp_chroma, coeffs)
     return {
-        "mb_type": 0, "i4_modes": modes, "chroma_mode": cmode,
+        "mb_type": 0, "t8": 0, "i4_modes": modes, "chroma_mode": cmode,
         "cbp": cbp, "qp_delta": qp_delta, "coeffs": coeffs,
     }
 
@@ -2930,19 +3227,358 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
     if n_mbs is None:
         n_mbs = total - first_mb
     cur_qp = qp
+    t8_allowed = bool(pps.get("transform_8x8"))
     for mb_i in range(first_mb, first_mb + n_mbs):
         mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
         kind = kind_fn(mbx, mby)
         if kind == "pcm":
             kind = "i16"
+        if kind == "i8" and not t8_allowed:
+            raise ValueError("kind 'i8' needs a PPS with transform_8x8_mode")
         plan = _plan_mb_cabac(src, fr, mbx, mby, cur_qp,
                               pps["chroma_qp_index_offset"], kind, mb_i)
         ent.set_plan(plan)
         cur_qp = _mb_cabac(ent, fr, mbx, mby, cur_qp,
-                           pps["chroma_qp_index_offset"])
+                           pps["chroma_qp_index_offset"],
+                           t8_allowed=t8_allowed)
         assert ent.plan_done(), f"unconsumed plan at MB ({mbx},{mby})"
         ent.end_of_slice(1 if mb_i == first_mb + n_mbs - 1 else 0)
     enc.flush()
     bits += enc.getbits()
     bits += "0" * ((-len(bits)) % 8)
     return _bits_to_bytes(bits)
+
+
+# ---------------------------------------------------------------------------
+# High-profile 8x8 transform path — Intra_8x8 macroblocks (§8.3.2 prediction
+# with reference filtering, §8.5.13 scaling, the exact §8.5.12.3-shaped 8x8
+# inverse butterfly, transform_size_8x8_flag in both entropy coders; CAVLC
+# codes each 8x8 as 4 interleaved 4x4 blocks, CABAC as ctxBlockCat 5 with
+# the Table 9-43 position->context maps).  Same conformance stance as the
+# CAVLC/CABAC tables above: constants transcribed from the public spec,
+# validated structurally (the zigzag generator reproduces the file's own
+# pinned ZIGZAG_4x4 at n=4) and behaviourally (exact encoder-recon ==
+# decoder round-trips); no third-party implementation exists in this
+# sandbox to differ against.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order(n: int) -> list:
+    """(row, col) zigzag scan for an n x n block — the classic diagonal
+    walk (H.264 Table 8-8 frame scan at n=8; identical rule at n=4)."""
+    out = []
+    for d in range(2 * n - 1):
+        cells = [(d - c, c) for c in range(max(0, d - n + 1),
+                                           min(d, n - 1) + 1)]
+        out.extend(cells if d % 2 == 0 else cells[::-1])
+    return out
+
+
+ZIGZAG_8x8 = _zigzag_order(8)
+# structural anchor: the same generator must reproduce the hand-pinned 4x4
+# scan used by everything above
+assert _zigzag_order(4) == [tuple(rc) for rc in ZIGZAG_4x4], \
+    "zigzag generator disagrees with the pinned 4x4 scan"
+
+# §8.5.9 normAdjust8x8: 6 position classes; class of (i, j) depends only on
+# (i & 3, j & 3)
+_DEQ8_V = np.array([
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 30, 40, 38],
+    [36, 32, 58, 34, 43, 45],
+], dtype=np.int64)
+_DEQ8_CLASS4 = np.array([[0, 3, 4, 3],
+                         [3, 1, 5, 1],
+                         [4, 5, 2, 5],
+                         [3, 1, 5, 1]], dtype=np.int64)
+_DEQ8_CLASS = np.tile(_DEQ8_CLASS4, (2, 2))  # (8, 8) position classes
+
+# encoder-side 8x8 quant multipliers (JM/x264 quant8 tables, same classes)
+_MF8 = np.array([
+    [13107, 11428, 20972, 12222, 16777, 15481],
+    [11916, 10826, 19174, 11058, 14980, 14290],
+    [10082, 8943, 15978, 9675, 12710, 11985],
+    [9362, 8228, 14913, 8931, 11984, 11259],
+    [8192, 7346, 13159, 7740, 10486, 9777],
+    [7282, 6428, 11570, 6830, 9118, 8640],
+], dtype=np.int64)
+
+
+def dequant8x8(coeffs_scan: np.ndarray, qp: int) -> np.ndarray:
+    """64 scan-order levels -> dequantized 8x8 block (§8.5.13.1 with flat
+    weightScale8x8 = 16): qP >= 36 shifts left by qP/6-6, below that a
+    rounded right shift by 6-qP/6.  The +32 >> 6 lives in itransform8x8."""
+    blk = np.zeros((8, 8), dtype=np.int64)
+    for i, (r, c) in enumerate(ZIGZAG_8x8[: coeffs_scan.size]):
+        blk[r, c] = int(coeffs_scan[i])
+    ls = 16 * _DEQ8_V[qp % 6][_DEQ8_CLASS]
+    if qp >= 36:
+        return (blk * ls) << (qp // 6 - 6)
+    return (blk * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _idct8_1d(d: np.ndarray) -> np.ndarray:
+    """One §8.5.12.3 8-point inverse butterfly over the LAST axis of an
+    (..., 8) int64 array."""
+    d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    d4, d5, d6, d7 = d[..., 4], d[..., 5], d[..., 6], d[..., 7]
+    a0 = d0 + d4
+    a2 = d0 - d4
+    a4 = (d2 >> 1) - d6
+    a6 = (d6 >> 1) + d2
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -d3 + d5 - d7 - (d7 >> 1)
+    a3 = d1 + d7 - d3 - (d3 >> 1)
+    a5 = -d1 + d7 + d5 + (d5 >> 1)
+    a7 = d3 + d5 + d1 + (d1 >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    return np.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                     b6 - b1, b4 - b3, b2 - b5, b0 - b7], axis=-1)
+
+
+def itransform8x8(d: np.ndarray) -> np.ndarray:
+    """Exact 8x8 inverse core transform: row pass, column pass, +32 >> 6."""
+    e = _idct8_1d(d.astype(np.int64))              # horizontal
+    f = _idct8_1d(e.T).T                           # vertical
+    return (f + 32) >> 6
+
+
+def _dct8_1d(s: np.ndarray) -> np.ndarray:
+    """Forward 8-point butterfly (encoder side, the standard integer DCT8
+    matched to the inverse above) over the last axis."""
+    s07, s16 = s[..., 0] + s[..., 7], s[..., 1] + s[..., 6]
+    s25, s34 = s[..., 2] + s[..., 5], s[..., 3] + s[..., 4]
+    a0, a1 = s07 + s34, s16 + s25
+    a2, a3 = s07 - s34, s16 - s25
+    d07, d16 = s[..., 0] - s[..., 7], s[..., 1] - s[..., 6]
+    d25, d34 = s[..., 2] - s[..., 5], s[..., 3] - s[..., 4]
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    return np.stack([
+        a0 + a1, a4 + (a7 >> 2), a2 + (a3 >> 1), a5 + (a6 >> 2),
+        a0 - a1, a6 - (a5 >> 2), (a2 >> 1) - a3, (a4 >> 2) - a7,
+    ], axis=-1)
+
+
+def transform8x8(res: np.ndarray) -> np.ndarray:
+    r = res.astype(np.int64)
+    return _dct8_1d(_dct8_1d(r).T).T
+
+
+def quant8x8(w: np.ndarray, qp: int) -> np.ndarray:
+    """Encoder quantization matched to dequant8x8 (qbits = 16 + qP/6,
+    intra rounding f = 2^qbits / 3)."""
+    mf = _MF8[qp % 6][_DEQ8_CLASS]
+    qbits = 16 + qp // 6
+    f = (1 << qbits) // 3
+    sign = np.sign(w)
+    return (sign * ((np.abs(w) * mf + f) >> qbits)).astype(np.int64)
+
+
+def scan_order8(blk: np.ndarray) -> np.ndarray:
+    return np.array([blk[r, c] for r, c in ZIGZAG_8x8], dtype=np.int64)
+
+
+def _filter_ref8x8(top: np.ndarray, left: np.ndarray, tl: int,
+                   avail_t: bool, avail_l: bool, avail_tl: bool):
+    """§8.3.2.2.1 reference-sample filtering.  ``top`` is 16 raw samples
+    (8 above + 8 above-right, above-right already substituted with top[7]
+    when unavailable), ``left`` 8 raw samples.  Returns filtered copies."""
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+    ft, fl, ftl = t.copy(), l.copy(), int(tl)
+    if avail_t:
+        ft[0] = (tl + 2 * t[0] + t[1] + 2) >> 2 if avail_tl \
+            else (3 * t[0] + t[1] + 2) >> 2
+        ft[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if avail_tl:
+        if avail_t and avail_l:
+            ftl = (t[0] + 2 * tl + l[0] + 2) >> 2
+        elif avail_t:
+            ftl = (3 * tl + t[0] + 2) >> 2
+        elif avail_l:
+            ftl = (3 * tl + l[0] + 2) >> 2
+    if avail_l:
+        fl[0] = (tl + 2 * l[0] + l[1] + 2) >> 2 if avail_tl \
+            else (3 * l[0] + l[1] + 2) >> 2
+        fl[1:7] = (l[0:6] + 2 * l[1:7] + l[2:8] + 2) >> 2
+        fl[7] = (l[6] + 3 * l[7] + 2) >> 2
+    return ft, fl, ftl
+
+
+def _pred8x8(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
+             avail_t: bool, avail_l: bool) -> np.ndarray:
+    """9 intra 8x8 modes (§8.3.2.2.2-.10) over FILTERED references —
+    ``top`` 16 filtered samples, ``left`` 8, ``tl`` the filtered corner."""
+    t = top.astype(np.int64)
+    l = left.astype(np.int64)
+
+    def T(i):
+        return tl if i == -1 else int(t[i])
+
+    def L(i):
+        return tl if i == -1 else int(l[i])
+
+    p = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:  # Vertical
+        if not avail_t:
+            raise ValueError("8x8 V pred needs top")
+        p[:] = t[:8]
+    elif mode == 1:  # Horizontal
+        if not avail_l:
+            raise ValueError("8x8 H pred needs left")
+        p[:] = l[:, None]
+    elif mode == 2:  # DC
+        if avail_t and avail_l:
+            dc = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+        elif avail_t:
+            dc = (int(t[:8].sum()) + 4) >> 3
+        elif avail_l:
+            dc = (int(l.sum()) + 4) >> 3
+        else:
+            dc = 128
+        p[:] = dc
+    elif mode == 3:  # Diagonal Down-Left
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    i = x + y
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal Down-Right
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    i = x - y - 2
+                    p[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+                elif x < y:
+                    i = y - x - 2
+                    p[y, x] = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1) - 1
+                    p[y, x] = (T(i) + T(i + 1) + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1) - 2
+                    p[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    j = y - 2 * x
+                    p[y, x] = (L(j - 1) + 2 * L(j - 2) + L(j - 3) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1) - 1
+                    p[y, x] = (L(i) + L(i + 1) + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1) - 2
+                    p[y, x] = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+                else:
+                    j = x - 2 * y
+                    p[y, x] = (T(j - 1) + 2 * T(j - 2) + T(j - 3) + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z > 13:
+                    p[y, x] = l[7]
+                elif z == 13:
+                    p[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    p[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+    else:
+        raise ValueError(f"bad intra8x8 mode {mode}")
+    return p
+
+
+def _luma_edges8x8(fr: _Frame, gx: int, gy: int):
+    """(top16_raw, left8_raw, tl, avail_t, avail_l, avail_tl) for the 8x8
+    luma block at pixel (gx, gy); above-right already substituted with
+    top[7] when unavailable (§8.3.2.1).  Availability reads the decoded
+    RECONSTRUCTION bitmap, same rule as _luma_edges4x4."""
+    bx, by = gx // 4, gy // 4
+
+    def ok(b_y, b_x):
+        return fr.recon[b_y, b_x] and fr.same_slice(b_y >> 2, b_x >> 2)
+
+    av_t = by > 0 and ok(by - 1, bx) and ok(by - 1, bx + 1)
+    av_l = bx > 0 and ok(by, bx - 1) and ok(by + 1, bx - 1)
+    av_tl = by > 0 and bx > 0 and ok(by - 1, bx - 1)
+    av_tr = by > 0 and bx + 3 < fr.recon.shape[1] \
+        and ok(by - 1, bx + 2) and ok(by - 1, bx + 3)
+    top = np.full(16, 128, dtype=np.int64)
+    left = np.full(8, 128, dtype=np.int64)
+    tl = 128
+    if av_t:
+        top[:8] = fr.Y[gy - 1, gx:gx + 8]
+        if av_tr:
+            top[8:] = fr.Y[gy - 1, gx + 8:gx + 16]
+        else:
+            top[8:] = top[7]
+    if av_l:
+        left[:] = fr.Y[gy:gy + 8, gx - 1]
+    if av_tl:
+        tl = int(fr.Y[gy - 1, gx - 1])
+    return top, left, tl, av_t, av_l, av_tl
+
+
+def _recon_i8_luma(fr: _Frame, mbx: int, mby: int, modes8: list,
+                   blocks64: list, qp: int) -> None:
+    """Reconstruct the 4 luma 8x8 blocks of an I_8x8 MB in z-order —
+    shared by the CAVLC and CABAC parsers and the fixture planner's
+    scratch pass."""
+    px, py = 16 * mbx, 16 * mby
+    for b in range(4):
+        gx, gy = px + 8 * (b & 1), py + 8 * (b >> 1)
+        top, left, tl, at, al, atl = _luma_edges8x8(fr, gx, gy)
+        ft, fl, ftl = _filter_ref8x8(top, left, tl, at, al, atl)
+        pred = _pred8x8(modes8[b], ft, fl, ftl, at, al)
+        res = itransform8x8(dequant8x8(np.asarray(blocks64[b]), qp))
+        fr.Y[gy:gy + 8, gx:gx + 8] = np.clip(pred + res, 0, 255)
+        fr.recon[gy // 4:gy // 4 + 2, gx // 4:gx // 4 + 2] = True
+
+
+def _i8_pred_mode(fr: _Frame, cx4: int, cy4: int) -> int:
+    """min(A, B) predictor for an 8x8 block whose top-left 4x4 cell is
+    (cx4, cy4) — the fr.i4 grid carries the neighbor's mode whether it was
+    a 4x4 or an 8x8 MB (§8.3.2.1 Intra8x8PredMode derivation)."""
+    ma = int(fr.i4[cy4, cx4 - 1]) \
+        if (cx4 > 0 and fr.same_slice(cy4 >> 2, (cx4 - 1) >> 2)) else -1
+    mb_ = int(fr.i4[cy4 - 1, cx4]) \
+        if (cy4 > 0 and fr.same_slice((cy4 - 1) >> 2, cx4 >> 2)) else -1
+    return 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)

@@ -13,11 +13,11 @@ samples, mirroring stages/avi.py.
 
 ALSO real (r5): ``decode_mp4_h264`` — avc1 tracks decode IN-ENGINE via
 the from-scratch I-frame decoder (stages/h264.py), BOTH entropy coders
-(Baseline CAVLC and Main-profile CABAC): avcC SPS/PPS parse,
-length-prefixed NAL walk, IDR-only sampling (non-IDR samples are
-skipped without entropy decode, mirroring the MJPEG samplers).  What
-remains at the PyAV seam: P/B reconstruction, the High-profile 8x8
-transform, H.265/VP9/AV1.
+(CAVLC and CABAC) and BOTH transform sizes (4x4 and the High-profile
+8x8): avcC SPS/PPS parse, length-prefixed NAL walk, IDR-only sampling
+(non-IDR samples are skipped without entropy decode, mirroring the
+MJPEG samplers).  What remains at the PyAV seam: P/B reconstruction,
+H.265/VP9/AV1.
 
 The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
 ``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and
@@ -365,19 +365,26 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
     if not frames:
         raise ValueError("need at least one frame")
     cabac = entropy == "cabac"
-    profile = 77 if cabac else 66
+    t8 = kinds in ("i8", "mixed8")
+    profile = 100 if t8 else (77 if cabac else 66)
     h, w = frames[0].shape[:2]
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
     sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h, profile=profile)
-    pps_rbsp = h264.write_pps(entropy=1 if cabac else 0)
+    pps_rbsp = h264.write_pps(entropy=1 if cabac else 0,
+                              transform_8x8=1 if t8 else 0)
     sps = h264.parse_sps(sps_rbsp)
     pps = h264.parse_pps(pps_rbsp)
     sps_nal = h264._nal(7, sps_rbsp)
     pps_nal = h264._nal(8, pps_rbsp)
     cycle = ("i16", "i4", "pcm")
+    cycle8 = ("i16", "i4", "i8", "pcm")
 
     def kind_fn(mbx, mby):
-        return cycle[(mbx + mby) % 3] if kinds == "mixed" else kinds
+        if kinds == "mixed":
+            return cycle[(mbx + mby) % 3]
+        if kinds == "mixed8":
+            return cycle8[(mbx + mby) % 4]
+        return kinds
 
     slice_fn = h264.encode_iframe_slice_cabac if cabac \
         else h264.encode_iframe_slice

@@ -158,7 +158,7 @@ def test_cabac_engine_roundtrip_fuzz():
         for _ in range(random.randint(1, 400)):
             r = random.random()
             if r < 0.6:
-                ctx, bit = random.randint(0, 275), random.randint(0, 1)
+                ctx, bit = random.randint(0, 435), random.randint(0, 1)
                 enc.decision(enc_ctx, ctx, bit)
                 ops.append(("d", ctx, bit))
             elif r < 0.9:
@@ -185,7 +185,7 @@ def test_cabac_context_init():
     QP (the (m, n) slopes are live, not neutral)."""
     for qp in (0, 10, 26, 40, 51):
         c = h264.CabacContexts(qp)
-        assert c.state.shape == (276,)
+        assert c.state.shape == (436,)
         assert (c.state >= 0).all() and (c.state <= 62).all()
         assert set(np.unique(c.mps)) <= {0, 1}
     a, b = h264.CabacContexts(10), h264.CabacContexts(40)
@@ -290,6 +290,135 @@ def test_cabac_deblock_composes():
                                      deblock_idc=idc, entropy="cabac")
         Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
         assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def test_i8_transform_analytics():
+    """8x8 scan/dequant/inverse-transform ground truths: the zigzag
+    generator reproduces the pinned 4x4 scan (asserted at import), a
+    DC-only block reconstructs flat with the exact §8.5.13 scaling, and
+    forward+quant roundtrips coarse content at low QP."""
+    lv = np.zeros(64, np.int32)
+    lv[0] = 1
+    res = h264.itransform8x8(h264.dequant8x8(lv, 36))
+    assert (res == (16 * 20 + 32) >> 6).all()  # ls=16*20, <<0, +32>>6
+    # forward/quant/dequant/inverse approximates identity at qp 0
+    rng = np.random.default_rng(1)
+    block = rng.integers(-60, 60, (8, 8)).astype(np.int64)
+    scan = h264.scan_order8(h264.quant8x8(h264.transform8x8(block), 0))
+    back = h264.itransform8x8(h264.dequant8x8(scan, 0))
+    assert np.abs(back - block).max() <= 2
+
+
+def test_i8_cavlc_roundtrip():
+    """High-profile CAVLC: I_8x8 MBs (interleaved 4x4 residual blocks)
+    encode with the decode-back self-check and re-decode; a flat frame is
+    exact at any QP (DC prediction + zero residual)."""
+    frame = _test_frame(80, 112)
+    for kinds in ("i8", "mixed8"):
+        st = h264.encode_h264_annexb([frame], qp=26, kinds=kinds)
+        nals = h264.split_annexb(st)
+        assert h264.parse_sps(nals[0][1])["profile"] == 100
+        assert h264.parse_pps(nals[1][1])["transform_8x8"] == 1
+        Y, _, _ = h264.decode_annexb(st, rgb=False)[0][1]
+        assert Y.shape == (80, 112)
+    flat = np.full((48, 48, 3), 128, np.uint8)
+    for qp in (0, 26, 51):
+        st = h264.encode_h264_annexb([flat], qp=qp, kinds="i8")
+        Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+        assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def _cabac_encode_picture8(frame, qp, kinds, slices=1):
+    h, w = frame.shape[:2]
+    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
+    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h, profile=100)
+    pps_rbsp = h264.write_pps(entropy=1, transform_8x8=1)
+    sps, pps = h264.parse_sps(sps_rbsp), h264.parse_pps(pps_rbsp)
+    src = h264.rgb_to_yuv420(frame)
+    fr = h264._Frame(w_mbs, h_mbs)
+    cyc = ("i16", "i4", "i8", "pcm")
+    kf = (lambda x, y: cyc[(x + y) % 4]) if kinds == "mixed8" \
+        else (lambda x, y: kinds)
+    total = w_mbs * h_mbs
+    bounds = [round(i * total / slices) for i in range(slices + 1)]
+    out = [b"\x00\x00\x00\x01" + h264._nal(7, sps_rbsp),
+           b"\x00\x00\x00\x01" + h264._nal(8, pps_rbsp)]
+    for si in range(slices):
+        rbsp = h264.encode_iframe_slice_cabac(
+            src, sps, pps, qp, kf, first_mb=bounds[si],
+            n_mbs=bounds[si + 1] - bounds[si], fr=fr)
+        fr.cur_slice += 1
+        out.append(b"\x00\x00\x00\x01" + h264._nal(5, rbsp))
+    return b"".join(out), (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
+                           fr.Cr.astype(np.uint8))
+
+
+def test_i8_cabac_roundtrip_exact():
+    """CABAC ctxBlockCat-5 residuals + transform_size_8x8_flag: decoder
+    output == encoder recon for pure-i8 and the 4-way mixed cycle, across
+    QP bands and slice splits (the t8-flag neighbor context crosses MB
+    and slice boundaries in the 3-slice case)."""
+    frame = _test_frame(80, 112)
+    for kinds in ("i8", "mixed8"):
+        for qp in (10, 26, 40):
+            for slices in (1, 3):
+                st, (ey, ecb, ecr) = _cabac_encode_picture8(
+                    frame, qp, kinds, slices=slices)
+                (idx, (Y, Cb, Cr)), = h264.decode_annexb(st, rgb=False)
+                assert np.array_equal(Y, ey), (kinds, qp, slices)
+                assert np.array_equal(Cb, ecb), (kinds, qp, slices)
+                assert np.array_equal(Cr, ecr), (kinds, qp, slices)
+
+
+def test_i8_deblock_composes():
+    """t8 MBs expose only the 8-aligned internal luma edges to the loop
+    filter: a flat picture stays exact with the filter on."""
+    flat = np.full((48, 64, 3), 128, np.uint8)
+    st = h264.encode_h264_annexb([flat], qp=34, kinds="i8", deblock_idc=0)
+    Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+    assert (Y == 128).all() and (Cb == 128).all() and (Cr == 128).all()
+
+
+def test_high_profile_pps_tail():
+    """The High-profile PPS tail parses (transform_8x8_mode + second
+    chroma offset); scaling matrices raise clearly; a Baseline PPS still
+    reports transform_8x8 == 0."""
+    assert h264.parse_pps(h264.write_pps())["transform_8x8"] == 0
+    p = h264.parse_pps(h264.write_pps(entropy=1, transform_8x8=1))
+    assert p["transform_8x8"] == 1 and p["entropy"] == 1
+    bw = h264.BitWriter()
+    for v in (0, 0):
+        bw.ue(v)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.ue(0)
+    bw.ue(0)
+    bw.ue(0)
+    bw.u(0, 1)
+    bw.u(0, 2)
+    bw.se(0)
+    bw.se(0)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.u(1, 1)  # transform_8x8_mode
+    bw.u(1, 1)  # pic_scaling_matrix_present -> must raise
+    bw.rbsp_trailing()
+    with pytest.raises(ValueError, match="scaling matrices"):
+        h264.parse_pps(bw.getvalue())
+
+
+def test_mp4_avc1_high_profile():
+    """High-profile (8x8 + CABAC) avc1 MP4 decodes through the demux."""
+    f1 = _test_frame(32, 48)
+    v = mp4.encode_mp4_h264([f1], fps=5, qp=8, kinds="mixed8",
+                            entropy="cabac")
+    frames = mp4.decode_mp4_h264(v, rgb=False)
+    assert len(frames) == 1
+    src = h264.rgb_to_yuv420(f1)
+    assert np.abs(frames[0][1][0].astype(int) - src[0].astype(int)).mean() \
+        < 1.5
 
 
 def test_cabac_pcm_is_a_clear_raise():
