@@ -15,8 +15,8 @@ Scope (Baseline/Main-shaped, I/IDR slices only):
 - CABAC entropy decoding AND encoding (§9.3, Main/High-profile I
   slices): arithmetic engine, I-slice context init, mb_type / intra
   modes / cbp / mb_qp_delta binarizations, significance map + UEG0
-  levels — see the CABAC section below for the conformance caveat and
-  the one out-of-scope raise (I_PCM inside CABAC slices);
+  levels, I_PCM engine re-init — see the CABAC section below for the
+  conformance caveat;
 - the High-profile 8x8 transform path (transform_size_8x8_flag, §8.3.2
   intra 8x8 prediction with reference-sample filtering, §8.5.13 scaling,
   the exact 8x8 inverse butterfly) in BOTH entropy coders — CAVLC codes
@@ -1966,7 +1966,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
                        entropy: str = "cavlc") -> bytes:
     """RGB frames -> Annex-B I-frame-only stream.  ``kinds``: 'pcm'
-    (lossless planes; CAVLC only), 'i16', 'i4', 'i8' (High-profile 8x8
+    (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
     transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
     i16/i4/i8/pcm — the widest-coverage fixture).  ``slices`` > 1 splits
     each picture into that many contiguous MB bands, one IDR NAL each
@@ -1975,7 +1975,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     ``deblock_idc`` is signalled per slice: 1 = loop filter off (the
     roundtrip-exact fixtures), 0 = on, 2 = on but never across slice
     boundaries.  ``entropy``: 'cavlc' (Baseline profile) or 'cabac'
-    (Main profile, §9.3; PCM MB kinds are substituted with i16).  Any
+    (Main profile, §9.3; I_PCM rides the engine-re-init path).  Any
     8x8 kind forces High profile + a transform_8x8_mode PPS."""
     if not frames:
         raise ValueError("need at least one frame")
@@ -2198,11 +2198,10 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
 # parity, but cannot break in-repo round-trips — treat third-party CABAC
 # decode as best-effort until differentially tested outside the sandbox.
 #
-# Out of scope (clear raise, not silent wrong output): I_PCM inside CABAC
-# slices (the post-terminate byte-realignment path; real encoders
-# essentially never emit PCM).  P/B slices are skipped upstream by the
-# same sampler rule as CAVLC.  The High-profile 8x8 transform
-# (ctxBlockCat 5) IS implemented — see the 8x8 section below.
+# P/B slices are skipped upstream by the same sampler rule as CAVLC.
+# I_PCM inside CABAC slices IS handled (post-terminate byte realignment +
+# engine re-init with contexts preserved), as is the High-profile 8x8
+# transform (ctxBlockCat 5) — see the 8x8 section below.
 # ---------------------------------------------------------------------------
 
 # Table 9-44: rangeTabLPS[pStateIdx][ (codIRange >> 6) & 3 ]
@@ -2743,11 +2742,31 @@ class _CabacRead(_CabacSyntax):
     def _plan_val(self, key):
         return None
 
+    def pcm_planes(self):
+        """I_PCM under CABAC: after the terminate bin, the bits consumed
+        (cd.pos) equal the bits the encoder has flushed — renorm shifts
+        and bypass reads pair 1:1 with renorm writes, and the init-9 reads
+        cover the flush's 7+1+2 — so pcm_alignment pads to the next byte
+        boundary of cd.pos; raw planes follow; the engine re-initialises
+        after them with CONTEXT STATE PRESERVED (§9.3.1.2)."""
+        cd = self.cd
+        pos = (cd.pos + 7) & ~7
+        raw = bytes(cd.data[pos // 8: pos // 8 + 384])
+        if len(raw) < 384:
+            raise ValueError("truncated I_PCM payload in CABAC slice")
+        y = np.frombuffer(raw[:256], np.uint8).reshape(16, 16)
+        cb = np.frombuffer(raw[256:320], np.uint8).reshape(8, 8)
+        cr = np.frombuffer(raw[320:], np.uint8).reshape(8, 8)
+        self.cd = CabacDecoder(cd.data, pos + 384 * 8)
+        return (y.astype(np.int64), cb.astype(np.int64),
+                cr.astype(np.int64))
+
 
 class _CabacWrite(_CabacSyntax):
     def __init__(self, enc: CabacEncoder, ctxs: CabacContexts):
         self.enc, self.ctxs = enc, ctxs
         self.plan = None
+        self.done_bits: list = []  # flushed segments (PCM splices)
 
     def set_plan(self, plan: dict) -> None:
         self.plan = dict(plan)
@@ -2779,6 +2798,31 @@ class _CabacWrite(_CabacSyntax):
             return v
         return self.plan[key]
 
+    def pcm_planes(self):
+        """Write side of I_PCM: flush the engine (its total output now
+        equals the decoder's consumed-bit count at the terminate bin),
+        pad to the byte boundary, splice the raw planes, start a FRESH
+        engine — contexts carry over (§9.3.1.2)."""
+        y, cb, cr = self.plan["pcm_planes"]
+        self.enc.flush()
+        self.done_bits.append(self.enc.getbits())
+        total = sum(len(s) for s in self.done_bits)
+        self.done_bits.append("0" * ((-total) % 8))  # pcm_alignment_zero
+        payload = np.concatenate([
+            np.asarray(y, np.uint8).reshape(-1),
+            np.asarray(cb, np.uint8).reshape(-1),
+            np.asarray(cr, np.uint8).reshape(-1)])
+        self.done_bits.append("".join(format(int(b), "08b")
+                                      for b in payload))
+        self.enc = CabacEncoder()
+        return (np.asarray(y, np.int64), np.asarray(cb, np.int64),
+                np.asarray(cr, np.int64))
+
+    def collect(self) -> str:
+        """All emitted bits: flushed segments + the live engine's output
+        (call after the final flush)."""
+        return "".join(self.done_bits) + self.enc.getbits()
+
 
 def _mb_cabac(ent: _CabacSyntax, fr: _Frame, mbx: int, mby: int, qp: int,
               chroma_qp_off: int, t8_allowed: bool = False) -> int:
@@ -2802,10 +2846,22 @@ def _mb_cabac(ent: _CabacSyntax, fr: _Frame, mbx: int, mby: int, qp: int,
     ca, cb = mbclass(mby, mbx - 1), mbclass(mby - 1, mbx)
     inc = (1 if ca in (2, 3) else 0) + (1 if cb in (2, 3) else 0)
     mb_type = ent.mb_type(inc)
-    if mb_type == 25:
-        raise NotImplementedError(
-            "I_PCM inside a CABAC slice (post-terminate byte realignment) "
-            "is not implemented — real encoders essentially never emit it")
+    if mb_type == 25:  # I_PCM (§9.3.1.2 engine re-init around raw bytes)
+        px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+        yb, cbb, crb = ent.pcm_planes()
+        fr.Y[py:py + 16, px:px + 16] = yb
+        fr.Cb[cy:cy + 8, cx:cx + 8] = cbb
+        fr.Cr[cy:cy + 8, cx:cx + 8] = crb
+        fr.tcY[by0:by0 + 4, bx0:bx0 + 4] = 16
+        fr.tcCb[cby:cby + 2, cbx:cbx + 2] = 16
+        fr.tcCr[cby:cby + 2, cbx:cbx + 2] = 16
+        fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+        fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+        fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = 0  # §8.7.2: I_PCM deblocks with QPY = 0
+        fr.mb_class[mby, mbx] = 3
+        fr.prev_qp_delta = 0
+        return qp
 
     def nb_cbp(my: int, mx: int):
         c = mbclass(my, mx)
@@ -3029,6 +3085,11 @@ def _plan_mb_cabac(src, fr: _Frame, mbx: int, mby: int, qp: int,
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     bx0, by0 = 4 * mbx, 4 * mby
     fr.slice_no[mby, mbx] = fr.cur_slice  # _mb_cabac sets the same value
+    if kind == "pcm":
+        return {"mb_type": 25, "pcm_planes": (
+            sy[py:py + 16, px:px + 16].astype(np.uint8),
+            scb[cy:cy + 8, cx:cx + 8].astype(np.uint8),
+            scr[cy:cy + 8, cx:cx + 8].astype(np.uint8))}
     av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
     av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
     cmode = [0, 1, 2, 3][(mbx + mby) % 4] if (av_t and av_l) else 0
@@ -3200,8 +3261,8 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
     the decoder's own parse+recon body, running over a _CabacWrite — emits
     the bins and advances reconstruction, so encoder recon == decoder
     recon by construction (the CABAC analogue of the CAVLC encoder's
-    decode-back self-check).  'pcm' MB kinds are substituted with 'i16'
-    (I_PCM is out of CABAC scope)."""
+    decode-back self-check).  I_PCM MBs flush the engine, splice raw
+    planes at the byte boundary and restart it (contexts preserved)."""
     hb = _StrBits()
     hb.ue(first_mb)
     hb.ue(7)                      # slice_type = I (all slices in pic)
@@ -3231,8 +3292,6 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
     for mb_i in range(first_mb, first_mb + n_mbs):
         mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
         kind = kind_fn(mbx, mby)
-        if kind == "pcm":
-            kind = "i16"
         if kind == "i8" and not t8_allowed:
             raise ValueError("kind 'i8' needs a PPS with transform_8x8_mode")
         plan = _plan_mb_cabac(src, fr, mbx, mby, cur_qp,
@@ -3243,8 +3302,8 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
                            t8_allowed=t8_allowed)
         assert ent.plan_done(), f"unconsumed plan at MB ({mbx},{mby})"
         ent.end_of_slice(1 if mb_i == first_mb + n_mbs - 1 else 0)
-    enc.flush()
-    bits += enc.getbits()
+    ent.enc.flush()
+    bits += ent.collect()
     bits += "0" * ((-len(bits)) % 8)
     return _bits_to_bytes(bits)
 

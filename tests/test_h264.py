@@ -248,10 +248,10 @@ def test_cabac_golden_pinned():
     st = h264.encode_h264_annexb([frame], qp=24, kinds="mixed",
                                  entropy="cabac")
     assert hashlib.sha256(st).hexdigest() == \
-        "58b78a1b8aa6c2a2d29bd82c7220c34c2fe357f072741db1592ac96405efa5ae"
+        "d85bd68c105c7e81a51ed0206d8da79c5e8f5e9df0dc9e6d187914e98b2acadf"
     Y = h264.decode_annexb(st, rgb=False)[0][1][0]
     assert hashlib.sha256(Y.tobytes()).hexdigest() == \
-        "4ed115e1275365bcf608adac54b880198ec51be2c5bf76826786f5252732db6c"
+        "74ac8ebdef5bd2d931dc23c7cc1619967fafb1696d69c8f506217d6e8bea6b88"
 
 
 def test_cabac_via_public_encoder():
@@ -421,19 +421,30 @@ def test_mp4_avc1_high_profile():
         < 1.5
 
 
-def test_cabac_pcm_is_a_clear_raise():
-    """A CABAC mb_type that selects I_PCM hits the documented
-    NotImplementedError, not silent corruption."""
-    ctxs = h264.CabacContexts(26)
-    enc = h264.CabacEncoder()
-    enc.decision(ctxs, 3, 1)  # bin0: not I_NxN (no neighbors -> inc 0)
-    enc.terminate(1)          # bin1: I_PCM
-    enc.flush()
-    data = h264._bits_to_bytes(enc.getbits())
-    fr = h264._Frame(2, 2)
-    ent = h264._CabacRead(h264.CabacDecoder(data, 0), h264.CabacContexts(26))
-    with pytest.raises(NotImplementedError, match="I_PCM"):
-        h264._mb_cabac(ent, fr, 0, 0, 26, 0)
+def test_cabac_pcm_engine_reinit():
+    """I_PCM inside CABAC slices: the arithmetic engine flushes at the
+    terminate bin, raw planes splice at the byte boundary, and the engine
+    re-initialises with CONTEXT STATE PRESERVED — a pure-PCM picture is
+    lossless, and PCM MBs interleaved with coded MBs stay exact."""
+    frame = _test_frame(48, 64)
+    src = h264.rgb_to_yuv420(frame)
+    st = h264.encode_h264_annexb([frame], qp=30, kinds="pcm",
+                                 entropy="cabac")
+    Y, Cb, Cr = h264.decode_annexb(st, rgb=False)[0][1]
+    assert np.array_equal(Y, src[0])
+    assert np.array_equal(Cb, src[1]) and np.array_equal(Cr, src[2])
+    # mixed cycle (i16/i4/pcm): PCM MBs lossless mid-stream, the coded
+    # MBs around them still round-trip exactly vs the encoder recon
+    st2, (ey, ecb, ecr) = _cabac_encode_picture(frame, 26, "mixed")
+    (_, (Y2, Cb2, Cr2)), = h264.decode_annexb(st2, rgb=False)
+    assert np.array_equal(Y2, ey)
+    assert np.array_equal(Cb2, ecb) and np.array_equal(Cr2, ecr)
+    # every 3rd MB of the cycle is PCM: those pixels equal the source
+    for mby in range(3):
+        for mbx in range(4):
+            if (mbx + mby) % 3 == 2:
+                s = np.s_[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
+                assert np.array_equal(Y2[s], src[0][s])
 
 
 def test_non_idr_samples_skipped():
