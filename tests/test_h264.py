@@ -513,9 +513,14 @@ def test_framesample_stage_h264(ray_session):
     from iresearch_ray.stages.multimodal import FrameSample
 
     f1 = _test_frame(16, 16)
-    payloads = [mp4.encode_mp4_h264([f1, np.roll(f1, k, axis=0)], qp=8,
-                                    kinds="i16")
-                for k in (1, 2)]
+    # one Baseline/CAVLC item and one High-profile CABAC+8x8 item through
+    # the SAME actor stage — profile dispatch is per payload
+    payloads = [
+        mp4.encode_mp4_h264([f1, np.roll(f1, 1, axis=0)], qp=8,
+                            kinds="i16"),
+        mp4.encode_mp4_h264([f1, np.roll(f1, 2, axis=0)], qp=8,
+                            kinds="i8", entropy="cabac"),
+    ]
     tbl = pa.table({
         "item_id": pa.array([0, 1], pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
