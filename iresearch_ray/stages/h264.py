@@ -1006,6 +1006,15 @@ class _Frame:
         # transform_size_8x8_flag per MB (High-profile I_8x8; drives the
         # CABAC ctx 399 neighbor condition and deblock edge selection)
         self.t8 = np.zeros((h_mbs, w_mbs), dtype=np.int8)
+        # --- inter-prediction state (P slices) ---
+        # per-4x4-block L0 motion vector (quarter-pel) and reference index;
+        # refi -1 = intra-coded or undecoded (I paths never touch these)
+        self.mv = np.zeros((4 * h_mbs, 4 * w_mbs, 2), dtype=np.int32)
+        self.refi = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int8)
+        # MV-decoded bitmap in PARSE order: §8.4.1.3 neighbor availability
+        # follows partition decode order (a later sub-partition of the
+        # same MB is not yet available to an earlier one's predictor)
+        self.mvdec = np.zeros((4 * h_mbs, 4 * w_mbs), dtype=bool)
 
     def same_slice(self, mby: int, mbx: int) -> bool:
         return int(self.slice_no[mby, mbx]) == int(self.cur_slice)
@@ -2023,13 +2032,16 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
 
 
 # ---------------------------------------------------------------------------
-# in-loop deblocking filter (§8.7) — all-intra scope: bS = 4 on MB edges,
-# bS = 3 on internal 4x4 edges.  Filter order is normative: per MB in
-# raster order, all vertical edges left→right, then all horizontal edges
-# top→bottom, each operating on the progressively filtered picture.
-# Prediction already used the UNfiltered samples (the filter runs after
-# the whole picture reconstructs — legal for all-intra pictures since no
-# later block predicts from filtered output).
+# in-loop deblocking filter (§8.7).  Boundary strength per 4x4 edge
+# segment (§8.7.2.1): intra ⇒ 4 on MB edges / 3 internal; else 2 when
+# either side has coefficients, 1 on ref/MV discontinuity (≥ 1 full pel),
+# 0 otherwise.  Filter order is normative: per MB in raster order, all
+# vertical edges left→right, then all horizontal edges top→bottom, each
+# operating on the progressively filtered picture.  Prediction already
+# used the UNfiltered samples (the filter runs after the whole picture
+# reconstructs — legal because intra prediction within a picture is
+# specified on unfiltered samples and inter prediction reads REFERENCE
+# pictures, which are stored post-filter).
 # ---------------------------------------------------------------------------
 
 _ALPHA = np.array(
@@ -2045,13 +2057,20 @@ _BETA = np.array(
        11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
     dtype=np.int64,
 )
-# tc0 for bS = 3 (Table 8-17 column 3), indexA 0..51
-_TC0_BS3 = np.array(
-    [0] * 16
-    + [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8,
-       9, 10, 11, 13, 14, 16, 18, 20, 23, 25, 27, 30, 33, 36],
-    dtype=np.int64,
-)
+# Table 8-17 t'C0 rows, indexed [bS - 1][indexA].  Transcribed to agree
+# with the JM reference CLIP_TAB (first nonzero at indexA 17, bS=3 maxes
+# at 25) — the earlier single-row transcription drifted at both ends.
+# Same conformance caveat as the CABAC init tables: encoder and decoder
+# share this table, so in-repo round-trips cannot catch a transcription
+# slip; only third-party-stream parity would.
+_TC0 = np.array([
+    [0] * 17 + [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+                2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
+    [0] * 17 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+                3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
+    [0] * 17 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
+                4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25],
+], dtype=np.int64)
 
 
 def _filter_lines(p3, p2, p1, p0, q0, q1, q2, q3, bs4: bool, alpha: int,
@@ -2111,14 +2130,16 @@ def _edge_qp(fr: _Frame, mby: int, mbx: int, nby: int, nbx: int,
     return (qa + qb + 1) >> 1
 
 
-def _deblock_edge(plane, x0, y0, n, vertical, bs4, qp, a_off, b_off, chroma):
-    """Filter one edge of ``n`` lines at (x0, y0) in ``plane``."""
+def _deblock_edge(plane, x0, y0, n, vertical, bs, qp, a_off, b_off, chroma):
+    """Filter one edge of ``n`` lines at (x0, y0) in ``plane`` with
+    boundary strength ``bs`` (1..4)."""
     ia = max(0, min(51, qp + a_off))
     ib = max(0, min(51, qp + b_off))
     alpha, beta = int(_ALPHA[ia]), int(_BETA[ib])
     if alpha == 0 or beta == 0:
         return
-    tc0 = int(_TC0_BS3[ia])
+    bs4 = bs == 4
+    tc0 = int(_TC0[bs - 1][ia]) if not bs4 else 0
     if vertical:
         cols = [plane[y0:y0 + n, x0 + k] for k in (-4, -3, -2, -1, 0, 1, 2, 3)]
     else:
@@ -2135,9 +2156,48 @@ def _deblock_edge(plane, x0, y0, n, vertical, bs4, qp, a_off, b_off, chroma):
             plane[y0 + off, x0:x0 + n] = arr
 
 
+def _bs_seg(fr: _Frame, pby: int, pbx: int, qby: int, qbx: int,
+            mb_edge: bool) -> int:
+    """§8.7.2.1 boundary strength between 4x4 luma blocks p and q (frame
+    pictures).  refi < 0 means the block is intra-coded (I pictures never
+    touch ``refi``, so all-intra reduces to the classic 4/3)."""
+    if fr.refi[pby, pbx] < 0 or fr.refi[qby, qbx] < 0:
+        return 4 if mb_edge else 3
+    if fr.tcY[pby, pbx] > 0 or fr.tcY[qby, qbx] > 0:
+        return 2
+    if fr.refi[pby, pbx] != fr.refi[qby, qbx]:
+        return 1
+    if abs(int(fr.mv[pby, pbx, 0]) - int(fr.mv[qby, qbx, 0])) >= 4 or \
+            abs(int(fr.mv[pby, pbx, 1]) - int(fr.mv[qby, qbx, 1])) >= 4:
+        return 1
+    return 0
+
+
+def _run_edge(plane, x0, y0, bs_list, vertical, qp, a_off, b_off, chroma,
+              seg):
+    """Filter one MB-width edge whose 4 segments carry per-segment bS;
+    contiguous equal-bS runs collapse into one vectorized call (``seg``
+    lines per segment: 4 luma, 2 chroma)."""
+    i = 0
+    while i < 4:
+        j = i
+        while j < 4 and bs_list[j] == bs_list[i]:
+            j += 1
+        bs = bs_list[i]
+        if bs:
+            if vertical:
+                _deblock_edge(plane, x0, y0 + seg * i, seg * (j - i), True,
+                              bs, qp, a_off, b_off, chroma)
+            else:
+                _deblock_edge(plane, x0 + seg * i, y0, seg * (j - i), False,
+                              bs, qp, a_off, b_off, chroma)
+        i = j
+
+
 def deblock_picture(fr: _Frame, pps: dict) -> None:
-    """§8.7 over an all-intra picture.  idc per slice: 0 = filter, 1 = off,
-    2 = filter but never across slice boundaries."""
+    """§8.7 over a decoded picture (intra and/or inter MBs).  idc per
+    slice: 0 = filter, 1 = off, 2 = filter but never across slice
+    boundaries.  Chroma edges reuse the corresponding luma bS (4:2:0)."""
     coff = pps["chroma_qp_index_offset"]
     for mby in range(fr.h_mbs):
         for mbx in range(fr.w_mbs):
@@ -2146,38 +2206,51 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
             if idc == 1:
                 continue
             px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+            bx0, by0 = 4 * mbx, 4 * mby
             # vertical edges, left -> right
             if mbx > 0 and not (idc == 2 and int(fr.slice_no[mby, mbx - 1]) != sl):
+                bs = [_bs_seg(fr, by0 + i, bx0 - 1, by0 + i, bx0, True)
+                      for i in range(4)]
                 qp = _edge_qp(fr, mby, mbx, mby, mbx - 1, coff, False)
-                _deblock_edge(fr.Y, px, py, 16, True, True, qp, a_off, b_off, False)
+                _run_edge(fr.Y, px, py, bs, True, qp, a_off, b_off, False, 4)
                 qpc = _edge_qp(fr, mby, mbx, mby, mbx - 1, coff, True)
-                _deblock_edge(fr.Cb, cx, cy, 8, True, True, qpc, a_off, b_off, True)
-                _deblock_edge(fr.Cr, cx, cy, 8, True, True, qpc, a_off, b_off, True)
+                _run_edge(fr.Cb, cx, cy, bs, True, qpc, a_off, b_off, True, 2)
+                _run_edge(fr.Cr, cx, cy, bs, True, qpc, a_off, b_off, True, 2)
             qp_in = int(fr.mb_qp[mby, mbx])
             qpc_in = _chroma_qp(qp_in, coff)
             # 8x8-transform MBs have no 4x4 transform edges at 4/12 (§8.7)
             inner = (8,) if fr.t8[mby, mbx] else (4, 8, 12)
             for k in inner:
-                _deblock_edge(fr.Y, px + k, py, 16, True, False, qp_in,
-                              a_off, b_off, False)
-            _deblock_edge(fr.Cb, cx + 4, cy, 8, True, False, qpc_in,
-                          a_off, b_off, True)
-            _deblock_edge(fr.Cr, cx + 4, cy, 8, True, False, qpc_in,
-                          a_off, b_off, True)
+                bc = bx0 + k // 4
+                bs = [_bs_seg(fr, by0 + i, bc - 1, by0 + i, bc, False)
+                      for i in range(4)]
+                _run_edge(fr.Y, px + k, py, bs, True, qp_in,
+                          a_off, b_off, False, 4)
+                if k == 8:
+                    _run_edge(fr.Cb, cx + 4, cy, bs, True, qpc_in,
+                              a_off, b_off, True, 2)
+                    _run_edge(fr.Cr, cx + 4, cy, bs, True, qpc_in,
+                              a_off, b_off, True, 2)
             # horizontal edges, top -> bottom
             if mby > 0 and not (idc == 2 and int(fr.slice_no[mby - 1, mbx]) != sl):
+                bs = [_bs_seg(fr, by0 - 1, bx0 + i, by0, bx0 + i, True)
+                      for i in range(4)]
                 qp = _edge_qp(fr, mby, mbx, mby - 1, mbx, coff, False)
-                _deblock_edge(fr.Y, px, py, 16, False, True, qp, a_off, b_off, False)
+                _run_edge(fr.Y, px, py, bs, False, qp, a_off, b_off, False, 4)
                 qpc = _edge_qp(fr, mby, mbx, mby - 1, mbx, coff, True)
-                _deblock_edge(fr.Cb, cx, cy, 8, False, True, qpc, a_off, b_off, True)
-                _deblock_edge(fr.Cr, cx, cy, 8, False, True, qpc, a_off, b_off, True)
+                _run_edge(fr.Cb, cx, cy, bs, False, qpc, a_off, b_off, True, 2)
+                _run_edge(fr.Cr, cx, cy, bs, False, qpc, a_off, b_off, True, 2)
             for k in inner:
-                _deblock_edge(fr.Y, px, py + k, 16, False, False, qp_in,
-                              a_off, b_off, False)
-            _deblock_edge(fr.Cb, cx, cy + 4, 8, False, False, qpc_in,
-                          a_off, b_off, True)
-            _deblock_edge(fr.Cr, cx, cy + 4, 8, False, False, qpc_in,
-                          a_off, b_off, True)
+                brow = by0 + k // 4
+                bs = [_bs_seg(fr, brow - 1, bx0 + i, brow, bx0 + i, False)
+                      for i in range(4)]
+                _run_edge(fr.Y, px, py + k, bs, False, qp_in,
+                          a_off, b_off, False, 4)
+                if k == 8:
+                    _run_edge(fr.Cb, cx, cy + 4, bs, False, qpc_in,
+                              a_off, b_off, True, 2)
+                    _run_edge(fr.Cr, cx, cy + 4, bs, False, qpc_in,
+                              a_off, b_off, True, 2)
 
 
 # ---------------------------------------------------------------------------

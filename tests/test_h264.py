@@ -639,7 +639,7 @@ def test_deblock_filter_lines_scalar_parity():
         ib = int(rng.integers(0, 52))
         alpha = int(h264._ALPHA[ia])
         beta = int(h264._BETA[ib])
-        tc0 = int(h264._TC0_BS3[ia])
+        tc0 = int(h264._TC0[int(rng.integers(0, 3))][ia])
         got = h264._filter_lines(*lines, bs4, alpha, beta, tc0, chroma)
         for j in range(n):
             want = _scalar_filter_line(*(int(ln[j]) for ln in lines),
