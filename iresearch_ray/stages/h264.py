@@ -667,7 +667,7 @@ def parse_sps(rbsp: bytes) -> dict:
         br.se()
         for _ in range(br.ue()):
             br.se()
-    br.ue()  # max_num_ref_frames
+    max_num_ref_frames = br.ue()
     br.u(1)  # gaps allowed
     w_mbs = br.ue() + 1
     h_map = br.ue() + 1
@@ -681,6 +681,7 @@ def parse_sps(rbsp: bytes) -> dict:
     return {
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
+        "max_num_ref_frames": max_num_ref_frames,
         "w_mbs": w_mbs, "h_mbs": h_map,
         "width": w_mbs * 16 - 2 * (crop[0] + crop[1]),
         "height": h_map * 16 - 2 * (crop[2] + crop[3]),
@@ -696,10 +697,10 @@ def parse_pps(rbsp: bytes) -> dict:
     br.u(1)  # bottom_field_pic_order
     if br.ue() != 0:
         raise ValueError("slice groups not supported")
-    br.ue()
-    br.ue()
-    br.u(1)
-    br.u(2)
+    num_ref_l0 = br.ue() + 1  # num_ref_idx_l0_default_active
+    br.ue()                   # num_ref_idx_l1_default_active
+    weighted_pred = br.u(1)
+    br.u(2)                   # weighted_bipred_idc
     pic_init_qp = br.se() + 26
     br.se()  # qs
     chroma_qp_off = br.se()
@@ -718,6 +719,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "deblocking_control": deblock_ctrl,
         "entropy": entropy,
         "transform_8x8": transform_8x8,
+        "num_ref_idx_l0_default": num_ref_l0,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -737,6 +740,14 @@ CBP_INTRA = [
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
 ]
 _CBP_INTRA_INV = {v: i for i, v in enumerate(CBP_INTRA)}
+
+# Table 9-4, inter column: codeNum -> coded_block_pattern (P/B MBs)
+CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {v: i for i, v in enumerate(CBP_INTER)}
 
 
 # ---------------------------------------------------------------------------
@@ -1141,11 +1152,15 @@ def _luma_edges4x4(fr: _Frame, gx: int, gy: int):
 
 
 def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
-               chroma_qp_off: int, t8_allowed: bool = False) -> int:
+               chroma_qp_off: int, t8_allowed: bool = False,
+               mb_type: "int | None" = None) -> int:
     """Parse + reconstruct one I-slice macroblock.  Returns the updated QP.
     ``t8_allowed`` mirrors the PPS transform_8x8_mode_flag (High profile:
-    I_NxN carries a transform_size_8x8_flag)."""
-    mb_type = br.ue()
+    I_NxN carries a transform_size_8x8_flag).  ``mb_type`` is pre-read by
+    the P-slice dispatcher (intra MB inside a P slice, offset already
+    removed)."""
+    if mb_type is None:
+        mb_type = br.ue()
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby  # luma block coords
     px, py = 16 * mbx, 16 * mby  # luma pixel coords
@@ -1222,19 +1237,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qp = (qp + br.se() + 52) % 52
-        # parse luma residuals in z-order (nC needs in-MB tc chain)
-        luma_coeffs = []
-        for i in range(16):
-            x, y = _BLK_XY[i]
-            gbx, gby = bx0 + x // 4, by0 + y // 4
-            if cbp_luma & (1 << (i // 4)):
-                nc = fr.nc(fr.tcY, gby, gbx)
-                c = decode_residual_block(br, nc, 16)
-                fr.tcY[gby, gbx] = int(np.count_nonzero(c))
-            else:
-                c = np.zeros(16, dtype=np.int32)
-                fr.tcY[gby, gbx] = 0
-            luma_coeffs.append(c)
+        luma_coeffs = _parse_luma_residuals(br, fr, bx0, by0, cbp_luma)
         chroma = _parse_chroma_residuals(br, fr, cbx, cby, cbp_chroma)
         # reconstruct luma block-by-block (prediction sees earlier recon)
         _recon_i4_luma(fr, mbx, mby, modes, luma_coeffs, qp)
@@ -1273,6 +1276,25 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     return qp
 
 
+def _parse_luma_residuals(br: BitReader, fr: _Frame, bx0: int, by0: int,
+                          cbp_luma: int) -> list:
+    """16 full (16-coefficient) luma 4x4 residual scans in z-order with
+    the in-MB nC chain — shared by I_NxN and inter macroblocks."""
+    out = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        if cbp_luma & (1 << (i // 4)):
+            nc = fr.nc(fr.tcY, gby, gbx)
+            c = decode_residual_block(br, nc, 16)
+            fr.tcY[gby, gbx] = int(np.count_nonzero(c))
+        else:
+            c = np.zeros(16, dtype=np.int32)
+            fr.tcY[gby, gbx] = 0
+        out.append(c)
+    return out
+
+
 def _parse_chroma_residuals(br: BitReader, fr: _Frame, cbx: int, cby: int,
                             cbp_chroma: int):
     """(dc_cb, dc_cr, ac_cb[4], ac_cr[4]) scan-order coefficient arrays;
@@ -1303,19 +1325,16 @@ def _parse_chroma_residuals(br: BitReader, fr: _Frame, cbx: int, cby: int,
 _H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
 
 
-def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
-                  qp: int, chroma_qp_off: int) -> None:
+def _recon_chroma_resid(fr: _Frame, mbx: int, mby: int, pred_cb, pred_cr,
+                        chroma, qp: int, chroma_qp_off: int) -> None:
+    """Apply parsed chroma residuals (§8.5.11 DC Hadamard + per-block AC)
+    on top of the supplied 8x8 predictions (intra or inter)."""
     dc_cb, dc_cr, ac_cb, ac_cr = chroma
     qpc = _chroma_qp(qp, chroma_qp_off)
     cx, cy = 8 * mbx, 8 * mby
-    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
-    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
     ls0 = 16 * int(_DEQUANT_V[qpc % 6][0])  # §8.5.11, flat weightScale
-    for plane, dc_scan, acs in ((fr.Cb, dc_cb, ac_cb), (fr.Cr, dc_cr, ac_cr)):
-        top = plane[cy - 1, cx:cx + 8] if av_t else np.full(8, 128, np.int64)
-        left = plane[cy:cy + 8, cx - 1] if av_l else np.full(8, 128, np.int64)
-        tl = int(plane[cy - 1, cx - 1]) if (av_t and av_l) else 128
-        pred = _pred_chroma(mode, top, left, tl, av_t, av_l)
+    for plane, pred, dc_scan, acs in ((fr.Cb, pred_cb, dc_cb, ac_cb),
+                                      (fr.Cr, pred_cr, dc_cr, ac_cr)):
         # 2x2 DC: raster scan c00,c01,c10,c11 (§8.5.11)
         cgrid = np.array([[dc_scan[0], dc_scan[1]], [dc_scan[2], dc_scan[3]]],
                          dtype=np.int64)
@@ -1331,6 +1350,21 @@ def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
         plane[cy:cy + 8, cx:cx + 8] = np.clip(out, 0, 255)
 
 
+def _recon_chroma(fr: _Frame, mbx: int, mby: int, mode: int, chroma,
+                  qp: int, chroma_qp_off: int) -> None:
+    cx, cy = 8 * mbx, 8 * mby
+    av_t = mby > 0 and fr.mb_done[mby - 1, mbx] and fr.same_slice(mby - 1, mbx)
+    av_l = mbx > 0 and fr.mb_done[mby, mbx - 1] and fr.same_slice(mby, mbx - 1)
+    preds = []
+    for plane in (fr.Cb, fr.Cr):
+        top = plane[cy - 1, cx:cx + 8] if av_t else np.full(8, 128, np.int64)
+        left = plane[cy:cy + 8, cx - 1] if av_l else np.full(8, 128, np.int64)
+        tl = int(plane[cy - 1, cx - 1]) if (av_t and av_l) else 128
+        preds.append(_pred_chroma(mode, top, left, tl, av_t, av_l))
+    _recon_chroma_resid(fr, mbx, mby, preds[0], preds[1], chroma, qp,
+                        chroma_qp_off)
+
+
 def _rbsp_data_end(rbsp: bytes) -> int:
     """Bit index of the rbsp_stop_one_bit (the LAST set bit) — slice data
     ends just before it (more_rbsp_data(), §7.2)."""
@@ -1342,18 +1376,25 @@ def _rbsp_data_end(rbsp: bytes) -> int:
     return 0
 
 
-def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
-    """Decode one IDR slice into a shared picture frame.  Returns
-    first_mb_in_slice.  Slice-boundary availability is enforced through
-    fr.cur_slice / fr.slice_no (neighbors in other slices are unavailable
-    for prediction and nC, §6.4.9)."""
+def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
+                       refs: "list | None" = None, nal_type: int = 5,
+                       nal_ref_idc: int = 1) -> int:
+    """Decode one slice (IDR-I or non-IDR P) into a shared picture frame.
+    Returns first_mb_in_slice.  Slice-boundary availability is enforced
+    through fr.cur_slice / fr.slice_no (neighbors in other slices are
+    unavailable for prediction and nC, §6.4.9).  ``refs`` is the L0
+    reference list (most recent first) as _RefPic."""
     br = BitReader(rbsp)
     first_mb = br.ue()
     slice_type = br.ue()
-    if slice_type % 5 != 2:
-        raise ValueError(f"not an I slice (slice_type {slice_type}): "
-                         "P/B frames are skipped by the sampler or need the "
-                         "PyAV seam")
+    st = slice_type % 5
+    if st == 0 and nal_type != 5:
+        return _decode_pslice_into(fr, br, rbsp, sps, pps, first_mb,
+                                   refs or [], nal_ref_idc)
+    if st != 2 or nal_type != 5:
+        raise ValueError(
+            f"slice_type {slice_type} in nal_type {nal_type} not supported "
+            "(B/SP/SI and non-IDR I slices need the PyAV seam)")
     br.ue()  # pps id
     br.u(sps["log2_max_frame_num"])  # frame_num
     br.ue()  # idr_pic_id
@@ -1399,18 +1440,86 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict) -> int:
     return first_mb
 
 
-def decode_idr_picture(rbsps: list, sps: dict, pps: dict):
-    """One access unit (>= 1 IDR slice RBSPs) -> (Y, Cb, Cr) uint8 planes
-    (full MB grid, uncropped)."""
+def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
+                        pps: dict, first_mb: int, refs: list,
+                        nal_ref_idc: int) -> int:
+    """Decode one non-IDR P slice (header tail + CAVLC slice data with
+    mb_skip_run interleaving, §7.3.4)."""
+    if pps.get("entropy"):
+        raise ValueError("CABAC P slices not supported: needs the PyAV seam")
+    if pps.get("weighted_pred"):
+        raise ValueError("weighted prediction not supported")
+    if not refs:
+        raise ValueError("P slice without reference pictures")
+    br.ue()  # pps id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    # pic_order_cnt_type == 2: no POC fields
+    nref = pps.get("num_ref_idx_l0_default", 1)
+    if br.u(1):  # num_ref_idx_active_override_flag
+        nref = br.ue() + 1
+    if br.u(1):  # ref_pic_list_modification_flag_l0
+        raise ValueError("ref_pic_list_modification not supported")
+    if nal_ref_idc:
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("adaptive ref-pic marking (MMCO) not supported")
+    if nref > len(refs):
+        raise ValueError(f"slice wants {nref} references, DPB has "
+                         f"{len(refs)}")
+    qp = pps["pic_init_qp"] + br.se()
+    idc, a_off, b_off = 0, 0, 0
+    if pps["deblocking_control"]:
+        idc = br.ue()
+        if idc != 1:
+            a_off = 2 * br.se()
+            b_off = 2 * br.se()
+    fr.deblock[fr.cur_slice] = (idc, a_off, b_off)
+    total = sps["w_mbs"] * sps["h_mbs"]
+    W = sps["w_mbs"]
+    end = _rbsp_data_end(rbsp)
+    mb = first_mb
+    while mb < total and br.pos < end:
+        skip_run = br.ue()
+        for _ in range(skip_run):
+            if mb >= total:
+                raise ValueError("mb_skip_run past end of picture")
+            _recon_pskip(fr, refs, mb % W, mb // W, qp)
+            mb += 1
+        if mb >= total or br.pos >= end:
+            break
+        qp = _decode_mb_p(br, fr, mb % W, mb // W, qp,
+                          pps["chroma_qp_index_offset"], refs, nref,
+                          t8_allowed=bool(pps.get("transform_8x8")))
+        mb += 1
+    fr.cur_slice += 1
+    return first_mb
+
+
+def decode_picture(rbsps: list, sps: dict, pps: dict,
+                   refs: "list | None" = None,
+                   nal_types: "list | None" = None,
+                   ref_idcs: "list | None" = None):
+    """One access unit (list of slice RBSPs) -> (Y, Cb, Cr) uint8 planes
+    (full MB grid, uncropped).  ``refs``: L0 reference list, most recent
+    first, each a _RefPic or an (Y, Cb, Cr) plane triple."""
     fr = _Frame(sps["w_mbs"], sps["h_mbs"])
-    for rbsp in rbsps:
-        _decode_slice_into(fr, rbsp, sps, pps)
+    refs = [r if isinstance(r, _RefPic) else _RefPic(*r)
+            for r in (refs or [])]
+    nal_types = nal_types or [5] * len(rbsps)
+    ref_idcs = ref_idcs or [1] * len(rbsps)
+    for rbsp, nt, ri in zip(rbsps, nal_types, ref_idcs):
+        _decode_slice_into(fr, rbsp, sps, pps, refs=refs, nal_type=nt,
+                           nal_ref_idc=ri)
     if not fr.mb_done.all():
         raise ValueError("picture is missing macroblocks (incomplete slices)")
     if any(v[0] != 1 for v in fr.deblock.values()):
         deblock_picture(fr, pps)
     return (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
             fr.Cr.astype(np.uint8))
+
+
+def decode_idr_picture(rbsps: list, sps: dict, pps: dict):
+    """One IDR access unit (>= 1 I slice RBSPs) -> (Y, Cb, Cr) planes."""
+    return decode_picture(rbsps, sps, pps)
 
 
 def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
@@ -1423,8 +1532,8 @@ def decode_idr_slice(rbsp: bytes, sps: dict, pps: dict):
 # ---------------------------------------------------------------------------
 
 
-def split_annexb(stream: bytes):
-    """[(nal_type, rbsp)] from an Annex-B byte stream."""
+def split_annexb_hdr(stream: bytes):
+    """[(nal_type, nal_ref_idc, rbsp)] from an Annex-B byte stream."""
     out = []
     i = 0
     n = len(stream)
@@ -1443,8 +1552,14 @@ def split_annexb(stream: bytes):
         nal = stream[s:e]
         if not nal:
             continue
-        out.append((nal[0] & 0x1F, rbsp_from_ebsp(nal[1:])))
+        out.append((nal[0] & 0x1F, (nal[0] >> 5) & 3,
+                    rbsp_from_ebsp(nal[1:])))
     return out
+
+
+def split_annexb(stream: bytes):
+    """[(nal_type, rbsp)] from an Annex-B byte stream."""
+    return [(nt, rbsp) for nt, _, rbsp in split_annexb_hdr(stream)]
 
 
 def iter_avc_nals(sample: bytes, length_size: int = 4):
@@ -1471,47 +1586,65 @@ def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
 
 
 def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
-    """[(frame_idx, array)] for every k-th IDR access unit of an Annex-B
-    H.264 stream.  Consecutive IDR slices form ONE picture (a new access
-    unit starts at first_mb_in_slice == 0).  Non-IDR (P/B) access units
-    are SKIPPED without entropy decoding — the I-frame-sampling semantics
-    of the AVI/MJPEG samplers."""
+    """[(frame_idx, array)] for every k-th access unit of an Annex-B
+    H.264 stream.  Consecutive slices form ONE picture (a new access unit
+    starts at first_mb_in_slice == 0).  CAVLC streams decode FULLY (IDR +
+    P; the DPB holds the last max_num_ref_frames decoded reference
+    pictures, most recent first — the default list-0 order).  CABAC
+    streams keep the I-frame-sampling semantics: non-IDR access units are
+    counted but skipped without entropy decoding (full CABAC-P decode is
+    the documented PyAV seam)."""
     sps = pps = None
     frames = []
     idx = 0
-    cur: list = []
+    cur: list = []   # [(nal_type, nal_ref_idc, rbsp)] of the current AU
+    dpb: list = []   # _RefPic, most recent first
 
     def flush():
-        nonlocal idx, cur
+        nonlocal idx, cur, dpb
         if not cur:
             return
-        if idx % every == 0:
-            Y, Cb, Cr = decode_idr_picture(cur, sps, pps)
-            img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
-                   if rgb else (Y[: sps["height"], : sps["width"]], Cb, Cr))
-            frames.append((idx, img))
+        idr = cur[0][0] == 5
+        br0 = BitReader(cur[0][2])
+        br0.ue()  # first_mb
+        st0 = br0.ue() % 5
+        # decodable here: IDR, or a CAVLC P picture with a live ref chain.
+        # Everything else (B, non-IDR I, CABAC P, P after a broken chain)
+        # keeps the sampling semantics: counted, never entropy-decoded.
+        if idr or (st0 == 0 and not pps.get("entropy") and dpb):
+            refs = [] if idr else dpb
+            Y, Cb, Cr = decode_picture(
+                [r for _, _, r in cur], sps, pps, refs=refs,
+                nal_types=[nt for nt, _, _ in cur],
+                ref_idcs=[ri for _, ri, _ in cur])
+            if idr:
+                dpb = []
+            if any(ri for _, ri, _ in cur):  # this picture is a reference
+                dpb.insert(0, _RefPic(Y, Cb, Cr))
+                del dpb[max(1, sps.get("max_num_ref_frames", 1)):]
+            if idx % every == 0:
+                img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
+                       if rgb else (Y[: sps["height"], : sps["width"]],
+                                    Cb, Cr))
+                frames.append((idx, img))
+        elif not idr and any(ri for _, ri, _ in cur):
+            dpb = []  # an undecoded reference picture breaks the chain
         idx += 1
         cur = []
 
-    for nal_type, rbsp in split_annexb(stream):
+    for nal_type, ref_idc, rbsp in split_annexb_hdr(stream):
         if nal_type == 7:
             flush()
             sps = parse_sps(rbsp)
         elif nal_type == 8:
             flush()
             pps = parse_pps(rbsp)
-        elif nal_type == 5:
+        elif nal_type in (1, 5):
             if sps is None or pps is None:
-                raise ValueError("IDR before SPS/PPS")
+                raise ValueError("slice before SPS/PPS")
             if BitReader(rbsp).ue() == 0:  # first_mb==0 opens a new AU
                 flush()
-            cur.append(rbsp)
-        elif nal_type == 1:
-            flush()
-            # non-IDR slice: skipped, never entropy-decoded; a new AU
-            # starts when its header says first_mb == 0
-            if BitReader(rbsp).ue() == 0:
-                idx += 1
+            cur.append((nal_type, ref_idc, rbsp))
     flush()
     return frames
 
@@ -1590,11 +1723,13 @@ def _enforce_t1(scan: np.ndarray) -> np.ndarray:
 
 def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
                     chroma_qp_off: int, kind: str,
-                    t8_allowed: bool = False) -> str:
+                    t8_allowed: bool = False, mbtype_offset: int = 0) -> str:
     """Bitstring for one MB of the given kind against the CURRENT recon
     state ``fr`` (reads nC / mode predictors exactly like the decoder).
     ``t8_allowed`` mirrors the PPS transform_8x8_mode flag: I_NxN MBs then
-    carry a transform_size_8x8_flag (1 for kind 'i8', 0 for 'i4')."""
+    carry a transform_size_8x8_flag (1 for kind 'i8', 0 for 'i4').
+    ``mbtype_offset`` is 5 when this intra MB sits inside a P slice
+    (Table 7-13 offsets the I types)."""
     sy, scb, scr = src
     bw = _StrBits()
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
@@ -1655,7 +1790,7 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         if pred_mode == 3 and not (av_t and av_l):
             pred_mode = 2
         k = pred_mode + 4 * 2 + 12  # cbp_chroma=2, cbp_luma=15
-        bw.ue(1 + k)
+        bw.ue(mbtype_offset + 1 + k)
         bw.ue(cmode)
         bw.se(0)  # mb_qp_delta
         top = fr.Y[py - 1, px:px + 16] if av_t else np.full(16, 128, np.int64)
@@ -1690,7 +1825,7 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
     if kind == "i8":
         # I_NxN + transform_size_8x8_flag = 1 (requires a High-profile PPS
         # with transform_8x8_mode; encode_h264_annexb arranges that)
-        bw.ue(0)
+        bw.ue(mbtype_offset + 0)
         bw.u(1, 1)
         mode_bits = _StrBits()
         resid_bits = _StrBits()
@@ -1746,7 +1881,7 @@ def _encode_mb_bits(src, fr: _Frame, mbx: int, mby: int, qp: int,
         return bw.bits()
 
     # kind == "i4"
-    bw.ue(0)
+    bw.ue(mbtype_offset + 0)
     if t8_allowed:
         bw.u(0, 1)  # transform_size_8x8_flag = 0
     mode_bits = _StrBits()
@@ -1890,8 +2025,238 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
     return bw.getvalue()
 
 
+def _search_mv(refpic: _RefPic, srcY, px: int, py: int, w: int, h: int,
+               mvp) -> np.ndarray:
+    """Deterministic two-stage block-matching search: full-pel windows
+    around the rounded predictor and around (0, 0), then quarter-pel
+    refinement around the best (SAD cost; ties break toward smaller
+    |mv| then raster order, so the fixture streams are reproducible)."""
+    tgt = srcY[py:py + h, px:px + w].astype(np.int64)
+    p = _RefPic.PAD
+
+    def cost(mv):
+        return int(np.abs(_mc_luma(refpic.Y, px + p, py + p, w, h,
+                                   mv[0], mv[1]) - tgt).sum())
+
+    def key(mv):
+        return (abs(mv[0]) + abs(mv[1]), mv[1], mv[0])
+
+    bx = (int(mvp[0]) >> 2) << 2
+    by = (int(mvp[1]) >> 2) << 2
+    cands = set()
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            cands.add((bx + 4 * dx, by + 4 * dy))
+            cands.add((4 * dx, 4 * dy))
+    best = None
+    for mv in sorted(cands, key=key):
+        c = cost(mv)
+        if best is None or c < best[0]:
+            best = (c, mv)
+    centre = best[1]
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            mv = (centre[0] + dx, centre[1] + dy)
+            c = cost(mv)
+            if c < best[0] or (c == best[0] and key(mv) < key(best[1])):
+                best = (c, mv)
+    return np.array(best[1], dtype=np.int32)
+
+
+def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
+                          coff: int, kind: str, refs: list):
+    """(bitstring, skip_ok) for one inter MB against the CURRENT recon
+    state.  Partitions are planned sequentially against scratch MV state
+    (the same predictor chain the decoder will run), the residual is
+    quantized, the TRUE coded_block_pattern derived, and spec-order CAVLC
+    emitted.  skip_ok means the MB reconstructs identically as P_Skip
+    (16x16, searched MV == P_Skip MV, zero residual) — the caller then
+    emits no bits and bumps mb_skip_run instead."""
+    sy, scb, scr = src
+    bx0, by0 = 4 * mbx, 4 * mby
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    skipmv = _skip_mv(fr, bx0, by0) if kind == "p16" else None
+    if kind == "p16":
+        mb_type, plist, subs = 0, list(_P_PARTS[0]), None
+    elif kind == "p16x8":
+        mb_type, plist, subs = 1, list(_P_PARTS[1]), None
+    elif kind == "p8x16":
+        mb_type, plist, subs = 2, list(_P_PARTS[2]), None
+    elif kind == "p8x8":
+        mb_type = 3
+        subs = [(b8 + mbx + mby) % 4 for b8 in range(4)]
+        plist = []
+        for b8 in range(4):
+            obx, oby = 2 * (b8 & 1), 2 * (b8 >> 1)
+            for ox, oy, w4, h4 in _SUB_PARTS[subs[b8]]:
+                plist.append((obx + ox, oby + oy, w4, h4, None))
+    else:
+        raise ValueError(f"unknown inter MB kind {kind!r}")
+    # scratch MV window: plan mutates it for the in-MB predictor chain,
+    # then restores — the decoder drive is the one true state advance
+    sl = np.s_[by0:by0 + 4, bx0:bx0 + 4]
+    save = (fr.mv[sl].copy(), fr.refi[sl].copy(), fr.mvdec[sl].copy())
+    try:
+        mvds = []
+        for ox, oy, w4, h4, pk in plist:
+            mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, 0, pk)
+            mv = _search_mv(refs[0], sy, px + 4 * ox, py + 4 * oy,
+                            4 * w4, 4 * h4, mvp)
+            mvds.append((int(mv[0] - mvp[0]), int(mv[1] - mvp[1])))
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, 0, mv)
+        predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby)
+        mv16 = fr.mv[by0, bx0].copy()
+    finally:
+        fr.mv[sl], fr.refi[sl], fr.mvdec[sl] = save
+    # residual quantization + true CBP
+    resY = sy[py:py + 16, px:px + 16].astype(np.int64) - predY
+    levels = []
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        levels.append(_enforce_t1(scan_order(
+            quant4x4(transform4x4(resY[y:y + 4, x:x + 4]), qp))))
+    cbp_luma = 0
+    for g in range(4):
+        if any(np.any(levels[i]) for i in range(4 * g, 4 * g + 4)):
+            cbp_luma |= 1 << g
+    qpc = _chroma_qp(qp, coff)
+    cdc, cac = [], []
+    for plane, pred in ((scb, predCb), (scr, predCr)):
+        res = plane[cy:cy + 8, cx:cx + 8].astype(np.int64) - pred
+        dcg = np.zeros((2, 2), np.int64)
+        acs = []
+        for i in range(4):
+            bx, by = 4 * (i & 1), 4 * (i >> 1)
+            W = transform4x4(res[by:by + 4, bx:bx + 4])
+            dcg[i >> 1, i & 1] = W[0, 0]
+            q = quant4x4(W, qpc)
+            q[0, 0] = 0
+            acs.append(_enforce_t1(scan_order(q)[1:]))
+        fdc = _H2 @ dcg @ _H2
+        cdc.append(_enforce_t1(_quant_dc(fdc, qpc).reshape(-1)))
+        cac.append(acs)
+    any_ac = any(np.any(a) for acs in cac for a in acs)
+    any_dc = any(np.any(d) for d in cdc)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    if kind == "p16" and cbp == 0 and skipmv is not None \
+            and int(mv16[0]) == int(skipmv[0]) \
+            and int(mv16[1]) == int(skipmv[1]):
+        return "", True
+    # emit (§7.3.5): mb_type, [sub types], mvds, cbp, qp_delta, residuals
+    bw = _StrBits()
+    bw.ue(mb_type)
+    if subs is not None:
+        for s_ in subs:
+            bw.ue(s_)
+    for dx, dy in mvds:
+        bw.se(dx)
+        bw.se(dy)
+    bw.ue(_CBP_INTER_INV[cbp])
+    if cbp:
+        bw.se(0)  # mb_qp_delta
+    tcY = fr.tcY.copy()
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        gbx, gby = bx0 + x // 4, by0 + y // 4
+        if cbp_luma & (1 << (i // 4)):
+            nc = fr.nc(tcY, gby, gbx)
+            encode_residual_block(_BWAdapter(bw), levels[i], nc)
+            tcY[gby, gbx] = int(np.count_nonzero(levels[i]))
+        else:
+            tcY[gby, gbx] = 0
+    if cbp_chroma:
+        for dc_lv in cdc:
+            encode_residual_block(_BWAdapter(bw), dc_lv, -1)
+    if cbp_chroma == 2:
+        cbx, cby = 2 * mbx, 2 * mby
+        for acs, tc in zip(cac, (fr.tcCb.copy(), fr.tcCr.copy())):
+            for i in range(4):
+                gbx, gby = cbx + (i & 1), cby + (i >> 1)
+                nc = fr.nc(tc, gby, gbx, shift=1)
+                encode_residual_block(_BWAdapter(bw), acs[i], nc)
+                tc[gby, gbx] = int(np.count_nonzero(acs[i]))
+    return bw.bits(), False
+
+
+def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
+                        kind_fn, frame_num: int, first_mb: int = 0,
+                        n_mbs: "int | None" = None,
+                        fr: "_Frame | None" = None,
+                        deblock_idc: int = 1) -> bytes:
+    """One non-IDR P slice RBSP.  ``kind_fn(mbx, mby) -> 'p16' | 'p16x8' |
+    'p8x16' | 'p8x8' | 'i16' | 'i4'``; 'p16' MBs collapse to P_Skip when
+    the searched MV equals the P_Skip MV and the residual quantizes to
+    zero.  ``refs``: [_RefPic] (single reference; SPS/PPS signal 1).
+
+    Same self-checking construction as encode_iframe_slice: every emitted
+    span (mb_skip_run + macroblock) is immediately re-parsed by the real
+    decoder (_decode_mb_p; skips advance through the decoder's own
+    _recon_pskip at decision time), asserting bit-exact consumption."""
+    hb = _StrBits()
+    hb.ue(first_mb)               # first_mb_in_slice
+    hb.ue(5)                      # slice_type = P (all slices in pic)
+    hb.ue(pps["pps_id"])
+    hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    hb.u(0, 1)                    # num_ref_idx_active_override_flag
+    hb.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    hb.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
+    hb.se(qp - pps["pic_init_qp"])
+    if pps["deblocking_control"]:
+        hb.ue(deblock_idc)
+        if deblock_idc != 1:
+            hb.se(0)
+            hb.se(0)
+    bits = hb.bits()
+    if fr is None:
+        fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    total = sps["w_mbs"] * sps["h_mbs"]
+    if n_mbs is None:
+        n_mbs = total - first_mb
+    cur_qp = qp
+    pending = 0
+    coff = pps["chroma_qp_index_offset"]
+    for mb_i in range(first_mb, first_mb + n_mbs):
+        mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
+        kind = kind_fn(mbx, mby)
+        if kind in ("i16", "i4"):
+            mb_bits = _encode_mb_bits(src, fr, mbx, mby, cur_qp, coff, kind,
+                                      mbtype_offset=5)
+            skip_ok = False
+        else:
+            mb_bits, skip_ok = _encode_mb_bits_inter(
+                src, fr, mbx, mby, cur_qp, coff, kind, refs)
+        if skip_ok:
+            pending += 1
+            _recon_pskip(fr, refs, mbx, mby, cur_qp)
+            continue
+        run = _StrBits()
+        run.ue(pending)
+        start = len(bits)
+        bits += run.bits() + mb_bits
+        br = BitReader(_bits_to_bytes(bits))
+        br.pos = start
+        assert br.ue() == pending, "skip-run drift"
+        pending = 0
+        cur_qp = _decode_mb_p(br, fr, mbx, mby, cur_qp, coff, refs, 1)
+        assert br.pos == len(bits), (
+            f"encoder/decoder bit drift at MB ({mbx},{mby}): "
+            f"{br.pos} != {len(bits)}"
+        )
+    if pending:  # trailing skip run closes the slice (§7.3.4)
+        tail = _StrBits()
+        tail.ue(pending)
+        bits += tail.bits()
+    bw = BitWriter()
+    bw.put_str(bits)
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
 def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
-              profile: int = 66) -> bytes:
+              profile: int = 66, num_ref_frames: int = 0) -> bytes:
     bw = BitWriter()
     bw.u(profile, 8)  # 66 Baseline (CAVLC), 77 Main (CABAC), 100 High (8x8)
     bw.u(0, 8)    # constraint flags
@@ -1905,7 +2270,7 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
         bw.u(0, 1)  # seq_scaling_matrix_present
     bw.ue(0)      # log2_max_frame_num_minus4
     bw.ue(2)      # pic_order_cnt_type = 2 (no POC fields)
-    bw.ue(0)      # max_num_ref_frames
+    bw.ue(num_ref_frames)  # max_num_ref_frames
     bw.u(0, 1)    # gaps_in_frame_num
     bw.ue(w_mbs - 1)
     bw.ue(h_mbs - 1)
@@ -1973,37 +2338,55 @@ def rgb_to_yuv420(frame: np.ndarray):
 
 def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
-                       entropy: str = "cavlc") -> bytes:
-    """RGB frames -> Annex-B I-frame-only stream.  ``kinds``: 'pcm'
+                       entropy: str = "cavlc", gop: str = "i",
+                       p_kinds: str = "pmix") -> bytes:
+    """RGB frames -> Annex-B H.264 stream.  ``kinds`` (I pictures): 'pcm'
     (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
     transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
     i16/i4/i8/pcm — the widest-coverage fixture).  ``slices`` > 1 splits
-    each picture into that many contiguous MB bands, one IDR NAL each
+    each picture into that many contiguous MB bands, one NAL each
     (the shape real encoders emit for intra-picture parallelism) —
     slice-boundary availability rules apply on both sides.
     ``deblock_idc`` is signalled per slice: 1 = loop filter off (the
     roundtrip-exact fixtures), 0 = on, 2 = on but never across slice
     boundaries.  ``entropy``: 'cavlc' (Baseline profile) or 'cabac'
     (Main profile, §9.3; I_PCM rides the engine-re-init path).  Any
-    8x8 kind forces High profile + a transform_8x8_mode PPS."""
+    8x8 kind forces High profile + a transform_8x8_mode PPS.
+
+    ``gop``: a pattern over {'i', 'p'} cycled across frames (frame 0 is
+    always IDR) — e.g. 'ippp' emits an IDR then three P pictures per
+    cycle.  P pictures are CAVLC-only (single reference = the previous
+    decoded picture, post-loop-filter, as the spec requires);
+    ``p_kinds``: 'pmix' (cycles p16/p16x8/p8x16/p8x8/intra-in-P) or one
+    explicit P MB kind."""
     if not frames:
         raise ValueError("need at least one frame")
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"entropy must be cavlc|cabac, got {entropy!r}")
     cabac = entropy == "cabac"
+    pattern = (gop or "i").lower()
+    if set(pattern) - {"i", "p"}:
+        raise ValueError(f"gop pattern must use only i/p, got {gop!r}")
+    has_p = "p" in pattern
+    if has_p and cabac:
+        raise ValueError("CABAC P pictures not supported (PyAV seam)")
     t8 = kinds in ("i8", "mixed8")  # High profile: 8x8 transform
+    if has_p and t8:
+        raise ValueError("8x8 transform not supported with P pictures")
     h, w = frames[0].shape[:2]
     if h % 2 or w % 2:
         raise ValueError("even dimensions required (4:2:0)")
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
     profile = 100 if t8 else (77 if cabac else 66)
-    sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile)
+    sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile,
+                         num_ref_frames=1 if has_p else 0)
     pps_rbsp = write_pps(entropy=1 if cabac else 0,
                          transform_8x8=1 if t8 else 0)
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
     cycle8 = ("i16", "i4", "i8", "pcm")
+    p_cycle = ("p16", "p16x8", "p8x16", "p8x8", "i16", "p16", "i4", "p16")
 
     def kind_fn(mbx, mby):
         if kinds == "mixed":
@@ -2012,22 +2395,50 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
             return cycle8[(mbx + mby) % 4]
         return kinds
 
+    def kind_fn_p(mbx, mby):
+        if p_kinds == "pmix":
+            return p_cycle[(mbx + 2 * mby) % len(p_cycle)]
+        return p_kinds
+
     slice_fn = encode_iframe_slice_cabac if cabac else encode_iframe_slice
     total = w_mbs * h_mbs
     n_slices = max(1, min(int(slices), total))
     bounds = [round(i * total / n_slices) for i in range(n_slices + 1)]
     out = [b"\x00\x00\x00\x01" + _nal(7, sps_rbsp),
            b"\x00\x00\x00\x01" + _nal(8, pps_rbsp)]
-    for f in frames:
+    dpb: list = []
+    frame_num = 0
+    for fi, f in enumerate(frames):
+        ftype = "i" if fi == 0 else pattern[fi % len(pattern)]
         src = rgb_to_yuv420(f)
         fr = _Frame(w_mbs, h_mbs)
-        for si in range(n_slices):
-            rbsp = slice_fn(
-                src, sps, pps, qp, kind_fn,
-                first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si], fr=fr,
-                deblock_idc=deblock_idc)
-            fr.cur_slice += 1  # mirror the decoder's per-slice increment
-            out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
+        if ftype == "i":
+            frame_num = 0
+            for si in range(n_slices):
+                rbsp = slice_fn(
+                    src, sps, pps, qp, kind_fn,
+                    first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
+                    fr=fr, deblock_idc=deblock_idc)
+                fr.cur_slice += 1  # mirror the decoder's per-slice increment
+                out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
+        else:
+            for si in range(n_slices):
+                rbsp = encode_pframe_slice(
+                    src, sps, pps, qp, dpb, kind_fn_p, frame_num,
+                    first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
+                    fr=fr, deblock_idc=deblock_idc)
+                fr.cur_slice += 1
+                out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=2))
+        if has_p:
+            # the DPB holds the picture the DECODER will hold: recon after
+            # the in-loop filter (encoder-side fr.deblock mirrors the
+            # headers it just wrote)
+            for si in range(n_slices):
+                fr.deblock[si] = (deblock_idc, 0, 0)
+            if deblock_idc != 1:
+                deblock_picture(fr, pps)
+            dpb = [_RefPic(fr.Y, fr.Cb, fr.Cr)]
+            frame_num = (frame_num + 1) % (1 << sps["log2_max_frame_num"])
     return b"".join(out)
 
 
@@ -2251,6 +2662,329 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
                               a_off, b_off, True, 2)
                     _run_edge(fr.Cr, cx, cy + 4, bs, False, qpc_in,
                               a_off, b_off, True, 2)
+
+
+# ---------------------------------------------------------------------------
+# inter prediction (§8.4) + P-slice decode (§7.3.5) — CAVLC entropy,
+# frame pictures, list-0 only.  Scope, stated plainly:
+#   - P slices with P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0) partitions,
+#     P_Skip, intra MBs inside P slices, multiple short-term references
+#     (default list order = most recent first; no reordering, no MMCO,
+#     no long-term), quarter-pel luma (§8.4.2.2.1 6-tap) and eighth-pel
+#     bilinear chroma MC, unrestricted MVs via edge padding.
+#   - NOT here (raise into the documented PyAV seam): B/SP/SI slices,
+#     CABAC-coded P slices, weighted prediction, ref-list modification,
+#     adaptive marking, 8x8 transform on inter MBs, interlace.
+# Verification stance is the same as CAVLC-I: the fixture encoder drives
+# the decoder's own parse+recon body per MB, plus full-stream decode-back
+# asserts and analytic cases (static scene ⇒ all-skip identity; integer
+# translation ⇒ exact shift; half-pel on a linear ramp ⇒ exact values,
+# since the symmetric 6-tap reproduces affine signals).
+# ---------------------------------------------------------------------------
+
+_MV0 = np.zeros(2, dtype=np.int32)
+
+
+class _RefPic:
+    """One decoded reference picture, edge-padded for unrestricted MVs
+    (§8.4.2.2: samples addressed outside the picture clamp to the edge).
+    PAD bounds the supported MV excursion beyond the picture; the MC
+    kernels raise past it rather than corrupt."""
+
+    PAD = 32  # full luma pels (chroma planes use PAD // 2)
+
+    def __init__(self, Y, Cb, Cr):
+        p = self.PAD
+        self.Y = np.pad(np.asarray(Y, dtype=np.int64), p, mode="edge")
+        self.Cb = np.pad(np.asarray(Cb, dtype=np.int64), p // 2, mode="edge")
+        self.Cr = np.pad(np.asarray(Cr, dtype=np.int64), p // 2, mode="edge")
+
+
+def _h6u(R: np.ndarray, w: int) -> np.ndarray:
+    """Unrounded horizontal 6-tap [1,-5,20,20,-5,1] (×32): w columns out
+    of w+5 in."""
+    return (R[:, 0:w] - 5 * R[:, 1:w + 1] + 20 * R[:, 2:w + 2]
+            + 20 * R[:, 3:w + 3] - 5 * R[:, 4:w + 4] + R[:, 5:w + 5])
+
+
+def _v6u(R: np.ndarray, h: int) -> np.ndarray:
+    return (R[0:h, :] - 5 * R[1:h + 1, :] + 20 * R[2:h + 2, :]
+            + 20 * R[3:h + 3, :] - 5 * R[4:h + 4, :] + R[5:h + 5, :])
+
+
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> np.ndarray:
+    """§8.4.2.2.1 quarter-pel luma MC of a w×h block whose full-pel anchor
+    in the PADDED reference plane is (x0, y0)."""
+    xi = x0 + (mvx >> 2)
+    yi = y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    if yi - 2 < 0 or xi - 2 < 0 or yi + h + 3 > ref.shape[0] \
+            or xi + w + 3 > ref.shape[1]:
+        raise ValueError("motion vector outside the supported padded range")
+    if fx == 0 and fy == 0:
+        return ref[yi:yi + h, xi:xi + w]
+    R = ref[yi - 2:yi + h + 3, xi - 2:xi + w + 3]  # (h+5, w+5)
+    G = R[2:2 + h, 2:2 + w]
+    if fy == 0:  # a / b / c row
+        b = np.clip((_h6u(R[2:2 + h, :], w) + 16) >> 5, 0, 255)
+        if fx == 1:
+            return (G + b + 1) >> 1
+        if fx == 2:
+            return b
+        return (b + R[2:2 + h, 3:3 + w] + 1) >> 1
+    if fx == 0:  # d / h / n column
+        hh = np.clip((_v6u(R[:, 2:2 + w], h) + 16) >> 5, 0, 255)
+        if fy == 1:
+            return (G + hh + 1) >> 1
+        if fy == 2:
+            return hh
+        return (hh + R[3:3 + h, 2:2 + w] + 1) >> 1
+    # both components fractional: e f g / i j k / p q r
+    bq = hq = j = None
+    if fy in (1, 3):  # b (row 2) or s (row 3)
+        row = 2 if fy == 1 else 3
+        bq = np.clip((_h6u(R[row:row + h, :], w) + 16) >> 5, 0, 255)
+    if fx in (1, 3):  # h (col 2) or m (col 3)
+        col = 2 if fx == 1 else 3
+        hq = np.clip((_v6u(R[:, col:col + w], h) + 16) >> 5, 0, 255)
+    if fx == 2 or fy == 2:  # j from UNROUNDED horizontal intermediates
+        j = np.clip((_v6u(_h6u(R, w), h) + 512) >> 10, 0, 255)
+    if fx == 2 and fy == 2:
+        return j
+    if fx == 2:
+        return (j + bq + 1) >> 1  # f (fy=1) / q (fy=3)
+    if fy == 2:
+        return (j + hq + 1) >> 1  # i (fx=1) / k (fx=3)
+    return (bq + hq + 1) >> 1     # e / g / p / r
+
+
+def _mc_chroma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+               mvx: int, mvy: int) -> np.ndarray:
+    """§8.4.2.2.2 eighth-pel bilinear chroma MC (4:2:0: the luma
+    quarter-pel MV addresses the half-resolution grid at 1/8 precision)."""
+    xi = x0 + (mvx >> 3)
+    yi = y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    if yi < 0 or xi < 0 or yi + h + 1 > ref.shape[0] \
+            or xi + w + 1 > ref.shape[1]:
+        raise ValueError("motion vector outside the supported padded range")
+    A = ref[yi:yi + h, xi:xi + w]
+    B = ref[yi:yi + h, xi + 1:xi + w + 1]
+    C = ref[yi + 1:yi + h + 1, xi:xi + w]
+    D = ref[yi + 1:yi + h + 1, xi + 1:xi + w + 1]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+def _pred_inter_block(refpic: _RefPic, bx: int, by: int, w4: int, h4: int,
+                      mv) -> tuple:
+    """(Y, Cb, Cr) prediction for a partition at 4x4-block coords (bx, by)
+    spanning w4×h4 blocks, all from one L0 reference."""
+    p = _RefPic.PAD
+    y = _mc_luma(refpic.Y, 4 * bx + p, 4 * by + p, 4 * w4, 4 * h4,
+                 int(mv[0]), int(mv[1]))
+    cb = _mc_chroma(refpic.Cb, 2 * bx + p // 2, 2 * by + p // 2,
+                    2 * w4, 2 * h4, int(mv[0]), int(mv[1]))
+    cr = _mc_chroma(refpic.Cr, 2 * bx + p // 2, 2 * by + p // 2,
+                    2 * w4, 2 * h4, int(mv[0]), int(mv[1]))
+    return y, cb, cr
+
+
+def _nbr(fr: _Frame, by: int, bx: int):
+    """(mb_avail, refIdxN, mvN) of 4x4 block (by, bx) per §8.4.1.3.2:
+    unavailable (outside picture, other slice, or not yet decoded in
+    PARSE order) → (False, -1, 0); available-but-intra → (True, -1, 0)."""
+    H, W = fr.refi.shape
+    if by < 0 or bx < 0 or by >= H or bx >= W:
+        return False, -1, _MV0
+    if not fr.same_slice(by >> 2, bx >> 2):
+        return False, -1, _MV0
+    if not (fr.mvdec[by, bx] or fr.mb_done[by >> 2, bx >> 2]):
+        return False, -1, _MV0
+    r = int(fr.refi[by, bx])
+    if r < 0:
+        return True, -1, _MV0
+    return True, r, fr.mv[by, bx]
+
+
+def _mv_pred(fr: _Frame, bx: int, by: int, w4: int, h4: int, refidx: int,
+             kind: "str | None" = None) -> np.ndarray:
+    """§8.4.1.3 luma MV predictor for the partition whose top-left 4x4
+    block is (bx, by), spanning w4×h4 blocks.  ``kind`` selects the
+    16x8/8x16 directional shortcuts (MB partitions only)."""
+    aA, rA, mA = _nbr(fr, by, bx - 1)
+    aB, rB, mB = _nbr(fr, by - 1, bx)
+    aC, rC, mC = _nbr(fr, by - 1, bx + w4)
+    if not aC:
+        aC, rC, mC = _nbr(fr, by - 1, bx - 1)  # D substitution (§6.4.11.7)
+    if kind == "16x8_top" and rB == refidx:
+        return np.array(mB, dtype=np.int32)
+    if kind == "16x8_bot" and rA == refidx:
+        return np.array(mA, dtype=np.int32)
+    if kind == "8x16_left" and rA == refidx:
+        return np.array(mA, dtype=np.int32)
+    if kind == "8x16_right" and rC == refidx:
+        return np.array(mC, dtype=np.int32)
+    matches = [m for r, m in ((rA, mA), (rB, mB), (rC, mC)) if r == refidx]
+    if len(matches) == 1:
+        return np.array(matches[0], dtype=np.int32)
+    if not aB and not aC and aA:
+        return np.array(mA, dtype=np.int32)
+    return np.array([sorted((int(mA[0]), int(mB[0]), int(mC[0])))[1],
+                     sorted((int(mA[1]), int(mB[1]), int(mC[1])))[1]],
+                    dtype=np.int32)
+
+
+def _skip_mv(fr: _Frame, bx: int, by: int) -> np.ndarray:
+    """§8.4.1.1 P_Skip luma MV: zero when a 16x16 edge condition holds,
+    else the 16x16 predictor with refIdx 0."""
+    aA, rA, mA = _nbr(fr, by, bx - 1)
+    aB, rB, mB = _nbr(fr, by - 1, bx)
+    if (not aA) or (not aB) \
+            or (rA == 0 and mA[0] == 0 and mA[1] == 0) \
+            or (rB == 0 and mB[0] == 0 and mB[1] == 0):
+        return np.zeros(2, dtype=np.int32)
+    return _mv_pred(fr, bx, by, 4, 4, 0)
+
+
+def _set_part(fr: _Frame, bx: int, by: int, w4: int, h4: int,
+              refidx: int, mv) -> None:
+    fr.mv[by:by + h4, bx:bx + w4] = mv
+    fr.refi[by:by + h4, bx:bx + w4] = refidx
+    fr.mvdec[by:by + h4, bx:bx + w4] = True
+
+
+def _te(br: BitReader, rng: int) -> int:
+    """Truncated exp-golomb (te(v), §9.1.1)."""
+    if rng == 1:
+        return 1 - br.u(1)
+    return br.ue()
+
+
+# Table 7-13 P partitions / Table 7-17 sub-partitions, in 4x4-block units
+# (offset_x, offset_y, width, height[, mvp kind])
+_P_PARTS = {
+    0: ((0, 0, 4, 4, None),),
+    1: ((0, 0, 4, 2, "16x8_top"), (0, 2, 4, 2, "16x8_bot")),
+    2: ((0, 0, 2, 4, "8x16_left"), (2, 0, 2, 4, "8x16_right")),
+}
+_SUB_PARTS = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+
+def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int):
+    """Motion-compensate one inter MB from its per-4x4 mv/refi grids.
+    Per-4x4 MC equals per-partition MC exactly — interpolation is
+    per-sample separable — so partition shapes need no special casing."""
+    bx0, by0 = 4 * mbx, 4 * mby
+    predY = np.empty((16, 16), dtype=np.int64)
+    predCb = np.empty((8, 8), dtype=np.int64)
+    predCr = np.empty((8, 8), dtype=np.int64)
+    for yb in range(4):
+        for xb in range(4):
+            r = int(fr.refi[by0 + yb, bx0 + xb])
+            pY, pCb, pCr = _pred_inter_block(
+                refs[r], bx0 + xb, by0 + yb, 1, 1, fr.mv[by0 + yb, bx0 + xb])
+            predY[4 * yb:4 * yb + 4, 4 * xb:4 * xb + 4] = pY
+            predCb[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCb
+            predCr[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCr
+    return predY, predCb, predCr
+
+
+def _recon_inter(fr: _Frame, mbx: int, mby: int, predY, predCb, predCr,
+                 luma_coeffs: list, chroma, qp: int, coff: int) -> None:
+    px, py = 16 * mbx, 16 * mby
+    bx0, by0 = 4 * mbx, 4 * mby
+    for i in range(16):
+        x, y = _BLK_XY[i]
+        res = itransform4x4(dequant4x4(np.asarray(luma_coeffs[i]), qp))
+        fr.Y[py + y:py + y + 4, px + x:px + x + 4] = np.clip(
+            predY[y:y + 4, x:x + 4] + res, 0, 255)
+    _recon_chroma_resid(fr, mbx, mby, predCb, predCr, chroma, qp, coff)
+    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2  # inter neighbor ⇒ DC (§8.3.1.1)
+    fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
+
+
+def _recon_pskip(fr: _Frame, refs: list, mbx: int, mby: int,
+                 qp: int) -> None:
+    """Reconstruct one P_Skip MB (§8.4.1.1 MV, refIdx 0, no residual) —
+    shared verbatim by the decoder loop and the fixture encoder."""
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    bx0, by0 = 4 * mbx, 4 * mby
+    mv = _skip_mv(fr, bx0, by0)
+    _set_part(fr, bx0, by0, 4, 4, 0, mv)
+    pY, pCb, pCr = _pred_inter_block(refs[0], bx0, by0, 4, 4, mv)
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+    fr.Y[py:py + 16, px:px + 16] = pY
+    fr.Cb[cy:cy + 8, cx:cx + 8] = pCb
+    fr.Cr[cy:cy + 8, cx:cx + 8] = pCr
+    fr.tcY[by0:by0 + 4, bx0:bx0 + 4] = 0
+    fr.tcCb[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    fr.tcCr[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+    fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
+
+
+def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
+                 coff: int, refs: list, nref: int,
+                 t8_allowed: bool = False) -> int:
+    """Parse + reconstruct one non-skip P-slice macroblock (§7.3.5,
+    CAVLC).  Returns the updated QP."""
+    mb_type = br.ue()
+    if mb_type >= 5:  # intra MB inside a P slice (Table 7-13 offset)
+        return _decode_mb(br, fr, mbx, mby, qp, coff,
+                          t8_allowed=t8_allowed, mb_type=mb_type - 5)
+    if t8_allowed:
+        raise ValueError("8x8 transform on inter MBs not supported: "
+                         "needs the PyAV seam")
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    bx0, by0 = 4 * mbx, 4 * mby
+    if mb_type <= 2:
+        parts = _P_PARTS[mb_type]
+        ridx = [(_te(br, nref) if nref > 1 else 0) for _ in parts]
+        for (ox, oy, w4, h4, kind), r in zip(parts, ridx):
+            if r >= len(refs):
+                raise ValueError("ref_idx beyond DPB")
+            mvd = np.array([br.se(), br.se()], dtype=np.int32)
+            mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r, kind)
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mvp + mvd)
+    elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
+        subs = [br.ue() for _ in range(4)]
+        if any(s_ > 3 for s_ in subs):
+            raise ValueError(f"bad sub_mb_type {subs}")
+        ridx = [(_te(br, nref) if (mb_type == 3 and nref > 1) else 0)
+                for _ in range(4)]
+        if any(r >= len(refs) for r in ridx):
+            raise ValueError("ref_idx beyond DPB")
+        for b8 in range(4):
+            obx, oby = 2 * (b8 & 1), 2 * (b8 >> 1)
+            for ox, oy, w4, h4 in _SUB_PARTS[subs[b8]]:
+                mvd = np.array([br.se(), br.se()], dtype=np.int32)
+                mvp = _mv_pred(fr, bx0 + obx + ox, by0 + oby + oy,
+                               w4, h4, ridx[b8])
+                _set_part(fr, bx0 + obx + ox, by0 + oby + oy,
+                          w4, h4, ridx[b8], mvp + mvd)
+    else:
+        raise ValueError(f"bad P-slice mb_type {mb_type}")
+    predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby)
+    cbp = CBP_INTER[br.ue()]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + br.se() + 52) % 52
+    luma_coeffs = _parse_luma_residuals(br, fr, bx0, by0, cbp_luma)
+    chroma = _parse_chroma_residuals(br, fr, 2 * mbx, 2 * mby, cbp_chroma)
+    _recon_inter(fr, mbx, mby, predY, predCb, predCr, luma_coeffs, chroma,
+                 qp, coff)
+    return qp
 
 
 # ---------------------------------------------------------------------------
