@@ -1563,13 +1563,61 @@ def split_annexb(stream: bytes):
 
 
 def iter_avc_nals(sample: bytes, length_size: int = 4):
-    """NALs of one MP4 avc1 sample (length-prefixed)."""
+    """(nal_type, rbsp) NALs of one MP4 avc1 sample (length-prefixed)."""
+    for nt, _, rbsp in iter_avc_nals_hdr(sample, length_size):
+        yield nt, rbsp
+
+
+def iter_avc_nals_hdr(sample: bytes, length_size: int = 4):
+    """(nal_type, nal_ref_idc, rbsp) NALs of one MP4 avc1 sample."""
     i = 0
     while i + length_size <= len(sample):
         ln = int.from_bytes(sample[i:i + length_size], "big")
         i += length_size
-        yield sample[i] & 0x1F, rbsp_from_ebsp(sample[i + 1:i + ln])
+        yield (sample[i] & 0x1F, (sample[i] >> 5) & 3,
+               rbsp_from_ebsp(sample[i + 1:i + ln]))
         i += ln
+
+
+class GopDecoder:
+    """Stateful access-unit decoder shared by the Annex-B and MP4 walks:
+    decodes IDR pictures and CAVLC P pictures against a DPB (most recent
+    reference first — the default list-0 order); every other AU shape
+    (B, non-IDR I, CABAC P, P over a broken reference chain) is SKIPPED
+    without entropy decoding, preserving the I-sampling semantics, and a
+    skipped REFERENCE picture clears the DPB so later P pictures cannot
+    silently predict from the wrong frame."""
+
+    def __init__(self, sps: dict, pps: dict):
+        self.sps, self.pps = sps, pps
+        self.dpb: list = []
+
+    def decode_au(self, nals: list):
+        """nals: [(nal_type, nal_ref_idc, rbsp)] slice NALs of ONE access
+        unit.  Returns (Y, Cb, Cr) uint8 planes, or None if skipped."""
+        if not nals:
+            return None
+        idr = nals[0][0] == 5
+        br0 = BitReader(nals[0][2])
+        br0.ue()  # first_mb
+        st0 = br0.ue() % 5
+        is_ref = any(ri for _, ri, _ in nals)
+        if not (idr or (st0 == 0 and not self.pps.get("entropy")
+                        and self.dpb)):
+            if is_ref and not idr:
+                self.dpb = []
+            return None
+        planes = decode_picture(
+            [r for _, _, r in nals], self.sps, self.pps,
+            refs=[] if idr else self.dpb,
+            nal_types=[nt for nt, _, _ in nals],
+            ref_idcs=[ri for _, ri, _ in nals])
+        if idr:
+            self.dpb = []
+        if is_ref:
+            self.dpb.insert(0, _RefPic(*planes))
+            del self.dpb[max(1, self.sps.get("max_num_ref_frames", 1)):]
+        return planes
 
 
 def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
@@ -1598,37 +1646,20 @@ def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
     frames = []
     idx = 0
     cur: list = []   # [(nal_type, nal_ref_idc, rbsp)] of the current AU
-    dpb: list = []   # _RefPic, most recent first
+    gop: list = [None]  # GopDecoder, rebuilt when SPS/PPS change
 
     def flush():
-        nonlocal idx, cur, dpb
+        nonlocal idx, cur
         if not cur:
             return
-        idr = cur[0][0] == 5
-        br0 = BitReader(cur[0][2])
-        br0.ue()  # first_mb
-        st0 = br0.ue() % 5
-        # decodable here: IDR, or a CAVLC P picture with a live ref chain.
-        # Everything else (B, non-IDR I, CABAC P, P after a broken chain)
-        # keeps the sampling semantics: counted, never entropy-decoded.
-        if idr or (st0 == 0 and not pps.get("entropy") and dpb):
-            refs = [] if idr else dpb
-            Y, Cb, Cr = decode_picture(
-                [r for _, _, r in cur], sps, pps, refs=refs,
-                nal_types=[nt for nt, _, _ in cur],
-                ref_idcs=[ri for _, ri, _ in cur])
-            if idr:
-                dpb = []
-            if any(ri for _, ri, _ in cur):  # this picture is a reference
-                dpb.insert(0, _RefPic(Y, Cb, Cr))
-                del dpb[max(1, sps.get("max_num_ref_frames", 1)):]
-            if idx % every == 0:
-                img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
-                       if rgb else (Y[: sps["height"], : sps["width"]],
-                                    Cb, Cr))
-                frames.append((idx, img))
-        elif not idr and any(ri for _, ri, _ in cur):
-            dpb = []  # an undecoded reference picture breaks the chain
+        if gop[0] is None:
+            gop[0] = GopDecoder(sps, pps)
+        planes = gop[0].decode_au(cur)
+        if planes is not None and idx % every == 0:
+            Y, Cb, Cr = planes
+            img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
+                   if rgb else (Y[: sps["height"], : sps["width"]], Cb, Cr))
+            frames.append((idx, img))
         idx += 1
         cur = []
 
@@ -1636,9 +1667,11 @@ def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
         if nal_type == 7:
             flush()
             sps = parse_sps(rbsp)
+            gop[0] = None
         elif nal_type == 8:
             flush()
             pps = parse_pps(rbsp)
+            gop[0] = None
         elif nal_type in (1, 5):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")

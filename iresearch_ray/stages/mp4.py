@@ -12,12 +12,14 @@ codec in stages/jpeg.py — frame sampling never entropy-decodes skipped
 samples, mirroring stages/avi.py.
 
 ALSO real (r5): ``decode_mp4_h264`` — avc1 tracks decode IN-ENGINE via
-the from-scratch I-frame decoder (stages/h264.py), BOTH entropy coders
-(CAVLC and CABAC) and BOTH transform sizes (4x4 and the High-profile
-8x8): avcC SPS/PPS parse, length-prefixed NAL walk, IDR-only sampling
-(non-IDR samples are skipped without entropy decode, mirroring the
-MJPEG samplers).  What remains at the PyAV seam: P/B reconstruction,
-H.265/VP9/AV1.
+the from-scratch decoder (stages/h264.py), BOTH entropy coders (CAVLC
+and CABAC) and BOTH transform sizes (4x4 and the High-profile 8x8) for
+I pictures, plus CAVLC P pictures (quarter-pel inter prediction,
+P_Skip, DPB with default list order): avcC SPS/PPS parse,
+length-prefixed NAL walk, one sample = one access unit.  Sample shapes
+the engine cannot decode (CABAC P, B) are skipped without entropy
+decode, mirroring the MJPEG samplers.  What remains at the PyAV seam:
+CABAC-P/B reconstruction, weighted prediction, H.265/VP9/AV1.
 
 The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
 ``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and
@@ -318,10 +320,11 @@ def _parse_avcc(avcc: bytes) -> tuple[int, list[bytes], list[bytes]]:
 
 def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     """[(frame index, (h, w, 3) uint8 RGB)] for every k-th sample of an
-    avc1 track, decoded by the from-scratch I-frame decoder
-    (stages/h264.py; CAVLC and CABAC).  Non-IDR samples (P/B frames) are
-    SKIPPED without entropy decoding — the IDR-only sampling semantics
-    that mirror the AVI sampler's skip."""
+    avc1 track, decoded by the from-scratch decoder (stages/h264.py).
+    IDR and CAVLC P samples decode fully (one sample = one access unit;
+    the DPB follows the default short-term order); other sample shapes
+    (B, CABAC P) are SKIPPED without entropy decoding — the IDR-sampling
+    semantics that mirror the AVI sampler's skip."""
     from iresearch_ray.stages import h264
 
     if every < 1:
@@ -334,16 +337,22 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     length_size, sps_nals, pps_nals = _parse_avcc(t["avcC"])
     sps = h264.parse_sps(h264.rbsp_from_ebsp(sps_nals[0][1:]))
     pps = h264.parse_pps(h264.rbsp_from_ebsp(pps_nals[0][1:]))
+    gop = h264.GopDecoder(sps, pps)
     out = []
-    for f in range(0, t["n_frames"], every):
+    for f in range(t["n_frames"]):
         off, size = t["spans"][f]
-        slices = [rbsp for nal_type, rbsp in h264.iter_avc_nals(
-            payload[off : off + size], length_size) if nal_type == 5]
-        # non-IDR NALs (type 1 — P/B samples) yield no slices: skipped,
-        # never entropy-decoded
-        if not slices:
+        nals = [(nt, ri, rbsp) for nt, ri, rbsp in h264.iter_avc_nals_hdr(
+            payload[off : off + size], length_size) if nt in (1, 5)]
+        if nals and nals[0][0] == 5 and f % every:
+            # unsampled IDR: skip the decode entirely (the old IDR-only
+            # fast path); clearing the DPB keeps any P that depended on
+            # it from silently predicting across the gap
+            gop.dpb = []
             continue
-        Y, Cb, Cr = h264.decode_idr_picture(slices, sps, pps)
+        planes = gop.decode_au(nals)
+        if planes is None or f % every:
+            continue
+        Y, Cb, Cr = planes
         if rgb:
             out.append((f, h264._yuv420_to_rgb(
                 Y, Cb, Cr, t["width"], t["height"])))
@@ -354,48 +363,39 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
 
 def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
                     kinds: str = "mixed", deblock_idc: int = 1,
-                    entropy: str = "cavlc") -> bytes:
+                    entropy: str = "cavlc", gop: str = "i",
+                    p_kinds: str = "pmix") -> bytes:
     """(h, w, 3) uint8 frames → a minimal avc1 MP4 (one mdat, one chunk,
-    4-byte-length-prefixed IDR NALs, avcC with one SPS/PPS) through the
-    from-scratch I-frame encoder — the REAL-fixture generator for
+    4-byte-length-prefixed NALs, avcC with one SPS/PPS) through the
+    from-scratch encoder — the REAL-fixture generator for
     decode_mp4_h264.  ``entropy``: 'cavlc' (Baseline) or 'cabac' (Main
-    profile; 'pcm' MB kinds become i16)."""
+    profile).  ``gop``/``p_kinds`` as in h264.encode_h264_annexb: a
+    pattern over {'i','p'} cycled across frames (one sample per access
+    unit; P samples get nal_ref_idc 2, so real demuxers see a Baseline
+    IPP stream)."""
     from iresearch_ray.stages import h264
 
     if not frames:
         raise ValueError("need at least one frame")
-    cabac = entropy == "cabac"
-    t8 = kinds in ("i8", "mixed8")
-    profile = 100 if t8 else (77 if cabac else 66)
     h, w = frames[0].shape[:2]
-    w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
-    sps_rbsp = h264.write_sps(w_mbs, h_mbs, w, h, profile=profile)
-    pps_rbsp = h264.write_pps(entropy=1 if cabac else 0,
-                              transform_8x8=1 if t8 else 0)
-    sps = h264.parse_sps(sps_rbsp)
-    pps = h264.parse_pps(pps_rbsp)
-    sps_nal = h264._nal(7, sps_rbsp)
-    pps_nal = h264._nal(8, pps_rbsp)
-    cycle = ("i16", "i4", "pcm")
-    cycle8 = ("i16", "i4", "i8", "pcm")
-
-    def kind_fn(mbx, mby):
-        if kinds == "mixed":
-            return cycle[(mbx + mby) % 3]
-        if kinds == "mixed8":
-            return cycle8[(mbx + mby) % 4]
-        return kinds
-
-    slice_fn = h264.encode_iframe_slice_cabac if cabac \
-        else h264.encode_iframe_slice
-    samples = []
     for fimg in frames:
         if fimg.shape[:2] != (h, w):
             raise ValueError("all frames must share one shape")
-        src = h264.rgb_to_yuv420(fimg)
-        nal = h264._nal(5, slice_fn(src, sps, pps, qp, kind_fn,
-                                    deblock_idc=deblock_idc))
-        samples.append(struct.pack(">I", len(nal)) + nal)
+    stream = h264.encode_h264_annexb(
+        frames, qp=qp, kinds=kinds, deblock_idc=deblock_idc,
+        entropy=entropy, gop=gop, p_kinds=p_kinds)
+    sps_nal = pps_nal = None
+    profile = 66
+    samples = []
+    for nt, ri, rbsp in h264.split_annexb_hdr(stream):
+        nal = bytes([(ri << 5) | nt]) + h264.ebsp_from_rbsp(rbsp)
+        if nt == 7:
+            sps_nal = nal
+            profile = h264.parse_sps(rbsp)["profile"]
+        elif nt == 8:
+            pps_nal = nal
+        elif nt in (1, 5):
+            samples.append(struct.pack(">I", len(nal)) + nal)
 
     avcc = (bytes([1, profile, 0, 20, 0xFC | 3, 0xE0 | 1])
             + struct.pack(">H", len(sps_nal)) + sps_nal

@@ -438,11 +438,12 @@ class FrameSample:
     an ISO-BMFF MP4 sample table (stages/mp4.py) and decodes Motion-JPEG
     tracks — in both, every frame is an independent JPEG, so skipped
     frames are never entropy-decoded; ``decoder="h264_mp4"`` REALLY decodes
-    avc1 tracks with the from-scratch I-frame decoder (stages/h264.py:
-    CAVLC and CABAC, 4x4 and High-profile 8x8 transforms — IDR frames
-    only, P/B samples skipped without entropy decode); ``"fake"`` keeps
+    avc1 tracks with the from-scratch decoder (stages/h264.py: CAVLC and
+    CABAC I pictures, 4x4 and High-profile 8x8 transforms, AND CAVLC
+    P pictures — quarter-pel inter prediction, P_Skip, DPB; CABAC-P/B
+    samples are skipped without entropy decode); ``"fake"`` keeps
     the deterministic stand-in; a real deployment swaps in PyAV only for
-    what is left (P/B recon, webm/vp9/H.265)."""
+    what is left (CABAC-P/B recon, weighted pred, webm/vp9/H.265)."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake"):

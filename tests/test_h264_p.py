@@ -257,6 +257,31 @@ def test_cabac_gop_raises():
                                 entropy="cabac")
 
 
+def test_mp4_avc1_p_frames_roundtrip_and_sampling():
+    """avc1 MP4 with an IPPP GOP: every sample decodes through the MP4
+    walk (one sample = one access unit), and every=2 sampling still
+    threads the P reference chain (sampled frames byte-match the full
+    decode)."""
+    from iresearch_ray.stages import mp4
+
+    frames = _gop_frames(4, h=32, w=48, seed=5)
+    v = mp4.encode_mp4_h264(frames, fps=5, qp=20, kinds="i16", gop="ippp",
+                            p_kinds="pmix")
+    meta = mp4.mp4_meta(v)
+    assert (meta["codec"], meta["n_frames"]) == ("avc1", 4)
+    out = mp4.decode_mp4_h264(v, every=1, rgb=False)
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    for (i, (Y, _, _)), f in zip(out, frames):
+        src = h264.rgb_to_yuv420(f)[0].astype(int)
+        assert np.abs(Y.astype(int) - src).mean() < 4.0, i
+    full = dict(out)
+    out2 = mp4.decode_mp4_h264(v, every=2, rgb=False)
+    assert [i for i, _ in out2] == [0, 2]
+    for i, planes in out2:
+        for a, b in zip(planes, full[i]):
+            assert np.array_equal(a, b)
+
+
 def test_golden_p_stream_and_planes_pinned():
     """sha256-pinned P-stream golden: any change to the inter bitstream
     layout, MV prediction, interpolation, or deblock bS derivation shows
