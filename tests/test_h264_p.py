@@ -32,16 +32,17 @@ def _noise_frame(h=48, w=48, seed=3):
 def test_mc_luma_affine_exact_all_16_positions():
     """The 6-tap [1,-5,20,20,-5,1]/32 reproduces affine signals exactly,
     and the quarter-pel averages stay exact when the quarter step is an
-    integer — so a slope-4 ramp pins every one of the 16 sub-pel
-    positions analytically."""
-    h = w = 8
-    pad = 8
+    integer — so a ramp pins every one of the 16 sub-pel positions
+    analytically.  ASYMMETRIC slopes (4/pel in x, 8/pel in y) so a
+    transposed position mapping cannot cancel out."""
+    h = w = 6
+    pad = 6
     ys, xs = np.mgrid[0:h + 2 * pad, 0:w + 2 * pad]
-    ref = (4 * xs + 4 * ys).astype(np.int64)  # max 4*46 = 184 < 256
+    ref = (4 * xs + 8 * ys).astype(np.int64)  # max 12*17 = 204 < 256
     for mvy in range(-4, 8):
         for mvx in range(-4, 8):
             got = h264._mc_luma(ref, pad, pad, w, h, mvx, mvy)
-            want = ref[pad:pad + h, pad:pad + w] + mvx + mvy
+            want = ref[pad:pad + h, pad:pad + w] + mvx + 2 * mvy
             assert np.array_equal(got, want), (mvx, mvy)
 
 
@@ -54,15 +55,16 @@ def test_mc_luma_integer_copy_and_bounds():
 
 
 def test_mc_chroma_affine_exact_all_64_positions():
-    """Bilinear eighth-pel on a slope-8 ramp is exact at every fraction."""
-    h = w = 4
-    pad = 4
+    """Bilinear eighth-pel on an asymmetric ramp (8/pel x, 16/pel y) is
+    exact at every fraction."""
+    h = w = 3
+    pad = 3
     ys, xs = np.mgrid[0:h + 2 * pad, 0:w + 2 * pad]
-    ref = (8 * xs + 8 * ys).astype(np.int64)  # max 8*22 = 176
+    ref = (8 * xs + 16 * ys).astype(np.int64)  # max 24*8 = 192
     for mvy in range(-8, 16):
         for mvx in range(-8, 16):
             got = h264._mc_chroma(ref, pad, pad, w, h, mvx, mvy)
-            want = ref[pad:pad + h, pad:pad + w] + mvx + mvy
+            want = ref[pad:pad + h, pad:pad + w] + mvx + 2 * mvy
             assert np.array_equal(got, want), (mvx, mvy)
 
 
