@@ -2097,14 +2097,17 @@ def _search_mv(refpic: _RefPic, srcY, px: int, py: int, w: int, h: int,
 
 
 def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
-                          coff: int, kind: str, refs: list):
+                          coff: int, kind: str, refs: list,
+                          nref: int = 1):
     """(bitstring, skip_ok) for one inter MB against the CURRENT recon
     state.  Partitions are planned sequentially against scratch MV state
     (the same predictor chain the decoder will run), the residual is
     quantized, the TRUE coded_block_pattern derived, and spec-order CAVLC
-    emitted.  skip_ok means the MB reconstructs identically as P_Skip
-    (16x16, searched MV == P_Skip MV, zero residual) — the caller then
-    emits no bits and bumps mb_skip_run instead."""
+    emitted.  With ``nref`` > 1 each partition (each 8x8 quadrant for
+    p8x8) picks the best of the first ``nref`` DPB entries and signals
+    ref_idx_l0 as te(v).  skip_ok means the MB reconstructs identically
+    as P_Skip (16x16, ref 0, searched MV == P_Skip MV, zero residual) —
+    the caller then emits no bits and bumps mb_skip_run instead."""
     sy, scb, scr = src
     bx0, by0 = 4 * mbx, 4 * mby
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
@@ -2123,23 +2126,46 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
         for b8 in range(4):
             obx, oby = 2 * (b8 & 1), 2 * (b8 >> 1)
             for ox, oy, w4, h4 in _SUB_PARTS[subs[b8]]:
-                plist.append((obx + ox, oby + oy, w4, h4, None))
+                plist.append((obx + ox, oby + oy, w4, h4, b8))
     else:
         raise ValueError(f"unknown inter MB kind {kind!r}")
+    nref = min(nref, len(refs))
     # scratch MV window: plan mutates it for the in-MB predictor chain,
     # then restores — the decoder drive is the one true state advance
     sl = np.s_[by0:by0 + 4, bx0:bx0 + 4]
     save = (fr.mv[sl].copy(), fr.refi[sl].copy(), fr.mvdec[sl].copy())
     try:
-        mvds = []
+        mvds, ridx = [], []
+        quad_ref = {}  # p8x8: one ref per 8x8 quadrant (spec shape)
         for ox, oy, w4, h4, pk in plist:
-            mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, 0, pk)
-            mv = _search_mv(refs[0], sy, px + 4 * ox, py + 4 * oy,
-                            4 * w4, 4 * h4, mvp)
+            kind_arg = pk if isinstance(pk, str) else None
+            if isinstance(pk, int) and pk in quad_ref:
+                cand_refs = [quad_ref[pk]]
+            else:
+                cand_refs = range(nref)
+            best = None
+            for r in cand_refs:
+                mvp_r = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r,
+                                 kind_arg)
+                mv_r = _search_mv(refs[r], sy, px + 4 * ox, py + 4 * oy,
+                                  4 * w4, 4 * h4, mvp_r)
+                p = _RefPic.PAD
+                c = int(np.abs(
+                    _mc_luma(refs[r].Y, px + 4 * ox + p, py + 4 * oy + p,
+                             4 * w4, 4 * h4, int(mv_r[0]), int(mv_r[1]))
+                    - sy[py + 4 * oy:py + 4 * oy + 4 * h4,
+                         px + 4 * ox:px + 4 * ox + 4 * w4]).sum())
+                if best is None or c < best[0]:
+                    best = (c, r, mv_r, mvp_r)
+            _, r, mv, mvp = best
+            if isinstance(pk, int):
+                quad_ref[pk] = r
+            ridx.append(r)
             mvds.append((int(mv[0] - mvp[0]), int(mv[1] - mvp[1])))
-            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, 0, mv)
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv)
         predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby)
         mv16 = fr.mv[by0, bx0].copy()
+        ref16 = int(fr.refi[by0, bx0])
     finally:
         fr.mv[sl], fr.refi[sl], fr.mvdec[sl] = save
     # residual quantization + true CBP
@@ -2173,16 +2199,25 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
     any_dc = any(np.any(d) for d in cdc)
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
     cbp = cbp_luma | (cbp_chroma << 4)
-    if kind == "p16" and cbp == 0 and skipmv is not None \
+    if kind == "p16" and cbp == 0 and ref16 == 0 and skipmv is not None \
             and int(mv16[0]) == int(skipmv[0]) \
             and int(mv16[1]) == int(skipmv[1]):
         return "", True
-    # emit (§7.3.5): mb_type, [sub types], mvds, cbp, qp_delta, residuals
+    # emit (§7.3.5): mb_type, [sub types], [ref_idx], mvds, cbp,
+    # qp_delta, residuals
     bw = _StrBits()
     bw.ue(mb_type)
     if subs is not None:
         for s_ in subs:
             bw.ue(s_)
+    if nref > 1:
+        to_signal = [quad_ref[b8] for b8 in range(4)] if subs is not None \
+            else ridx
+        for r in to_signal:
+            if nref == 2:
+                bw.u(1 - r, 1)  # te(v), cMax = 1
+            else:
+                bw.ue(r)
     for dx, dy in mvds:
         bw.se(dx)
         bw.se(dy)
@@ -2217,7 +2252,7 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
                         kind_fn, frame_num: int, first_mb: int = 0,
                         n_mbs: "int | None" = None,
                         fr: "_Frame | None" = None,
-                        deblock_idc: int = 1) -> bytes:
+                        deblock_idc: int = 1, nref: int = 1) -> bytes:
     """One non-IDR P slice RBSP.  ``kind_fn(mbx, mby) -> 'p16' | 'p16x8' |
     'p8x16' | 'p8x8' | 'i16' | 'i4'``; 'p16' MBs collapse to P_Skip when
     the searched MV equals the P_Skip MV and the residual quantizes to
@@ -2233,7 +2268,12 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
     hb.ue(pps["pps_id"])
     hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
          sps["log2_max_frame_num"])
-    hb.u(0, 1)                    # num_ref_idx_active_override_flag
+    nref = max(1, min(nref, len(refs)))
+    if nref != pps.get("num_ref_idx_l0_default", 1):
+        hb.u(1, 1)                # num_ref_idx_active_override_flag
+        hb.ue(nref - 1)
+    else:
+        hb.u(0, 1)
     hb.u(0, 1)                    # ref_pic_list_modification_flag_l0
     hb.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
     hb.se(qp - pps["pic_init_qp"])
@@ -2260,7 +2300,7 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
             skip_ok = False
         else:
             mb_bits, skip_ok = _encode_mb_bits_inter(
-                src, fr, mbx, mby, cur_qp, coff, kind, refs)
+                src, fr, mbx, mby, cur_qp, coff, kind, refs, nref=nref)
         if skip_ok:
             pending += 1
             _recon_pskip(fr, refs, mbx, mby, cur_qp)
@@ -2273,7 +2313,7 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
         br.pos = start
         assert br.ue() == pending, "skip-run drift"
         pending = 0
-        cur_qp = _decode_mb_p(br, fr, mbx, mby, cur_qp, coff, refs, 1)
+        cur_qp = _decode_mb_p(br, fr, mbx, mby, cur_qp, coff, refs, nref)
         assert br.pos == len(bits), (
             f"encoder/decoder bit drift at MB ({mbx},{mby}): "
             f"{br.pos} != {len(bits)}"
@@ -2372,7 +2412,7 @@ def rgb_to_yuv420(frame: np.ndarray):
 def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
                        entropy: str = "cavlc", gop: str = "i",
-                       p_kinds: str = "pmix") -> bytes:
+                       p_kinds: str = "pmix", n_refs: int = 1) -> bytes:
     """RGB frames -> Annex-B H.264 stream.  ``kinds`` (I pictures): 'pcm'
     (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
     transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
@@ -2388,8 +2428,9 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
 
     ``gop``: a pattern over {'i', 'p'} cycled across frames (frame 0 is
     always IDR) — e.g. 'ippp' emits an IDR then three P pictures per
-    cycle.  P pictures are CAVLC-only (single reference = the previous
-    decoded picture, post-loop-filter, as the spec requires);
+    cycle.  P pictures are CAVLC-only, referencing the last ``n_refs``
+    decoded pictures (post-loop-filter, as the spec requires; each
+    partition signals ref_idx_l0 as te(v) when n_refs > 1);
     ``p_kinds``: 'pmix' (cycles p16/p16x8/p8x16/p8x8/intra-in-P) or one
     explicit P MB kind."""
     if not frames:
@@ -2412,7 +2453,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
     profile = 100 if t8 else (77 if cabac else 66)
     sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile,
-                         num_ref_frames=1 if has_p else 0)
+                         num_ref_frames=n_refs if has_p else 0)
     pps_rbsp = write_pps(entropy=1 if cabac else 0,
                          transform_8x8=1 if t8 else 0)
     sps = parse_sps(sps_rbsp)
@@ -2459,7 +2500,8 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                 rbsp = encode_pframe_slice(
                     src, sps, pps, qp, dpb, kind_fn_p, frame_num,
                     first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
-                    fr=fr, deblock_idc=deblock_idc)
+                    fr=fr, deblock_idc=deblock_idc,
+                    nref=min(n_refs, len(dpb)))
                 fr.cur_slice += 1
                 out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=2))
         if has_p:
@@ -2470,7 +2512,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                 fr.deblock[si] = (deblock_idc, 0, 0)
             if deblock_idc != 1:
                 deblock_picture(fr, pps)
-            dpb = [_RefPic(fr.Y, fr.Cb, fr.Cr)]
+            if ftype == "i":
+                dpb = []
+            dpb.insert(0, _RefPic(fr.Y, fr.Cb, fr.Cr))
+            del dpb[max(1, n_refs):]
             frame_num = (frame_num + 1) % (1 << sps["log2_max_frame_num"])
     return b"".join(out)
 
@@ -2888,9 +2933,10 @@ def _set_part(fr: _Frame, bx: int, by: int, w4: int, h4: int,
     fr.mvdec[by:by + h4, bx:bx + w4] = True
 
 
-def _te(br: BitReader, rng: int) -> int:
-    """Truncated exp-golomb (te(v), §9.1.1)."""
-    if rng == 1:
+def _te(br: BitReader, cmax: int) -> int:
+    """Truncated exp-golomb (te(v), §9.1.1): a single inverted bit when
+    the value range is [0, 1], plain ue(v) otherwise."""
+    if cmax == 1:
         return 1 - br.u(1)
     return br.ue()
 
@@ -2983,7 +3029,7 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     bx0, by0 = 4 * mbx, 4 * mby
     if mb_type <= 2:
         parts = _P_PARTS[mb_type]
-        ridx = [(_te(br, nref) if nref > 1 else 0) for _ in parts]
+        ridx = [(_te(br, nref - 1) if nref > 1 else 0) for _ in parts]
         for (ox, oy, w4, h4, kind), r in zip(parts, ridx):
             if r >= len(refs):
                 raise ValueError("ref_idx beyond DPB")
@@ -2994,7 +3040,7 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
         subs = [br.ue() for _ in range(4)]
         if any(s_ > 3 for s_ in subs):
             raise ValueError(f"bad sub_mb_type {subs}")
-        ridx = [(_te(br, nref) if (mb_type == 3 and nref > 1) else 0)
+        ridx = [(_te(br, nref - 1) if (mb_type == 3 and nref > 1) else 0)
                 for _ in range(4)]
         if any(r >= len(refs) for r in ridx):
             raise ValueError("ref_idx beyond DPB")

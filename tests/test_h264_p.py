@@ -259,6 +259,36 @@ def test_cabac_gop_raises():
                                 entropy="cabac")
 
 
+@pytest.mark.parametrize("n_refs", [2, 3])
+def test_multiple_reference_frames(n_refs):
+    """Alternating scenes make the 2-back reference a near-perfect match
+    while the previous frame is noise — so the encoder must pick
+    ref_idx 1 (signalled as te(v): single inverted bit at 2 refs, ue(v)
+    at 3) and the decoder must motion-compensate from the right DPB
+    entry.  Evidence: the multi-ref P NALs are far smaller AND decode
+    far closer to the source than the single-ref encode of the same
+    sequence."""
+    rng = _rng(17)
+    A = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    B = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    seq = [A, B, A, B]  # frames 2/3 match refs two back, not one back
+    sizes = {}
+    for nr in (1, n_refs):
+        st = h264.encode_h264_annexb(seq, qp=16, kinds="pcm", gop="ippp",
+                                     p_kinds="p16", n_refs=nr)
+        nals = st.split(b"\x00\x00\x00\x01")[1:]
+        sizes[nr] = sum(len(n) for n in nals[4:])  # P NALs of frames 2+3
+        out = h264.decode_annexb(st, rgb=False)
+        assert [i for i, _ in out] == [0, 1, 2, 3]
+        if nr > 1:
+            # frame 2 = scene A over a LOSSLESS 2-back A reference: the
+            # encoder must pick ref_idx 1 with zero MV and zero residual,
+            # so it decodes byte-identical to the PCM IDR
+            for a, b in zip(out[2][1], out[0][1]):
+                assert np.array_equal(a, b)
+    assert sizes[n_refs] < sizes[1] / 4, sizes
+
+
 def test_mp4_avc1_p_frames_roundtrip_and_sampling():
     """avc1 MP4 with an IPPP GOP: every sample decodes through the MP4
     walk (one sample = one access unit), and every=2 sampling still
