@@ -1447,8 +1447,6 @@ def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
     mb_skip_run interleaving, §7.3.4)."""
     if pps.get("entropy"):
         raise ValueError("CABAC P slices not supported: needs the PyAV seam")
-    if pps.get("weighted_pred"):
-        raise ValueError("weighted prediction not supported")
     if not refs:
         raise ValueError("P slice without reference pictures")
     br.ue()  # pps id
@@ -1459,6 +1457,23 @@ def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
         nref = br.ue() + 1
     if br.u(1):  # ref_pic_list_modification_flag_l0
         raise ValueError("ref_pic_list_modification not supported")
+    wp = None
+    if pps.get("weighted_pred"):
+        # pred_weight_table (§7.3.3.2): explicit per-ref luma/chroma
+        # weights; absent flags default to the identity (1 << denom, 0)
+        ld = br.ue()
+        cd = br.ue()
+        wp = []
+        for _ in range(nref):
+            wY, oY = 1 << ld, 0
+            wCb = wCr = 1 << cd
+            oCb = oCr = 0
+            if br.u(1):
+                wY, oY = br.se(), br.se()
+            if br.u(1):
+                wCb, oCb = br.se(), br.se()
+                wCr, oCr = br.se(), br.se()
+            wp.append((ld, wY, oY, cd, wCb, oCb, wCr, oCr))
     if nal_ref_idc:
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("adaptive ref-pic marking (MMCO) not supported")
@@ -1482,13 +1497,13 @@ def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
         for _ in range(skip_run):
             if mb >= total:
                 raise ValueError("mb_skip_run past end of picture")
-            _recon_pskip(fr, refs, mb % W, mb // W, qp)
+            _recon_pskip(fr, refs, mb % W, mb // W, qp, wp)
             mb += 1
         if mb >= total or br.pos >= end:
             break
         qp = _decode_mb_p(br, fr, mb % W, mb // W, qp,
                           pps["chroma_qp_index_offset"], refs, nref,
-                          t8_allowed=bool(pps.get("transform_8x8")))
+                          t8_allowed=bool(pps.get("transform_8x8")), wp=wp)
         mb += 1
     fr.cur_slice += 1
     return first_mb
@@ -2059,17 +2074,21 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
 
 
 def _search_mv(refpic: _RefPic, srcY, px: int, py: int, w: int, h: int,
-               mvp) -> np.ndarray:
+               mvp, wp_luma=None) -> np.ndarray:
     """Deterministic two-stage block-matching search: full-pel windows
     around the rounded predictor and around (0, 0), then quarter-pel
-    refinement around the best (SAD cost; ties break toward smaller
-    |mv| then raster order, so the fixture streams are reproducible)."""
+    refinement around the best (SAD cost against the — optionally
+    weighted — prediction; ties break toward smaller |mv| then raster
+    order, so the fixture streams are reproducible)."""
     tgt = srcY[py:py + h, px:px + w].astype(np.int64)
     p = _RefPic.PAD
 
     def cost(mv):
-        return int(np.abs(_mc_luma(refpic.Y, px + p, py + p, w, h,
-                                   mv[0], mv[1]) - tgt).sum())
+        pred = _mc_luma(refpic.Y, px + p, py + p, w, h, mv[0], mv[1])
+        if wp_luma is not None:
+            den, wv, ov = wp_luma
+            pred = _apply_wp(pred, wv, ov, den)
+        return int(np.abs(pred - tgt).sum())
 
     def key(mv):
         return (abs(mv[0]) + abs(mv[1]), mv[1], mv[0])
@@ -2098,7 +2117,7 @@ def _search_mv(refpic: _RefPic, srcY, px: int, py: int, w: int, h: int,
 
 def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
                           coff: int, kind: str, refs: list,
-                          nref: int = 1):
+                          nref: int = 1, wp: "list | None" = None):
     """(bitstring, skip_ok) for one inter MB against the CURRENT recon
     state.  Partitions are planned sequentially against scratch MV state
     (the same predictor chain the decoder will run), the residual is
@@ -2145,16 +2164,20 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
                 cand_refs = range(nref)
             best = None
             for r in cand_refs:
+                wpl = (wp[r][0], wp[r][1], wp[r][2]) if wp else None
                 mvp_r = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r,
                                  kind_arg)
                 mv_r = _search_mv(refs[r], sy, px + 4 * ox, py + 4 * oy,
-                                  4 * w4, 4 * h4, mvp_r)
+                                  4 * w4, 4 * h4, mvp_r, wp_luma=wpl)
                 p = _RefPic.PAD
+                pred_r = _mc_luma(refs[r].Y, px + 4 * ox + p,
+                                  py + 4 * oy + p, 4 * w4, 4 * h4,
+                                  int(mv_r[0]), int(mv_r[1]))
+                if wpl is not None:
+                    pred_r = _apply_wp(pred_r, wpl[1], wpl[2], wpl[0])
                 c = int(np.abs(
-                    _mc_luma(refs[r].Y, px + 4 * ox + p, py + 4 * oy + p,
-                             4 * w4, 4 * h4, int(mv_r[0]), int(mv_r[1]))
-                    - sy[py + 4 * oy:py + 4 * oy + 4 * h4,
-                         px + 4 * ox:px + 4 * ox + 4 * w4]).sum())
+                    pred_r - sy[py + 4 * oy:py + 4 * oy + 4 * h4,
+                                px + 4 * ox:px + 4 * ox + 4 * w4]).sum())
                 if best is None or c < best[0]:
                     best = (c, r, mv_r, mvp_r)
             _, r, mv, mvp = best
@@ -2163,7 +2186,7 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
             ridx.append(r)
             mvds.append((int(mv[0] - mvp[0]), int(mv[1] - mvp[1])))
             _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv)
-        predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby)
+        predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby, wp)
         mv16 = fr.mv[by0, bx0].copy()
         ref16 = int(fr.refi[by0, bx0])
     finally:
@@ -2252,7 +2275,8 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
                         kind_fn, frame_num: int, first_mb: int = 0,
                         n_mbs: "int | None" = None,
                         fr: "_Frame | None" = None,
-                        deblock_idc: int = 1, nref: int = 1) -> bytes:
+                        deblock_idc: int = 1, nref: int = 1,
+                        wp: "list | None" = None) -> bytes:
     """One non-IDR P slice RBSP.  ``kind_fn(mbx, mby) -> 'p16' | 'p16x8' |
     'p8x16' | 'p8x8' | 'i16' | 'i4'``; 'p16' MBs collapse to P_Skip when
     the searched MV equals the P_Skip MV and the residual quantizes to
@@ -2275,6 +2299,33 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
     else:
         hb.u(0, 1)
     hb.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    if pps.get("weighted_pred"):
+        # pred_weight_table — one shared denom pair, per-ref weights
+        if wp is None:
+            wp = [(0, 1, 0, 0, 1, 0, 1, 0)] * nref  # identity
+        if len(wp) < nref or len({(e[0], e[3]) for e in wp[:nref]}) != 1:
+            raise ValueError("wp must cover nref refs with one denom pair")
+        wp = list(wp[:nref])
+        ld, cd = wp[0][0], wp[0][3]
+        hb.ue(ld)
+        hb.ue(cd)
+        for dY, wY, oY, dC, wCb, oCb, wCr, oCr in wp:
+            if (wY, oY) != (1 << ld, 0):
+                hb.u(1, 1)
+                hb.se(wY)
+                hb.se(oY)
+            else:
+                hb.u(0, 1)
+            if (wCb, oCb, wCr, oCr) != (1 << cd, 0, 1 << cd, 0):
+                hb.u(1, 1)
+                hb.se(wCb)
+                hb.se(oCb)
+                hb.se(wCr)
+                hb.se(oCr)
+            else:
+                hb.u(0, 1)
+    else:
+        wp = None
     hb.u(0, 1)                    # adaptive_ref_pic_marking_mode_flag
     hb.se(qp - pps["pic_init_qp"])
     if pps["deblocking_control"]:
@@ -2300,10 +2351,11 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
             skip_ok = False
         else:
             mb_bits, skip_ok = _encode_mb_bits_inter(
-                src, fr, mbx, mby, cur_qp, coff, kind, refs, nref=nref)
+                src, fr, mbx, mby, cur_qp, coff, kind, refs, nref=nref,
+                wp=wp)
         if skip_ok:
             pending += 1
-            _recon_pskip(fr, refs, mbx, mby, cur_qp)
+            _recon_pskip(fr, refs, mbx, mby, cur_qp, wp)
             continue
         run = _StrBits()
         run.ue(pending)
@@ -2313,7 +2365,8 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
         br.pos = start
         assert br.ue() == pending, "skip-run drift"
         pending = 0
-        cur_qp = _decode_mb_p(br, fr, mbx, mby, cur_qp, coff, refs, nref)
+        cur_qp = _decode_mb_p(br, fr, mbx, mby, cur_qp, coff, refs, nref,
+                              wp=wp)
         assert br.pos == len(bits), (
             f"encoder/decoder bit drift at MB ({mbx},{mby}): "
             f"{br.pos} != {len(bits)}"
@@ -2364,7 +2417,8 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
     return bw.getvalue()
 
 
-def write_pps(entropy: int = 0, transform_8x8: int = 0) -> bytes:
+def write_pps(entropy: int = 0, transform_8x8: int = 0,
+              weighted_pred: int = 0) -> bytes:
     bw = BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -2373,7 +2427,7 @@ def write_pps(entropy: int = 0, transform_8x8: int = 0) -> bytes:
     bw.ue(0)      # num_slice_groups_minus1
     bw.ue(0)      # num_ref_idx_l0
     bw.ue(0)      # num_ref_idx_l1
-    bw.u(0, 1)    # weighted_pred
+    bw.u(weighted_pred, 1)
     bw.u(0, 2)    # weighted_bipred
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
@@ -2412,7 +2466,8 @@ def rgb_to_yuv420(frame: np.ndarray):
 def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
                        entropy: str = "cavlc", gop: str = "i",
-                       p_kinds: str = "pmix", n_refs: int = 1) -> bytes:
+                       p_kinds: str = "pmix", n_refs: int = 1,
+                       p_weights: "list | None" = None) -> bytes:
     """RGB frames -> Annex-B H.264 stream.  ``kinds`` (I pictures): 'pcm'
     (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
     transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
@@ -2432,7 +2487,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     decoded pictures (post-loop-filter, as the spec requires; each
     partition signals ref_idx_l0 as te(v) when n_refs > 1);
     ``p_kinds``: 'pmix' (cycles p16/p16x8/p8x16/p8x8/intra-in-P) or one
-    explicit P MB kind."""
+    explicit P MB kind.  ``p_weights``: per-ref explicit weighted-pred
+    tuples (denY, wY, oY, denC, wCb, oCb, wCr, oCr) — sets the PPS
+    weighted_pred flag and writes a pred_weight_table on every P
+    slice."""
     if not frames:
         raise ValueError("need at least one frame")
     if entropy not in ("cavlc", "cabac"):
@@ -2455,7 +2513,8 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile,
                          num_ref_frames=n_refs if has_p else 0)
     pps_rbsp = write_pps(entropy=1 if cabac else 0,
-                         transform_8x8=1 if t8 else 0)
+                         transform_8x8=1 if t8 else 0,
+                         weighted_pred=1 if p_weights else 0)
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
@@ -2501,7 +2560,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                     src, sps, pps, qp, dpb, kind_fn_p, frame_num,
                     first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
                     fr=fr, deblock_idc=deblock_idc,
-                    nref=min(n_refs, len(dpb)))
+                    nref=min(n_refs, len(dpb)), wp=p_weights)
                 fr.cur_slice += 1
                 out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=2))
         if has_p:
@@ -2749,10 +2808,12 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
 #     P_Skip, intra MBs inside P slices, multiple short-term references
 #     (default list order = most recent first; no reordering, no MMCO,
 #     no long-term), quarter-pel luma (§8.4.2.2.1 6-tap) and eighth-pel
-#     bilinear chroma MC, unrestricted MVs via edge padding.
+#     bilinear chroma MC, unrestricted MVs via edge padding, and
+#     explicit weighted prediction (§7.3.3.2 pred_weight_table +
+#     §8.4.2.3.2 — fades).
 #   - NOT here (raise into the documented PyAV seam): B/SP/SI slices,
-#     CABAC-coded P slices, weighted prediction, ref-list modification,
-#     adaptive marking, 8x8 transform on inter MBs, interlace.
+#     CABAC-coded P slices, ref-list modification, adaptive marking,
+#     8x8 transform on inter MBs, interlace.
 # Verification stance is the same as CAVLC-I: the fixture encoder drives
 # the decoder's own parse+recon body per MB, plus full-stream decode-back
 # asserts and analytic cases (static scene ⇒ all-skip identity; integer
@@ -2956,10 +3017,20 @@ _SUB_PARTS = {
 }
 
 
-def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int):
+def _apply_wp(pred: np.ndarray, w: int, o: int, den: int) -> np.ndarray:
+    """§8.4.2.3.2 explicit weighted sample prediction (P, single list)."""
+    if den:
+        return np.clip(((pred * w + (1 << (den - 1))) >> den) + o, 0, 255)
+    return np.clip(pred * w + o, 0, 255)
+
+
+def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int,
+           wp: "list | None" = None):
     """Motion-compensate one inter MB from its per-4x4 mv/refi grids.
     Per-4x4 MC equals per-partition MC exactly — interpolation is
-    per-sample separable — so partition shapes need no special casing."""
+    per-sample separable — so partition shapes need no special casing.
+    ``wp``: per-ref explicit weights
+    (denY, wY, oY, denC, wCb, oCb, wCr, oCr) or None (default pred)."""
     bx0, by0 = 4 * mbx, 4 * mby
     predY = np.empty((16, 16), dtype=np.int64)
     predCb = np.empty((8, 8), dtype=np.int64)
@@ -2969,6 +3040,11 @@ def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int):
             r = int(fr.refi[by0 + yb, bx0 + xb])
             pY, pCb, pCr = _pred_inter_block(
                 refs[r], bx0 + xb, by0 + yb, 1, 1, fr.mv[by0 + yb, bx0 + xb])
+            if wp is not None:
+                dY, wYv, oY, dC, wCb, oCb, wCr, oCr = wp[r]
+                pY = _apply_wp(pY, wYv, oY, dY)
+                pCb = _apply_wp(pCb, wCb, oCb, dC)
+                pCr = _apply_wp(pCr, wCr, oCr, dC)
             predY[4 * yb:4 * yb + 4, 4 * xb:4 * xb + 4] = pY
             predCb[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCb
             predCr[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCr
@@ -2992,14 +3068,15 @@ def _recon_inter(fr: _Frame, mbx: int, mby: int, predY, predCb, predCr,
 
 
 def _recon_pskip(fr: _Frame, refs: list, mbx: int, mby: int,
-                 qp: int) -> None:
-    """Reconstruct one P_Skip MB (§8.4.1.1 MV, refIdx 0, no residual) —
-    shared verbatim by the decoder loop and the fixture encoder."""
+                 qp: int, wp: "list | None" = None) -> None:
+    """Reconstruct one P_Skip MB (§8.4.1.1 MV, refIdx 0, no residual;
+    weighted prediction applies to skip MBs too) — shared verbatim by
+    the decoder loop and the fixture encoder."""
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby
     mv = _skip_mv(fr, bx0, by0)
     _set_part(fr, bx0, by0, 4, 4, 0, mv)
-    pY, pCb, pCr = _pred_inter_block(refs[0], bx0, by0, 4, 4, mv)
+    pY, pCb, pCr = _mc_mb(fr, refs, mbx, mby, wp)
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     fr.Y[py:py + 16, px:px + 16] = pY
     fr.Cb[cy:cy + 8, cx:cx + 8] = pCb
@@ -3015,7 +3092,8 @@ def _recon_pskip(fr: _Frame, refs: list, mbx: int, mby: int,
 
 def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                  coff: int, refs: list, nref: int,
-                 t8_allowed: bool = False) -> int:
+                 t8_allowed: bool = False,
+                 wp: "list | None" = None) -> int:
     """Parse + reconstruct one non-skip P-slice macroblock (§7.3.5,
     CAVLC).  Returns the updated QP."""
     mb_type = br.ue()
@@ -3054,7 +3132,7 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                           w4, h4, ridx[b8], mvp + mvd)
     else:
         raise ValueError(f"bad P-slice mb_type {mb_type}")
-    predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby)
+    predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby, wp)
     cbp = CBP_INTER[br.ue()]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:

@@ -19,7 +19,7 @@ P_Skip, DPB with default list order): avcC SPS/PPS parse,
 length-prefixed NAL walk, one sample = one access unit.  Sample shapes
 the engine cannot decode (CABAC P, B) are skipped without entropy
 decode, mirroring the MJPEG samplers.  What remains at the PyAV seam:
-CABAC-P/B reconstruction, weighted prediction, H.265/VP9/AV1.
+CABAC-P/B reconstruction, H.265/VP9/AV1.
 
 The matching ``encode_mp4_mjpeg`` writes the simplest legal layout (one
 ``mdat``, one chunk, uniform durations, ``jpeg`` VisualSampleEntry) and

@@ -443,7 +443,7 @@ class FrameSample:
     P pictures — quarter-pel inter prediction, P_Skip, DPB; CABAC-P/B
     samples are skipped without entropy decode); ``"fake"`` keeps
     the deterministic stand-in; a real deployment swaps in PyAV only for
-    what is left (CABAC-P/B recon, weighted pred, webm/vp9/H.265)."""
+    what is left (CABAC-P/B recon, webm/vp9/H.265)."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake"):

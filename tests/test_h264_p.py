@@ -289,6 +289,34 @@ def test_multiple_reference_frames(n_refs):
     assert sizes[n_refs] < sizes[1] / 4, sizes
 
 
+@pytest.mark.parametrize("wp,fade", [
+    # 75% multiplicative fade: w=3, denom=2 — ((v*3 + 2) >> 4-2) matches
+    ((2, 3, 0, 0, 1, 0, 1, 0), lambda v: (v * 3 + 2) >> 2),
+    # additive brightening: denom=0, w=1, o=9
+    ((0, 1, 9, 0, 1, 0, 1, 0), lambda v: v + 9),
+])
+def test_weighted_prediction_fade_exact(wp, fade):
+    """Explicit weighted prediction reproduces a fade EXACTLY: grayscale
+    frames keep Y == gray value and chroma == 128 through the RGB
+    conversion, the faded frame equals the §8.4.2.3.2 weighted transform
+    of the lossless reference, so every P MB has zero residual and the
+    picture decodes byte-identical to the source."""
+    rng = _rng(29)
+    v0 = rng.integers(40, 200, (48, 48), dtype=np.uint8)
+    f0 = np.repeat(v0[:, :, None], 3, axis=2)
+    v1 = fade(v0.astype(np.int64)).astype(np.uint8)
+    f1 = np.repeat(v1[:, :, None], 3, axis=2)
+    st = h264.encode_h264_annexb([f0, f1], qp=20, kinds="pcm", gop="ip",
+                                 p_kinds="p16", p_weights=[wp])
+    out = h264.decode_annexb(st, rgb=False)
+    assert [i for i, _ in out] == [0, 1]
+    Y, Cb, Cr = out[1][1]
+    assert np.array_equal(Y, v1)
+    assert (Cb == 128).all() and (Cr == 128).all()
+    # the whole P picture is weighted P_Skip: header + one skip run
+    assert len(st.split(b"\x00\x00\x00\x01")[-1]) < 12
+
+
 def test_mp4_avc1_p_frames_roundtrip_and_sampling():
     """avc1 MP4 with an IPPP GOP: every sample decodes through the MP4
     walk (one sample = one access unit), and every=2 sampling still
