@@ -1391,16 +1391,21 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
     if st == 0 and nal_type != 5:
         return _decode_pslice_into(fr, br, rbsp, sps, pps, first_mb,
                                    refs or [], nal_ref_idc)
-    if st != 2 or nal_type != 5:
+    if st != 2:
         raise ValueError(
             f"slice_type {slice_type} in nal_type {nal_type} not supported "
-            "(B/SP/SI and non-IDR I slices need the PyAV seam)")
+            "(B/SP/SI slices need the PyAV seam)")
     br.ue()  # pps id
     br.u(sps["log2_max_frame_num"])  # frame_num
-    br.ue()  # idr_pic_id
-    # pic_order_cnt_type == 2 in our streams: nothing; dec_ref_pic_marking
-    br.u(1)  # no_output_of_prior_pics
-    br.u(1)  # long_term_reference
+    # pic_order_cnt_type == 2 in our streams: no POC fields
+    if nal_type == 5:
+        br.ue()  # idr_pic_id
+        br.u(1)  # no_output_of_prior_pics
+        br.u(1)  # long_term_reference
+    elif nal_ref_idc:
+        # non-IDR I (intra refresh): dec_ref_pic_marking, non-IDR form
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("adaptive ref-pic marking (MMCO) not supported")
     qp = pps["pic_init_qp"] + br.se()
     idc, a_off, b_off = 0, 0, 0
     if pps["deblocking_control"]:
@@ -1617,8 +1622,10 @@ class GopDecoder:
         br0.ue()  # first_mb
         st0 = br0.ue() % 5
         is_ref = any(ri for _, ri, _ in nals)
-        if not (idr or (st0 == 0 and not self.pps.get("entropy")
-                        and self.dpb)):
+        # decodable: IDR, non-IDR I (intra refresh — both entropy coders),
+        # or a CAVLC P picture with a live reference chain
+        if not (idr or st0 == 2 or (st0 == 0 and not self.pps.get("entropy")
+                                    and self.dpb)):
             if is_ref and not idr:
                 self.dpb = []
             return None
@@ -2001,7 +2008,8 @@ def _bits_to_bytes(bits: str) -> bytes:
 def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
                         first_mb: int = 0, n_mbs: int | None = None,
                         fr: "_Frame | None" = None,
-                        deblock_idc: int = 1) -> bytes:
+                        deblock_idc: int = 1, idr: bool = True,
+                        frame_num: int = 0) -> bytes:
     """One IDR slice RBSP from (Y, Cb, Cr) source planes (already padded to
     the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.  For a
     multi-slice picture pass the shared ``fr`` plus this slice's MB band
@@ -2017,10 +2025,14 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
     hb.ue(first_mb)               # first_mb_in_slice
     hb.ue(7)                      # slice_type = I (all slices in pic)
     hb.ue(pps["pps_id"])
-    hb.u(0, sps["log2_max_frame_num"])  # frame_num
-    hb.ue(0)                      # idr_pic_id
-    hb.u(0, 1)                    # no_output_of_prior_pics
-    hb.u(0, 1)                    # long_term_reference
+    hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if idr:
+        hb.ue(0)                  # idr_pic_id
+        hb.u(0, 1)                # no_output_of_prior_pics
+        hb.u(0, 1)                # long_term_reference
+    else:
+        hb.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
     hb.se(qp - pps["pic_init_qp"])
     if pps["deblocking_control"]:
         hb.ue(deblock_idc)        # disable_deblocking_filter_idc
@@ -2481,9 +2493,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     (Main profile, §9.3; I_PCM rides the engine-re-init path).  Any
     8x8 kind forces High profile + a transform_8x8_mode PPS.
 
-    ``gop``: a pattern over {'i', 'p'} cycled across frames (frame 0 is
-    always IDR) — e.g. 'ippp' emits an IDR then three P pictures per
-    cycle.  P pictures are CAVLC-only, referencing the last ``n_refs``
+    ``gop``: a pattern over {'i', 'p', 'r'} cycled across frames (frame 0
+    is always IDR) — e.g. 'ippp' emits an IDR then three P pictures per
+    cycle; 'r' emits a NON-IDR intra picture (intra refresh: nal_type 1,
+    I slices, keeps the reference chain instead of resetting it).  P pictures are CAVLC-only, referencing the last ``n_refs``
     decoded pictures (post-loop-filter, as the spec requires; each
     partition signals ref_idx_l0 as te(v) when n_refs > 1);
     ``p_kinds``: 'pmix' (cycles p16/p16x8/p8x16/p8x8/intra-in-P) or one
@@ -2497,9 +2510,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
         raise ValueError(f"entropy must be cavlc|cabac, got {entropy!r}")
     cabac = entropy == "cabac"
     pattern = (gop or "i").lower()
-    if set(pattern) - {"i", "p"}:
-        raise ValueError(f"gop pattern must use only i/p, got {gop!r}")
+    if set(pattern) - {"i", "p", "r"}:
+        raise ValueError(f"gop pattern must use only i/p/r, got {gop!r}")
     has_p = "p" in pattern
+    has_ref_chain = has_p or "r" in pattern
     if has_p and cabac:
         raise ValueError("CABAC P pictures not supported (PyAV seam)")
     t8 = kinds in ("i8", "mixed8")  # High profile: 8x8 transform
@@ -2545,15 +2559,20 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
         ftype = "i" if fi == 0 else pattern[fi % len(pattern)]
         src = rgb_to_yuv420(f)
         fr = _Frame(w_mbs, h_mbs)
-        if ftype == "i":
-            frame_num = 0
+        if ftype in ("i", "r"):
+            idr = ftype == "i"
+            if idr:
+                frame_num = 0
             for si in range(n_slices):
                 rbsp = slice_fn(
                     src, sps, pps, qp, kind_fn,
                     first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
-                    fr=fr, deblock_idc=deblock_idc)
+                    fr=fr, deblock_idc=deblock_idc, idr=idr,
+                    frame_num=frame_num)
                 fr.cur_slice += 1  # mirror the decoder's per-slice increment
-                out.append(b"\x00\x00\x00\x01" + _nal(5, rbsp))
+                out.append(b"\x00\x00\x00\x01"
+                           + _nal(5 if idr else 1, rbsp,
+                                  ref_idc=3 if idr else 2))
         else:
             for si in range(n_slices):
                 rbsp = encode_pframe_slice(
@@ -2563,7 +2582,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                     nref=min(n_refs, len(dpb)), wp=p_weights)
                 fr.cur_slice += 1
                 out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=2))
-        if has_p:
+        if has_ref_chain:
             # the DPB holds the picture the DECODER will hold: recon after
             # the in-loop filter (encoder-side fr.deblock mirrors the
             # headers it just wrote)
@@ -4220,7 +4239,8 @@ def _plan_mb_cabac(src, fr: _Frame, mbx: int, mby: int, qp: int,
 def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
                               first_mb: int = 0, n_mbs: int | None = None,
                               fr: "_Frame | None" = None,
-                              deblock_idc: int = 1) -> bytes:
+                              deblock_idc: int = 1, idr: bool = True,
+                              frame_num: int = 0) -> bytes:
     """One CABAC IDR slice RBSP.  The planner picks values; _mb_cabac —
     the decoder's own parse+recon body, running over a _CabacWrite — emits
     the bins and advances reconstruction, so encoder recon == decoder
@@ -4231,10 +4251,14 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
     hb.ue(first_mb)
     hb.ue(7)                      # slice_type = I (all slices in pic)
     hb.ue(pps["pps_id"])
-    hb.u(0, sps["log2_max_frame_num"])
-    hb.ue(0)                      # idr_pic_id
-    hb.u(0, 1)                    # no_output_of_prior_pics
-    hb.u(0, 1)                    # long_term_reference
+    hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if idr:
+        hb.ue(0)                  # idr_pic_id
+        hb.u(0, 1)                # no_output_of_prior_pics
+        hb.u(0, 1)                # long_term_reference
+    else:
+        hb.u(0, 1)                # adaptive_ref_pic_marking_mode_flag
     hb.se(qp - pps["pic_init_qp"])
     if pps["deblocking_control"]:
         hb.ue(deblock_idc)

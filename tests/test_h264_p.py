@@ -253,6 +253,29 @@ def test_idr_resets_reference_chain():
     assert [i for i, _ in out] == [0, 1, 2, 3]
 
 
+def test_non_idr_intra_refresh():
+    """gop pattern 'r' emits NON-IDR intra pictures (nal_type 1, I
+    slices, non-IDR header): they decode in BOTH entropy coders and keep
+    the reference chain alive for following P pictures."""
+    frames = _gop_frames(4)
+    # CAVLC: i p r p — the final P references the refresh picture
+    st = h264.encode_h264_annexb(frames, qp=22, kinds="i16", gop="iprp",
+                                 p_kinds="p16")
+    out = h264.decode_annexb(st, rgb=False)
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    for (i, (Y, _, _)), f in zip(out, frames):
+        src = h264.rgb_to_yuv420(f)[0].astype(int)
+        assert np.abs(Y.astype(int) - src).mean() < 4.0, i
+    # the refresh NAL really is non-IDR (type 1) and carries I slices
+    nal_types = [nt for nt, _ in h264.split_annexb(st)]
+    assert nal_types == [7, 8, 5, 1, 1, 1]
+    # CABAC: non-IDR I pictures decode too (unlike CABAC P, which skips)
+    st2 = h264.encode_h264_annexb(frames[:2], qp=22, kinds="i16", gop="ir",
+                                  entropy="cabac")
+    out2 = h264.decode_annexb(st2, rgb=False)
+    assert [i for i, _ in out2] == [0, 1]
+
+
 def test_cabac_gop_raises():
     with pytest.raises(ValueError, match="CABAC P"):
         h264.encode_h264_annexb([_noise_frame()], qp=20, gop="ipp",
