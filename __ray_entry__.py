@@ -716,6 +716,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_bpe(sf):
         return ops.bpe_token_stats(_docs_ds(sf)).to_pandas()
 
+    def mm_frame_sample(sf):
+        # Real in-engine H.264 video decode as a driver surface (r5):
+        # four deterministic avc1 MP4s (IDR + CAVLC P pictures —
+        # quarter-pel MC, P_Skip, mixed partitions, one GOP with a
+        # non-IDR intra refresh) run through the FrameSample actor-pool
+        # stage (decoder='h264_mp4'), sampling every 2nd access unit
+        # while threading the P reference chain.  No SQL oracle (the
+        # decode is not SQL-expressible) — the driver records the
+        # rows-only check; determinism is pinned by the seeded encoder
+        # and integer per-frame pixel sums.
+        import ray.data as rd
+
+        from iresearch_ray.stages.mp4 import encode_mp4_h264
+        from iresearch_ray.stages.multimodal import FrameSample
+
+        rng = np.random.default_rng(451)
+        payloads = []
+        for vid in range(4):
+            base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            vf = [base]
+            for _ in range(3):
+                nxt = np.clip(np.roll(vf[-1], 1, axis=1).astype(int)
+                              + rng.integers(-3, 4, base.shape), 0, 255)
+                vf.append(nxt.astype(np.uint8))
+            payloads.append(encode_mp4_h264(
+                vf, fps=5, qp=18, kinds="i16",
+                gop="ippp" if vid % 2 else "iprp", p_kinds="pmix"))
+        tbl = pa.table({
+            "item_id": pa.array(range(4), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/mp4"] * 4),
+            "n_frames": pa.array([4] * 4, pa.int32()),
+            "fps": pa.array([5.0] * 4, pa.float32()),
+        })
+        out = (rd.from_arrow(tbl)
+               .map_batches(FrameSample(every=2, height=32, width=32,
+                                        decoder="h264_mp4"),
+                            batch_size=2, batch_format="pyarrow",
+                            concurrency=2)
+               .map_batches(lambda b: pa.table({
+                   "item_id": b["item_id"],
+                   "frame_idx": b["frame_idx"],
+                   "pix_sum": pa.array(
+                       np.asarray(b["pixels"].combine_chunks()
+                                  .flatten()).reshape(
+                           b.num_rows, -1).sum(axis=1, dtype=np.int64)),
+               }), batch_format="pyarrow")
+               ).to_pandas()
+        return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+
     def dd_cjk_tokens(sf):
         # Dictionary segmentation e2e (r5, closes VERDICT r4 "missing #2"):
         # the ICU-style Viterbi path (functions/segmentation.py:dict_segment)
@@ -942,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_near_dedup": dd_near_dedup,
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
+        "mm_frame_sample": mm_frame_sample,
         "emb_topk": emb_topk,
         "emb_knn_labels": emb_knn_labels,
         "emb_neardup_pairs": emb_neardup,
