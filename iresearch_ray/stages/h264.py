@@ -66,10 +66,13 @@ class BitReader:
 
     def u(self, n: int) -> int:
         v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        try:
+            for _ in range(n):
+                byte = self.data[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+        except IndexError:
+            raise ValueError("truncated bitstream") from None
         return v
 
     def ue(self) -> int:
@@ -399,12 +402,18 @@ def decode_residual_block(br: BitReader, nc: int, max_coeffs: int) -> np.ndarray
             tz = _read_vlc(br, _TZ_DEC[tc])
     else:
         tz = 0
+    if tz + tc > max_coeffs:
+        # only reachable on corrupt input: a conforming encoder never
+        # signals more zeros+coefficients than block positions
+        raise ValueError("invalid total_zeros")
     # run_before
     runs = []
     zeros_left = tz
     for i in range(tc - 1):
         if zeros_left > 0:
             run = _read_vlc(br, _RB_DEC[min(zeros_left, 7)])
+            if run > zeros_left:
+                raise ValueError("run_before exceeds zeros_left")
         else:
             run = 0
         runs.append(run)
@@ -748,6 +757,14 @@ CBP_INTER = [
     17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
 ]
 _CBP_INTER_INV = {v: i for i, v in enumerate(CBP_INTER)}
+
+
+def _map_cbp(table: list, code: int) -> int:
+    """codeNum → coded_block_pattern; corrupt streams can yield codeNum
+    ≥ 48, which must surface as ValueError, not IndexError."""
+    if code >= len(table):
+        raise ValueError("invalid coded_block_pattern codeNum")
+    return table[code]
 
 
 # ---------------------------------------------------------------------------
@@ -1203,7 +1220,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
             fr.i4[cy4:cy4 + 2, cx4:cx4 + 2] = mode
             modes8.append(mode)
         chroma_mode = br.ue()
-        cbp = CBP_INTRA[br.ue()]
+        cbp = _map_cbp(CBP_INTRA, br.ue())
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qp = (qp + br.se() + 52) % 52
@@ -1233,7 +1250,7 @@ def _decode_mb(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     if mb_type == 0:  # I_NxN, 4x4 transform
         modes = _parse_i4_modes(br, fr, bx0, by0)
         chroma_mode = br.ue()
-        cbp = CBP_INTRA[br.ue()]
+        cbp = _map_cbp(CBP_INTRA, br.ue())
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qp = (qp + br.se() + 52) % 52
@@ -3152,7 +3169,7 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     else:
         raise ValueError(f"bad P-slice mb_type {mb_type}")
     predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby, wp)
-    cbp = CBP_INTER[br.ue()]
+    cbp = _map_cbp(CBP_INTER, br.ue())
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:
         qp = (qp + br.se() + 52) % 52

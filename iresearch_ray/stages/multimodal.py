@@ -46,6 +46,7 @@ Suggested usage::
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -313,9 +314,13 @@ class ImageDecode:
     """binary payload → fixed-size pixel tensor column (list<uint8> flat,
     plus shape columns).  Actor-pool stage; decoder selected at init."""
 
-    def __init__(self, height: int = 8, width: int = 8, decoder: str = "fake"):
+    def __init__(self, height: int = 8, width: int = 8, decoder: str = "fake",
+                 on_error: str = "raise"):
         self.h, self.w = height, width
         self.decoder = decoder
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+        self.on_error = on_error
         if decoder == "pil":
             try:
                 from PIL import Image  # noqa: F401
@@ -331,49 +336,65 @@ class ImageDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = []
-        for payload in batch["payload"].to_pylist():
-            if self.decoder == "fake":
-                px = _fake_pixels(payload or b"", self.h, self.w)
-            elif self.decoder == "ppm":
-                # REAL decode (P6 container); dimensions come from the
-                # header and must match the declared tensor shape
-                px = decode_ppm(payload or b"")
-                if px.shape != (self.h, self.w, 3):
-                    raise ValueError(
-                        f"PPM is {px.shape[:2]}, stage expects {(self.h, self.w)}"
-                    )
-            elif self.decoder == "png":
-                # REAL compressed decode (stdlib zlib inflate + unfilter)
-                px = _to_rgb(decode_png(payload or b""))
-                if px.shape != (self.h, self.w, 3):
-                    raise ValueError(
-                        f"PNG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
-                    )
-            elif self.decoder == "jpeg":
-                # REAL baseline-JPEG decode (Huffman + IDCT, stages/jpeg.py)
-                px = decode_jpeg(payload or b"")
-                if px.ndim == 2:  # grayscale scan → (h, w, 1) for _to_rgb
-                    px = px[:, :, None]
-                px = _to_rgb(px)
-                if px.shape != (self.h, self.w, 3):
-                    raise ValueError(
-                        f"JPEG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
-                    )
-            else:  # pragma: no cover
-                raise NotImplementedError
+        keep = []
+        for row, payload in enumerate(batch["payload"].to_pylist()):
+            try:
+                px = self._decode(payload)
+            except (ValueError, struct.error, zlib.error):
+                # corrupt payloads at corpus scale: on_error='skip' drops
+                # the row instead of failing the whole pipeline
+                if self.on_error == "raise":
+                    raise
+                continue
+            keep.append(row)
             pixels.append(px.ravel())
         flat = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(pixels) if pixels else np.array([], np.uint8)),
             self.h * self.w * 3,
         )
+        ids = batch["item_id"] if len(keep) == batch.num_rows \
+            else batch["item_id"].take(pa.array(keep, pa.int64()))
         return pa.table(
             {
-                "item_id": batch["item_id"],
+                "item_id": ids,
                 "pixels": flat,
-                "height": pa.array([self.h] * batch.num_rows, pa.int32()),
-                "width": pa.array([self.w] * batch.num_rows, pa.int32()),
+                "height": pa.array([self.h] * len(keep), pa.int32()),
+                "width": pa.array([self.w] * len(keep), pa.int32()),
             }
         )
+
+    def _decode(self, payload) -> np.ndarray:
+        if self.decoder == "fake":
+            return _fake_pixels(payload or b"", self.h, self.w)
+        if self.decoder == "ppm":
+            # REAL decode (P6 container); dimensions come from the
+            # header and must match the declared tensor shape
+            px = decode_ppm(payload or b"")
+            if px.shape != (self.h, self.w, 3):
+                raise ValueError(
+                    f"PPM is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                )
+            return px
+        if self.decoder == "png":
+            # REAL compressed decode (stdlib zlib inflate + unfilter)
+            px = _to_rgb(decode_png(payload or b""))
+            if px.shape != (self.h, self.w, 3):
+                raise ValueError(
+                    f"PNG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                )
+            return px
+        if self.decoder == "jpeg":
+            # REAL baseline-JPEG decode (Huffman + IDCT, stages/jpeg.py)
+            px = decode_jpeg(payload or b"")
+            if px.ndim == 2:  # grayscale scan → (h, w, 1) for _to_rgb
+                px = px[:, :, None]
+            px = _to_rgb(px)
+            if px.shape != (self.h, self.w, 3):
+                raise ValueError(
+                    f"JPEG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                )
+            return px
+        raise NotImplementedError  # pragma: no cover
 
 
 class ImageResize:
@@ -446,50 +467,29 @@ class FrameSample:
     what is left (CABAC-P/B recon, webm/vp9/H.265)."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
-                 decoder: str = "fake"):
+                 decoder: str = "fake", on_error: str = "raise"):
         self.every = every
         self.h, self.w = height, width
         if decoder not in ("fake", "ppm_stream", "mjpeg_avi", "mjpeg_mp4",
                            "h264_mp4"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
         self.decoder = decoder
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, fidx = [], [], []
         for i in range(batch.num_rows):
-            payload = batch["payload"][i].as_py() or b""
-            if self.decoder in ("mjpeg_avi", "mjpeg_mp4", "h264_mp4"):
-                if self.decoder == "mjpeg_avi":
-                    from iresearch_ray.stages.avi import decode_avi_mjpeg as _dec
-                elif self.decoder == "h264_mp4":
-                    from iresearch_ray.stages.mp4 import decode_mp4_h264 as _dec
-                else:
-                    from iresearch_ray.stages.mp4 import decode_mp4_mjpeg as _dec
-
-                for f, px in _dec(payload, every=self.every):
-                    if px.shape != (self.h, self.w, 3):
-                        raise ValueError("frame shape mismatch")
-                    ids.append(batch["item_id"][i].as_py())
-                    fidx.append(f)
-                    frames.append(px.ravel())
-                continue
-            if self.decoder == "ppm_stream":
-                all_frames = decode_ppm_stream(payload)
-                for f in range(0, len(all_frames), self.every):
-                    px = all_frames[f]
-                    if px.shape != (self.h, self.w, 3):
-                        raise ValueError("frame shape mismatch")
-                    ids.append(batch["item_id"][i].as_py())
-                    fidx.append(f)
-                    frames.append(px.ravel())
-                continue
-            n_frames = int(batch["n_frames"][i].as_py())
-            for f in range(0, n_frames, self.every):
-                # frame f = fake-decode of payload salted with the frame index
-                px = _fake_pixels(payload + f.to_bytes(4, "big"), self.h, self.w)
-                ids.append(batch["item_id"][i].as_py())
-                fidx.append(f)
-                frames.append(px.ravel())
+            try:
+                self._one(batch, i, ids, frames, fidx)
+            except (ValueError, struct.error):
+                # corrupt payloads are a fact of life at corpus scale:
+                # on_error='skip' drops the ITEM (its rows simply don't
+                # appear) instead of failing the whole pipeline; 'raise'
+                # (default) keeps strict semantics for fixtures/tests
+                if self.on_error == "raise":
+                    raise
         flat = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(frames) if frames else np.array([], np.uint8)),
             self.h * self.w * 3,
@@ -503,6 +503,49 @@ class FrameSample:
                 "width": pa.array([self.w] * len(ids), pa.int32()),
             }
         )
+
+    def _one(self, batch: pa.Table, i: int, ids, frames, fidx) -> None:
+        """Decode/sample one item, appending its frame rows.  Appends are
+        deferred until each frame is validated, so a mid-item failure
+        under on_error='skip' cannot leave partial rows: rows for an item
+        land all-or-nothing."""
+        out_ids, out_frames, out_fidx = [], [], []
+        payload = batch["payload"][i].as_py() or b""
+        item_id = batch["item_id"][i].as_py()
+        if self.decoder in ("mjpeg_avi", "mjpeg_mp4", "h264_mp4"):
+            if self.decoder == "mjpeg_avi":
+                from iresearch_ray.stages.avi import decode_avi_mjpeg as _dec
+            elif self.decoder == "h264_mp4":
+                from iresearch_ray.stages.mp4 import decode_mp4_h264 as _dec
+            else:
+                from iresearch_ray.stages.mp4 import decode_mp4_mjpeg as _dec
+
+            for f, px in _dec(payload, every=self.every):
+                if px.shape != (self.h, self.w, 3):
+                    raise ValueError("frame shape mismatch")
+                out_ids.append(item_id)
+                out_fidx.append(f)
+                out_frames.append(px.ravel())
+        elif self.decoder == "ppm_stream":
+            all_frames = decode_ppm_stream(payload)
+            for f in range(0, len(all_frames), self.every):
+                px = all_frames[f]
+                if px.shape != (self.h, self.w, 3):
+                    raise ValueError("frame shape mismatch")
+                out_ids.append(item_id)
+                out_fidx.append(f)
+                out_frames.append(px.ravel())
+        else:
+            n_frames = int(batch["n_frames"][i].as_py())
+            for f in range(0, n_frames, self.every):
+                # frame f = fake-decode of payload salted with the frame index
+                px = _fake_pixels(payload + f.to_bytes(4, "big"), self.h, self.w)
+                out_ids.append(item_id)
+                out_fidx.append(f)
+                out_frames.append(px.ravel())
+        ids.extend(out_ids)
+        fidx.extend(out_fidx)
+        frames.extend(out_frames)
 
 
 def synth_ppm_table(n: int, h: int = 8, w: int = 8, seed: int = 42) -> tuple:

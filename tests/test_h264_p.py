@@ -9,8 +9,10 @@ the semantics (all-skip identity, integer-translation exactness, the
 6-tap interpolator reproducing affine signals exactly).
 """
 import hashlib
+import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from iresearch_ray.stages import h264
@@ -363,6 +365,82 @@ def test_mp4_avc1_p_frames_roundtrip_and_sampling():
     for i, planes in out2:
         for a, b in zip(planes, full[i]):
             assert np.array_equal(a, b)
+
+
+def test_corrupt_stream_fuzz_raises_cleanly():
+    """Truncations and byte flips over a real IPPP stream must surface as
+    ValueError (or decode fine when the damage misses live bits) — never
+    IndexError or another internal crash.  At corpus scale corrupt files
+    are a certainty; a clean error type is what on_error='skip' keys on."""
+    frames = _gop_frames(3, h=32, w=32, seed=31)
+    streams = [
+        h264.encode_h264_annexb(frames, qp=22, kinds="i16", gop="ipp",
+                                p_kinds="pmix", deblock_idc=0),
+        h264.encode_h264_annexb(frames[:2], qp=24, kinds="mix",
+                                entropy="cabac"),
+    ]
+    rng = _rng(33)
+    for st in streams:
+        for cut in sorted(rng.integers(10, len(st), 25).tolist()):
+            try:
+                h264.decode_annexb(st[:cut], rgb=False)
+            except ValueError:
+                pass
+        for _ in range(60):
+            pos = int(rng.integers(8, len(st)))
+            bad = bytearray(st)
+            bad[pos] ^= int(rng.integers(1, 256))
+            try:
+                h264.decode_annexb(bytes(bad), rgb=False)
+            except ValueError:
+                pass
+
+
+def test_frame_sample_on_error_skip():
+    """A corrupt video payload in a batch drops ONLY its own rows under
+    on_error='skip' (all-or-nothing per item), and still raises under the
+    default strict mode."""
+    from iresearch_ray.stages import mp4
+    from iresearch_ray.stages.multimodal import FrameSample
+
+    frames = _gop_frames(3, h=32, w=32, seed=35)
+    good = mp4.encode_mp4_h264(frames, fps=5, qp=20, kinds="i16",
+                               gop="ipp", p_kinds="p16")
+    bad = good[:200] + bytes(40) + good[260:]  # clobber moov/mdat bytes
+    batch = pa.table({
+        "item_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([good, bad, good], pa.binary()),
+        "mime": pa.array(["video/mp4"] * 3),
+        "n_frames": pa.array([3] * 3, pa.int32()),
+        "fps": pa.array([5.0] * 3, pa.float32()),
+    })
+    out = FrameSample(every=1, height=32, width=32, decoder="h264_mp4",
+                      on_error="skip")(batch)
+    assert sorted(set(out["item_id"].to_pylist())) == [0, 2]
+    assert out.num_rows == 6  # 3 frames from each surviving item
+    with pytest.raises((ValueError, struct.error)):
+        FrameSample(every=1, height=32, width=32, decoder="h264_mp4")(batch)
+
+
+def test_image_decode_on_error_skip():
+    from iresearch_ray.stages.multimodal import ImageDecode, encode_ppm
+
+    rng = _rng(37)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = encode_ppm(px)
+    batch = pa.table({
+        "item_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([good, b"garbage"], pa.binary()),
+        "mime": pa.array(["image/x-ppm"] * 2),
+        "width": pa.array([8, 8], pa.int32()),
+        "height": pa.array([8, 8], pa.int32()),
+    })
+    out = ImageDecode(height=8, width=8, decoder="ppm", on_error="skip")(batch)
+    assert out["item_id"].to_pylist() == [0]
+    got = np.asarray(out["pixels"].combine_chunks().flatten()).reshape(8, 8, 3)
+    assert np.array_equal(got, px)
+    with pytest.raises(ValueError):
+        ImageDecode(height=8, width=8, decoder="ppm")(batch)
 
 
 def test_golden_p_stream_and_planes_pinned():
