@@ -766,6 +766,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                ).to_pandas()
         return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
 
+    def mm_audio_band(sf):
+        # Real in-engine AUDIO decode as a driver surface (r5): a mixed
+        # WAV + native-FLAC corpus (stages/flac.py — from-scratch RFC 9639
+        # decoder: LPC/fixed subframes, rice partitions, CRC-8/16 + MD5
+        # verified) runs through the AudioDecode → AudioFeatures actor-pool
+        # stages; per item we report the dominant FFT band.  No SQL oracle
+        # (FFT band energies are not SQL-expressible) — the driver records
+        # the rows-only check; determinism is pinned by the seeded synth
+        # corpus and integer band indices, and the physics (band tracks the
+        # seeded sine frequency) is asserted in tests/test_flac.py.
+        import ray.data as rd
+
+        from iresearch_ray.stages.audio import (
+            AudioDecode,
+            AudioFeatures,
+            synth_audio_table,
+        )
+
+        tbl = synth_audio_table(16, sr=8000, secs=0.4, fmt="mixed")
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(AudioDecode(), batch_size=8, batch_format="pyarrow",
+                         concurrency=2)
+            .map_batches(AudioFeatures(), batch_size=8,
+                         batch_format="pyarrow", concurrency=2)
+            .map_batches(lambda b: pa.table({
+                "item_id": b["item_id"],
+                "band": pa.array(
+                    np.asarray(b["embedding"].combine_chunks()
+                               .flatten()).reshape(b.num_rows, -1)[:, 2:]
+                    .argmax(axis=1).astype(np.int64)),
+            }), batch_format="pyarrow")
+        ).to_pandas()
+        return out.sort_values("item_id").reset_index(drop=True)
+
     def dd_cjk_tokens(sf):
         # Dictionary segmentation e2e (r5, closes VERDICT r4 "missing #2"):
         # the ICU-style Viterbi path (functions/segmentation.py:dict_segment)
@@ -993,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
         "mm_frame_sample": mm_frame_sample,
+        "mm_audio_band": mm_audio_band,
         "emb_topk": emb_topk,
         "emb_knn_labels": emb_knn_labels,
         "emb_neardup_pairs": emb_neardup,

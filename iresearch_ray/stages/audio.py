@@ -49,6 +49,20 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Container dispatch on magic bytes: RIFF/WAVE or native FLAC
+    (stages/flac.py — from-scratch RFC 9639 decoder, the format speech
+    corpora actually ship).  Same contract either way: (float32 mono
+    samples in [-1, 1], sample_rate)."""
+    if payload[:4] == b"fLaC":
+        from iresearch_ray.stages.flac import decode_flac
+
+        return decode_flac(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise ValueError("unsupported audio container (expected WAV or FLAC)")
+
+
 def encode_wav(samples: np.ndarray, sr: int) -> bytes:
     """float samples in [-1, 1] → 16-bit PCM mono WAV bytes (the synth-
     corpus writer; also the round-trip partner of decode_wav in tests)."""
@@ -64,12 +78,13 @@ def encode_wav(samples: np.ndarray, sr: int) -> bytes:
 
 
 class AudioDecode:
-    """binary WAV payload → (samples: list<float32>, sample_rate, n_samples)."""
+    """binary WAV/FLAC payload → (samples: list<float32>, sample_rate,
+    n_samples); container dispatch per row, so one batch can mix formats."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         samples, rates = [], []
         for payload in batch["payload"].to_pylist():
-            x, sr = decode_wav(payload)
+            x, sr = decode_audio(payload)
             samples.append(x)
             rates.append(sr)
         flat = np.concatenate(samples) if samples else np.array([], np.float32)
@@ -177,7 +192,7 @@ class AudioFeatures:
 
 def dominant_band(payload: bytes, frame_len: int = 512, n_bands: int = 13) -> int:
     """Index of the strongest FFT band of a clip — test/oracle helper."""
-    x, _sr = decode_wav(payload)
+    x, _sr = decode_audio(payload)
     f = AudioFeatures(frame_len=frame_len, n_bands=n_bands)
     t = f(pa.table({"item_id": pa.array([0], pa.int64()),
                     "samples": pa.array([x.tolist()], pa.list_(pa.float32()))}))
@@ -185,22 +200,33 @@ def dominant_band(payload: bytes, frame_len: int = 512, n_bands: int = 13) -> in
     return int(np.argmax(emb[2:]))
 
 
-def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11) -> pa.Table:
-    """Deterministic REAL-WAV corpus: per item a sine at a seeded frequency
-    plus light noise, encoded as genuine 16-bit PCM RIFF bytes."""
+def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
+                      fmt: str = "wav") -> pa.Table:
+    """Deterministic REAL-audio corpus: per item a sine at a seeded
+    frequency plus light noise.  ``fmt``: "wav" (16-bit PCM RIFF), "flac"
+    (genuinely compressed native FLAC via stages/flac.py), or "mixed"
+    (alternating — exercises AudioDecode's per-row container dispatch)."""
     rng = np.random.default_rng(seed)
     t = np.arange(int(sr * secs)) / sr
-    payloads, freqs = [], []
-    for _ in range(n):
+    payloads, freqs, mimes = [], [], []
+    for i in range(n):
         f = float(rng.integers(200, 3500))
         x = 0.7 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.size)
-        payloads.append(encode_wav(x, sr))
+        use_flac = fmt == "flac" or (fmt == "mixed" and i % 2)
+        if use_flac:
+            from iresearch_ray.stages.flac import encode_flac
+
+            payloads.append(encode_flac(x, sr, bps=16))
+            mimes.append("audio/flac")
+        else:
+            payloads.append(encode_wav(x, sr))
+            mimes.append("audio/wav")
         freqs.append(f)
     return pa.table(
         {
             "item_id": pa.array(range(n), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "mime": pa.array(mimes, pa.string()),
             "freq_hz": pa.array(freqs, pa.float64()),
         }
     )
