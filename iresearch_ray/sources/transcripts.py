@@ -158,3 +158,99 @@ def documents_as_transcripts(sf_dir: str):
             "n_chars": t["n_chars"],
         }
     )
+
+
+# --------------------------------------------------------------- ingestion
+
+_CANON_TYPES = {
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+}
+_REQUIRED = ("conv_id", "turn_idx", "text")
+
+
+def coerce_transcripts(batch: pa.Table) -> pa.Table:
+    """One Arrow batch of raw rows → the canonical transcript schema.
+
+    Casts turn_idx to int32, parses ISO-string / epoch timestamps to
+    timestamp[us], fills the optional columns (role/tool → "", ts → epoch)
+    and drops extras — so JSONL/CSV exports with loose types index
+    identically to curated Parquet.  Vectorized (pyarrow.compute casts),
+    usable directly as a ``map_batches`` stage."""
+    import pyarrow.compute as pc
+
+    for col in _REQUIRED:
+        if col not in batch.column_names:
+            raise ValueError(f"transcripts: missing required column {col!r}")
+    out = {}
+    for name, typ in _CANON_TYPES.items():
+        if name not in batch.column_names:
+            if name == "ts":
+                arr = pa.nulls(batch.num_rows, pa.timestamp("us"))
+                arr = arr.fill_null(0)
+            else:
+                arr = pa.array([""] * batch.num_rows, pa.string())
+            out[name] = arr
+            continue
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if name == "ts" and pa.types.is_string(col.type):
+            # ISO-8601 strings (the common JSONL export shape)
+            col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        elif name == "ts" and pa.types.is_integer(col.type):
+            # integer epoch micros
+            col = col.cast(pa.timestamp("us"))
+        col = col.cast(typ) if col.type != typ else col
+        if name in ("role", "tool"):
+            # CSV readers surface empty cells as nulls — same meaning here
+            col = col.fill_null("")
+        out[name] = col
+    return pa.table(out)
+
+
+def read_transcripts(source, columns: list[str] | None = None):
+    """Format-dispatching transcript reader → ``ray.data.Dataset`` in the
+    canonical schema, ready for ``build_index`` (which accepts a Dataset
+    anywhere it accepts Parquet paths).
+
+    ``source``: path(s) or directory; dispatches on extension —
+    ``.parquet`` via ``read_parquet`` (column-pruned at the read),
+    ``.jsonl``/``.json`` via ``read_json``, ``.csv`` via ``read_csv``.
+    Non-Parquet rows pass through :func:`coerce_transcripts`, so the loose
+    types real JSONL exports carry (int64 turn_idx, ISO-string ts) build
+    byte-identical indexes to curated Parquet."""
+    import os
+
+    import ray.data as rd
+
+    paths = [source] if isinstance(source, str) else list(source)
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if not f.startswith(".")
+            )
+        else:
+            expanded.append(p)
+    exts = {os.path.splitext(p)[1].lower() for p in expanded}
+    if len(exts) != 1:
+        raise ValueError(f"transcripts: mixed/unknown source formats {exts}")
+    ext = exts.pop()
+    if ext == ".parquet":
+        return rd.read_parquet(expanded, columns=columns)
+    if ext in (".jsonl", ".json"):
+        ds = rd.read_json(expanded)
+    elif ext == ".csv":
+        ds = rd.read_csv(expanded)
+    else:
+        raise ValueError(f"transcripts: unsupported extension {ext!r}")
+    ds = ds.map_batches(coerce_transcripts, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
