@@ -176,13 +176,13 @@ _REQUIRED = ("conv_id", "turn_idx", "text")
 def coerce_transcripts(batch: pa.Table) -> pa.Table:
     """One Arrow batch of raw rows → the canonical transcript schema.
 
-    Casts turn_idx to int32, parses ISO-string / epoch timestamps to
-    timestamp[us], fills the optional columns (role/tool → "", ts → epoch)
-    and drops extras — so JSONL/CSV exports with loose types index
-    identically to curated Parquet.  Vectorized (pyarrow.compute casts),
-    usable directly as a ``map_batches`` stage."""
-    import pyarrow.compute as pc
-
+    Casts turn_idx to int32, parses ISO-string (zoned or naive, fractional
+    or whole-second) / epoch-micros (int or float) timestamps to
+    timestamp[us], fills the optional columns (role/tool → "", ts → epoch 0
+    whether the column is absent OR present-but-null) and drops extras —
+    so JSONL/CSV exports with loose types index identically to curated
+    Parquet.  Vectorized (Arrow casts), usable directly as a
+    ``map_batches`` stage."""
     for col in _REQUIRED:
         if col not in batch.column_names:
             raise ValueError(f"transcripts: missing required column {col!r}")
@@ -190,8 +190,7 @@ def coerce_transcripts(batch: pa.Table) -> pa.Table:
     for name, typ in _CANON_TYPES.items():
         if name not in batch.column_names:
             if name == "ts":
-                arr = pa.nulls(batch.num_rows, pa.timestamp("us"))
-                arr = arr.fill_null(0)
+                arr = pa.nulls(batch.num_rows, pa.timestamp("us")).fill_null(0)
             else:
                 arr = pa.array([""] * batch.num_rows, pa.string())
             out[name] = arr
@@ -199,16 +198,24 @@ def coerce_transcripts(batch: pa.Table) -> pa.Table:
         col = batch[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if name == "ts" and pa.types.is_string(col.type):
-            # ISO-8601 strings (the common JSONL export shape)
-            col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
-        elif name == "ts" and pa.types.is_integer(col.type):
-            # integer epoch micros
-            col = col.cast(pa.timestamp("us"))
+        if name == "ts":
+            if pa.types.is_floating(col.type):
+                col = col.cast(pa.int64())  # float epoch micros (JSON)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                try:
+                    # Arrow's ISO-8601 parser: naive strings, any precision
+                    col = col.cast(pa.timestamp("us"))
+                except pa.lib.ArrowInvalid:
+                    # zoned ISO-8601 ('Z' / ±hh:mm) → UTC wall time
+                    col = col.cast(pa.timestamp("us", tz="UTC")).cast(
+                        pa.timestamp("us"))
         col = col.cast(typ) if col.type != typ else col
         if name in ("role", "tool"):
             # CSV readers surface empty cells as nulls — same meaning here
             col = col.fill_null("")
+        elif name == "ts":
+            # consistent with an absent ts column: "no timestamp" = epoch 0
+            col = col.fill_null(0)
         out[name] = col
     return pa.table(out)
 
@@ -228,16 +235,23 @@ def read_transcripts(source, columns: list[str] | None = None):
 
     import ray.data as rd
 
+    known = (".parquet", ".jsonl", ".json", ".csv")
     paths = [source] if isinstance(source, str) else list(source)
     expanded: list[str] = []
     for p in paths:
         if os.path.isdir(p):
+            # keep only recognized DATA files — real export directories
+            # carry _SUCCESS markers, READMEs, nested dirs, checksums
             expanded.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p))
+                fp for f in sorted(os.listdir(p))
                 if not f.startswith(".")
+                and os.path.isfile(fp := os.path.join(p, f))
+                and os.path.splitext(f)[1].lower() in known
             )
         else:
             expanded.append(p)
+    if not expanded:
+        raise ValueError(f"transcripts: no data files found in {source!r}")
     exts = {os.path.splitext(p)[1].lower() for p in expanded}
     if len(exts) != 1:
         raise ValueError(f"transcripts: mixed/unknown source formats {exts}")

@@ -206,6 +206,8 @@ def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
     frequency plus light noise.  ``fmt``: "wav" (16-bit PCM RIFF), "flac"
     (genuinely compressed native FLAC via stages/flac.py), or "mixed"
     (alternating — exercises AudioDecode's per-row container dispatch)."""
+    if fmt not in ("wav", "flac", "mixed"):
+        raise ValueError(f"synth_audio_table: unknown fmt {fmt!r}")
     rng = np.random.default_rng(seed)
     t = np.arange(int(sr * secs)) / sr
     payloads, freqs, mimes = [], [], []

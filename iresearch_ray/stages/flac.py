@@ -74,16 +74,13 @@ def crc16(data: bytes) -> int:
 
 
 class BitReader:
-    """MSB-first reader over an unpacked bit array.
-
-    ``ones`` (positions of set bits) powers the vectorized unary/rice
-    scans; scalar reads use the same array so there is exactly one
-    position cursor."""
+    """MSB-first reader over an unpacked bit array (1 byte of RAM per
+    payload bit; no whole-stream index — rice/unary scans work over local
+    windows so decode cost and memory stay linear in clip length)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.ones = np.flatnonzero(self.bits).astype(np.int64)
         self.pos = 0
 
     def read(self, n: int) -> int:
@@ -101,13 +98,18 @@ class BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
-        i = int(np.searchsorted(self.ones, self.pos))
-        if i >= self.ones.size:
-            raise ValueError("flac: bitstream truncated in unary code")
-        nxt = int(self.ones[i])
-        q = nxt - self.pos
-        self.pos = nxt + 1
-        return q
+        start, win = self.pos, 64
+        while start < self.bits.size:
+            seg = self.bits[start:start + win]
+            nz = np.flatnonzero(seg)
+            if nz.size:
+                nxt = start + int(nz[0])
+                q = nxt - self.pos
+                self.pos = nxt + 1
+                return q
+            start += win
+            win *= 2
+        raise ValueError("flac: bitstream truncated in unary code")
 
     def read_signed_array(self, n: int, width: int) -> np.ndarray:
         """n signed big-endian ints of `width` bits — one vectorized gather."""
@@ -211,30 +213,61 @@ def _read_coded_number(br: BitReader) -> int:
 
 
 def _rice_decode(br: BitReader, n: int, p: int) -> np.ndarray:
-    """Decode n rice(p) codes — vectorized.
+    """Decode n rice(p) codes — vectorized AND linear in stream length.
 
     The terminating '1' of code k is the first set bit at/after its start,
-    and code k+1 starts p+1 bits after that terminator, so the terminator
-    *indices* into ``br.ones`` follow the functional map
-    ``F[i] = searchsorted(ones, ones[i]+1+p)``.  The whole index path is
+    and code k+1 starts p+1 bits after that terminator, so terminator
+    *indices* into the partition's local set-bit list follow the map
+    ``F[i] = searchsorted(ones, ones[i]+1+p)``.  The index path is
     materialized by binary lifting (O(n log n) gathers, no per-sample
-    Python loop), after which quotients are position diffs and all
-    remainders come out of one reshape-gather."""
+    Python loop) over a LOCAL window of the bit array — sized from the
+    expected code length and doubled on under-run — so cost never scales
+    with the whole stream (a per-partition whole-stream index would make
+    decode quadratic in clip length)."""
     if n == 0:
         return np.zeros(0, np.int64)
-    ones = br.ones
-    i0 = int(np.searchsorted(ones, br.pos))
-    if i0 >= ones.size:
-        raise ValueError("flac: bitstream truncated in rice partition")
     if n == 1:
         q = br.read_unary()
         rem = br.read(p)
         u = (q << p) | rem
         return np.array([(u >> 1) ^ -(u & 1)], np.int64)
+    pos = br.pos
+    win = 64 + n * (p + 3)
+    while True:
+        seg = br.bits[pos:pos + win]
+        ones = np.flatnonzero(seg).astype(np.int64)
+        term = _chase_terminators(ones, n, p) if ones.size >= n else None
+        if term is not None and term[-1] + 1 + p <= seg.size:
+            starts = np.empty(n, np.int64)
+            starts[0] = 0
+            starts[1:] = term[:-1] + 1 + p
+            q = term - starts
+            if not np.any(q < 0):
+                break
+        if pos + win >= br.bits.size:
+            raise ValueError("flac: bitstream truncated in rice partition")
+        win *= 2
+    if p:
+        rem = (
+            seg[(term + 1)[:, None] + np.arange(p)].astype(np.int64)
+            @ (1 << np.arange(p - 1, -1, -1, dtype=np.int64))
+        )
+        u = (q << p) | rem
+    else:
+        u = q
+    br.pos = pos + int(term[-1]) + 1 + p
+    return (u >> 1) ^ -(u & 1)
+
+
+def _chase_terminators(ones: np.ndarray, n: int, p: int):
+    """Binary-lifted chase of n terminator positions through the local
+    set-bit list; None when the window provably ends too early."""
     step = np.searchsorted(ones, ones + 1 + p).astype(np.int64)
-    np.minimum(step, ones.size - 1, out=step)
+    ran_off = step >= ones.size
+    if ran_off.any():
+        step = np.minimum(step, ones.size - 1)
     idx = np.empty(n, np.int64)
-    idx[0] = i0
+    idx[0] = 0
     filled = 1
     jump = step
     while filled < n:
@@ -244,22 +277,11 @@ def _rice_decode(br: BitReader, n: int, p: int) -> np.ndarray:
         if filled < n:
             jump = jump[jump]
     term = ones[idx]
-    starts = np.empty(n, np.int64)
-    starts[0] = br.pos
-    starts[1:] = term[:-1] + 1 + p
-    q = term - starts
-    if np.any(q < 0) or term[-1] + 1 + p > br.bits.size:
-        raise ValueError("flac: bitstream truncated in rice partition")
-    if p:
-        rem = (
-            br.bits[(term + 1)[:, None] + np.arange(p)].astype(np.int64)
-            @ (1 << np.arange(p - 1, -1, -1, dtype=np.int64))
-        )
-        u = (q << p) | rem
-    else:
-        u = q
-    br.pos = int(term[-1]) + 1 + p
-    return (u >> 1) ^ -(u & 1)
+    # a clipped step inside the path means the window was too small —
+    # positions stop strictly increasing there
+    if n > 1 and np.any(np.diff(term) <= 0):
+        return None
+    return term
 
 
 def _decode_residual(br: BitReader, block_size: int, order: int) -> np.ndarray:
@@ -290,31 +312,51 @@ def _encode_residual(bw: BitWriter, res: np.ndarray, block_size: int,
     po = partition_order
     while po and (block_size % (1 << po) or (block_size >> po) <= order):
         po -= 1
-    pbits, esc = 4, 15
-    bw.put(0, 2)
-    bw.put(po, 4)
     u = ((res << 1) ^ (res >> 63)).astype(np.uint64)  # zigzag
+
+    # pass 1: per partition, optimal rice p over the FULL 0..30 range and
+    # the escape alternative; the residual-level coding method (rice = 4-bit
+    # params vs rice2 = 5-bit) follows from the largest p any partition
+    # wants — rice2 is what keeps wide (24/32-bit) residuals from exploding
+    # into degenerate unary runs
+    plans = []
     start = 0
     for part in range(1 << po):
         cnt = (block_size >> po) - (order if part == 0 else 0)
         seg = u[start:start + cnt]
         sseg = res[start:start + cnt]
         start += cnt
-        if force_escape:
-            mx = int(sseg.max()) if cnt else 0
-            mn = int(sseg.min()) if cnt else 0
-            width = min(31, max(1, mx.bit_length() + 1,
-                                max(0, -mn - 1).bit_length() + 1))
-            bw.put(esc, pbits)
+        mx = int(sseg.max()) if cnt else 0
+        mn = int(sseg.min()) if cnt else 0
+        width = max(1, mx.bit_length() + 1, max(0, -mn - 1).bit_length() + 1)
+        if force_escape and width > 31:
+            raise ValueError(
+                "flac: force_escape with residuals wider than the 5-bit "
+                "escape field's 31-bit max — encode with rice instead"
+            )
+        best_p, best_cost = 0, None
+        for p in range(31):
+            cost = cnt * (p + 1) + int((seg >> np.uint64(p)).sum())
+            if best_cost is None or cost < best_cost:
+                best_p, best_cost = p, cost
+        # escape beats rice on high-entropy residuals (bounded at ~width
+        # bits/sample where degenerate rice quotients explode unary)
+        esc_cost = 5 + cnt * width if width <= 31 else None
+        use_esc = force_escape or (esc_cost is not None
+                                   and esc_cost < best_cost)
+        plans.append((use_esc, width, best_p, seg, sseg))
+
+    method = 1 if any(not e and p > 14 for e, _w, p, _s, _ss in plans) else 0
+    pbits, esc_code = (5, 31) if method else (4, 15)
+    bw.put(method, 2)
+    bw.put(po, 4)
+    for use_esc, width, best_p, seg, sseg in plans:
+        if use_esc:
+            bw.put(esc_code, pbits)
             bw.put(width, 5)
             for v in sseg.tolist():
                 bw.put(int(v), width)
             continue
-        best_p, best_cost = 0, None
-        for p in range(15):
-            cost = cnt * (p + 1) + int((seg >> np.uint64(p)).sum())
-            if best_cost is None or cost < best_cost:
-                best_p, best_cost = p, cost
         bw.put(best_p, pbits)
         for v in seg.tolist():
             q = int(v) >> best_p

@@ -317,3 +317,48 @@ def test_flac_float_decode_matches_wav_of_same_signal():
     # same 16-bit quantization grid up to the ±1-LSB rounding difference
     # between the two encoders' float→int conversions
     assert np.max(np.abs(wav_x - flac_x)) <= 2.0 / 32768
+
+
+def test_wide_residuals_use_rice2_and_stay_bounded():
+    """32-bit random samples are the degenerate-rice stress case: the
+    encoder must pick rice2/escape so output stays ~width bits/sample
+    (a 4-bit-param-only encoder explodes into multi-KB unary runs) and
+    the decode must still be bit-exact."""
+    rng = np.random.default_rng(17)
+    x32 = rng.integers(-2**31, 2**31, 2000).astype(np.int64)
+    enc = encode_flac(x32, 16000, bps=32)
+    dec, _, bps = decode_flac_pcm(enc)
+    assert bps == 32
+    assert np.array_equal(dec[:, 0], x32)
+    assert len(enc) * 8 < 34 * x32.size + 2048  # ~33 bits/sample + headers
+
+    # the 5-bit escape width field caps at 31 — forcing escape on wider
+    # residuals must raise, never silently truncate
+    with pytest.raises(ValueError, match="escape"):
+        encode_flac(x32, 16000, bps=32, force_escape=True)
+
+
+def test_decode_cost_linear_in_clip_length():
+    """Regression for the quadratic rice decode (whole-stream jump table
+    per partition): a 4x longer clip must decode in well under 16x the
+    time.  Wall-time ratios are noisy on this host, so the bound is loose
+    (8x) but still far below quadratic."""
+    import time
+
+    rng = np.random.default_rng(2)
+
+    def clip(secs):
+        n = secs * 16000
+        t = np.arange(n) / 16000
+        x = 20000 * np.sin(2 * np.pi * 300 * t) + 2000 * rng.standard_normal(n)
+        return np.clip(np.round(x), -32768, 32767).astype(np.int64)
+
+    small, big = clip(2), clip(8)
+    enc_s, enc_b = encode_flac(small, 16000), encode_flac(big, 16000)
+    t0 = time.time()
+    assert np.array_equal(decode_flac_pcm(enc_s)[0][:, 0], small)
+    dt_s = time.time() - t0
+    t0 = time.time()
+    assert np.array_equal(decode_flac_pcm(enc_b)[0][:, 0], big)
+    dt_b = time.time() - t0
+    assert dt_b < max(8 * dt_s, dt_s + 2.0), (dt_s, dt_b)

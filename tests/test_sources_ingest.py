@@ -106,3 +106,43 @@ def test_coerce_fills_optionals_and_validates():
     assert out["ts"].type == pa.timestamp("us")
     with pytest.raises(ValueError, match="missing required"):
         coerce_transcripts(pa.table({"text": pa.array(["x"])}))
+
+
+def test_coerce_real_world_timestamp_shapes():
+    """Zoned ('Z' / +hh:mm), fractional, float-epoch and null timestamps —
+    the shapes real JSONL/CSV exports actually carry."""
+    def mk(vals, typ=None):
+        return pa.table({
+            "conv_id": pa.array(["c"] * len(vals)),
+            "turn_idx": pa.array(range(len(vals)), pa.int64()),
+            "text": pa.array(["x"] * len(vals)),
+            "ts": pa.array(vals, typ) if typ else pa.array(vals),
+        })
+
+    z = coerce_transcripts(mk(["2025-01-01T00:00:00Z"]))["ts"][0].as_py()
+    assert z.isoformat() == "2025-01-01T00:00:00"
+    off = coerce_transcripts(mk(["2025-01-01 02:00:00+02:00"]))["ts"][0].as_py()
+    assert off.isoformat() == "2025-01-01T00:00:00"  # UTC wall time
+    frac = coerce_transcripts(mk(["2025-01-01T00:00:00.123456"]))["ts"][0].as_py()
+    assert frac.microsecond == 123456
+    flt = coerce_transcripts(mk([1.7e15], pa.float64()))["ts"][0].as_py()
+    assert flt.year == 2023
+    # present-but-null ts coerces to epoch 0, same as an absent column
+    nul = coerce_transcripts(mk([None], pa.string()))["ts"][0].as_py()
+    assert nul.year == 1970
+
+
+def test_directory_read_skips_sidecar_files(ray_session, corpus, tmp_path):
+    """Spark-style export dirs carry _SUCCESS markers, READMEs, nested
+    dirs — the reader must keep only recognized data files."""
+    import shutil
+
+    d, tbl = corpus
+    exp = tmp_path / "export"
+    exp.mkdir()
+    shutil.copy(d / "part-00000.parquet", exp / "part-00000.parquet")
+    (exp / "_SUCCESS").write_text("")
+    (exp / "README").write_text("notes")
+    (exp / "subdir").mkdir()
+    got = _canon(read_transcripts(str(exp)).to_pandas())
+    assert got.equals(_canon(tbl.to_pandas()))
