@@ -362,3 +362,69 @@ def test_decode_cost_linear_in_clip_length():
     assert np.array_equal(decode_flac_pcm(enc_b)[0][:, 0], big)
     dt_b = time.time() - t0
     assert dt_b < max(8 * dt_s, dt_s + 2.0), (dt_s, dt_b)
+
+
+def test_multichannel_and_20bit_roundtrip():
+    """3-channel independent coding and a non-byte-multiple bit depth
+    (20-bit: MD5 is zeroed per spec, CRCs still verify)."""
+    rng = np.random.default_rng(9)
+    tri = np.stack([_sine_pcm(1500, f, amp=20000, noise=200, seed=s)
+                    for f, s in ((220, 1), (330, 2), (440, 3))], axis=1)
+    enc = encode_flac(tri, 16000, block_size=576)
+    dec, _, _ = decode_flac_pcm(enc)
+    assert np.array_equal(dec, tri)
+
+    p20 = np.clip(np.round(400000 * np.sin(np.arange(2000) / 9.0)
+                           + 900 * rng.standard_normal(2000)),
+                  -(1 << 19), (1 << 19) - 1).astype(np.int64)
+    enc20 = encode_flac(p20, 8000, bps=20, block_size=576)
+    dec20, _, bps = decode_flac_pcm(enc20)
+    assert bps == 20
+    assert np.array_equal(dec20[:, 0], p20)
+
+
+def test_uncommon_block_size_and_odd_sample_rate():
+    """block_size=1000 exercises the 16-bit uncommon-size header field
+    (code 7); an off-table sample rate (11025) rides the sr-from-
+    STREAMINFO path (code 0)."""
+    pcm = _sine_pcm(3100, 500, sr=11025, noise=100)
+    enc = encode_flac(pcm, 11025, block_size=1000)
+    dec, sr, _ = decode_flac_pcm(enc)
+    assert sr == 11025
+    assert np.array_equal(dec[:, 0], pcm)
+
+
+def test_decode_explicit_sample_rate_fields():
+    """Hand-build frames using header sample-rate codes 12 (8-bit kHz),
+    13 (16-bit Hz) and 14 (16-bit tens-of-Hz) — paths the fixture encoder
+    never emits (it always uses the table or STREAMINFO)."""
+    n, bps, value = 192, 16, 77
+    pcm = np.full((n, 1), value, np.int64)
+    from iresearch_ray.stages.flac import _pack_pcm
+
+    for sr_code, extra_bits, extra_val, want_sr in (
+        (12, 8, 32, 32000), (13, 16, 11025, 11025), (14, 16, 4410, 44100)
+    ):
+        si = _Packer()
+        si.put(n, 16); si.put(n, 16); si.put(0, 24); si.put(0, 24)
+        si.put(want_sr, 20); si.put(0, 3); si.put(bps - 1, 5); si.put(n, 36)
+        md5 = hashlib.md5(_pack_pcm(pcm, bps)).digest()
+        hdr = _Packer()
+        hdr.put(0x3FFE, 14); hdr.put(0, 1); hdr.put(0, 1)
+        hdr.put(1, 4)             # block size 192
+        hdr.put(sr_code, 4)
+        hdr.put(0, 4); hdr.put(4, 3); hdr.put(0, 1)
+        hdr.put(0, 8)             # frame number
+        hdr.put(extra_val, extra_bits)  # explicit sample rate field
+        hdr_bytes = hdr.bytes()
+        body = _Packer()
+        body.put(0, 1); body.put(0, 6); body.put(0, 1)
+        body.put(value, 16)
+        body.put(0, (-len(body.bits)) % 8)
+        frame_wo = hdr_bytes + bytes([crc8(hdr_bytes)]) + body.bytes()
+        frame = frame_wo + crc16(frame_wo).to_bytes(2, "big")
+        stream = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                  + si.bytes() + md5 + frame)
+        dec, got_sr, _ = decode_flac_pcm(stream)
+        assert got_sr == want_sr, sr_code
+        assert np.array_equal(dec, pcm)
