@@ -228,6 +228,10 @@ def read_transcripts(source, columns: list[str] | None = None):
     ``source``: path(s) or directory; dispatches on extension —
     ``.parquet`` via ``read_parquet`` (column-pruned at the read),
     ``.jsonl``/``.json`` via ``read_json``, ``.csv`` via ``read_csv``.
+    Text formats may carry a compression suffix (``.gz``/``.zst``/
+    ``.bz2`` — e.g. ``part-0.jsonl.gz``); blocks are then decompressed
+    streamingly in the read tasks via Arrow's CompressedInputStream, so a
+    100 TB compressed export never materializes an uncompressed copy.
     Non-Parquet rows pass through :func:`coerce_transcripts`, so the loose
     types real JSONL exports carry (int64 turn_idx, ISO-string ts) build
     byte-identical indexes to curated Parquet."""
@@ -235,7 +239,23 @@ def read_transcripts(source, columns: list[str] | None = None):
 
     import ray.data as rd
 
-    known = (".parquet", ".jsonl", ".json", ".csv")
+    _codec_of = {".gz": "gzip", ".zst": "zstd", ".bz2": "bz2"}
+
+    def _kind(name: str):
+        """filename → (data_ext, codec | None), or None if unrecognized."""
+        base, ext = os.path.splitext(name)
+        ext = ext.lower()
+        codec = _codec_of.get(ext)
+        if codec is not None:
+            ext = os.path.splitext(base)[1].lower()
+            if ext == ".parquet":
+                # parquet is internally compressed; a wrapper codec is a
+                # packaging mistake we surface rather than guess around
+                raise ValueError(f"transcripts: compressed parquet {name!r}")
+        if ext in (".parquet", ".jsonl", ".json", ".csv"):
+            return ext, codec
+        return None
+
     paths = [source] if isinstance(source, str) else list(source)
     expanded: list[str] = []
     for p in paths:
@@ -246,22 +266,25 @@ def read_transcripts(source, columns: list[str] | None = None):
                 fp for f in sorted(os.listdir(p))
                 if not f.startswith(".")
                 and os.path.isfile(fp := os.path.join(p, f))
-                and os.path.splitext(f)[1].lower() in known
+                and _kind(f) is not None
             )
         else:
             expanded.append(p)
     if not expanded:
         raise ValueError(f"transcripts: no data files found in {source!r}")
-    exts = {os.path.splitext(p)[1].lower() for p in expanded}
-    if len(exts) != 1:
-        raise ValueError(f"transcripts: mixed/unknown source formats {exts}")
-    ext = exts.pop()
+    kinds = {_kind(os.path.basename(p)) for p in expanded}
+    if len(kinds) != 1 or None in kinds:
+        raise ValueError(f"transcripts: mixed/unknown source formats {kinds}")
+    ext, codec = kinds.pop()
+    open_args = {"compression": codec} if codec else None
     if ext == ".parquet":
         return rd.read_parquet(expanded, columns=columns)
     if ext in (".jsonl", ".json"):
-        ds = rd.read_json(expanded)
+        ds = rd.read_json(expanded, arrow_open_stream_args=open_args,
+                          file_extensions=None)
     elif ext == ".csv":
-        ds = rd.read_csv(expanded)
+        ds = rd.read_csv(expanded, arrow_open_stream_args=open_args,
+                         file_extensions=None)
     else:
         raise ValueError(f"transcripts: unsupported extension {ext!r}")
     ds = ds.map_batches(coerce_transcripts, batch_format="pyarrow")

@@ -146,3 +146,53 @@ def test_directory_read_skips_sidecar_files(ray_session, corpus, tmp_path):
     (exp / "subdir").mkdir()
     got = _canon(read_transcripts(str(exp)).to_pandas())
     assert got.equals(_canon(tbl.to_pandas()))
+
+
+def test_compressed_jsonl_and_csv(ray_session, corpus, tmp_path):
+    """Real exports ship compressed text: .jsonl.gz / .jsonl.zst /
+    .csv.gz must decode streamingly and match the parquet canon."""
+    import bz2
+    import gzip
+
+    import pyarrow as pa_mod
+
+    d, tbl = corpus
+    want = _canon(tbl.to_pandas())
+
+    raw = (d / "part-00000.jsonl").read_bytes()
+    gz = tmp_path / "part-00000.jsonl.gz"
+    gz.write_bytes(gzip.compress(raw))
+    got = _canon(read_transcripts(str(gz)).to_pandas())
+    assert got.equals(want)
+
+    zst = tmp_path / "part-00000.jsonl.zst"
+    zst.write_bytes(pa_mod.Codec("zstd").compress(raw, asbytes=True))
+    got = _canon(read_transcripts(str(zst)).to_pandas())
+    assert got.equals(want)
+
+    raw_csv = (d / "part-00000.csv").read_bytes()
+    bz = tmp_path / "part-00000.csv.bz2"
+    bz.write_bytes(bz2.compress(raw_csv))
+    got = _canon(read_transcripts(str(bz)).to_pandas())
+    assert got.equals(want)
+
+    # a directory of uniformly-compressed parts dispatches fine
+    exp = tmp_path / "gz_export"
+    exp.mkdir()
+    import shutil
+
+    shutil.copy(gz, exp / "part-00000.jsonl.gz")
+    (exp / "_SUCCESS").write_text("")
+    got = _canon(read_transcripts(str(exp)).to_pandas())
+    assert got.equals(want)
+
+    # compressed + plain of the same format is still "mixed" — loud error
+    shutil.copy(d / "part-00000.jsonl", exp / "part-00001.jsonl")
+    with pytest.raises(ValueError, match="mixed"):
+        read_transcripts(str(exp))
+
+    # gzipped parquet is a packaging mistake, not a format
+    pqgz = tmp_path / "part-00000.parquet.gz"
+    pqgz.write_bytes(gzip.compress((d / "part-00000.parquet").read_bytes()))
+    with pytest.raises(ValueError, match="compressed parquet"):
+        read_transcripts(str(pqgz))
