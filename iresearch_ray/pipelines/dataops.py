@@ -1868,6 +1868,37 @@ def _embedding_neardup_lsh(
     )
 
 
+def _bottom_k_rows_by_id(ds, k: int, id_col: str, vec_col: str) -> pa.Table:
+    """Global bottom-``k`` rows by ``id_col`` WITHOUT a global sort: every
+    batch emits its own bottom-k (a few KB), the driver streams the partials
+    and keeps the global bottom-k — one narrow scan instead of an all-to-all
+    sort of the whole embedding table (the partial-top-k idiom the collation
+    query uses).  Returns a pyarrow Table sorted ascending by id."""
+
+    def _bottomk(b: pa.Table) -> pa.Table:
+        if b.num_rows > k:
+            b = b.take(
+                pc.select_k_unstable(b, k=k, sort_keys=[(id_col, "ascending")])
+            )
+        return b
+
+    parts = [
+        b
+        for b in (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(_bottomk, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        if b.num_rows
+    ]
+    merged = pa.concat_tables(parts)
+    if merged.num_rows > k:
+        return merged.take(
+            pc.select_k_unstable(merged, k=k, sort_keys=[(id_col, "ascending")])
+        )
+    return merged.sort_by(id_col)
+
+
 def embedding_ivf_topk(
     ds,
     queries: np.ndarray,
@@ -1892,12 +1923,10 @@ def embedding_ivf_topk(
     import ray
 
     if centroids is None:
-        head = (
-            ds.select_columns([id_col, vec_col])
-            .sort(id_col)
-            .limit(n_centroids)
-            .to_pandas()
-        )
+        # partial bottom-K per batch + driver merge — no global sort (the
+        # same fix train_kmeans_codebook's init got; a full-table sort to
+        # pick 16 rows is the most expensive possible head at 100 TB)
+        head = _bottom_k_rows_by_id(ds, n_centroids, id_col, vec_col).to_pandas()
         centroids = np.array(head[vec_col].to_list(), dtype=np.float64)
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -1995,37 +2024,8 @@ def train_kmeans_codebook(
     normalized (K, dim) codebook for ``embedding_ivf_topk(centroids=)``."""
     import ray
 
-    # Deterministic init WITHOUT a global sort: each batch emits its own
-    # bottom-K rows by id (a few KB), the driver merges the partials and
-    # keeps the global bottom-K.  One narrow scan instead of an all-to-all
-    # sort of the whole embedding table — the same partial-top-k idiom the
-    # collation query uses.
-    def _bottomk(b: pa.Table) -> pa.Table:
-        if b.num_rows > n_centroids:
-            idx = pc.select_k_unstable(
-                b, k=n_centroids, sort_keys=[(id_col, "ascending")]
-            )
-            b = b.take(idx)
-        return b
-
-    parts = []
-    for b in (
-        ds.select_columns([id_col, vec_col])
-        .map_batches(_bottomk, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        if b.num_rows:
-            parts.append(b)
-    merged = pa.concat_tables(parts)
-    if merged.num_rows > n_centroids:
-        merged = merged.take(
-            pc.select_k_unstable(
-                merged, k=n_centroids, sort_keys=[(id_col, "ascending")]
-            )
-        )
-    else:
-        merged = merged.sort_by(id_col)
-    head = merged.to_pandas()
+    # Deterministic init WITHOUT a global sort (see _bottom_k_rows_by_id).
+    head = _bottom_k_rows_by_id(ds, n_centroids, id_col, vec_col).to_pandas()
     cn = _normalize(np.array(head[vec_col].to_list(), dtype=np.float64))
     K, dim = cn.shape
     src = ds.select_columns([vec_col])

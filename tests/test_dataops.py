@@ -338,6 +338,32 @@ def test_embedding_ivf_single_list_is_exact(emb_tbl, ray_session):
     for r in ivf.itertuples():
         assert abs(r.cosine - round(float(true_cos[r.query_idx, pos[r.vec_id]]), 4)) < 1e-6
 
+    # Scale invariant: the default pinned-head init (centroids=None) must
+    # NOT plan a global sort — same structural guard as the k-means trainer.
+    import ray.data as _rd
+    orig_sort = _rd.Dataset.sort
+    calls = []
+
+    def _spy(self, *a, **kw):
+        calls.append(a)
+        return orig_sort(self, *a, **kw)
+
+    _rd.Dataset.sort = _spy
+    try:
+        again = ops.embedding_ivf_topk(
+            _ds(emb_tbl, ray_session), queries, k=5, n_centroids=8, nprobe=2
+        ).to_pandas()
+    finally:
+        _rd.Dataset.sort = orig_sort
+    # the list-grouping / final-topk sorts run over the PRUNED candidate
+    # set (nprobe lists, then k rows per query) — those are fine at scale;
+    # the regression is a sort keyed on vec_id over the WHOLE table to
+    # pick the pinned init head
+    assert all("vec_id" not in str(a) for a in calls), calls
+    assert again.sort_values(["query_idx", "vec_id"]).reset_index(drop=True).equals(
+        ivf.sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+    )
+
 
 def test_null_text_pinned_as_empty(ray_session):
     """Regression (round-2 review): null text must behave exactly like ''
