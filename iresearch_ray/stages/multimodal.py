@@ -15,10 +15,14 @@ Decoders, by honesty level:
   against genuine bytes.  (Audio is likewise fully real — stages/audio.py.)
 * ``decoder="png"`` — a REAL COMPRESSED format, decoded with stdlib zlib +
   numpy only: chunk/CRC parse, inflate, and all five scanline filters
-  (None/Sub/Up/Average/Paeth) unfiltered.  8-bit gray/RGB/RGBA,
-  non-interlaced — correctness-grade (per-row Python for the two
-  sequentially-dependent filters); swap in Pillow via ``"pil"`` for
-  production throughput.
+  (None/Sub/Up/Average/Paeth) unfiltered.  FULL spec surface: bit depths
+  1/2/4/8/16, color types gray/RGB/palette/gray+alpha/RGBA, Adam7
+  interlace, PLTE + tRNS (palette alpha and gray/RGB color keys) —
+  correctness-grade (per-row Python for the two sequentially-dependent
+  filters); swap in Pillow via ``"pil"`` for production throughput.
+* ``decoder="gif"`` — REAL GIF87a/89a (stages/gif.py): LZW decompression,
+  global/local palettes, 4-pass interlace, transparency + all disposal
+  methods; single images here, animations via ``FrameSample``.
 * ``decoder="jpeg"`` — REAL JPEG (ITU-T T.81): marker walk, canonical
   Huffman entropy decode, dequant + de-zigzag + matrix IDCT, JFIF
   YCbCr→RGB, restart intervals (stages/jpeg.py, numpy + stdlib only).
@@ -157,65 +161,229 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w) uint8 gray / (h, w, 3) RGB / (h, w, 4) RGBA → REAL PNG bytes
-    (8-bit, non-interlaced).  ``filter_type`` applies that scanline filter
-    to every row — the test fixture uses each of 0–4 so the decoder's five
-    unfilter paths are all exercised against the original pixels."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, c = px.shape
-    color = {1: 0, 3: 2, 4: 6}[c]
+# Adam7 pass layout: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _pack_row(samples: np.ndarray, bitdepth: int) -> bytes:
+    """1-D int samples → packed scanline bytes (MSB-first, byte-padded)."""
+    if bitdepth == 8:
+        return samples.astype(np.uint8).tobytes()
+    if bitdepth == 16:
+        return samples.astype(">u2").tobytes()
+    per = 8 // bitdepth
+    n = len(samples)
+    pad = (-n) % per
+    s = np.concatenate([samples, np.zeros(pad, samples.dtype)]).astype(np.uint8)
+    # each sample → bitdepth bits, MSB first within the byte
+    bits = np.unpackbits(s[:, None], axis=1)[:, 8 - bitdepth :]
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _unpack_row(row: bytes, w: int, channels: int, bitdepth: int) -> np.ndarray:
+    """Packed scanline bytes → (w, channels) int array of raw samples."""
+    if bitdepth == 8:
+        return (
+            np.frombuffer(row, np.uint8, w * channels)
+            .reshape(w, channels)
+            .astype(np.int64)
+        )
+    if bitdepth == 16:
+        return (
+            np.frombuffer(row, ">u2", w * channels)
+            .reshape(w, channels)
+            .astype(np.int64)
+        )
+    bits = np.unpackbits(np.frombuffer(row, np.uint8))
+    vals = bits[: (len(bits) // bitdepth) * bitdepth].reshape(-1, bitdepth)
+    weights = 1 << np.arange(bitdepth - 1, -1, -1)
+    return (vals @ weights)[: w * channels].reshape(w, channels).astype(np.int64)
+
+
+def _filter_rows(
+    rows: np.ndarray, bpp: int, filter_type: int
+) -> bytes:
+    """(h, stride) uint8 scanline bytes → filtered raw stream (one filter
+    byte + ``stride`` filtered bytes per row), applying ``filter_type`` to
+    every row.  Operates on BYTES with the spec's filter unit ``bpp``."""
+    h, stride = rows.shape
     raw = bytearray()
-    prev = np.zeros((w, c), np.int16)
+    prev = np.zeros(stride, np.int16)
     for y in range(h):
-        row = px[y].astype(np.int16)
-        left = np.zeros_like(row)
-        left[1:] = row[:-1]
-        up = prev
-        ul = np.zeros_like(up)
-        ul[1:] = up[:-1]
+        row = rows[y].astype(np.int16)
+        left = np.zeros(stride, np.int16)
+        left[bpp:] = row[:-bpp]
+        ul = np.zeros(stride, np.int16)
+        ul[bpp:] = prev[:-bpp]
         if filter_type == 0:
             f = row
         elif filter_type == 1:
             f = row - left
         elif filter_type == 2:
-            f = row - up
+            f = row - prev
         elif filter_type == 3:
-            f = row - (left + up) // 2
+            f = row - (left + prev) // 2
         elif filter_type == 4:
-            f = row - _paeth_pred(left, up, ul)
+            f = row - _paeth_pred(left, prev, ul)
         else:
             raise ValueError(f"bad filter_type {filter_type}")
         raw.append(filter_type)
         raw += (f % 256).astype(np.uint8).tobytes()
-        prev = px[y].astype(np.int16)
+        prev = row
+    return bytes(raw)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    *,
+    bitdepth: int = 8,
+    palette: np.ndarray | None = None,
+    trns: bytes | np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """numpy pixels → REAL PNG bytes, covering the full spec surface the
+    decoder supports (test fixture — a deployment uses Pillow):
+
+    * ``(h, w)`` / ``(h, w, 1)`` gray, ``(h, w, 2)`` gray+alpha,
+      ``(h, w, 3)`` RGB, ``(h, w, 4)`` RGBA — ``bitdepth`` 8 or 16
+      (uint16 input for 16).
+    * gray may also use ``bitdepth`` 1/2/4 (raw sample values).
+    * ``palette=(N, 3) uint8`` → color type 3: ``pixels`` are ``(h, w)``
+      indices, ``bitdepth`` 1/2/4/8; ``trns`` = per-entry alpha bytes.
+    * ``trns`` on gray/RGB = the transparent color key as a sample tuple.
+    * ``interlace=True`` emits Adam7 passes.
+    * ``filter_type`` applies that scanline filter to every row so each
+      of the decoder's five unfilter paths can be exercised."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    chunks = []
+    if palette is not None:
+        if c != 1 or bitdepth not in (1, 2, 4, 8):
+            raise ValueError("palette PNG needs (h, w) indices, depth 1/2/4/8")
+        color = 3
+        pal = np.asarray(palette, np.uint8)
+        chunks.append(_png_chunk(b"PLTE", pal.tobytes()))
+        if trns is not None:
+            chunks.append(_png_chunk(b"tRNS", bytes(np.asarray(trns, np.uint8))))
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        if bitdepth in (1, 2, 4) and color != 0:
+            raise ValueError("sub-byte depth is gray-only")
+        if trns is not None:
+            if color not in (0, 2):
+                raise ValueError("color-key tRNS is for gray/RGB only")
+            key = np.asarray(trns).reshape(-1).astype(">u2")
+            chunks.append(_png_chunk(b"tRNS", key.tobytes()))
+    bpp = max(1, (c * bitdepth + 7) // 8)
+
+    def pass_raw(img: np.ndarray) -> bytes:
+        ph, pw = img.shape[:2]
+        if ph == 0 or pw == 0:
+            return b""
+        rows = np.stack(
+            [
+                np.frombuffer(_pack_row(img[y].reshape(-1), bitdepth), np.uint8)
+                for y in range(ph)
+            ]
+        )
+        return _filter_rows(rows, bpp, filter_type)
+
+    if interlace:
+        raw = b"".join(
+            pass_raw(px[y0::dy, x0::dx]) for x0, y0, dx, dy in _ADAM7
+        )
+    else:
+        raw = pass_raw(px)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color, 0, 0, 0])  # bitdepth, color, compress, filter, interlace
+        + bytes([bitdepth, color, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + b"".join(chunks)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
 
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int, off: int = 0) -> np.ndarray:
+    """Invert PNG scanline filtering: ``h`` rows of (1 filter byte +
+    ``stride`` bytes) starting at ``raw[off]`` → (h, stride) uint8.
+    Filters None/Up are fully vectorized; Sub is per-lane cumsum;
+    Average/Paeth carry a true sequential left-dependency and run per
+    byte within the row (correctness-grade — production uses Pillow)."""
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, offset=base + 1).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft == 1:
+            rec = line.copy()
+            for lane in range(bpp):  # recon = running sum along the byte lane
+                rec[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) % 256
+        elif ft == 3:
+            rec = line.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + pv[x]) // 2) % 256
+            rec = np.array(rec, np.int32)
+        elif ft == 4:
+            rec = line.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                cc = pv[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+                rec[x] = (rec[x] + pred) % 256
+            rec = np.array(rec, np.int32)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """REAL PNG decode with stdlib zlib + numpy: chunk walk with CRC
-    verification, IDAT inflate, scanline unfilter (all five filter types).
-    Supports 8-bit gray (returns (h, w, 1)), RGB (h, w, 3), RGBA
-    (h, w, 4)), non-interlaced, no palette.  Filters None/Up are fully
-    vectorized; Sub is per-lane cumsum; Average/Paeth carry a true
-    sequential left-dependency and run per byte within the row
-    (correctness-grade — production swaps in Pillow via decoder='pil')."""
+    """REAL full-spec PNG decode with stdlib zlib + numpy: chunk walk with
+    CRC verification, IDAT inflate, scanline unfilter (all five filters,
+    byte-level ``bpp`` unit), every valid IHDR combination — bit depths
+    1/2/4/8/16, color types 0/2/3/4/6 — Adam7 interlace, PLTE, and tRNS
+    (palette alpha AND gray/RGB color-key transparency).
+
+    Output contract: uint8 for depths ≤ 8, uint16 for 16-bit, shaped
+    (h, w, channels).  Sub-byte GRAY samples are rescaled to full 8-bit
+    range (× 255/(2^d−1), exact for the bit-replication values PNG
+    viewers use); palette indices are looked up in PLTE → (h, w, 3)
+    RGB, or (h, w, 4) RGBA when a tRNS chunk supplies per-entry alpha.
+    A color-key tRNS on gray/RGB appends an alpha channel."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
@@ -227,6 +395,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             ihdr = data
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -236,64 +408,88 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bitdepth, color, _comp, _filt, interlace = ihdr[8:13]
-    if bitdepth != 8 or interlace != 0 or color not in (0, 2, 6):
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    _VALID = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
+    if color not in _CHANNELS or bitdepth not in _VALID[color] or interlace > 1:
         raise ValueError(
-            f"unsupported PNG (bitdepth={bitdepth} color={color} interlace={interlace});"
-            " this dependency-free codec handles 8-bit gray/RGB/RGBA non-interlaced"
+            f"invalid PNG IHDR (bitdepth={bitdepth} color={color} interlace={interlace})"
         )
-    c = {0: 1, 2: 3, 6: 4}[color]
-    stride = w * c
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    c = _CHANNELS[color]
+    bpp = max(1, (c * bitdepth + 7) // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+
+    def read_pass(pw: int, ph: int, off: int) -> tuple[np.ndarray, int]:
+        stride = (pw * c * bitdepth + 7) // 8
+        rows = _unfilter(raw, ph, stride, bpp, off)
+        samples = np.stack(
+            [_unpack_row(rows[y].tobytes(), pw, c, bitdepth) for y in range(ph)]
+        )  # (ph, pw, c) raw sample values
+        return samples, off + ph * (stride + 1)
+
+    if interlace:
+        img = np.zeros((h, w, c), np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = read_pass(pw, ph, off)
+            img[y0::dy, x0::dx] = sub
+        expect = off
+    else:
+        img, expect = read_pass(w, h, 0)
+    if expect != len(raw):
         raise ValueError("PNG IDAT length mismatch")
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ft == 0:
-            rec = line
-        elif ft == 2:
-            rec = (line + prev) % 256
-        elif ft == 1:
-            rec = line.copy()
-            for lane in range(c):  # recon = running sum along the byte lane
-                rec[lane::c] = np.cumsum(line[lane::c], dtype=np.int64) % 256
-        elif ft == 3:
-            rec = line.tolist()
-            pv = prev.tolist()
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
-                rec[x] = (rec[x] + (left + pv[x]) // 2) % 256
-            rec = np.array(rec, np.int32)
-        elif ft == 4:
-            rec = line.tolist()
-            pv = prev.tolist()
-            for x in range(stride):
-                a = rec[x - c] if x >= c else 0
-                b = pv[x]
-                cc = pv[x - c] if x >= c else 0
-                p = a + b - cc
-                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
-                rec[x] = (rec[x] + pred) % 256
-            rec = np.array(rec, np.int32)
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    return out.reshape(h, w, c)
+
+    maxval = (1 << bitdepth) - 1
+    if color == 3:
+        rgb = plte[np.clip(img[:, :, 0], 0, len(plte) - 1)]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.concatenate(
+                [rgb, alpha[np.clip(img[:, :, 0], 0, len(plte) - 1)][:, :, None]],
+                axis=2,
+            )
+        return rgb
+    if color == 0 and bitdepth < 8:
+        img = img * (255 // maxval)  # exact bit-replication scale for 1/2/4
+    dtype = np.uint16 if bitdepth == 16 else np.uint8
+    out = img.astype(dtype)
+    if trns is not None and color in (0, 2):
+        key = np.frombuffer(trns, ">u2").astype(np.int64)
+        if color == 0 and bitdepth < 8:
+            key = key * (255 // maxval)
+        opaque = maxval if bitdepth == 16 else 255
+        alpha = np.where(
+            (out.astype(np.int64) == key[None, None, :]).all(axis=2), 0, opaque
+        ).astype(dtype)
+        out = np.concatenate([out, alpha[:, :, None]], axis=2)
+    return out
 
 
 def _to_rgb(px: np.ndarray) -> np.ndarray:
-    """(h, w, c) → (h, w, 3): gray broadcast, RGBA alpha dropped."""
+    """(h, w, c) → (h, w, 3) uint8: gray broadcast, alpha dropped,
+    16-bit samples scaled down to 8 (high byte — exact for bit-replicated
+    values)."""
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
     c = px.shape[2]
     if c == 3:
         return px
     if c == 1:
         return np.repeat(px, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]
 
 
@@ -331,7 +527,7 @@ class ImageDecode:
                     "real image decode needs Pillow; use decoder='fake' or "
                     "'ppm'/'png' (real, dependency-free) here"
                 ) from e
-        elif decoder not in ("fake", "ppm", "png", "jpeg"):
+        elif decoder not in ("fake", "ppm", "png", "jpeg", "gif"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -392,6 +588,20 @@ class ImageDecode:
             if px.shape != (self.h, self.w, 3):
                 raise ValueError(
                     f"JPEG is {px.shape[:2]}, stage expects {(self.h, self.w)}"
+                )
+            return px
+        if self.decoder == "gif":
+            # REAL GIF decode (stages/gif.py: LZW + palette + interlace);
+            # a multi-frame GIF used as an image yields its first frame
+            from iresearch_ray.stages.gif import decode_gif
+
+            frames = decode_gif(payload or b"", limit=1)
+            if not frames:
+                raise ValueError("GIF has no frames")
+            px = frames[0][1]
+            if px.shape != (self.h, self.w, 3):
+                raise ValueError(
+                    f"GIF is {px.shape[:2]}, stage expects {(self.h, self.w)}"
                 )
             return px
         raise NotImplementedError  # pragma: no cover
@@ -462,16 +672,19 @@ class FrameSample:
     avc1 tracks with the from-scratch decoder (stages/h264.py: CAVLC and
     CABAC I pictures, 4x4 and High-profile 8x8 transforms, AND CAVLC
     P pictures — quarter-pel inter prediction, P_Skip, DPB; CABAC-P/B
-    samples are skipped without entropy decode); ``"fake"`` keeps
-    the deterministic stand-in; a real deployment swaps in PyAV only for
-    what is left (CABAC-P/B recon, webm/vp9/H.265)."""
+    samples are skipped without entropy decode); ``decoder="gif"`` REALLY
+    decodes animated GIF (stages/gif.py: LZW, palettes, interlace,
+    transparency + disposal composition — frames are deltas, so earlier
+    frames are still decoded); ``"fake"`` keeps the deterministic
+    stand-in; a real deployment swaps in PyAV only for what is left
+    (CABAC-P/B recon, webm/vp9/H.265)."""
 
     def __init__(self, every: int = 10, height: int = 8, width: int = 8,
                  decoder: str = "fake", on_error: str = "raise"):
         self.every = every
         self.h, self.w = height, width
         if decoder not in ("fake", "ppm_stream", "mjpeg_avi", "mjpeg_mp4",
-                           "h264_mp4"):
+                           "h264_mp4", "gif"):
             raise ValueError(f"unknown decoder {decoder!r}")
         if on_error not in ("raise", "skip"):
             raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
@@ -512,11 +725,15 @@ class FrameSample:
         out_ids, out_frames, out_fidx = [], [], []
         payload = batch["payload"][i].as_py() or b""
         item_id = batch["item_id"][i].as_py()
-        if self.decoder in ("mjpeg_avi", "mjpeg_mp4", "h264_mp4"):
+        if self.decoder in ("mjpeg_avi", "mjpeg_mp4", "h264_mp4", "gif"):
             if self.decoder == "mjpeg_avi":
                 from iresearch_ray.stages.avi import decode_avi_mjpeg as _dec
             elif self.decoder == "h264_mp4":
                 from iresearch_ray.stages.mp4 import decode_mp4_h264 as _dec
+            elif self.decoder == "gif":
+                # animated GIF as video: frames are delta-composited, so
+                # earlier frames are still decoded (unlike MJPEG skip)
+                from iresearch_ray.stages.gif import decode_gif as _dec
             else:
                 from iresearch_ray.stages.mp4 import decode_mp4_mjpeg as _dec
 

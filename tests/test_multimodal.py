@@ -213,15 +213,129 @@ def test_png_rejects_corruption_and_unsupported():
     bad[40] ^= 0xFF  # flip a byte inside a chunk -> CRC must catch it
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # 16-bit depth is out of scope and must say so, not mis-decode
-    depth16 = bytearray(good)
+    # an IHDR combination the spec forbids (RGB at depth 4) must raise,
+    # not mis-decode
+    bad_ihdr = bytearray(good)
     ihdr_off = good.index(b"IHDR")
-    depth16[ihdr_off + 12] = 16
+    bad_ihdr[ihdr_off + 12] = 4
     import zlib as _z
+    crc = _z.crc32(bytes(bad_ihdr[ihdr_off : ihdr_off + 17])) & 0xFFFFFFFF
+    bad_ihdr[ihdr_off + 17 : ihdr_off + 21] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="invalid PNG IHDR"):
+        decode_png(bytes(bad_ihdr))
+    # declared depth 16 over an 8-bit-sized IDAT stream: caught by the
+    # stream-length check, not silently truncated
+    depth16 = bytearray(good)
+    depth16[ihdr_off + 12] = 16
     crc = _z.crc32(bytes(depth16[ihdr_off : ihdr_off + 17])) & 0xFFFFFFFF
     depth16[ihdr_off + 17 : ihdr_off + 21] = crc.to_bytes(4, "big")
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError):
         decode_png(bytes(depth16))
+
+
+def test_png_full_spec_roundtrip_matrix():
+    """Every valid IHDR combination round-trips through the fixture
+    encoder: bit depths 1/2/4/8/16, color types 0/2/3/4/6, all five
+    scanline filters, Adam7 on and off, tRNS in all three roles
+    (palette alpha, gray color key, RGB color key).  Odd 13x17 geometry
+    stresses sub-byte row padding and Adam7 pass shapes."""
+    import numpy as np
+
+    from iresearch_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    h, w = 13, 17
+    for ft in range(5):
+        for il in (False, True):
+            for c in (1, 2, 3, 4):
+                px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+                assert np.array_equal(
+                    decode_png(encode_png(px, ft, interlace=il)), px
+                )
+                px16 = rng.integers(0, 65536, (h, w, c), dtype=np.uint16)
+                assert np.array_equal(
+                    decode_png(encode_png(px16, ft, bitdepth=16, interlace=il)),
+                    px16,
+                )
+            for d in (1, 2, 4):  # sub-byte gray, rescaled to 8-bit
+                maxv = (1 << d) - 1
+                px = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+                got = decode_png(encode_png(px, ft, bitdepth=d, interlace=il))
+                assert np.array_equal(got[:, :, 0], px * (255 // maxv))
+            for d in (1, 2, 4, 8):  # palette, with and without tRNS alpha
+                n = 1 << d
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+                got = decode_png(
+                    encode_png(idx, ft, bitdepth=d, palette=pal, interlace=il)
+                )
+                assert np.array_equal(got, pal[idx])
+                tr = rng.integers(0, 256, n, dtype=np.uint8)
+                got = decode_png(
+                    encode_png(
+                        idx, ft, bitdepth=d, palette=pal, trns=tr, interlace=il
+                    )
+                )
+                assert np.array_equal(got[:, :, :3], pal[idx])
+                assert np.array_equal(got[:, :, 3], tr[idx])
+
+    # color-key transparency on gray / RGB / 16-bit gray
+    px = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+    px[3, 4] = 77
+    out = decode_png(encode_png(px, 2, trns=[77]))
+    assert out.shape == (h, w, 2)
+    assert np.array_equal(out[:, :, 1], np.where(px[:, :, 0] == 77, 0, 255))
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    px[2, 2] = [9, 8, 7]
+    out = decode_png(encode_png(px, 4, trns=[9, 8, 7]))
+    assert out.shape == (h, w, 4) and out[2, 2, 3] == 0
+    assert np.array_equal(out[:, :, :3], px)
+    px16 = rng.integers(0, 65536, (h, w, 1), dtype=np.uint16)
+    px16[1, 1] = 500
+    out = decode_png(encode_png(px16, 1, bitdepth=16, trns=[500]))
+    assert out.dtype == np.uint16 and out.shape == (h, w, 2) and out[1, 1, 1] == 0
+
+    # degenerate geometries exercise empty Adam7 passes
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3), (2, 2, 1)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px, 4, interlace=True)), px)
+
+
+def test_png_adam7_golden_hand_built():
+    """Decode an interlaced PNG whose IDAT stream is hand-assembled from
+    the spec's pass table (NOT via encode_png) — catches a symmetric
+    encoder/decoder pass-geometry bug that round-trips would hide.
+
+    5x5 gray-8, pixel value = 10*y + x.  Adam7 pass pixel order per
+    PNG spec §8.2: p1 (0,0); p2 (0,4); p3 (4,0),(4,4); p4 (0,2),(4,2);
+    p5 (2,0),(2,2),(2,4); p6 rows 0/2/4 cols 1,3; p7 rows 1,3 full."""
+    import zlib
+
+    import numpy as np
+
+    from iresearch_ray.stages.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    def row(vals):  # filter-0 scanline
+        return bytes([0]) + bytes(vals)
+
+    passes = (
+        row([0])                      # p1: (y=0, x=0)
+        + row([4])                    # p2: (0, 4)
+        + row([40, 44])               # p3: (4, 0), (4, 4)
+        + row([2]) + row([42])        # p4: (0, 2) then (4, 2)
+        + row([20, 22, 24])           # p5: (2, 0), (2, 2), (2, 4)
+        + row([1, 3]) + row([21, 23]) + row([41, 43])   # p6: rows 0,2,4
+        + row(range(10, 15)) + row(range(30, 35))       # p7: rows 1,3
+    )
+    ihdr = (5).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(passes))
+        + _png_chunk(b"IEND", b"")
+    )
+    exp = (10 * np.arange(5)[:, None] + np.arange(5)[None, :]).astype(np.uint8)
+    assert np.array_equal(decode_png(png)[:, :, 0], exp)
 
 
 def test_real_png_decode_pipeline(ray_session):
