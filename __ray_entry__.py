@@ -766,6 +766,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
                ).to_pandas()
         return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
 
+    def mm_gif_frames(sf):
+        # Real in-engine animated-GIF decode as a driver surface (r5):
+        # four deterministic GIF89a animations (stages/gif.py — LZW,
+        # delta regions, transparency holes, disposal restore-previous,
+        # one interlaced) run through the FrameSample actor-pool stage
+        # (decoder='gif'), sampling every 2nd composed frame.  No SQL
+        # oracle (LZW decode is not SQL-expressible) — the driver records
+        # the rows-only check; determinism is pinned by the seeded
+        # encoder and integer per-frame pixel sums, and composition
+        # semantics are asserted against known pixels in tests/test_gif.py.
+        import ray.data as rd
+
+        from iresearch_ray.stages.gif import encode_gif
+        from iresearch_ray.stages.multimodal import FrameSample
+
+        rng = np.random.default_rng(452)
+        pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        payloads = []
+        for vid in range(4):
+            base = rng.integers(0, 64, (16, 16), dtype=np.uint8)
+            patches = [
+                rng.integers(0, 64, (6, 6), dtype=np.uint8) for _ in range(4)
+            ]
+            for p in patches:
+                p[0, 0] = 63  # transparent hole
+            payloads.append(
+                encode_gif(
+                    [base] + patches,
+                    pal,
+                    screen=(16, 16),
+                    regions=[(0, 0), (1, 1), (4, 4), (8, 8), (2, 9)],
+                    transparent=63,
+                    disposals=[0, 0, 3, 0, 2],
+                    delays_cs=[4] * 5,
+                    interlace=bool(vid % 2),
+                )
+            )
+        tbl = pa.table({
+            "item_id": pa.array(range(4), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/gif"] * 4),
+            "n_frames": pa.array([5] * 4, pa.int32()),
+            "fps": pa.array([25.0] * 4, pa.float32()),
+        })
+        out = (rd.from_arrow(tbl)
+               .map_batches(FrameSample(every=2, height=16, width=16,
+                                        decoder="gif"),
+                            batch_size=2, batch_format="pyarrow",
+                            concurrency=2)
+               .map_batches(lambda b: pa.table({
+                   "item_id": b["item_id"],
+                   "frame_idx": b["frame_idx"],
+                   "pix_sum": pa.array(
+                       np.asarray(b["pixels"].combine_chunks()
+                                  .flatten()).reshape(
+                           b.num_rows, -1).sum(axis=1, dtype=np.int64)),
+               }), batch_format="pyarrow")
+               ).to_pandas()
+        return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+
     def mm_audio_band(sf):
         # Real in-engine AUDIO decode as a driver surface (r5): a mixed
         # WAV + native-FLAC corpus (stages/flac.py — from-scratch RFC 9639
@@ -1028,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
         "mm_frame_sample": mm_frame_sample,
+        "mm_gif_frames": mm_gif_frames,
         "mm_audio_band": mm_audio_band,
         "emb_topk": emb_topk,
         "emb_knn_labels": emb_knn_labels,
