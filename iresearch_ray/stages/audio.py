@@ -18,6 +18,13 @@ Supported WAVE sample formats (decode_wav):
   only trusted THROUGH the decoder; hand-built byte vectors in tests pin
   the decode formulas to the published 16-bit endpoints +/-32124 /
   +/-32256).
+- IMA/DVI ADPCM (tag 0x11) and Microsoft ADPCM (tag 0x02) — the block
+  compressed formats legacy speech corpora ship; blocks restart the
+  predictor, so decode vectorizes ACROSS blocks (the per-step inner loop
+  runs over all blocks × channels at once).  ``fact`` truncates the
+  final block's padding.  The fixture encoders track the decoder's state
+  and return the exact decoded reference signal, and the IMA step math
+  is cross-verified against an independent decoder oracle in tests.
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): SubFormat GUID's leading 16-bit
   code remapped to any of the above.
 
@@ -112,10 +119,231 @@ def alaw_encode(pcm16: np.ndarray) -> np.ndarray:
 # decode side.
 
 _WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_MS_ADPCM = 0x0002
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_ALAW = 0x0006
 _WAVE_FORMAT_MULAW = 0x0007
+_WAVE_FORMAT_IMA_ADPCM = 0x0011
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+# ---------------------------------------------------------------------------
+# ADPCM — IMA/DVI (tag 0x11) and Microsoft (tag 0x02), the two compressed
+# WAV formats legacy speech corpora actually ship.  Both are BLOCK codecs:
+# every block restarts the predictor from its own header, so blocks decode
+# independently — the inner loops below run time-step-by-time-step but
+# VECTORIZED ACROSS ALL BLOCKS (and channels) at once, which is the whole
+# decode parallelism story (one long file = thousands of blocks = wide
+# numpy ops; across files the Ray actor pool parallelizes as usual).
+
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+_MS_COEF = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+     (392, -232)], np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230], np.int64)
+
+
+def _ima_step(pred: np.ndarray, index: np.ndarray, code: np.ndarray):
+    """One IMA ADPCM update, elementwise over any array shape: returns
+    (new predictor clamped to int16, new step index clamped to 0..88)."""
+    step = _IMA_STEP[index]
+    diff = (
+        (step >> 3)
+        + np.where(code & 1, step >> 2, 0)
+        + np.where(code & 2, step >> 1, 0)
+        + np.where(code & 4, step, 0)
+    )
+    pred = np.where(code & 8, pred - diff, pred + diff)
+    return np.clip(pred, -32768, 32767), np.clip(
+        index + _IMA_INDEX[code & 7], 0, 88
+    )
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int, ch: int) -> np.ndarray:
+    """IMA ADPCM data chunk → interleaved int32 PCM (frames*ch,).  Block
+    layout per channel: 4-byte header (int16 predictor = first sample,
+    step index, reserved), then 4-byte nibble groups round-robin across
+    channels; LOW nibble first within a byte."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.array([], np.int32)
+    blocks = np.frombuffer(data, np.uint8, nb * block_align).reshape(nb, block_align)
+    hdr = blocks[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int64)
+    pred = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int64)
+    pred = (pred ^ 0x8000) - 0x8000  # sign-extend little-endian int16
+    index = np.clip(hdr[:, :, 2], 0, 88)
+    body = blocks[:, 4 * ch :]
+    ngroups = body.shape[1] // (4 * ch)
+    grp = body[:, : ngroups * 4 * ch].reshape(nb, ngroups, ch, 4)
+    nib = np.empty((nb, ngroups, ch, 8), np.int64)
+    nib[..., 0::2] = grp & 0x0F
+    nib[..., 1::2] = grp >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(nb, ch, ngroups * 8)
+    n_steps = ngroups * 8
+    out = np.empty((nb, ch, 1 + n_steps), np.int64)
+    out[:, :, 0] = pred
+    for t in range(n_steps):  # vectorized over every block × channel
+        pred, index = _ima_step(pred, index, nib[:, :, t])
+        out[:, :, t + 1] = pred
+    return out.transpose(0, 2, 1).reshape(-1).astype(np.int32)
+
+
+def _ms_adpcm_decode(data: bytes, block_align: int, ch: int) -> np.ndarray:
+    """Microsoft ADPCM data chunk → interleaved int32 PCM (frames*ch,).
+    Block header (channel-major): predictor indices u8×ch, ideltas
+    i16×ch, sample1 i16×ch, sample2 i16×ch; then 4-bit codes HIGH nibble
+    first, alternating channels nibble-by-nibble."""
+    hdr_len = 7 * ch
+    if block_align <= hdr_len:
+        raise ValueError(f"bad MS ADPCM block align {block_align}")
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.array([], np.int32)
+    blocks = np.frombuffer(data, np.uint8, nb * block_align).reshape(nb, block_align)
+
+    def i16(col: np.ndarray) -> np.ndarray:
+        v = col[:, :, 0].astype(np.int64) | (col[:, :, 1].astype(np.int64) << 8)
+        return (v ^ 0x8000) - 0x8000
+
+    pidx = np.clip(blocks[:, :ch].astype(np.int64), 0, len(_MS_COEF) - 1)
+    o = ch
+    idelta = i16(blocks[:, o : o + 2 * ch].reshape(nb, ch, 2))
+    o += 2 * ch
+    s1 = i16(blocks[:, o : o + 2 * ch].reshape(nb, ch, 2))
+    o += 2 * ch
+    s2 = i16(blocks[:, o : o + 2 * ch].reshape(nb, ch, 2))
+    o += 2 * ch
+    c1 = _MS_COEF[pidx, 0]
+    c2 = _MS_COEF[pidx, 1]
+    body = blocks[:, o:]
+    nib = np.empty((nb, body.shape[1], 2), np.int64)
+    nib[:, :, 0] = body >> 4
+    nib[:, :, 1] = body & 0x0F
+    nib = nib.reshape(nb, -1)  # nibble-time-major; channels alternate
+    n_nib = (nib.shape[1] // ch) * ch
+    nib = nib[:, :n_nib].reshape(nb, n_nib // ch, ch)
+    n_steps = nib.shape[1]
+    out = np.empty((nb, ch, 2 + n_steps), np.int64)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    for t in range(n_steps):  # vectorized over every block × channel
+        code = nib[:, t, :]
+        signed = code - (code >> 3) * 16  # 4-bit two's complement
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * idelta
+        pred = np.clip(pred, -32768, 32767)
+        # clamp the step: adversarial nibble streams can otherwise grow
+        # idelta 3x per step and wrap int64 (real encoders stay tiny;
+        # 2^20 is far beyond any useful step for a +/-32768 signal)
+        idelta = np.clip((_MS_ADAPT[code] * idelta) >> 8, 16, 1 << 20)
+        s2 = s1
+        s1 = pred
+        out[:, :, 2 + t] = pred
+    return out.transpose(0, 2, 1).reshape(-1).astype(np.int32)
+
+
+def ima_adpcm_encode(
+    pcm: np.ndarray, block_align: int = 256
+) -> tuple[bytes, np.ndarray]:
+    """int16 mono PCM → (IMA ADPCM data bytes, the int16 signal those
+    bytes decode to).  The encoder tracks the DECODER's state (repo
+    convention: fixture encoders are trusted only through the decoder),
+    so the returned reference signal is exact for round-trip asserts."""
+    pcm = np.asarray(pcm, np.int64)
+    spb = (block_align - 4) * 2 + 1
+    out = bytearray()
+    ref: list[int] = []
+    # seed the first block's step near the signal's slope (a real
+    # encoder choice — decoders take whatever index the header says);
+    # with index 0 (step 7) a full-scale onset takes ~10 samples of
+    # maximal-code adaptation to catch, audibly slewing the attack
+    index = 0
+    if len(pcm) > 1:
+        target = int(np.max(np.abs(np.diff(pcm[: min(64, len(pcm))]))))
+        index = int(min(88, np.searchsorted(_IMA_STEP, max(target, 7))))
+    for b0 in range(0, len(pcm), spb):
+        blk = pcm[b0 : b0 + spb]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        ref.append(pred)
+        nibbles: list[int] = []
+        for x in blk[1:]:
+            step = int(_IMA_STEP[index])
+            diff = int(x) - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            p, i = _ima_step(np.array(pred), np.array(index), np.array(code))
+            pred, index = int(p), int(i)
+            nibbles.append(code)
+            ref.append(pred)
+        nibbles += [0] * (spb - 1 - len(nibbles))  # pad final block
+        for j in range(0, len(nibbles), 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+        # padding nibbles decode to junk samples; fact truncates them
+        for j in range(len(blk) - 1, spb - 1):
+            p, i = _ima_step(np.array(pred), np.array(index), np.array(0))
+            pred, index = int(p), int(i)
+    return bytes(out), np.array(ref, np.int16)
+
+
+def ms_adpcm_encode(
+    pcm: np.ndarray, block_align: int = 256
+) -> tuple[bytes, np.ndarray]:
+    """int16 mono PCM → (MS ADPCM data bytes, exact decoded reference).
+    Uses predictor 0 (coef 256/0) with idelta seeded from the block's
+    mean step — a real conformant encoder, greedy per-sample."""
+    pcm = np.asarray(pcm, np.int64)
+    spb = (block_align - 7) * 2 + 2
+    out = bytearray()
+    ref: list[int] = []
+    for b0 in range(0, len(pcm), spb):
+        blk = pcm[b0 : b0 + spb]
+        s2 = int(blk[0])
+        s1 = int(blk[1]) if len(blk) > 1 else 0
+        idelta = max(16, int(np.abs(np.diff(blk)).mean()) // 4 if len(blk) > 1 else 16)
+        out += struct.pack("<Bhhh", 0, idelta, s1, s2)
+        ref += [s2, s1]
+        codes: list[int] = []
+        for x in blk[2:]:
+            lin = (s1 * 256 + s2 * 0) >> 8
+            code = int(np.clip(round((int(x) - lin) / idelta), -8, 7))
+            pred = int(np.clip(lin + code * idelta, -32768, 32767))
+            idelta = max(16, (int(_MS_ADAPT[code & 0xF]) * idelta) >> 8)
+            s2, s1 = s1, pred
+            codes.append(code & 0xF)
+            ref.append(pred)
+        codes += [0] * (spb - 2 - len(codes))
+        for j in range(0, len(codes), 2):
+            out.append((codes[j] << 4) | codes[j + 1])
+        for _x in range(len(blk) - 2, spb - 2):  # advance past pad codes
+            lin = (s1 * 256) >> 8
+            pred = int(np.clip(lin, -32768, 32767))
+            idelta = max(16, (int(_MS_ADAPT[0]) * idelta) >> 8)
+            s2, s1 = s1, pred
+    return bytes(out), np.array(ref, np.int16)
 
 
 def _riff_chunks(payload: bytes):
@@ -164,25 +392,40 @@ def _decode_samples(tag: int, bits: int, data: bytes) -> np.ndarray:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → (float32 mono samples in [-1, 1], sample_rate).
     From-scratch chunk walk; PCM 8/16/24/32-bit, IEEE float32/64, G.711
-    A-law/mu-law, and WAVE_FORMAT_EXTENSIBLE wrappers of any of those.
-    Multi-channel input is mean-downmixed; unknown chunks are skipped."""
+    A-law/mu-law, IMA and Microsoft ADPCM (block codecs, decoded
+    vectorized across blocks), and WAVE_FORMAT_EXTENSIBLE wrappers of any
+    of those.  Multi-channel input is mean-downmixed; a ``fact`` chunk
+    truncates the trailing final-block padding of compressed formats;
+    unknown chunks are skipped."""
     fmt = data = None
+    fact = None
     for cid, body in _riff_chunks(payload):
         if cid == b"fmt " and fmt is None:
             fmt = body
         elif cid == b"data" and data is None:
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact = int.from_bytes(body[:4], "little")
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    tag, ch, sr, _byterate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    tag, ch, sr, _byterate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag == _WAVE_FORMAT_EXTENSIBLE:
         if len(fmt) < 40:
             raise ValueError("EXTENSIBLE fmt chunk too short")
         # SubFormat GUID at offset 24; its leading 16-bit code IS the format
         tag = int.from_bytes(fmt[24:26], "little")
-    x = _decode_samples(tag, bits, data)
+    if ch < 1:
+        raise ValueError("WAVE has zero channels")
+    if tag in (_WAVE_FORMAT_IMA_ADPCM, _WAVE_FORMAT_MS_ADPCM):
+        dec = (_ima_adpcm_decode if tag == _WAVE_FORMAT_IMA_ADPCM
+               else _ms_adpcm_decode)
+        x = dec(data, align, ch).astype(np.float32) / 32768.0
+    else:
+        x = _decode_samples(tag, bits, data)
     if ch > 1:
         x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1).astype(np.float32)
+    if fact is not None and tag != _WAVE_FORMAT_PCM:
+        x = x[:fact]
     return x, sr
 
 
@@ -217,7 +460,8 @@ def encode_wav(samples: np.ndarray, sr: int) -> bytes:
 def encode_wav_fmt(samples: np.ndarray, sr: int, fmt: str = "pcm16") -> bytes:
     """float samples in [-1, 1] → mono WAV bytes in any decode-supported
     sample format — the fixture partner for the non-PCM decode paths.
-    ``fmt``: pcm16 | pcm24 | pcm32 | float32 | float64 | mulaw | alaw.
+    ``fmt``: pcm16 | pcm24 | pcm32 | float32 | float64 | mulaw | alaw |
+    ima_adpcm | ms_adpcm.
     Non-PCM files get the real-world shape: an 18-byte fmt chunk
     (cbSize=0) plus a ``fact`` chunk carrying the frame count."""
     x = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
@@ -242,13 +486,34 @@ def encode_wav_fmt(samples: np.ndarray, sr: int, fmt: str = "pcm16") -> bytes:
         tag, bits, data = _WAVE_FORMAT_MULAW, 8, ulaw_encode(pcm16).tobytes()
     elif fmt == "alaw":
         tag, bits, data = _WAVE_FORMAT_ALAW, 8, alaw_encode(pcm16).tobytes()
+    elif fmt == "ima_adpcm":
+        tag, bits = _WAVE_FORMAT_IMA_ADPCM, 4
+        data, _ref = ima_adpcm_encode(pcm16, block_align=256)
+        data = bytes(data)
+    elif fmt == "ms_adpcm":
+        tag, bits = _WAVE_FORMAT_MS_ADPCM, 4
+        data, _ref = ms_adpcm_encode(pcm16, block_align=256)
+        data = bytes(data)
     else:
         raise ValueError(f"encode_wav_fmt: unknown fmt {fmt!r}")
     nframes = len(x)
     block = max(1, bits // 8)
     pcm_like = tag == _WAVE_FORMAT_PCM
+    adpcm = tag in (_WAVE_FORMAT_IMA_ADPCM, _WAVE_FORMAT_MS_ADPCM)
+    if adpcm:
+        block = 256  # block align IS the codec block for ADPCM
     fmt_body = struct.pack("<HHIIHH", tag, 1, sr, sr * block, block, bits)
-    if not pcm_like:
+    if adpcm:
+        if tag == _WAVE_FORMAT_IMA_ADPCM:
+            spb = (256 - 4) * 2 + 1
+            fmt_body += struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+        else:
+            spb = (256 - 7) * 2 + 2
+            ext = struct.pack("<HH", spb, len(_MS_COEF))
+            for a, b in _MS_COEF:
+                ext += struct.pack("<hh", int(a), int(b))
+            fmt_body += struct.pack("<H", len(ext)) + ext
+    elif not pcm_like:
         fmt_body += struct.pack("<H", 0)  # cbSize=0 (18-byte fmt, G.711 norm)
     chunks = [(b"fmt ", fmt_body)]
     if not pcm_like:
@@ -390,10 +655,13 @@ def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
     """Deterministic REAL-audio corpus: per item a sine at a seeded
     frequency plus light noise.  ``fmt``: "wav" (16-bit PCM RIFF), "flac"
     (genuinely compressed native FLAC via stages/flac.py), "mixed"
-    (alternating — exercises AudioDecode's per-row container dispatch), or
+    (cycling PCM-WAV / FLAC / IMA-ADPCM / MS-ADPCM — exercises
+    AudioDecode's per-row container dispatch), or
     any ``encode_wav_fmt`` sample format ("mulaw", "alaw", "pcm24",
-    "pcm32", "float32", "float64") for the non-PCM WAV decode paths."""
-    wav_fmts = ("mulaw", "alaw", "pcm24", "pcm32", "float32", "float64")
+    "pcm32", "float32", "float64", "ima_adpcm", "ms_adpcm") for the
+    non-PCM WAV decode paths."""
+    wav_fmts = ("mulaw", "alaw", "pcm24", "pcm32", "float32", "float64",
+                "ima_adpcm", "ms_adpcm")
     if fmt not in ("wav", "flac", "mixed") + wav_fmts:
         raise ValueError(f"synth_audio_table: unknown fmt {fmt!r}")
     rng = np.random.default_rng(seed)
@@ -402,14 +670,16 @@ def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
     for i in range(n):
         f = float(rng.integers(200, 3500))
         x = 0.7 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.size)
-        use_flac = fmt == "flac" or (fmt == "mixed" and i % 2)
-        if use_flac:
+        row_fmt = fmt
+        if fmt == "mixed":
+            row_fmt = ("wav", "flac", "ima_adpcm", "ms_adpcm")[i % 4]
+        if row_fmt == "flac":
             from iresearch_ray.stages.flac import encode_flac
 
             payloads.append(encode_flac(x, sr, bps=16))
             mimes.append("audio/flac")
-        elif fmt in wav_fmts:
-            payloads.append(encode_wav_fmt(x, sr, fmt=fmt))
+        elif row_fmt in wav_fmts:
+            payloads.append(encode_wav_fmt(x, sr, fmt=row_fmt))
             mimes.append("audio/wav")
         else:
             payloads.append(encode_wav(x, sr))

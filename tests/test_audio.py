@@ -241,3 +241,216 @@ def test_mixed_g711_batch_through_decode_stage(ray_session):
     for f, p in zip(freqs[:3], payloads[:3]):
         exp_band = int(np.searchsorted(edges, f / bin_hz, side="right")) - 1
         assert abs(dominant_band(p) - exp_band) <= 1
+
+# ---------------------------------------------------------------------------
+# ADPCM (IMA tag 0x11 / Microsoft tag 0x02).  The vectorized decoders run
+# the per-step recurrence across all blocks x channels at once; the scalar
+# oracles below re-implement the published block layout sample-by-sample,
+# so a vectorization bug (interleave order, nibble order, state carry)
+# cannot hide.  Encoders track the decoder's state, so round-trips assert
+# EXACT equality, not a tolerance.
+
+_IMA_INDEX_TAB = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_scalar_decode(data, align, ch):
+    """Spec-literal scalar IMA ADPCM decode (independent of the numpy
+    implementation): 4-byte per-channel headers, 4-byte nibble groups
+    round-robin over channels, LOW nibble first."""
+    import struct
+
+    from iresearch_ray.stages.audio import _IMA_STEP
+
+    out = []
+    for b0 in range(0, len(data) - align + 1, align):
+        blk = data[b0 : b0 + align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p, i, _r = struct.unpack_from("<hBB", blk, 4 * c)
+            preds.append(p)
+            idxs.append(min(max(i, 0), 88))
+        frames = [list(preds)]
+        body = blk[4 * ch :]
+        samples = [[] for _ in range(ch)]
+        for g in range(len(body) // 4):
+            c = g % ch
+            for byte in body[g * 4 : (g + 1) * 4]:
+                for code in (byte & 0x0F, byte >> 4):
+                    step = int(_IMA_STEP[idxs[c]])
+                    diff = step >> 3
+                    if code & 1:
+                        diff += step >> 2
+                    if code & 2:
+                        diff += step >> 1
+                    if code & 4:
+                        diff += step
+                    if code & 8:
+                        diff = -diff
+                    preds[c] = min(max(preds[c] + diff, -32768), 32767)
+                    idxs[c] = min(max(idxs[c] + _IMA_INDEX_TAB[code & 7], 0), 88)
+                    samples[c].append(preds[c])
+        for t in range(len(samples[0])):
+            frames.append([samples[c][t] for c in range(ch)])
+        out.extend(v for fr in frames for v in fr)
+    return np.array(out, np.int32)
+
+
+def _ms_scalar_decode(data, align, ch):
+    """Spec-literal scalar MS ADPCM decode: channel-major 7*ch-byte header,
+    HIGH nibble first, channels alternating nibble-by-nibble."""
+    coef = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232)]
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409,
+             307, 230, 230, 230]
+    out = []
+    for b0 in range(0, len(data) - align + 1, align):
+        blk = data[b0 : b0 + align]
+        pidx = [min(blk[c], 6) for c in range(ch)]
+
+        def rd16(off):
+            v = blk[off] | (blk[off + 1] << 8)
+            return (v ^ 0x8000) - 0x8000
+
+        o = ch
+        idelta = [rd16(o + 2 * c) for c in range(ch)]
+        o += 2 * ch
+        s1 = [rd16(o + 2 * c) for c in range(ch)]
+        o += 2 * ch
+        s2 = [rd16(o + 2 * c) for c in range(ch)]
+        o += 2 * ch
+        frames = [list(s2), list(s1)]
+        nibs = []
+        for byte in blk[o:]:
+            nibs.append(byte >> 4)
+            nibs.append(byte & 0x0F)
+        n = (len(nibs) // ch) * ch
+        cur = [0] * ch
+        for t in range(n):
+            c = t % ch
+            code = nibs[t]
+            signed = code - 16 if code >= 8 else code
+            c1, c2 = coef[pidx[c]]
+            pred = ((s1[c] * c1 + s2[c] * c2) >> 8) + signed * idelta[c]
+            pred = min(max(pred, -32768), 32767)
+            idelta[c] = min(max((adapt[code] * idelta[c]) >> 8, 16), 1 << 20)
+            s2[c], s1[c] = s1[c], pred
+            cur[c] = pred
+            if c == ch - 1:
+                frames.append(list(cur))
+        out.extend(v for fr in frames for v in fr)
+    return np.array(out, np.int32)
+
+
+def test_ima_step_table_published_endpoints():
+    from iresearch_ray.stages.audio import _IMA_STEP
+
+    assert len(_IMA_STEP) == 89
+    assert int(_IMA_STEP[0]) == 7 and int(_IMA_STEP[88]) == 32767
+    assert np.all(np.diff(_IMA_STEP) > 0)  # strictly increasing
+
+
+def test_ima_vectorized_matches_scalar_oracle_random():
+    from iresearch_ray.stages.audio import _ima_adpcm_decode
+
+    rng = np.random.default_rng(7)
+    for ch, align in ((1, 32), (2, 72), (1, 256), (2, 40)):
+        data = bytes(rng.integers(0, 256, size=align * 5, dtype=np.uint8))
+        got = _ima_adpcm_decode(data, align, ch)
+        want = _ima_scalar_decode(data, align, ch)
+        assert np.array_equal(got, want), (ch, align)
+
+
+def test_ms_vectorized_matches_scalar_oracle_random():
+    from iresearch_ray.stages.audio import _ms_adpcm_decode
+
+    rng = np.random.default_rng(9)
+    for ch, align in ((1, 24), (2, 30), (1, 256), (2, 128)):
+        data = bytes(rng.integers(0, 256, size=align * 5, dtype=np.uint8))
+        got = _ms_adpcm_decode(data, align, ch)
+        want = _ms_scalar_decode(data, align, ch)
+        assert np.array_equal(got, want), (ch, align)
+
+
+def _adpcm_wav(tag, sr, align, data, nframes, ch=1):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, ch, sr, sr, align, 4)
+    fmt += struct.pack("<H", 0)  # cbSize=0 is tolerated by the walker
+    body = b"WAVE"
+    for cid, cbody in (
+        (b"fmt ", fmt),
+        (b"fact", struct.pack("<I", nframes)),
+        (b"data", data),
+    ):
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ima_encode_decode_exact_with_fact_truncation():
+    from iresearch_ray.stages.audio import ima_adpcm_encode
+
+    rng = np.random.default_rng(21)
+    # smooth-ish random walk (what ADPCM is for), odd length so the final
+    # block is padded and the fact chunk is load-bearing
+    pcm = np.clip(np.cumsum(rng.integers(-900, 901, size=1531)), -32768, 32767)
+    data, ref = ima_adpcm_encode(pcm.astype(np.int16), block_align=256)
+    assert len(ref) == len(pcm)
+    payload = _adpcm_wav(0x11, 8000, 256, data, nframes=len(ref))
+    y, sr = decode_wav(payload)
+    assert sr == 8000 and y.size == len(pcm)  # fact truncated the padding
+    got = np.round(y.astype(np.float64) * 32768.0).astype(np.int64)
+    assert np.array_equal(got, ref.astype(np.int64))
+
+
+def test_ms_encode_decode_exact_with_fact_truncation():
+    from iresearch_ray.stages.audio import ms_adpcm_encode
+
+    rng = np.random.default_rng(22)
+    pcm = np.clip(np.cumsum(rng.integers(-700, 701, size=1207)), -32768, 32767)
+    data, ref = ms_adpcm_encode(pcm.astype(np.int16), block_align=256)
+    assert len(ref) == len(pcm)
+    payload = _adpcm_wav(0x02, 8000, 256, data, nframes=len(ref))
+    y, sr = decode_wav(payload)
+    assert sr == 8000 and y.size == len(pcm)
+    got = np.round(y.astype(np.float64) * 32768.0).astype(np.int64)
+    assert np.array_equal(got, ref.astype(np.int64))
+
+
+def test_encode_wav_fmt_adpcm_roundtrip_tolerance():
+    from iresearch_ray.stages.audio import encode_wav_fmt
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    x = 0.6 * np.sin(2 * np.pi * 300 * t)
+    for fmt, bound in (("ima_adpcm", 0.06), ("ms_adpcm", 0.12)):
+        y, sr2 = decode_wav(encode_wav_fmt(x, sr, fmt=fmt))
+        assert sr2 == sr and y.size == x.size, fmt
+        assert np.max(np.abs(y - x)) < bound, fmt
+        # and it genuinely compressed: 4-bit codes ~= 1/4 the PCM16 bytes
+        assert len(encode_wav_fmt(x, sr, fmt=fmt)) < x.size * 2 * 0.35
+
+
+def test_adpcm_batch_through_decode_stage(ray_session):
+    import ray.data as rd
+
+    from iresearch_ray.stages.audio import dominant_band
+
+    for fmt in ("ima_adpcm", "ms_adpcm"):
+        tbl = synth_audio_table(4, sr=8000, secs=0.25, fmt=fmt)
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(AudioDecode(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert (out["sample_rate"] == 8000).all(), fmt
+        assert (out["n_samples"] == 2000).all(), fmt
+        # dominant-band physics survives the 4-bit codec
+        freqs = tbl["freq_hz"].to_pylist()
+        payloads = tbl["payload"].to_pylist()
+        bin_hz = 8000 / 512
+        edges = np.linspace(0, 512 // 2 + 1, 14).astype(int)
+        for f, p in zip(freqs[:2], payloads[:2]):
+            exp = int(np.searchsorted(edges, f / bin_hz, side="right")) - 1
+            assert abs(dominant_band(p) - exp) <= 1, fmt
