@@ -1,8 +1,12 @@
-"""From-scratch H.264/AVC **I-frame** codec (ITU-T H.264 / ISO 14496-10),
+"""From-scratch H.264/AVC codec (ITU-T H.264 / ISO 14496-10),
 dependency-free numpy — closes the "every real MP4 is H.264" gap in the
 multimodal stack (SURVEY §2.12; VERDICT r4 "What's missing #1").
 
-Scope (Baseline/Main-shaped, I/IDR slices only):
+Scope (Baseline/Main/High-shaped): I/IDR slices in BOTH entropy coders,
+CAVLC P slices (quarter-pel inter prediction, multi-reference, explicit
+weighted prediction), and CAVLC B slices (bi-prediction, POC-ordered
+default lists, SPATIAL direct with colZeroFlag, explicit weighted
+bi-prediction, display-order restore via §8.2.1 POC).  Per layer:
 
 - NAL parsing (Annex-B and MP4 length-prefixed), RBSP emulation-byte strip;
 - SPS/PPS parse (Exp-Golomb) — frame_mbs_only, 4:2:0, 8-bit;
@@ -25,9 +29,10 @@ Scope (Baseline/Main-shaped, I/IDR slices only):
   transform (§8.5.12), 4×4 luma-DC Hadamard, 2×2 chroma-DC transform;
 - in-loop deblocking filter (§8.7, all-intra bS: 4 on MB edges, 3 on
   internal 4x4 edges) honouring per-slice disable_deblocking_filter_idc
-  0/1/2 and the alpha/beta offsets; no P/B slices, no interlace —
-  non-IDR samples are SKIPPED by the frame sampler (the same skip
-  semantics as the AVI sampler).
+  0/1/2 and the alpha/beta offsets; inter bS (§8.7.2.1) compares
+  (picture, mv) prediction SETS, so bi-predicted edges pair by picture
+  identity; no interlace — CABAC P/B samples are SKIPPED by the frame
+  sampler (the same skip semantics as the AVI sampler).
 
 The matching ``encode_h264_iframes`` emits a conformant-shaped baseline
 stream (SPS/PPS + one IDR slice per frame) from CHOSEN quantized
@@ -668,8 +673,9 @@ def parse_sps(rbsp: bytes) -> dict:
             raise ValueError("only 4:2:0 supported")
     log2_max_frame_num = br.ue() + 4
     poc_type = br.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        br.ue()
+        log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
         br.u(1)
         br.se()
@@ -683,13 +689,16 @@ def parse_sps(rbsp: bytes) -> dict:
     frame_mbs_only = br.u(1)
     if not frame_mbs_only:
         raise ValueError("interlace not supported")
-    br.u(1)  # direct_8x8
+    direct_8x8_inference = br.u(1)
     crop = [0, 0, 0, 0]
     if br.u(1):
         crop = [br.ue(), br.ue(), br.ue(), br.ue()]
     return {
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "direct_8x8_inference": direct_8x8_inference,
         "max_num_ref_frames": max_num_ref_frames,
         "w_mbs": w_mbs, "h_mbs": h_map,
         "width": w_mbs * 16 - 2 * (crop[0] + crop[1]),
@@ -707,9 +716,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if br.ue() != 0:
         raise ValueError("slice groups not supported")
     num_ref_l0 = br.ue() + 1  # num_ref_idx_l0_default_active
-    br.ue()                   # num_ref_idx_l1_default_active
+    num_ref_l1 = br.ue() + 1  # num_ref_idx_l1_default_active
     weighted_pred = br.u(1)
-    br.u(2)                   # weighted_bipred_idc
+    weighted_bipred = br.u(2)  # 0 default, 1 explicit, 2 implicit
     pic_init_qp = br.se() + 26
     br.se()  # qs
     chroma_qp_off = br.se()
@@ -729,7 +738,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "entropy": entropy,
         "transform_8x8": transform_8x8,
         "num_ref_idx_l0_default": num_ref_l0,
+        "num_ref_idx_l1_default": num_ref_l1,
         "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
     }
 
 
@@ -1034,11 +1045,19 @@ class _Frame:
         # transform_size_8x8_flag per MB (High-profile I_8x8; drives the
         # CABAC ctx 399 neighbor condition and deblock edge selection)
         self.t8 = np.zeros((h_mbs, w_mbs), dtype=np.int8)
-        # --- inter-prediction state (P slices) ---
-        # per-4x4-block L0 motion vector (quarter-pel) and reference index;
-        # refi -1 = intra-coded or undecoded (I paths never touch these)
+        # --- inter-prediction state (P and B slices) ---
+        # per-4x4-block motion vector (quarter-pel) and reference index,
+        # one grid pair per list; refi -1 = list unused for that block
+        # (intra blocks leave BOTH at -1; P slices never touch list 1)
         self.mv = np.zeros((4 * h_mbs, 4 * w_mbs, 2), dtype=np.int32)
         self.refi = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int8)
+        self.mv1 = np.zeros((4 * h_mbs, 4 * w_mbs, 2), dtype=np.int32)
+        self.refi1 = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int8)
+        # global picture SERIAL per list (deblock §8.7.2.1 compares
+        # reference PICTURES, not list indices — two lists can hold the
+        # same picture at different indices); -1 = unused
+        self.pid0 = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int64)
+        self.pid1 = np.full((4 * h_mbs, 4 * w_mbs), -1, dtype=np.int64)
         # MV-decoded bitmap in PARSE order: §8.4.1.3 neighbor availability
         # follows partition decode order (a later sub-partition of the
         # same MB is not yet available to an earlier one's predictor)
@@ -1395,12 +1414,14 @@ def _rbsp_data_end(rbsp: bytes) -> int:
 
 def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
                        refs: "list | None" = None, nal_type: int = 5,
-                       nal_ref_idc: int = 1) -> int:
-    """Decode one slice (IDR-I or non-IDR P) into a shared picture frame.
-    Returns first_mb_in_slice.  Slice-boundary availability is enforced
-    through fr.cur_slice / fr.slice_no (neighbors in other slices are
-    unavailable for prediction and nC, §6.4.9).  ``refs`` is the L0
-    reference list (most recent first) as _RefPic."""
+                       nal_ref_idc: int = 1,
+                       refs1: "list | None" = None) -> int:
+    """Decode one slice (IDR-I, non-IDR P, or non-IDR B) into a shared
+    picture frame.  Returns first_mb_in_slice.  Slice-boundary
+    availability is enforced through fr.cur_slice / fr.slice_no
+    (neighbors in other slices are unavailable for prediction and nC,
+    §6.4.9).  ``refs`` is the L0 reference list as _RefPic (most recent
+    first for P; POC order for B), ``refs1`` the B L1 list."""
     br = BitReader(rbsp)
     first_mb = br.ue()
     slice_type = br.ue()
@@ -1408,15 +1429,20 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
     if st == 0 and nal_type != 5:
         return _decode_pslice_into(fr, br, rbsp, sps, pps, first_mb,
                                    refs or [], nal_ref_idc)
+    if st == 1 and nal_type != 5:
+        return _decode_bslice_into(fr, br, rbsp, sps, pps, first_mb,
+                                   refs or [], refs1 or [], nal_ref_idc)
     if st != 2:
         raise ValueError(
             f"slice_type {slice_type} in nal_type {nal_type} not supported "
-            "(B/SP/SI slices need the PyAV seam)")
+            "(SP/SI slices need the PyAV seam)")
     br.ue()  # pps id
     br.u(sps["log2_max_frame_num"])  # frame_num
-    # pic_order_cnt_type == 2 in our streams: no POC fields
     if nal_type == 5:
         br.ue()  # idr_pic_id
+    if sps.get("poc_type", 2) == 0:
+        br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    if nal_type == 5:
         br.u(1)  # no_output_of_prior_pics
         br.u(1)  # long_term_reference
     elif nal_ref_idc:
@@ -1473,7 +1499,8 @@ def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
         raise ValueError("P slice without reference pictures")
     br.ue()  # pps id
     br.u(sps["log2_max_frame_num"])  # frame_num
-    # pic_order_cnt_type == 2: no POC fields
+    if sps.get("poc_type", 2) == 0:
+        br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     nref = pps.get("num_ref_idx_l0_default", 1)
     if br.u(1):  # num_ref_idx_active_override_flag
         nref = br.ue() + 1
@@ -1534,24 +1561,32 @@ def _decode_pslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
 def decode_picture(rbsps: list, sps: dict, pps: dict,
                    refs: "list | None" = None,
                    nal_types: "list | None" = None,
-                   ref_idcs: "list | None" = None):
+                   ref_idcs: "list | None" = None,
+                   refs1: "list | None" = None,
+                   return_frame: bool = False):
     """One access unit (list of slice RBSPs) -> (Y, Cb, Cr) uint8 planes
-    (full MB grid, uncropped).  ``refs``: L0 reference list, most recent
-    first, each a _RefPic or an (Y, Cb, Cr) plane triple."""
+    (full MB grid, uncropped).  ``refs``: L0 reference list (most recent
+    first for P, POC order for B), each a _RefPic or an (Y, Cb, Cr)
+    plane triple; ``refs1``: the B L1 list.  ``return_frame`` appends
+    the decoded _Frame (its motion grids feed the DPB for later B
+    spatial-direct co-location)."""
     fr = _Frame(sps["w_mbs"], sps["h_mbs"])
     refs = [r if isinstance(r, _RefPic) else _RefPic(*r)
             for r in (refs or [])]
+    refs1 = None if refs1 is None else \
+        [r if isinstance(r, _RefPic) else _RefPic(*r) for r in refs1]
     nal_types = nal_types or [5] * len(rbsps)
     ref_idcs = ref_idcs or [1] * len(rbsps)
     for rbsp, nt, ri in zip(rbsps, nal_types, ref_idcs):
         _decode_slice_into(fr, rbsp, sps, pps, refs=refs, nal_type=nt,
-                           nal_ref_idc=ri)
+                           nal_ref_idc=ri, refs1=refs1)
     if not fr.mb_done.all():
         raise ValueError("picture is missing macroblocks (incomplete slices)")
     if any(v[0] != 1 for v in fr.deblock.values()):
         deblock_picture(fr, pps)
-    return (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
-            fr.Cr.astype(np.uint8))
+    planes = (fr.Y.astype(np.uint8), fr.Cb.astype(np.uint8),
+              fr.Cr.astype(np.uint8))
+    return (planes, fr) if return_frame else planes
 
 
 def decode_idr_picture(rbsps: list, sps: dict, pps: dict):
@@ -1618,45 +1653,115 @@ def iter_avc_nals_hdr(sample: bytes, length_size: int = 4):
 
 class GopDecoder:
     """Stateful access-unit decoder shared by the Annex-B and MP4 walks:
-    decodes IDR pictures and CAVLC P pictures against a DPB (most recent
-    reference first — the default list-0 order); every other AU shape
-    (B, non-IDR I, CABAC P, P over a broken reference chain) is SKIPPED
-    without entropy decoding, preserving the I-sampling semantics, and a
-    skipped REFERENCE picture clears the DPB so later P pictures cannot
-    silently predict from the wrong frame."""
+    decodes IDR pictures, CAVLC P pictures, and CAVLC B pictures
+    (spatial direct) against a DPB; the remaining AU shapes (CABAC P/B,
+    P/B over a broken reference chain) are SKIPPED without entropy
+    decoding, preserving the I-sampling semantics, and a skipped
+    REFERENCE picture clears the DPB so later pictures cannot silently
+    predict from the wrong frame.
+
+    ``decode_au`` returns ``(planes | None, poc)`` — POC (§8.2.1) is
+    tracked for every AU, decoded or skipped, so callers can restore
+    DISPLAY order across B reordering; with pic_order_cnt_type 2 the POC
+    is the decode index scaled by 2, so sorting by it is a no-op for the
+    pre-B stream shapes."""
 
     def __init__(self, sps: dict, pps: dict):
         self.sps, self.pps = sps, pps
         self.dpb: list = []
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
+        self._fn_offset = 0
+        self._prev_fn = 0
 
-    def decode_au(self, nals: list):
+    def _poc(self, frame_num: int, poc_lsb: int, idr: bool,
+             is_ref: bool) -> int:
+        sps = self.sps
+        if sps.get("poc_type", 2) == 0:  # §8.2.1.1
+            max_lsb = 1 << sps["log2_max_poc_lsb"]
+            if idr:
+                self._prev_poc_msb = self._prev_poc_lsb = 0
+            pm, pl = self._prev_poc_msb, self._prev_poc_lsb
+            if poc_lsb < pl and pl - poc_lsb >= max_lsb // 2:
+                msb = pm + max_lsb
+            elif poc_lsb > pl and poc_lsb - pl > max_lsb // 2:
+                msb = pm - max_lsb
+            else:
+                msb = pm
+            if is_ref:
+                self._prev_poc_msb, self._prev_poc_lsb = msb, poc_lsb
+            return msb + poc_lsb
+        # §8.2.1.3 (poc_type 2): decode order, scaled by 2
+        max_fn = 1 << sps["log2_max_frame_num"]
+        if idr:
+            self._fn_offset = 0
+        elif self._prev_fn > frame_num:
+            self._fn_offset += max_fn
+        self._prev_fn = frame_num
+        return 2 * (self._fn_offset + frame_num) - (0 if is_ref else 1)
+
+    def _peek(self, nal_type: int, rbsp: bytes):
+        """(first_mb, st, frame_num, poc_lsb) from a slice header."""
+        br = BitReader(rbsp)
+        first_mb = br.ue()
+        st = br.ue() % 5
+        br.ue()  # pps id
+        fn = br.u(self.sps["log2_max_frame_num"])
+        if nal_type == 5:
+            br.ue()  # idr_pic_id
+        lsb = br.u(self.sps["log2_max_poc_lsb"]) \
+            if self.sps.get("poc_type", 2) == 0 else 0
+        return first_mb, st, fn, lsb
+
+    def decode_au(self, nals: list, want: bool = True):
         """nals: [(nal_type, nal_ref_idc, rbsp)] slice NALs of ONE access
-        unit.  Returns (Y, Cb, Cr) uint8 planes, or None if skipped."""
+        unit.  Returns ((Y, Cb, Cr) uint8 planes or None, poc).
+        ``want=False`` skips the entropy decode but still advances the
+        POC state (an unsampled frame keeps its display slot); skipping
+        a reference picture clears the DPB."""
         if not nals:
             return None
         idr = nals[0][0] == 5
-        br0 = BitReader(nals[0][2])
-        br0.ue()  # first_mb
-        st0 = br0.ue() % 5
+        _, st0, fn, lsb = self._peek(nals[0][0], nals[0][2])
         is_ref = any(ri for _, ri, _ in nals)
-        # decodable: IDR, non-IDR I (intra refresh — both entropy coders),
-        # or a CAVLC P picture with a live reference chain
-        if not (idr or st0 == 2 or (st0 == 0 and not self.pps.get("entropy")
-                                    and self.dpb)):
+        poc = self._poc(fn, lsb, idr, is_ref)
+        cavlc = not self.pps.get("entropy")
+        # decodable: IDR, non-IDR I (intra refresh — both entropy
+        # coders), or a CAVLC P/B picture with a live reference chain
+        ok = idr or st0 == 2 or (st0 in (0, 1) and cavlc and self.dpb)
+        if not want or not ok:
             if is_ref and not idr:
                 self.dpb = []
-            return None
-        planes = decode_picture(
+            elif idr and not want:
+                self.dpb = []
+            return None, poc
+        refs1 = None
+        if st0 == 1 and not idr:
+            # §8.2.4.2.3 default B lists (short-term frames, POC order)
+            past = sorted((r for r in self.dpb if r.poc < poc),
+                          key=lambda r: -r.poc)
+            fut = sorted((r for r in self.dpb if r.poc > poc),
+                         key=lambda r: r.poc)
+            refs0 = past + fut
+            refs1 = fut + past
+            if len(refs1) >= 2 and refs1 == refs0:
+                refs1 = [refs1[1], refs1[0]] + refs1[2:]
+        else:
+            refs0 = [] if idr else self.dpb
+        planes, fr = decode_picture(
             [r for _, _, r in nals], self.sps, self.pps,
-            refs=[] if idr else self.dpb,
+            refs=refs0, refs1=refs1,
             nal_types=[nt for nt, _, _ in nals],
-            ref_idcs=[ri for _, ri, _ in nals])
+            ref_idcs=[ri for _, ri, _ in nals],
+            return_frame=True)
         if idr:
             self.dpb = []
         if is_ref:
-            self.dpb.insert(0, _RefPic(*planes))
+            rp = _RefPic(*planes, poc=poc)
+            rp.attach_motion(fr)
+            self.dpb.insert(0, rp)
             del self.dpb[max(1, self.sps.get("max_num_ref_frames", 1)):]
-        return planes
+        return planes, poc
 
 
 def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
@@ -1674,18 +1779,38 @@ def _yuv420_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
 
 def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
     """[(frame_idx, array)] for every k-th access unit of an Annex-B
-    H.264 stream.  Consecutive slices form ONE picture (a new access unit
-    starts at first_mb_in_slice == 0).  CAVLC streams decode FULLY (IDR +
-    P; the DPB holds the last max_num_ref_frames decoded reference
-    pictures, most recent first — the default list-0 order).  CABAC
-    streams keep the I-frame-sampling semantics: non-IDR access units are
-    counted but skipped without entropy decoding (full CABAC-P decode is
-    the documented PyAV seam)."""
+    H.264 stream (sampled on DECODE order; emitted in DISPLAY order with
+    display indices).  Consecutive slices form ONE picture (a new access
+    unit starts at first_mb_in_slice == 0).  CAVLC streams decode FULLY
+    (IDR + P + B; B pictures use the POC-ordered default lists and
+    spatial direct).  B reordering is restored per IDR GOP: decoded
+    pictures buffer until the next IDR (bounded by the GOP length), then
+    sort by POC — for the pre-B stream shapes POC order IS decode order,
+    so indices are unchanged there.  CABAC streams keep the
+    I-frame-sampling semantics: non-IDR access units are counted but
+    skipped without entropy decoding (CABAC P/B decode is the documented
+    PyAV seam)."""
     sps = pps = None
     frames = []
-    idx = 0
-    cur: list = []   # [(nal_type, nal_ref_idc, rbsp)] of the current AU
-    gop: list = [None]  # GopDecoder, rebuilt when SPS/PPS change
+    idx = 0       # decode-order AU index (drives the ``every`` sampling)
+    base = 0      # display index of the current GOP's first picture
+    cur: list = []       # [(nal_type, nal_ref_idc, rbsp)] of current AU
+    pending: list = []   # [(poc, planes | None)] of the current IDR GOP
+    gop: list = [None]   # GopDecoder, rebuilt when SPS/PPS change
+
+    def flush_gop():
+        nonlocal base
+        for disp, (_poc, planes) in enumerate(
+                sorted(pending, key=lambda t: t[0])):
+            if planes is not None:
+                Y, Cb, Cr = planes
+                img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"],
+                                      sps["height"])
+                       if rgb else (Y[: sps["height"], : sps["width"]],
+                                    Cb, Cr))
+                frames.append((base + disp, img))
+        base += len(pending)
+        pending.clear()
 
     def flush():
         nonlocal idx, cur
@@ -1693,12 +1818,10 @@ def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
             return
         if gop[0] is None:
             gop[0] = GopDecoder(sps, pps)
-        planes = gop[0].decode_au(cur)
-        if planes is not None and idx % every == 0:
-            Y, Cb, Cr = planes
-            img = (_yuv420_to_rgb(Y, Cb, Cr, sps["width"], sps["height"])
-                   if rgb else (Y[: sps["height"], : sps["width"]], Cb, Cr))
-            frames.append((idx, img))
+        if cur[0][0] == 5:  # an IDR AU closes the previous GOP
+            flush_gop()
+        planes, poc = gop[0].decode_au(cur)
+        pending.append((poc, planes if idx % every == 0 else None))
         idx += 1
         cur = []
 
@@ -1718,6 +1841,7 @@ def decode_annexb(stream: bytes, every: int = 1, rgb: bool = True):
                 flush()
             cur.append((nal_type, ref_idc, rbsp))
     flush()
+    flush_gop()
     return frames
 
 
@@ -2026,7 +2150,7 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
                         first_mb: int = 0, n_mbs: int | None = None,
                         fr: "_Frame | None" = None,
                         deblock_idc: int = 1, idr: bool = True,
-                        frame_num: int = 0) -> bytes:
+                        frame_num: int = 0, poc_lsb: int = 0) -> bytes:
     """One IDR slice RBSP from (Y, Cb, Cr) source planes (already padded to
     the MB grid).  ``kind_fn(mbx, mby) -> 'i16' | 'i4' | 'pcm'``.  For a
     multi-slice picture pass the shared ``fr`` plus this slice's MB band
@@ -2046,6 +2170,10 @@ def encode_iframe_slice(src, sps: dict, pps: dict, qp: int, kind_fn,
          sps["log2_max_frame_num"])
     if idr:
         hb.ue(0)                  # idr_pic_id
+    if sps.get("poc_type", 2) == 0:
+        hb.u(poc_lsb & ((1 << sps["log2_max_poc_lsb"]) - 1),
+             sps["log2_max_poc_lsb"])
+    if idr:
         hb.u(0, 1)                # no_output_of_prior_pics
         hb.u(0, 1)                # long_term_reference
     else:
@@ -2181,7 +2309,8 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
     # scratch MV window: plan mutates it for the in-MB predictor chain,
     # then restores — the decoder drive is the one true state advance
     sl = np.s_[by0:by0 + 4, bx0:bx0 + 4]
-    save = (fr.mv[sl].copy(), fr.refi[sl].copy(), fr.mvdec[sl].copy())
+    save = (fr.mv[sl].copy(), fr.refi[sl].copy(), fr.mvdec[sl].copy(),
+            fr.pid0[sl].copy())
     try:
         mvds, ridx = [], []
         quad_ref = {}  # p8x8: one ref per 8x8 quadrant (spec shape)
@@ -2214,13 +2343,49 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
                 quad_ref[pk] = r
             ridx.append(r)
             mvds.append((int(mv[0] - mvp[0]), int(mv[1] - mvp[1])))
-            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv)
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv,
+                      pid=refs[r].serial)
         predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby, wp)
         mv16 = fr.mv[by0, bx0].copy()
         ref16 = int(fr.refi[by0, bx0])
     finally:
-        fr.mv[sl], fr.refi[sl], fr.mvdec[sl] = save
+        fr.mv[sl], fr.refi[sl], fr.mvdec[sl], fr.pid0[sl] = save
     # residual quantization + true CBP
+    cbp, levels, cdc, cac = _quant_inter_residual(
+        src, fr, mbx, mby, qp, coff, predY, predCb, predCr)
+    if kind == "p16" and cbp == 0 and ref16 == 0 and skipmv is not None \
+            and int(mv16[0]) == int(skipmv[0]) \
+            and int(mv16[1]) == int(skipmv[1]):
+        return "", True
+    # emit (§7.3.5): mb_type, [sub types], [ref_idx], mvds, cbp,
+    # qp_delta, residuals
+    bw = _StrBits()
+    bw.ue(mb_type)
+    if subs is not None:
+        for s_ in subs:
+            bw.ue(s_)
+    if nref > 1:
+        to_signal = [quad_ref[b8] for b8 in range(4)] if subs is not None \
+            else ridx
+        for r in to_signal:
+            if nref == 2:
+                bw.u(1 - r, 1)  # te(v), cMax = 1
+            else:
+                bw.ue(r)
+    for dx, dy in mvds:
+        bw.se(dx)
+        bw.se(dy)
+    _emit_inter_cbp_residuals(bw, fr, mbx, mby, cbp, levels, cdc, cac)
+    return bw.bits(), False
+
+
+def _quant_inter_residual(src, fr: _Frame, mbx: int, mby: int, qp: int,
+                          coff: int, predY, predCb, predCr):
+    """Quantize one inter MB's residual against its prediction and derive
+    the TRUE coded_block_pattern.  Returns (cbp, luma levels, chroma DC
+    levels, chroma AC levels) — shared by the P and B fixture encoders."""
+    sy, scb, scr = src
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     resY = sy[py:py + 16, px:px + 16].astype(np.int64) - predY
     levels = []
     for i in range(16):
@@ -2250,29 +2415,15 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
     any_ac = any(np.any(a) for acs in cac for a in acs)
     any_dc = any(np.any(d) for d in cdc)
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
-    cbp = cbp_luma | (cbp_chroma << 4)
-    if kind == "p16" and cbp == 0 and ref16 == 0 and skipmv is not None \
-            and int(mv16[0]) == int(skipmv[0]) \
-            and int(mv16[1]) == int(skipmv[1]):
-        return "", True
-    # emit (§7.3.5): mb_type, [sub types], [ref_idx], mvds, cbp,
-    # qp_delta, residuals
-    bw = _StrBits()
-    bw.ue(mb_type)
-    if subs is not None:
-        for s_ in subs:
-            bw.ue(s_)
-    if nref > 1:
-        to_signal = [quad_ref[b8] for b8 in range(4)] if subs is not None \
-            else ridx
-        for r in to_signal:
-            if nref == 2:
-                bw.u(1 - r, 1)  # te(v), cMax = 1
-            else:
-                bw.ue(r)
-    for dx, dy in mvds:
-        bw.se(dx)
-        bw.se(dy)
+    return cbp_luma | (cbp_chroma << 4), levels, cdc, cac
+
+
+def _emit_inter_cbp_residuals(bw, fr: _Frame, mbx: int, mby: int, cbp: int,
+                              levels, cdc, cac) -> None:
+    """Emit coded_block_pattern, mb_qp_delta and the CAVLC residual
+    blocks of one inter MB (the shared §7.3.5 tail of P and B MBs)."""
+    bx0, by0 = 4 * mbx, 4 * mby
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     bw.ue(_CBP_INTER_INV[cbp])
     if cbp:
         bw.se(0)  # mb_qp_delta
@@ -2297,7 +2448,6 @@ def _encode_mb_bits_inter(src, fr: _Frame, mbx: int, mby: int, qp: int,
                 nc = fr.nc(tc, gby, gbx, shift=1)
                 encode_residual_block(_BWAdapter(bw), acs[i], nc)
                 tc[gby, gbx] = int(np.count_nonzero(acs[i]))
-    return bw.bits(), False
 
 
 def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
@@ -2305,7 +2455,8 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
                         n_mbs: "int | None" = None,
                         fr: "_Frame | None" = None,
                         deblock_idc: int = 1, nref: int = 1,
-                        wp: "list | None" = None) -> bytes:
+                        wp: "list | None" = None,
+                        poc_lsb: int = 0) -> bytes:
     """One non-IDR P slice RBSP.  ``kind_fn(mbx, mby) -> 'p16' | 'p16x8' |
     'p8x16' | 'p8x8' | 'i16' | 'i4'``; 'p16' MBs collapse to P_Skip when
     the searched MV equals the P_Skip MV and the residual quantizes to
@@ -2321,6 +2472,9 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
     hb.ue(pps["pps_id"])
     hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
          sps["log2_max_frame_num"])
+    if sps.get("poc_type", 2) == 0:
+        hb.u(poc_lsb & ((1 << sps["log2_max_poc_lsb"]) - 1),
+             sps["log2_max_poc_lsb"])
     nref = max(1, min(nref, len(refs)))
     if nref != pps.get("num_ref_idx_l0_default", 1):
         hb.u(1, 1)                # num_ref_idx_active_override_flag
@@ -2410,8 +2564,331 @@ def encode_pframe_slice(src, sps: dict, pps: dict, qp: int, refs: list,
     return bw.getvalue()
 
 
+def _default_b_lists(dpb: list, poc: int) -> tuple:
+    """§8.2.4.2.3 default B reference lists over short-term frames:
+    list0 = past (POC descending) then future (ascending); list1 = the
+    mirror; when the lists come out identical with >= 2 entries the first
+    two of list1 swap.  Shared by GopDecoder and the fixture encoder."""
+    past = sorted((r for r in dpb if r.poc < poc), key=lambda r: -r.poc)
+    fut = sorted((r for r in dpb if r.poc > poc), key=lambda r: r.poc)
+    l0 = past + fut
+    l1 = fut + past
+    if len(l1) >= 2 and l1 == l0:
+        l1 = [l1[1], l1[0]] + l1[2:]
+    return l0, l1
+
+
+def _plan_b_list(fr: _Frame, src, mbx, mby, ox, oy, w4, h4, kind_arg,
+                 lst: int, refs: list, nref: int, wp,
+                 fixed_r: "int | None" = None):
+    """Best (cost, r, mv, mvp, predY) over the first ``nref`` entries of
+    one B reference list for a partition (SAD against the — optionally
+    weighted — luma prediction; deterministic like the P planner).
+    ``fixed_r`` pins the reference (a B_8x8 quadrant signals ONE ref_idx
+    shared by all its sub-partitions)."""
+    sy = src[0]
+    bx0, by0 = 4 * mbx, 4 * mby
+    px, py = 16 * mbx + 4 * ox, 16 * mby + 4 * oy
+    p = _RefPic.PAD
+    tgt = sy[py:py + 4 * h4, px:px + 4 * w4].astype(np.int64)
+    best = None
+    for r in ((fixed_r,) if fixed_r is not None else range(nref)):
+        wpl = (wp[r][0], wp[r][1], wp[r][2]) if wp else None
+        mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r, kind_arg,
+                       lst=lst)
+        mv = _search_mv(refs[r], sy, px, py, 4 * w4, 4 * h4, mvp,
+                        wp_luma=wpl)
+        pred = _mc_luma(refs[r].Y, px + p, py + p, 4 * w4, 4 * h4,
+                        int(mv[0]), int(mv[1]))
+        if wpl is not None:
+            pred = _apply_wp(pred, wpl[1], wpl[2], wpl[0])
+        c = int(np.abs(pred - tgt).sum())
+        if best is None or c < best[0]:
+            best = (c, r, mv, mvp, pred)
+    return best
+
+
+def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
+                      coff: int, kind: str, refs0: list, refs1: list,
+                      inference: bool, nref0: int = 1, nref1: int = 1,
+                      wp0=None, wp1=None):
+    """(bitstring, skip_ok) for one B-slice inter MB against the CURRENT
+    recon state.  ``kind``: 'bdirect' (B_Direct_16x16, collapsing to
+    B_Skip when the residual quantizes to zero), 'b16' (cost-picked
+    L0/L1/BI 16x16), 'b16bi' (forced BI 16x16), 'b16x8' / 'b8x16'
+    (cost-picked per-partition modes), or 'b8x8' (deterministically
+    cycled sub_mb_types including B_Direct_8x8).  Same self-checking
+    stance as the P planner: the scratch plan mutates and restores the
+    MV window; the caller's decoder drive is the one true state
+    advance."""
+    bx0, by0 = 4 * mbx, 4 * mby
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    sl = np.s_[by0:by0 + 4, bx0:bx0 + 4]
+    save = (fr.mv[sl].copy(), fr.refi[sl].copy(), fr.mvdec[sl].copy(),
+            fr.pid0[sl].copy(), fr.mv1[sl].copy(), fr.refi1[sl].copy(),
+            fr.pid1[sl].copy())
+    try:
+        subs = None
+        ridx = {}   # (lst, key) -> ref idx, keyed like the parser
+        mvds = {}   # (lst, part index) -> (dx, dy)
+        if kind == "bdirect":
+            mb_type = 0
+            parts = []
+            _set_direct(fr, refs0, refs1, mbx, mby, inference)
+        elif kind == "b8x8":
+            mb_type = 22
+            sub_cycle = (0, 1, 2, 3, 4, 5, 9, 11)
+            subs = [sub_cycle[(mbx + 2 * mby + b8) % len(sub_cycle)]
+                    for b8 in range(4)]
+            parts = []
+            for b8 in range(4):
+                obx, oby = 2 * (b8 & 1), 2 * (b8 >> 1)
+                if subs[b8] == 0:
+                    parts.append((obx, oby, 2, 2, b8, "DIRECT"))
+                    continue
+                mode, shp = _B_SUB[subs[b8]]
+                for ox, oy, w4, h4 in _SUB_PARTS[shp]:
+                    parts.append((obx + ox, oby + oy, w4, h4, b8, mode))
+        else:
+            shapes = {"b16": [(0, 0, 4, 4, None)],
+                      "b16bi": [(0, 0, 4, 4, None)],
+                      "b16x8": list(_P_PARTS[1]),
+                      "b8x16": list(_P_PARTS[2])}
+            if kind not in shapes:
+                raise ValueError(f"unknown B MB kind {kind!r}")
+            geom = shapes[kind]
+            modes = []
+            parts = [g + ("?",) for g in geom]  # modes decided in-plan
+        # --- sequential plan: partitions in order, both lists each ---
+        for i, part in enumerate(parts):
+            ox, oy, w4, h4, pk, mode = part
+            if mode == "DIRECT":
+                _set_direct(fr, refs0, refs1, mbx, mby, inference,
+                            quads=(pk,))
+                continue
+            kind_arg = pk if isinstance(pk, str) else None
+            key = pk if isinstance(pk, int) else (ox, oy)
+            b0 = _plan_b_list(fr, src, mbx, mby, ox, oy, w4, h4, kind_arg,
+                              0, refs0, nref0, wp0,
+                              fixed_r=ridx.get((0, key))) \
+                if mode in ("?", "L0", "BI") else None
+            b1 = _plan_b_list(fr, src, mbx, mby, ox, oy, w4, h4, kind_arg,
+                              1, refs1, nref1, wp1,
+                              fixed_r=ridx.get((1, key))) \
+                if mode in ("?", "L1", "BI") else None
+            if mode == "?":
+                if kind == "b16bi":
+                    mode = "BI"
+                else:
+                    sy = src[0]
+                    px, py = 16 * mbx + 4 * ox, 16 * mby + 4 * oy
+                    tgt = sy[py:py + 4 * h4,
+                             px:px + 4 * w4].astype(np.int64)
+                    if wp0 is not None or wp1 is not None:
+                        e0 = wp0[b0[1]] if wp0 else (0, 1, 0, 0, 1, 0, 1, 0)
+                        e1 = wp1[b1[1]] if wp1 else (0, 1, 0, 0, 1, 0, 1, 0)
+                        bi = _apply_wp_bi(b0[4], b1[4], e0[1], e0[2],
+                                          e1[1], e1[2], e0[0])
+                    else:
+                        bi = (b0[4] + b1[4] + 1) >> 1
+                    cbi = int(np.abs(bi - tgt).sum())
+                    mode = min(((b0[0], "L0"), (b1[0], "L1"), (cbi, "BI")),
+                               key=lambda t: (t[0], ("L0", "L1",
+                                                     "BI").index(t[1])))[1]
+                parts[i] = part[:5] + (mode,)
+                modes.append(mode)
+            if mode in ("L0", "BI"):
+                _, r, mv, mvp, _ = b0
+                ridx[(0, key)] = r
+                mvds[(0, i)] = (int(mv[0] - mvp[0]), int(mv[1] - mvp[1]))
+                _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv,
+                          pid=refs0[r].serial, lst=0)
+            if mode in ("L1", "BI"):
+                _, r, mv, mvp, _ = b1
+                ridx[(1, key)] = r
+                mvds[(1, i)] = (int(mv[0] - mvp[0]), int(mv[1] - mvp[1]))
+                _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mv,
+                          pid=refs1[r].serial, lst=1)
+        if kind in ("b16", "b16bi"):
+            mb_type = {"L0": 1, "L1": 2, "BI": 3}[modes[0]]
+        elif kind in ("b16x8", "b8x16"):
+            mb_type = 4 + 2 * _B_COMBO.index((modes[0], modes[1])) \
+                + (0 if kind == "b16x8" else 1)
+        predY, predCb, predCr = _mc_mb(fr, refs0, mbx, mby, wp0,
+                                       refs1=refs1, wp1=wp1)
+    finally:
+        (fr.mv[sl], fr.refi[sl], fr.mvdec[sl], fr.pid0[sl],
+         fr.mv1[sl], fr.refi1[sl], fr.pid1[sl]) = save
+    cbp, levels, cdc, cac = _quant_inter_residual(
+        src, fr, mbx, mby, qp, coff, predY, predCb, predCr)
+    if kind == "bdirect" and cbp == 0:
+        return "", True  # B_Skip reconstructs identically
+    # emit in §7.3.5.1 field order: mb_type, [subs], ref_idx_l0s,
+    # ref_idx_l1s, mvd_l0s, mvd_l1s, cbp, qp_delta, residuals
+    bw = _StrBits()
+    bw.ue(mb_type)
+    if subs is not None:
+        for s_ in subs:
+            bw.ue(s_)
+    for lst, nref in ((0, nref0), (1, nref1)):
+        if nref <= 1:
+            continue
+        want = "L1" if lst == 0 else "L0"
+        done_b8 = set()
+        for ox, oy, w4, h4, pk, mode in parts:
+            if mode in ("DIRECT", want):
+                continue
+            if isinstance(pk, int):
+                if pk in done_b8:
+                    continue
+                done_b8.add(pk)
+            key = pk if isinstance(pk, int) else (ox, oy)
+            r = ridx[(lst, key)]
+            if nref == 2:
+                bw.u(1 - r, 1)  # te(v), cMax = 1
+            else:
+                bw.ue(r)
+    for lst in (0, 1):
+        want = "L1" if lst == 0 else "L0"
+        for i, (ox, oy, w4, h4, pk, mode) in enumerate(parts):
+            if mode in ("DIRECT", want):
+                continue
+            dx, dy = mvds[(lst, i)]
+            bw.se(dx)
+            bw.se(dy)
+    _emit_inter_cbp_residuals(bw, fr, mbx, mby, cbp, levels, cdc, cac)
+    return bw.bits(), False
+
+
+def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
+                        refs1: list, kind_fn, frame_num: int,
+                        poc_lsb: int, first_mb: int = 0,
+                        n_mbs: "int | None" = None,
+                        fr: "_Frame | None" = None,
+                        deblock_idc: int = 1, nref0: int = 1,
+                        nref1: int = 1, wp0: "list | None" = None,
+                        wp1: "list | None" = None) -> bytes:
+    """One non-IDR B slice RBSP (spatial direct).  ``kind_fn(mbx, mby) ->
+    'bdirect' | 'b16' | 'b16bi' | 'b16x8' | 'b8x16' | 'b8x8' | 'i16' |
+    'i4'``; 'bdirect' MBs collapse to B_Skip when the residual quantizes
+    to zero.  Same self-checking construction as the P writer: every
+    emitted span is immediately re-parsed by the real decoder
+    (_decode_mb_b; skips advance through _recon_bskip at decision
+    time)."""
+    hb = _StrBits()
+    hb.ue(first_mb)               # first_mb_in_slice
+    hb.ue(6)                      # slice_type = B (all slices in pic)
+    hb.ue(pps["pps_id"])
+    hb.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if sps.get("poc_type", 2) == 0:
+        hb.u(poc_lsb & ((1 << sps["log2_max_poc_lsb"]) - 1),
+             sps["log2_max_poc_lsb"])
+    hb.u(1, 1)                    # direct_spatial_mv_pred_flag
+    nref0 = max(1, min(nref0, len(refs0)))
+    nref1 = max(1, min(nref1, len(refs1)))
+    if (nref0, nref1) != (pps.get("num_ref_idx_l0_default", 1),
+                          pps.get("num_ref_idx_l1_default", 1)):
+        hb.u(1, 1)                # num_ref_idx_active_override_flag
+        hb.ue(nref0 - 1)
+        hb.ue(nref1 - 1)
+    else:
+        hb.u(0, 1)
+    hb.u(0, 1)                    # ref_pic_list_modification_flag_l0
+    hb.u(0, 1)                    # ref_pic_list_modification_flag_l1
+    if pps.get("weighted_bipred", 0) == 1:
+        if wp0 is None:
+            wp0 = [(0, 1, 0, 0, 1, 0, 1, 0)] * nref0
+        if wp1 is None:
+            wp1 = [(wp0[0][0], 1 << wp0[0][0], 0, wp0[0][3],
+                    1 << wp0[0][3], 0, 1 << wp0[0][3], 0)] * nref1
+        wp0, wp1 = list(wp0[:nref0]), list(wp1[:nref1])
+        denoms = {(e[0], e[3]) for e in wp0 + wp1}
+        if len(wp0) < nref0 or len(wp1) < nref1 or len(denoms) != 1:
+            raise ValueError("wp0/wp1 must cover both lists with one "
+                             "denom pair")
+        ld, cd = wp0[0][0], wp0[0][3]
+        hb.ue(ld)
+        hb.ue(cd)
+        for row in (wp0, wp1):
+            for dY, wY, oY, dC, wCb, oCb, wCr, oCr in row:
+                if (wY, oY) != (1 << ld, 0):
+                    hb.u(1, 1)
+                    hb.se(wY)
+                    hb.se(oY)
+                else:
+                    hb.u(0, 1)
+                if (wCb, oCb, wCr, oCr) != (1 << cd, 0, 1 << cd, 0):
+                    hb.u(1, 1)
+                    hb.se(wCb)
+                    hb.se(oCb)
+                    hb.se(wCr)
+                    hb.se(oCr)
+                else:
+                    hb.u(0, 1)
+    else:
+        wp0 = wp1 = None
+    # non-reference B pictures carry no dec_ref_pic_marking
+    hb.se(qp - pps["pic_init_qp"])
+    if pps["deblocking_control"]:
+        hb.ue(deblock_idc)
+        if deblock_idc != 1:
+            hb.se(0)
+            hb.se(0)
+    bits = hb.bits()
+    if fr is None:
+        fr = _Frame(sps["w_mbs"], sps["h_mbs"])
+    total = sps["w_mbs"] * sps["h_mbs"]
+    if n_mbs is None:
+        n_mbs = total - first_mb
+    inference = bool(sps.get("direct_8x8_inference", 1))
+    cur_qp = qp
+    pending = 0
+    coff = pps["chroma_qp_index_offset"]
+    for mb_i in range(first_mb, first_mb + n_mbs):
+        mbx, mby = mb_i % sps["w_mbs"], mb_i // sps["w_mbs"]
+        kind = kind_fn(mbx, mby)
+        if kind in ("i16", "i4"):
+            mb_bits = _encode_mb_bits(src, fr, mbx, mby, cur_qp, coff,
+                                      kind, mbtype_offset=23)
+            skip_ok = False
+        else:
+            mb_bits, skip_ok = _encode_mb_bits_b(
+                src, fr, mbx, mby, cur_qp, coff, kind, refs0, refs1,
+                inference, nref0=nref0, nref1=nref1, wp0=wp0, wp1=wp1)
+        if skip_ok:
+            pending += 1
+            _recon_bskip(fr, refs0, refs1, mbx, mby, cur_qp, inference,
+                         wp0, wp1)
+            continue
+        run = _StrBits()
+        run.ue(pending)
+        start = len(bits)
+        bits += run.bits() + mb_bits
+        br = BitReader(_bits_to_bytes(bits))
+        br.pos = start
+        assert br.ue() == pending, "skip-run drift"
+        pending = 0
+        cur_qp = _decode_mb_b(br, fr, mbx, mby, cur_qp, coff, refs0,
+                              refs1, nref0, nref1, inference,
+                              wp0=wp0, wp1=wp1)
+        assert br.pos == len(bits), (
+            f"encoder/decoder bit drift at MB ({mbx},{mby}): "
+            f"{br.pos} != {len(bits)}"
+        )
+    if pending:  # trailing skip run closes the slice (§7.3.4)
+        tail = _StrBits()
+        tail.ue(pending)
+        bits += tail.bits()
+    bw = BitWriter()
+    bw.put_str(bits)
+    bw.rbsp_trailing()
+    return bw.getvalue()
+
+
 def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
-              profile: int = 66, num_ref_frames: int = 0) -> bytes:
+              profile: int = 66, num_ref_frames: int = 0,
+              poc_type: int = 2, log2_max_poc_lsb: int = 8) -> bytes:
     bw = BitWriter()
     bw.u(profile, 8)  # 66 Baseline (CAVLC), 77 Main (CABAC), 100 High (8x8)
     bw.u(0, 8)    # constraint flags
@@ -2424,7 +2901,9 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
         bw.u(0, 1)  # qpprime_y_zero_transform_bypass
         bw.u(0, 1)  # seq_scaling_matrix_present
     bw.ue(0)      # log2_max_frame_num_minus4
-    bw.ue(2)      # pic_order_cnt_type = 2 (no POC fields)
+    bw.ue(poc_type)  # pic_order_cnt_type: 2 (no POC fields) or 0 (lsb)
+    if poc_type == 0:
+        bw.ue(log2_max_poc_lsb - 4)
     bw.ue(num_ref_frames)  # max_num_ref_frames
     bw.u(0, 1)    # gaps_in_frame_num
     bw.ue(w_mbs - 1)
@@ -2447,7 +2926,7 @@ def write_sps(w_mbs: int, h_mbs: int, width: int, height: int,
 
 
 def write_pps(entropy: int = 0, transform_8x8: int = 0,
-              weighted_pred: int = 0) -> bytes:
+              weighted_pred: int = 0, weighted_bipred: int = 0) -> bytes:
     bw = BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -2457,7 +2936,7 @@ def write_pps(entropy: int = 0, transform_8x8: int = 0,
     bw.ue(0)      # num_ref_idx_l0
     bw.ue(0)      # num_ref_idx_l1
     bw.u(weighted_pred, 1)
-    bw.u(0, 2)    # weighted_bipred
+    bw.u(weighted_bipred, 2)  # 0 default, 1 explicit, 2 implicit
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
     bw.se(0)      # chroma_qp_index_offset
@@ -2496,7 +2975,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        slices: int = 1, deblock_idc: int = 1,
                        entropy: str = "cavlc", gop: str = "i",
                        p_kinds: str = "pmix", n_refs: int = 1,
-                       p_weights: "list | None" = None) -> bytes:
+                       p_weights: "list | None" = None,
+                       b_kinds: str = "bmix",
+                       b_weights: "tuple | None" = None,
+                       poc_bits: int = 8) -> bytes:
     """RGB frames -> Annex-B H.264 stream.  ``kinds`` (I pictures): 'pcm'
     (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
     transform), 'mixed' (cycles i16/i4/pcm) or 'mixed8' (cycles
@@ -2510,47 +2992,62 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     (Main profile, §9.3; I_PCM rides the engine-re-init path).  Any
     8x8 kind forces High profile + a transform_8x8_mode PPS.
 
-    ``gop``: a pattern over {'i', 'p', 'r'} cycled across frames (frame 0
-    is always IDR) — e.g. 'ippp' emits an IDR then three P pictures per
-    cycle; 'r' emits a NON-IDR intra picture (intra refresh: nal_type 1,
-    I slices, keeps the reference chain instead of resetting it).  P pictures are CAVLC-only, referencing the last ``n_refs``
+    ``gop``: a pattern over {'i', 'p', 'r', 'b'} cycled across frames IN
+    DISPLAY ORDER (frame 0 is always IDR) — e.g. 'ippp' emits an IDR then
+    three P pictures per cycle; 'r' emits a NON-IDR intra picture (intra
+    refresh: nal_type 1, I slices, keeps the reference chain instead of
+    resetting it); 'b' emits a NON-REFERENCE B picture (CAVLC, spatial
+    direct) that is REORDERED after its future anchor in decode order,
+    with pic_order_cnt_type 0 POC carrying the display order (lsb width
+    ``poc_bits``).  Trailing 'b' frames with no future anchor encode as
+    P.  P pictures are CAVLC-only, referencing the last ``n_refs``
     decoded pictures (post-loop-filter, as the spec requires; each
     partition signals ref_idx_l0 as te(v) when n_refs > 1);
     ``p_kinds``: 'pmix' (cycles p16/p16x8/p8x16/p8x8/intra-in-P) or one
-    explicit P MB kind.  ``p_weights``: per-ref explicit weighted-pred
-    tuples (denY, wY, oY, denC, wCb, oCb, wCr, oCr) — sets the PPS
-    weighted_pred flag and writes a pred_weight_table on every P
-    slice."""
+    explicit P MB kind.  ``b_kinds``: 'bmix' (cycles
+    bdirect/b16/b16bi/b16x8/b8x16/b8x8/intra-in-B) or one explicit B MB
+    kind.  ``p_weights``: per-ref explicit weighted-pred tuples
+    (denY, wY, oY, denC, wCb, oCb, wCr, oCr) — sets the PPS
+    weighted_pred flag and writes a pred_weight_table on every P slice.
+    ``b_weights``: (wp_l0, wp_l1) per-list tuples — sets
+    weighted_bipred_idc 1 and writes both halves on every B slice."""
     if not frames:
         raise ValueError("need at least one frame")
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"entropy must be cavlc|cabac, got {entropy!r}")
     cabac = entropy == "cabac"
     pattern = (gop or "i").lower()
-    if set(pattern) - {"i", "p", "r"}:
-        raise ValueError(f"gop pattern must use only i/p/r, got {gop!r}")
+    if set(pattern) - {"i", "p", "r", "b"}:
+        raise ValueError(f"gop pattern must use only i/p/r/b, got {gop!r}")
     has_p = "p" in pattern
-    has_ref_chain = has_p or "r" in pattern
-    if has_p and cabac:
-        raise ValueError("CABAC P pictures not supported (PyAV seam)")
+    has_b = "b" in pattern
+    has_ref_chain = has_p or has_b or "r" in pattern
+    if (has_p or has_b) and cabac:
+        raise ValueError("CABAC P/B pictures not supported (PyAV seam)")
     t8 = kinds in ("i8", "mixed8")  # High profile: 8x8 transform
-    if has_p and t8:
-        raise ValueError("8x8 transform not supported with P pictures")
+    if (has_p or has_b) and t8:
+        raise ValueError("8x8 transform not supported with P/B pictures")
     h, w = frames[0].shape[:2]
     if h % 2 or w % 2:
         raise ValueError("even dimensions required (4:2:0)")
     w_mbs, h_mbs = (w + 15) // 16, (h + 15) // 16
     profile = 100 if t8 else (77 if cabac else 66)
+    dpb_cap = max(n_refs, 2 if has_b else 1)
     sps_rbsp = write_sps(w_mbs, h_mbs, w, h, profile=profile,
-                         num_ref_frames=n_refs if has_p else 0)
+                         num_ref_frames=dpb_cap if has_ref_chain else 0,
+                         poc_type=0 if has_b else 2,
+                         log2_max_poc_lsb=poc_bits)
     pps_rbsp = write_pps(entropy=1 if cabac else 0,
                          transform_8x8=1 if t8 else 0,
-                         weighted_pred=1 if p_weights else 0)
+                         weighted_pred=1 if p_weights else 0,
+                         weighted_bipred=1 if b_weights else 0)
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
     cycle8 = ("i16", "i4", "i8", "pcm")
     p_cycle = ("p16", "p16x8", "p8x16", "p8x8", "i16", "p16", "i4", "p16")
+    b_cycle = ("bdirect", "b16", "b16bi", "b16x8", "b8x16", "b8x8",
+               "i16", "bdirect", "b16")
 
     def kind_fn(mbx, mby):
         if kinds == "mixed":
@@ -2564,17 +3061,40 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
             return p_cycle[(mbx + 2 * mby) % len(p_cycle)]
         return p_kinds
 
+    def kind_fn_b(mbx, mby):
+        if b_kinds == "bmix":
+            return b_cycle[(mbx + 2 * mby) % len(b_cycle)]
+        return b_kinds
+
     slice_fn = encode_iframe_slice_cabac if cabac else encode_iframe_slice
     total = w_mbs * h_mbs
     n_slices = max(1, min(int(slices), total))
     bounds = [round(i * total / n_slices) for i in range(n_slices + 1)]
     out = [b"\x00\x00\x00\x01" + _nal(7, sps_rbsp),
            b"\x00\x00\x00\x01" + _nal(8, pps_rbsp)]
+    # display-order picture types; 'b' without a FUTURE anchor becomes P
+    types = ["i" if fi == 0 else pattern[fi % len(pattern)]
+             for fi in range(len(frames))]
+    last_anchor = max(i for i, t in enumerate(types) if t != "b")
+    for i in range(last_anchor + 1, len(types)):
+        types[i] = "p"
+    # decode order: each anchor first, then the display-earlier B run
+    # that references it as its future (list-1) anchor
+    order = []
+    held_b: list = []
+    for fi, t in enumerate(types):
+        if t == "b":
+            held_b.append(fi)
+        else:
+            order.append(fi)
+            order.extend(held_b)
+            held_b = []
     dpb: list = []
     frame_num = 0
-    for fi, f in enumerate(frames):
-        ftype = "i" if fi == 0 else pattern[fi % len(pattern)]
-        src = rgb_to_yuv420(f)
+    for fi in order:
+        ftype = types[fi]
+        poc = 2 * fi  # display order; IDR resets the decoder's POC state
+        src = rgb_to_yuv420(frames[fi])
         fr = _Frame(w_mbs, h_mbs)
         if ftype in ("i", "r"):
             idr = ftype == "i"
@@ -2585,32 +3105,50 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                     src, sps, pps, qp, kind_fn,
                     first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
                     fr=fr, deblock_idc=deblock_idc, idr=idr,
-                    frame_num=frame_num)
+                    frame_num=frame_num, poc_lsb=poc)
                 fr.cur_slice += 1  # mirror the decoder's per-slice increment
                 out.append(b"\x00\x00\x00\x01"
                            + _nal(5 if idr else 1, rbsp,
                                   ref_idc=3 if idr else 2))
+        elif ftype == "b":
+            refs0, refs1 = _default_b_lists(dpb, poc)
+            for si in range(n_slices):
+                rbsp = encode_bframe_slice(
+                    src, sps, pps, qp, refs0, refs1, kind_fn_b, frame_num,
+                    poc, first_mb=bounds[si],
+                    n_mbs=bounds[si + 1] - bounds[si], fr=fr,
+                    deblock_idc=deblock_idc,
+                    nref0=min(n_refs, len(refs0)),
+                    nref1=min(n_refs, len(refs1)),
+                    wp0=b_weights[0] if b_weights else None,
+                    wp1=b_weights[1] if b_weights else None)
+                fr.cur_slice += 1
+                out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=0))
         else:
             for si in range(n_slices):
                 rbsp = encode_pframe_slice(
                     src, sps, pps, qp, dpb, kind_fn_p, frame_num,
                     first_mb=bounds[si], n_mbs=bounds[si + 1] - bounds[si],
                     fr=fr, deblock_idc=deblock_idc,
-                    nref=min(n_refs, len(dpb)), wp=p_weights)
+                    nref=min(n_refs, len(dpb)), wp=p_weights,
+                    poc_lsb=poc)
                 fr.cur_slice += 1
                 out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=2))
-        if has_ref_chain:
+        if has_ref_chain and ftype != "b":
             # the DPB holds the picture the DECODER will hold: recon after
             # the in-loop filter (encoder-side fr.deblock mirrors the
-            # headers it just wrote)
+            # headers it just wrote); its motion grids feed B spatial
+            # direct's co-located lookup
             for si in range(n_slices):
                 fr.deblock[si] = (deblock_idc, 0, 0)
             if deblock_idc != 1:
                 deblock_picture(fr, pps)
             if ftype == "i":
                 dpb = []
-            dpb.insert(0, _RefPic(fr.Y, fr.Cb, fr.Cr))
-            del dpb[max(1, n_refs):]
+            rp = _RefPic(fr.Y, fr.Cb, fr.Cr, poc=poc)
+            rp.attach_motion(fr)
+            dpb.insert(0, rp)
+            del dpb[max(1, dpb_cap):]
             frame_num = (frame_num + 1) % (1 << sps["log2_max_frame_num"])
     return b"".join(out)
 
@@ -2740,21 +3278,50 @@ def _deblock_edge(plane, x0, y0, n, vertical, bs, qp, a_off, b_off, chroma):
             plane[y0 + off, x0:x0 + n] = arr
 
 
+def _mv_far(a, b) -> bool:
+    """True when two quarter-pel MVs differ by >= 1 luma sample in any
+    component (§8.7.2.1 motion condition)."""
+    return abs(int(a[0]) - int(b[0])) >= 4 or abs(int(a[1]) - int(b[1])) >= 4
+
+
 def _bs_seg(fr: _Frame, pby: int, pbx: int, qby: int, qbx: int,
             mb_edge: bool) -> int:
     """§8.7.2.1 boundary strength between 4x4 luma blocks p and q (frame
-    pictures).  refi < 0 means the block is intra-coded (I pictures never
-    touch ``refi``, so all-intra reduces to the classic 4/3)."""
-    if fr.refi[pby, pbx] < 0 or fr.refi[qby, qbx] < 0:
+    pictures).  A block with both list refi < 0 is intra-coded (I paths
+    never touch the grids, so all-intra reduces to the classic 4/3).
+    Inter blocks compare as (picture, mv) sets: different pictures or a
+    different prediction count → 1; same single picture → the quarter-pel
+    distance test; same two pictures → pair by picture, and when BOTH
+    lists hold the SAME picture bS is 1 only if both pairings fail."""
+    p_preds = []
+    if fr.refi[pby, pbx] >= 0:
+        p_preds.append((int(fr.pid0[pby, pbx]), fr.mv[pby, pbx]))
+    if fr.refi1[pby, pbx] >= 0:
+        p_preds.append((int(fr.pid1[pby, pbx]), fr.mv1[pby, pbx]))
+    q_preds = []
+    if fr.refi[qby, qbx] >= 0:
+        q_preds.append((int(fr.pid0[qby, qbx]), fr.mv[qby, qbx]))
+    if fr.refi1[qby, qbx] >= 0:
+        q_preds.append((int(fr.pid1[qby, qbx]), fr.mv1[qby, qbx]))
+    if not p_preds or not q_preds:
         return 4 if mb_edge else 3
     if fr.tcY[pby, pbx] > 0 or fr.tcY[qby, qbx] > 0:
         return 2
-    if fr.refi[pby, pbx] != fr.refi[qby, qbx]:
+    if len(p_preds) != len(q_preds) \
+            or sorted(p for p, _ in p_preds) != sorted(q for q, _ in q_preds):
         return 1
-    if abs(int(fr.mv[pby, pbx, 0]) - int(fr.mv[qby, qbx, 0])) >= 4 or \
-            abs(int(fr.mv[pby, pbx, 1]) - int(fr.mv[qby, qbx, 1])) >= 4:
-        return 1
-    return 0
+    if len(p_preds) == 1:
+        return 1 if _mv_far(p_preds[0][1], q_preds[0][1]) else 0
+    (pa, mpa), (pb, mpb) = p_preds
+    (qa, mqa), (qb, mqb) = q_preds
+    if pa != pb:  # two distinct pictures: pair by picture identity
+        if qa != pa:
+            mqa, mqb = mqb, mqa
+        return 1 if (_mv_far(mpa, mqa) or _mv_far(mpb, mqb)) else 0
+    # both predictions from ONE picture: either pairing may satisfy
+    straight = not (_mv_far(mpa, mqa) or _mv_far(mpb, mqb))
+    crossed = not (_mv_far(mpa, mqb) or _mv_far(mpb, mqa))
+    return 0 if (straight or crossed) else 1
 
 
 def _run_edge(plane, x0, y0, bs_list, vertical, qp, a_off, b_off, chroma,
@@ -2847,8 +3414,11 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
 #     bilinear chroma MC, unrestricted MVs via edge padding, and
 #     explicit weighted prediction (§7.3.3.2 pred_weight_table +
 #     §8.4.2.3.2 — fades).
-#   - NOT here (raise into the documented PyAV seam): B/SP/SI slices,
-#     CABAC-coded P slices, ref-list modification, adaptive marking,
+#   - CAVLC B slices live in their own section further down
+#     (bi-prediction + spatial direct; see the B header comment).
+#   - NOT here (raise into the documented PyAV seam): SP/SI slices,
+#     CABAC-coded P/B slices, temporal direct, implicit weighted
+#     bi-prediction, ref-list modification, adaptive marking,
 #     8x8 transform on inter MBs, interlace.
 # Verification stance is the same as CAVLC-I: the fixture encoder drives
 # the decoder's own parse+recon body per MB, plus full-stream decode-back
@@ -2864,15 +3434,32 @@ class _RefPic:
     """One decoded reference picture, edge-padded for unrestricted MVs
     (§8.4.2.2: samples addressed outside the picture clamp to the edge).
     PAD bounds the supported MV excursion beyond the picture; the MC
-    kernels raise past it rather than corrupt."""
+    kernels raise past it rather than corrupt.
+
+    ``serial`` is a process-global identity used by the deblocker's
+    §8.7.2.1 picture comparison; ``poc`` orders B reference lists
+    (§8.2.4.2.3).  ``attach_motion`` stores the picture's own decoded
+    motion grids, needed as the CO-LOCATED source of the B spatial-direct
+    colZeroFlag (§8.4.1.2.2)."""
 
     PAD = 32  # full luma pels (chroma planes use PAD // 2)
+    _next_serial = 0
 
-    def __init__(self, Y, Cb, Cr):
+    def __init__(self, Y, Cb, Cr, poc: int = 0):
         p = self.PAD
         self.Y = np.pad(np.asarray(Y, dtype=np.int64), p, mode="edge")
         self.Cb = np.pad(np.asarray(Cb, dtype=np.int64), p // 2, mode="edge")
         self.Cr = np.pad(np.asarray(Cr, dtype=np.int64), p // 2, mode="edge")
+        self.poc = int(poc)
+        self.mv0 = self.refi0 = self.mv1g = self.refi1g = None
+        _RefPic._next_serial += 1
+        self.serial = _RefPic._next_serial
+
+    def attach_motion(self, fr: "_Frame") -> None:
+        self.mv0 = fr.mv.copy()
+        self.refi0 = fr.refi.copy()
+        self.mv1g = fr.mv1.copy()
+        self.refi1g = fr.refi1.copy()
 
 
 def _h6u(R: np.ndarray, w: int) -> np.ndarray:
@@ -2966,33 +3553,35 @@ def _pred_inter_block(refpic: _RefPic, bx: int, by: int, w4: int, h4: int,
     return y, cb, cr
 
 
-def _nbr(fr: _Frame, by: int, bx: int):
-    """(mb_avail, refIdxN, mvN) of 4x4 block (by, bx) per §8.4.1.3.2:
-    unavailable (outside picture, other slice, or not yet decoded in
-    PARSE order) → (False, -1, 0); available-but-intra → (True, -1, 0)."""
-    H, W = fr.refi.shape
+def _nbr(fr: _Frame, by: int, bx: int, lst: int = 0):
+    """(mb_avail, refIdxN, mvN) of 4x4 block (by, bx) per §8.4.1.3.2 for
+    reference list ``lst``: unavailable (outside picture, other slice, or
+    not yet decoded in PARSE order) → (False, -1, 0);
+    available-but-intra-or-other-list → (True, -1, 0)."""
+    refi = fr.refi if lst == 0 else fr.refi1
+    H, W = refi.shape
     if by < 0 or bx < 0 or by >= H or bx >= W:
         return False, -1, _MV0
     if not fr.same_slice(by >> 2, bx >> 2):
         return False, -1, _MV0
     if not (fr.mvdec[by, bx] or fr.mb_done[by >> 2, bx >> 2]):
         return False, -1, _MV0
-    r = int(fr.refi[by, bx])
+    r = int(refi[by, bx])
     if r < 0:
         return True, -1, _MV0
-    return True, r, fr.mv[by, bx]
+    return True, r, (fr.mv if lst == 0 else fr.mv1)[by, bx]
 
 
 def _mv_pred(fr: _Frame, bx: int, by: int, w4: int, h4: int, refidx: int,
-             kind: "str | None" = None) -> np.ndarray:
+             kind: "str | None" = None, lst: int = 0) -> np.ndarray:
     """§8.4.1.3 luma MV predictor for the partition whose top-left 4x4
-    block is (bx, by), spanning w4×h4 blocks.  ``kind`` selects the
-    16x8/8x16 directional shortcuts (MB partitions only)."""
-    aA, rA, mA = _nbr(fr, by, bx - 1)
-    aB, rB, mB = _nbr(fr, by - 1, bx)
-    aC, rC, mC = _nbr(fr, by - 1, bx + w4)
+    block is (bx, by), spanning w4×h4 blocks, in list ``lst``.  ``kind``
+    selects the 16x8/8x16 directional shortcuts (MB partitions only)."""
+    aA, rA, mA = _nbr(fr, by, bx - 1, lst)
+    aB, rB, mB = _nbr(fr, by - 1, bx, lst)
+    aC, rC, mC = _nbr(fr, by - 1, bx + w4, lst)
     if not aC:
-        aC, rC, mC = _nbr(fr, by - 1, bx - 1)  # D substitution (§6.4.11.7)
+        aC, rC, mC = _nbr(fr, by - 1, bx - 1, lst)  # D subst (§6.4.11.7)
     if kind == "16x8_top" and rB == refidx:
         return np.array(mB, dtype=np.int32)
     if kind == "16x8_bot" and rA == refidx:
@@ -3024,9 +3613,15 @@ def _skip_mv(fr: _Frame, bx: int, by: int) -> np.ndarray:
 
 
 def _set_part(fr: _Frame, bx: int, by: int, w4: int, h4: int,
-              refidx: int, mv) -> None:
-    fr.mv[by:by + h4, bx:bx + w4] = mv
-    fr.refi[by:by + h4, bx:bx + w4] = refidx
+              refidx: int, mv, pid: int = -1, lst: int = 0) -> None:
+    if lst == 0:
+        fr.mv[by:by + h4, bx:bx + w4] = mv
+        fr.refi[by:by + h4, bx:bx + w4] = refidx
+        fr.pid0[by:by + h4, bx:bx + w4] = pid
+    else:
+        fr.mv1[by:by + h4, bx:bx + w4] = mv
+        fr.refi1[by:by + h4, bx:bx + w4] = refidx
+        fr.pid1[by:by + h4, bx:bx + w4] = pid
     fr.mvdec[by:by + h4, bx:bx + w4] = True
 
 
@@ -3054,18 +3649,28 @@ _SUB_PARTS = {
 
 
 def _apply_wp(pred: np.ndarray, w: int, o: int, den: int) -> np.ndarray:
-    """§8.4.2.3.2 explicit weighted sample prediction (P, single list)."""
+    """§8.4.2.3.2 explicit weighted sample prediction (single list)."""
     if den:
         return np.clip(((pred * w + (1 << (den - 1))) >> den) + o, 0, 255)
     return np.clip(pred * w + o, 0, 255)
 
 
+def _apply_wp_bi(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int,
+                 w1: int, o1: int, den: int) -> np.ndarray:
+    """§8.4.2.3.2 explicit weighted BI prediction (logWD = den)."""
+    return np.clip(((p0 * w0 + p1 * w1 + (1 << den)) >> (den + 1))
+                   + ((o0 + o1 + 1) >> 1), 0, 255)
+
+
 def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int,
-           wp: "list | None" = None):
-    """Motion-compensate one inter MB from its per-4x4 mv/refi grids.
-    Per-4x4 MC equals per-partition MC exactly — interpolation is
-    per-sample separable — so partition shapes need no special casing.
-    ``wp``: per-ref explicit weights
+           wp: "list | None" = None, refs1: "list | None" = None,
+           wp1: "list | None" = None):
+    """Motion-compensate one inter MB from its per-4x4 mv/refi grids
+    (both lists when ``refs1`` is given — B slices; default BI prediction
+    is the §8.4.2.3.1 rounding average of the two clipped single-list
+    predictions).  Per-4x4 MC equals per-partition MC exactly —
+    interpolation is per-sample separable — so partition shapes need no
+    special casing.  ``wp``/``wp1``: per-ref explicit weights
     (denY, wY, oY, denC, wCb, oCb, wCr, oCr) or None (default pred)."""
     bx0, by0 = 4 * mbx, 4 * mby
     predY = np.empty((16, 16), dtype=np.int64)
@@ -3073,14 +3678,39 @@ def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int,
     predCr = np.empty((8, 8), dtype=np.int64)
     for yb in range(4):
         for xb in range(4):
-            r = int(fr.refi[by0 + yb, bx0 + xb])
-            pY, pCb, pCr = _pred_inter_block(
-                refs[r], bx0 + xb, by0 + yb, 1, 1, fr.mv[by0 + yb, bx0 + xb])
-            if wp is not None:
-                dY, wYv, oY, dC, wCb, oCb, wCr, oCr = wp[r]
-                pY = _apply_wp(pY, wYv, oY, dY)
-                pCb = _apply_wp(pCb, wCb, oCb, dC)
-                pCr = _apply_wp(pCr, wCr, oCr, dC)
+            r0 = int(fr.refi[by0 + yb, bx0 + xb])
+            r1 = int(fr.refi1[by0 + yb, bx0 + xb]) if refs1 is not None \
+                else -1
+            p0 = p1 = None
+            if r0 >= 0:
+                p0 = _pred_inter_block(refs[r0], bx0 + xb, by0 + yb, 1, 1,
+                                       fr.mv[by0 + yb, bx0 + xb])
+            if r1 >= 0:
+                p1 = _pred_inter_block(refs1[r1], bx0 + xb, by0 + yb, 1, 1,
+                                       fr.mv1[by0 + yb, bx0 + xb])
+            if p0 is not None and p1 is not None:
+                if wp is not None or wp1 is not None:
+                    e0 = wp[r0] if wp is not None else (0, 1, 0, 0, 1, 0, 1, 0)
+                    e1 = wp1[r1] if wp1 is not None else (0, 1, 0, 0, 1, 0, 1, 0)
+                    pY = _apply_wp_bi(p0[0], p1[0], e0[1], e0[2],
+                                      e1[1], e1[2], e0[0])
+                    pCb = _apply_wp_bi(p0[1], p1[1], e0[4], e0[5],
+                                       e1[4], e1[5], e0[3])
+                    pCr = _apply_wp_bi(p0[2], p1[2], e0[6], e0[7],
+                                       e1[6], e1[7], e0[3])
+                else:
+                    pY = (p0[0] + p1[0] + 1) >> 1
+                    pCb = (p0[1] + p1[1] + 1) >> 1
+                    pCr = (p0[2] + p1[2] + 1) >> 1
+            else:
+                pY, pCb, pCr = p0 if p0 is not None else p1
+                wpl = wp if p0 is not None else wp1
+                if wpl is not None:
+                    dY, wYv, oY, dC, wCb, oCb, wCr, oCr = \
+                        wpl[r0 if p0 is not None else r1]
+                    pY = _apply_wp(pY, wYv, oY, dY)
+                    pCb = _apply_wp(pCb, wCb, oCb, dC)
+                    pCr = _apply_wp(pCr, wCr, oCr, dC)
             predY[4 * yb:4 * yb + 4, 4 * xb:4 * xb + 4] = pY
             predCb[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCb
             predCr[2 * yb:2 * yb + 2, 2 * xb:2 * xb + 2] = pCr
@@ -3111,7 +3741,7 @@ def _recon_pskip(fr: _Frame, refs: list, mbx: int, mby: int,
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby
     mv = _skip_mv(fr, bx0, by0)
-    _set_part(fr, bx0, by0, 4, 4, 0, mv)
+    _set_part(fr, bx0, by0, 4, 4, 0, mv, pid=refs[0].serial)
     pY, pCb, pCr = _mc_mb(fr, refs, mbx, mby, wp)
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     fr.Y[py:py + 16, px:px + 16] = pY
@@ -3149,7 +3779,8 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                 raise ValueError("ref_idx beyond DPB")
             mvd = np.array([br.se(), br.se()], dtype=np.int32)
             mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r, kind)
-            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mvp + mvd)
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r, mvp + mvd,
+                      pid=refs[r].serial)
     elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0
         subs = [br.ue() for _ in range(4)]
         if any(s_ > 3 for s_ in subs):
@@ -3165,7 +3796,8 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                 mvp = _mv_pred(fr, bx0 + obx + ox, by0 + oby + oy,
                                w4, h4, ridx[b8])
                 _set_part(fr, bx0 + obx + ox, by0 + oby + oy,
-                          w4, h4, ridx[b8], mvp + mvd)
+                          w4, h4, ridx[b8], mvp + mvd,
+                          pid=refs[ridx[b8]].serial)
     else:
         raise ValueError(f"bad P-slice mb_type {mb_type}")
     predY, predCb, predCr = _mc_mb(fr, refs, mbx, mby, wp)
@@ -3178,6 +3810,348 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     _recon_inter(fr, mbx, mby, predY, predCb, predCr, luma_coeffs, chroma,
                  qp, coff)
     return qp
+
+
+# ---------------------------------------------------------------------------
+# B slices (CAVLC): bi-prediction + SPATIAL direct (§8.4.1.2.2).
+#
+# Scope mirrors the P layer: frame pictures, CAVLC entropy, default or
+# EXPLICIT weighted prediction (weighted_bipred_idc 0/1; implicit — idc 2
+# — raises into the PyAV seam, as do temporal direct and CABAC B).  The
+# reference lists are built by the caller per §8.2.4.2.3 (POC order);
+# spatial direct includes the full colZeroFlag refinement against
+# RefPicList1[0]'s stored motion (all references here are short-term).
+# ---------------------------------------------------------------------------
+
+# Table 7-14 (mb_type in B slices), 16x16 and two-partition shapes:
+# value 0 = B_Direct_16x16, 1..3 = 16x16 L0/L1/BI, 4..21 = 16x8/8x16
+# pairs over the combo sequence below, 22 = B_8x8, >= 23 intra.
+_B_MODES16 = {1: "L0", 2: "L1", 3: "BI"}
+_B_COMBO = [("L0", "L0"), ("L1", "L1"), ("L0", "L1"), ("L1", "L0"),
+            ("L0", "BI"), ("L1", "BI"), ("BI", "L0"), ("BI", "L1"),
+            ("BI", "BI")]
+# Table 7-18 (sub_mb_type in B slices): value -> (pred mode, _SUB_PARTS
+# shape key); 0 = B_Direct_8x8
+_B_SUB = {1: ("L0", 0), 2: ("L1", 0), 3: ("BI", 0),
+          4: ("L0", 1), 5: ("L0", 2), 6: ("L1", 1), 7: ("L1", 2),
+          8: ("BI", 1), 9: ("BI", 2),
+          10: ("L0", 3), 11: ("L1", 3), 12: ("BI", 3)}
+
+
+def _col_zero(col: "_RefPic | None", gy: int, gx: int) -> bool:
+    """§8.4.1.2.2 colZeroFlag of the co-located 4x4 block (gy, gx) in
+    RefPicList1[0]: its refIdxCol (L0, else L1) is 0 and |mvCol| <= 1
+    quarter-pel in both components.  A co-located intra block — or a
+    reference with no stored motion (an I picture) — gives False."""
+    if col is None or col.refi0 is None:
+        return False
+    rc = int(col.refi0[gy, gx])
+    if rc >= 0:
+        mvc = col.mv0[gy, gx]
+    elif int(col.refi1g[gy, gx]) >= 0:
+        rc = int(col.refi1g[gy, gx])
+        mvc = col.mv1g[gy, gx]
+    else:
+        return False
+    return rc == 0 and abs(int(mvc[0])) <= 1 and abs(int(mvc[1])) <= 1
+
+
+def _direct_mb_base(fr: _Frame, mbx: int, mby: int):
+    """MB-level part of §8.4.1.2.2: (refIdxL0, refIdxL1, mvpL0, mvpL1,
+    zero_pred).  refIdxLX = MinPositive over the 16x16 neighbors A/B/C
+    per list; both lists empty -> directZeroPrediction (refIdx 0/0, zero
+    MVs).  All neighbors sit OUTSIDE the MB, so the result is stable no
+    matter which quadrant asks first."""
+    bx0, by0 = 4 * mbx, 4 * mby
+    ref = []
+    for lst in (0, 1):
+        _, rA, _ = _nbr(fr, by0, bx0 - 1, lst)
+        _, rB, _ = _nbr(fr, by0 - 1, bx0, lst)
+        aC, rC, _ = _nbr(fr, by0 - 1, bx0 + 4, lst)
+        if not aC:
+            _, rC, _ = _nbr(fr, by0 - 1, bx0 - 1, lst)
+        cand = [r for r in (rA, rB, rC) if r >= 0]
+        ref.append(min(cand) if cand else -1)
+    r0, r1 = ref
+    if r0 < 0 and r1 < 0:
+        return 0, 0, np.zeros(2, np.int32), np.zeros(2, np.int32), True
+    mvp0 = _mv_pred(fr, bx0, by0, 4, 4, r0, lst=0) if r0 >= 0 else None
+    mvp1 = _mv_pred(fr, bx0, by0, 4, 4, r1, lst=1) if r1 >= 0 else None
+    return r0, r1, mvp0, mvp1, False
+
+
+def _set_direct(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
+                inference: bool, quads: "tuple | None" = None) -> None:
+    """Fill the motion grids of the MB's direct-predicted region (whole
+    MB for B_Skip / B_Direct_16x16; the listed 8x8 ``quads`` for
+    B_Direct_8x8).  With direct_8x8_inference each 8x8 takes the
+    colZeroFlag of its OUTER-CORNER co-located 4x4 (§8.4.1.2.2)."""
+    r0, r1, mvp0, mvp1, zero_pred = _direct_mb_base(fr, mbx, mby)
+    col = refs1[0] if refs1 else None
+    bx0, by0 = 4 * mbx, 4 * mby
+    for q in (quads if quads is not None else (0, 1, 2, 3)):
+        qx, qy = 2 * (q & 1), 2 * (q >> 1)
+        for sy in range(2):
+            for sx in range(2):
+                gx, gy = bx0 + qx + sx, by0 + qy + sy
+                if inference:
+                    czf = _col_zero(col, by0 + 3 * (q >> 1),
+                                    bx0 + 3 * (q & 1))
+                else:
+                    czf = _col_zero(col, gy, gx)
+                if zero_pred:
+                    _set_part(fr, gx, gy, 1, 1, 0, _MV0,
+                              pid=refs0[0].serial, lst=0)
+                    _set_part(fr, gx, gy, 1, 1, 0, _MV0,
+                              pid=refs1[0].serial, lst=1)
+                    continue
+                if r0 >= 0:
+                    mv = _MV0 if (r0 == 0 and czf) else mvp0
+                    _set_part(fr, gx, gy, 1, 1, r0, mv,
+                              pid=refs0[r0].serial, lst=0)
+                if r1 >= 0:
+                    mv = _MV0 if (r1 == 0 and czf) else mvp1
+                    _set_part(fr, gx, gy, 1, 1, r1, mv,
+                              pid=refs1[r1].serial, lst=1)
+
+
+def _recon_bskip(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
+                 qp: int, inference: bool, wp0=None, wp1=None) -> None:
+    """Reconstruct one B_Skip MB (spatial direct motion, no residual;
+    explicit weighted prediction applies) — shared verbatim by the
+    decoder loop and the fixture encoder."""
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    bx0, by0 = 4 * mbx, 4 * mby
+    _set_direct(fr, refs0, refs1, mbx, mby, inference)
+    pY, pCb, pCr = _mc_mb(fr, refs0, mbx, mby, wp0, refs1=refs1, wp1=wp1)
+    px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
+    fr.Y[py:py + 16, px:px + 16] = pY
+    fr.Cb[cy:cy + 8, cx:cx + 8] = pCb
+    fr.Cr[cy:cy + 8, cx:cx + 8] = pCr
+    fr.tcY[by0:by0 + 4, bx0:bx0 + 4] = 0
+    fr.tcCb[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    fr.tcCr[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    fr.i4[by0:by0 + 4, bx0:bx0 + 4] = 2
+    fr.recon[by0:by0 + 4, bx0:bx0 + 4] = True
+    fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
+
+
+def _parse_b_motion(br: BitReader, fr: _Frame, mbx: int, mby: int,
+                    mb_type: int, refs0: list, refs1: list,
+                    nref0: int, nref1: int, inference: bool) -> None:
+    """Parse ref_idx/mvd for one non-direct, non-intra B macroblock in
+    §7.3.5.1/.2 field order (all ref_idx_l0, all ref_idx_l1, all mvd_l0,
+    all mvd_l1), then derive and assign MVs in partition order (the
+    §8.4.1.3.2 parse-order availability chain)."""
+    bx0, by0 = 4 * mbx, 4 * mby
+    if mb_type <= 3:
+        parts = [(0, 0, 4, 4, None, _B_MODES16[mb_type])]
+        subs = None
+    elif mb_type <= 21:
+        k, shape = divmod(mb_type - 4, 2)
+        m0, m1 = _B_COMBO[k]
+        pl = _P_PARTS[1 + shape]  # 16x8 (shape 0) / 8x16 (shape 1)
+        parts = [pl[0] + (m0,), pl[1] + (m1,)]
+        subs = None
+    else:  # B_8x8
+        subs = [br.ue() for _ in range(4)]
+        if any(s_ > 12 for s_ in subs):
+            raise ValueError(f"bad B sub_mb_type {subs}")
+        parts = []
+        for b8 in range(4):
+            if subs[b8] == 0:  # B_Direct_8x8: no ref/mvd fields
+                parts.append((2 * (b8 & 1), 2 * (b8 >> 1), 2, 2, b8,
+                              "DIRECT"))
+                continue
+            mode, shp = _B_SUB[subs[b8]]
+            obx, oby = 2 * (b8 & 1), 2 * (b8 >> 1)
+            for ox, oy, w4, h4 in _SUB_PARTS[shp]:
+                parts.append((obx + ox, oby + oy, w4, h4, b8, mode))
+    # --- parse phase (§7.3.5.1 order) ---
+    ridx = {}
+    for lst, nref in ((0, nref0), (1, nref1)):
+        want = "L1" if lst == 0 else "L0"
+        done_b8 = set()
+        for ox, oy, w4, h4, pk, mode in parts:
+            if mode in ("DIRECT", want):
+                continue
+            if isinstance(pk, int):  # one ref_idx per 8x8 quadrant
+                if pk in done_b8:
+                    continue
+                done_b8.add(pk)
+            key = pk if isinstance(pk, int) else (ox, oy)
+            ridx[(lst, key)] = _te(br, nref - 1) if nref > 1 else 0
+    mvds = {}
+    for lst in (0, 1):
+        want = "L1" if lst == 0 else "L0"
+        for i, (ox, oy, w4, h4, pk, mode) in enumerate(parts):
+            if mode in ("DIRECT", want):
+                continue
+            mvds[(lst, i)] = np.array([br.se(), br.se()], dtype=np.int32)
+    # --- derive + assign phase, partition order ---
+    for i, (ox, oy, w4, h4, pk, mode) in enumerate(parts):
+        if mode == "DIRECT":
+            _set_direct(fr, refs0, refs1, mbx, mby, inference, quads=(pk,))
+            continue
+        kind_arg = pk if isinstance(pk, str) else None
+        key = pk if isinstance(pk, int) else (ox, oy)
+        for lst, refs in ((0, refs0), (1, refs1)):
+            if mode == ("L1" if lst == 0 else "L0"):
+                continue
+            r = ridx[(lst, key)]
+            if r >= len(refs):
+                raise ValueError("ref_idx beyond reference list")
+            mvp = _mv_pred(fr, bx0 + ox, by0 + oy, w4, h4, r, kind_arg,
+                           lst=lst)
+            _set_part(fr, bx0 + ox, by0 + oy, w4, h4, r,
+                      mvp + mvds[(lst, i)], pid=refs[r].serial, lst=lst)
+
+
+def _decode_mb_b(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
+                 coff: int, refs0: list, refs1: list, nref0: int,
+                 nref1: int, inference: bool, t8_allowed: bool = False,
+                 wp0=None, wp1=None) -> int:
+    """Parse + reconstruct one non-skip B-slice macroblock (§7.3.5,
+    CAVLC).  Returns the updated QP."""
+    mb_type = br.ue()
+    if mb_type >= 23:  # intra MB inside a B slice (Table 7-14 offset)
+        return _decode_mb(br, fr, mbx, mby, qp, coff,
+                          t8_allowed=t8_allowed, mb_type=mb_type - 23)
+    if t8_allowed:
+        raise ValueError("8x8 transform on inter MBs not supported: "
+                         "needs the PyAV seam")
+    if mb_type > 22:
+        raise ValueError(f"bad B-slice mb_type {mb_type}")
+    fr.slice_no[mby, mbx] = fr.cur_slice
+    bx0, by0 = 4 * mbx, 4 * mby
+    if mb_type == 0:  # B_Direct_16x16 (residual follows)
+        _set_direct(fr, refs0, refs1, mbx, mby, inference)
+    else:
+        _parse_b_motion(br, fr, mbx, mby, mb_type, refs0, refs1,
+                        nref0, nref1, inference)
+    predY, predCb, predCr = _mc_mb(fr, refs0, mbx, mby, wp0,
+                                   refs1=refs1, wp1=wp1)
+    cbp = _map_cbp(CBP_INTER, br.ue())
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + br.se() + 52) % 52
+    luma_coeffs = _parse_luma_residuals(br, fr, bx0, by0, cbp_luma)
+    chroma = _parse_chroma_residuals(br, fr, 2 * mbx, 2 * mby, cbp_chroma)
+    _recon_inter(fr, mbx, mby, predY, predCb, predCr, luma_coeffs, chroma,
+                 qp, coff)
+    return qp
+
+
+def _parse_pred_weight_table(br: BitReader, nref: int) -> tuple:
+    """(luma_denom, chroma_denom, [per-ref weight tuples]) — §7.3.3.2
+    shared by the P and B header paths (the caller hands each list's
+    nref and pairs the denominators)."""
+    ld = br.ue()
+    cd = br.ue()
+    wp = []
+    for _ in range(nref):
+        wY, oY = 1 << ld, 0
+        wCb = wCr = 1 << cd
+        oCb = oCr = 0
+        if br.u(1):
+            wY, oY = br.se(), br.se()
+        if br.u(1):
+            wCb, oCb = br.se(), br.se()
+            wCr, oCr = br.se(), br.se()
+        wp.append((ld, wY, oY, cd, wCb, oCb, wCr, oCr))
+    return ld, cd, wp
+
+
+def _parse_wp_list(br: BitReader, nref: int, ld: int, cd: int) -> list:
+    """The l1 half of a B pred_weight_table (denominators already read)."""
+    wp = []
+    for _ in range(nref):
+        wY, oY = 1 << ld, 0
+        wCb = wCr = 1 << cd
+        oCb = oCr = 0
+        if br.u(1):
+            wY, oY = br.se(), br.se()
+        if br.u(1):
+            wCb, oCb = br.se(), br.se()
+            wCr, oCr = br.se(), br.se()
+        wp.append((ld, wY, oY, cd, wCb, oCb, wCr, oCr))
+    return wp
+
+
+def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
+                        pps: dict, first_mb: int, refs0: list, refs1: list,
+                        nal_ref_idc: int) -> int:
+    """Decode one non-IDR B slice (header tail + CAVLC slice data with
+    mb_skip_run interleaving, §7.3.4).  ``refs0``/``refs1`` are the POC-
+    ordered reference lists built by the caller (§8.2.4.2.3)."""
+    if pps.get("entropy"):
+        raise ValueError("CABAC B slices not supported: needs the PyAV "
+                         "seam")
+    if not refs0 or not refs1:
+        raise ValueError("B slice without both reference lists")
+    br.ue()  # pps id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    if sps.get("poc_type", 2) == 0:
+        br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    if not br.u(1):  # direct_spatial_mv_pred_flag
+        raise ValueError("temporal direct mode not supported: needs the "
+                         "PyAV seam")
+    nref0 = pps.get("num_ref_idx_l0_default", 1)
+    nref1 = pps.get("num_ref_idx_l1_default", 1)
+    if br.u(1):  # num_ref_idx_active_override_flag
+        nref0 = br.ue() + 1
+        nref1 = br.ue() + 1
+    if br.u(1):  # ref_pic_list_modification_flag_l0
+        raise ValueError("ref_pic_list_modification not supported")
+    if br.u(1):  # ref_pic_list_modification_flag_l1
+        raise ValueError("ref_pic_list_modification not supported")
+    wp0 = wp1 = None
+    wbi = pps.get("weighted_bipred", 0)
+    if wbi == 1:
+        ld, cd, wp0 = _parse_pred_weight_table(br, nref0)
+        wp1 = _parse_wp_list(br, nref1, ld, cd)
+    elif wbi == 2:
+        raise ValueError("implicit weighted bi-prediction not supported: "
+                         "needs the PyAV seam")
+    if nal_ref_idc:
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("adaptive ref-pic marking (MMCO) not "
+                             "supported")
+    if nref0 > len(refs0) or nref1 > len(refs1):
+        raise ValueError(f"slice wants {nref0}/{nref1} references, lists "
+                         f"have {len(refs0)}/{len(refs1)}")
+    qp = pps["pic_init_qp"] + br.se()
+    idc, a_off, b_off = 0, 0, 0
+    if pps["deblocking_control"]:
+        idc = br.ue()
+        if idc != 1:
+            a_off = 2 * br.se()
+            b_off = 2 * br.se()
+    fr.deblock[fr.cur_slice] = (idc, a_off, b_off)
+    inference = bool(sps.get("direct_8x8_inference", 1))
+    total = sps["w_mbs"] * sps["h_mbs"]
+    W = sps["w_mbs"]
+    end = _rbsp_data_end(rbsp)
+    mb = first_mb
+    while mb < total and br.pos < end:
+        skip_run = br.ue()
+        for _ in range(skip_run):
+            if mb >= total:
+                raise ValueError("mb_skip_run past end of picture")
+            _recon_bskip(fr, refs0, refs1, mb % W, mb // W, qp, inference,
+                         wp0, wp1)
+            mb += 1
+        if mb >= total or br.pos >= end:
+            break
+        qp = _decode_mb_b(br, fr, mb % W, mb // W, qp,
+                          pps["chroma_qp_index_offset"], refs0, refs1,
+                          nref0, nref1, inference,
+                          t8_allowed=bool(pps.get("transform_8x8")),
+                          wp0=wp0, wp1=wp1)
+        mb += 1
+    fr.cur_slice += 1
+    return first_mb
 
 
 # ---------------------------------------------------------------------------
@@ -3198,7 +4172,8 @@ def _decode_mb_p(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
 # parity, but cannot break in-repo round-trips — treat third-party CABAC
 # decode as best-effort until differentially tested outside the sandbox.
 #
-# P/B slices are skipped upstream by the same sampler rule as CAVLC.
+# CABAC P/B slices are skipped upstream by the sampler (CAVLC P/B decode
+# fully; the CABAC inter layer stays a PyAV seam).
 # I_PCM inside CABAC slices IS handled (post-terminate byte realignment +
 # engine re-init with contexts preserved), as is the High-profile 8x8
 # transform (ctxBlockCat 5) — see the 8x8 section below.
@@ -4257,7 +5232,7 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
                               first_mb: int = 0, n_mbs: int | None = None,
                               fr: "_Frame | None" = None,
                               deblock_idc: int = 1, idr: bool = True,
-                              frame_num: int = 0) -> bytes:
+                              frame_num: int = 0, poc_lsb: int = 0) -> bytes:
     """One CABAC IDR slice RBSP.  The planner picks values; _mb_cabac —
     the decoder's own parse+recon body, running over a _CabacWrite — emits
     the bins and advances reconstruction, so encoder recon == decoder
@@ -4272,6 +5247,10 @@ def encode_iframe_slice_cabac(src, sps: dict, pps: dict, qp: int, kind_fn,
          sps["log2_max_frame_num"])
     if idr:
         hb.ue(0)                  # idr_pic_id
+    if sps.get("poc_type", 2) == 0:
+        hb.u(poc_lsb & ((1 << sps["log2_max_poc_lsb"]) - 1),
+             sps["log2_max_poc_lsb"])
+    if idr:
         hb.u(0, 1)                # no_output_of_prior_pics
         hb.u(0, 1)                # long_term_reference
     else:

@@ -321,10 +321,14 @@ def _parse_avcc(avcc: bytes) -> tuple[int, list[bytes], list[bytes]]:
 def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     """[(frame index, (h, w, 3) uint8 RGB)] for every k-th sample of an
     avc1 track, decoded by the from-scratch decoder (stages/h264.py).
-    IDR and CAVLC P samples decode fully (one sample = one access unit;
-    the DPB follows the default short-term order); other sample shapes
-    (B, CABAC P) are SKIPPED without entropy decoding — the IDR-sampling
-    semantics that mirror the AVI sampler's skip."""
+    IDR and CAVLC P/B samples decode fully (one sample = one access
+    unit; P uses the default short-term order, B the POC-ordered lists
+    with spatial direct); CABAC P/B samples are SKIPPED without entropy
+    decoding — the IDR-sampling semantics that mirror the AVI sampler's
+    skip.  Sampling is on SAMPLE (decode) order; output is emitted in
+    DISPLAY order with display indices, restored per IDR GOP from the
+    stream's own POC (the sample table carries no ctts here) — a no-op
+    for B-less tracks."""
     from iresearch_ray.stages import h264
 
     if every < 1:
@@ -339,25 +343,38 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
     pps = h264.parse_pps(h264.rbsp_from_ebsp(pps_nals[0][1:]))
     gop = h264.GopDecoder(sps, pps)
     out = []
+    base = 0
+    pending: list = []  # [(poc, planes | None)] of the current IDR GOP
+
+    def flush_gop():
+        nonlocal base
+        for disp, (_poc, planes) in enumerate(
+                sorted(pending, key=lambda e: e[0])):
+            if planes is not None:
+                Y, Cb, Cr = planes
+                if rgb:
+                    out.append((base + disp, h264._yuv420_to_rgb(
+                        Y, Cb, Cr, t["width"], t["height"])))
+                else:
+                    out.append((base + disp, (Y, Cb, Cr)))
+        base += len(pending)
+        pending.clear()
+
     for f in range(t["n_frames"]):
         off, size = t["spans"][f]
         nals = [(nt, ri, rbsp) for nt, ri, rbsp in h264.iter_avc_nals_hdr(
             payload[off : off + size], length_size) if nt in (1, 5)]
-        if nals and nals[0][0] == 5 and f % every:
-            # unsampled IDR: skip the decode entirely (the old IDR-only
-            # fast path); clearing the DPB keeps any P that depended on
-            # it from silently predicting across the gap
-            gop.dpb = []
+        if not nals:
             continue
-        planes = gop.decode_au(nals)
-        if planes is None or f % every:
-            continue
-        Y, Cb, Cr = planes
-        if rgb:
-            out.append((f, h264._yuv420_to_rgb(
-                Y, Cb, Cr, t["width"], t["height"])))
-        else:
-            out.append((f, (Y, Cb, Cr)))
+        if nals[0][0] == 5:
+            flush_gop()
+        # unsampled IDR: want=False skips the entropy decode entirely
+        # (the IDR-only fast path) but keeps the POC/display slot;
+        # GopDecoder clears the DPB so dependents never mispredict
+        planes, poc = gop.decode_au(nals, want=not (nals[0][0] == 5
+                                                    and f % every))
+        pending.append((poc, planes if f % every == 0 else None))
+    flush_gop()
     return out
 
 

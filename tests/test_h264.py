@@ -453,16 +453,17 @@ def test_non_idr_samples_skipped():
     # splice a fake non-IDR NAL (type 1) between the two IDRs
     parts = stream.split(b"\x00\x00\x00\x01")
     assert len(parts) == 5  # '', sps, pps, idr, idr
-    # slice header: first_mb_in_slice = ue(0) = '1', slice_type = ue(1)
-    # = '010' (B slice — B stays unsupported/skipped now that non-IDR I
-    # and CAVLC P decode), so the AU grouping sees a NEW non-IDR AU
-    fake_p = bytes([0x41]) + b"\xa0\x20\x30"
+    # slice header: first_mb_in_slice = ue(0) = '1', slice_type = ue(3)
+    # = '00100' (SP slice — the one frame shape that stays
+    # unsupported/skipped now that non-IDR I, CAVLC P AND CAVLC B
+    # decode), so the AU grouping sees a NEW non-IDR AU
+    fake_p = bytes([0x41]) + b"\x90\x20\x30"
     doctored = (b"\x00\x00\x00\x01" + parts[1] + b"\x00\x00\x00\x01" + parts[2]
                 + b"\x00\x00\x00\x01" + parts[3]
                 + b"\x00\x00\x00\x01" + fake_p
                 + b"\x00\x00\x00\x01" + parts[4])
     frames = h264.decode_annexb(doctored, rgb=False)
-    # both IDRs decode; the B NAL consumed an access-unit slot but was
+    # both IDRs decode; the SP NAL consumed an access-unit slot but was
     # never entropy-decoded
     assert [f[0] for f in frames] == [0, 2]
 
