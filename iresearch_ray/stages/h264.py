@@ -5,7 +5,8 @@ multimodal stack (SURVEY §2.12; VERDICT r4 "What's missing #1").
 Scope (Baseline/Main/High-shaped): I/IDR slices in BOTH entropy coders,
 CAVLC P slices (quarter-pel inter prediction, multi-reference, explicit
 weighted prediction), and CAVLC B slices (bi-prediction, POC-ordered
-default lists, SPATIAL direct with colZeroFlag, explicit weighted
+default lists, SPATIAL direct with colZeroFlag AND TEMPORAL direct with
+POC-scaled co-located motion, explicit AND implicit weighted
 bi-prediction, display-order restore via §8.2.1 POC).  Per layer:
 
 - NAL parsing (Annex-B and MP4 length-prefixed), RBSP emulation-byte strip;
@@ -1415,7 +1416,8 @@ def _rbsp_data_end(rbsp: bytes) -> int:
 def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
                        refs: "list | None" = None, nal_type: int = 5,
                        nal_ref_idc: int = 1,
-                       refs1: "list | None" = None) -> int:
+                       refs1: "list | None" = None,
+                       cur_poc: int = 0) -> int:
     """Decode one slice (IDR-I, non-IDR P, or non-IDR B) into a shared
     picture frame.  Returns first_mb_in_slice.  Slice-boundary
     availability is enforced through fr.cur_slice / fr.slice_no
@@ -1431,7 +1433,8 @@ def _decode_slice_into(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
                                    refs or [], nal_ref_idc)
     if st == 1 and nal_type != 5:
         return _decode_bslice_into(fr, br, rbsp, sps, pps, first_mb,
-                                   refs or [], refs1 or [], nal_ref_idc)
+                                   refs or [], refs1 or [], nal_ref_idc,
+                                   cur_poc=cur_poc)
     if st != 2:
         raise ValueError(
             f"slice_type {slice_type} in nal_type {nal_type} not supported "
@@ -1563,7 +1566,8 @@ def decode_picture(rbsps: list, sps: dict, pps: dict,
                    nal_types: "list | None" = None,
                    ref_idcs: "list | None" = None,
                    refs1: "list | None" = None,
-                   return_frame: bool = False):
+                   return_frame: bool = False,
+                   cur_poc: int = 0):
     """One access unit (list of slice RBSPs) -> (Y, Cb, Cr) uint8 planes
     (full MB grid, uncropped).  ``refs``: L0 reference list (most recent
     first for P, POC order for B), each a _RefPic or an (Y, Cb, Cr)
@@ -1579,7 +1583,7 @@ def decode_picture(rbsps: list, sps: dict, pps: dict,
     ref_idcs = ref_idcs or [1] * len(rbsps)
     for rbsp, nt, ri in zip(rbsps, nal_types, ref_idcs):
         _decode_slice_into(fr, rbsp, sps, pps, refs=refs, nal_type=nt,
-                           nal_ref_idc=ri, refs1=refs1)
+                           nal_ref_idc=ri, refs1=refs1, cur_poc=cur_poc)
     if not fr.mb_done.all():
         raise ValueError("picture is missing macroblocks (incomplete slices)")
     if any(v[0] != 1 for v in fr.deblock.values()):
@@ -1753,12 +1757,12 @@ class GopDecoder:
             refs=refs0, refs1=refs1,
             nal_types=[nt for nt, _, _ in nals],
             ref_idcs=[ri for _, ri, _ in nals],
-            return_frame=True)
+            return_frame=True, cur_poc=poc)
         if idr:
             self.dpb = []
         if is_ref:
             rp = _RefPic(*planes, poc=poc)
-            rp.attach_motion(fr)
+            rp.attach_motion(fr, l0s0=refs0[0].serial if refs0 else None)
             self.dpb.insert(0, rp)
             del self.dpb[max(1, self.sps.get("max_num_ref_frames", 1)):]
         return planes, poc
@@ -2610,8 +2614,8 @@ def _plan_b_list(fr: _Frame, src, mbx, mby, ox, oy, w4, h4, kind_arg,
 
 def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
                       coff: int, kind: str, refs0: list, refs1: list,
-                      inference: bool, nref0: int = 1, nref1: int = 1,
-                      wp0=None, wp1=None):
+                      dctx: dict, nref0: int = 1, nref1: int = 1,
+                      wp0=None, wp1=None, wimp=None):
     """(bitstring, skip_ok) for one B-slice inter MB against the CURRENT
     recon state.  ``kind``: 'bdirect' (B_Direct_16x16, collapsing to
     B_Skip when the residual quantizes to zero), 'b16' (cost-picked
@@ -2634,7 +2638,7 @@ def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
         if kind == "bdirect":
             mb_type = 0
             parts = []
-            _set_direct(fr, refs0, refs1, mbx, mby, inference)
+            _set_direct(fr, refs0, refs1, mbx, mby, dctx)
         elif kind == "b8x8":
             mb_type = 22
             sub_cycle = (0, 1, 2, 3, 4, 5, 9, 11)
@@ -2663,7 +2667,7 @@ def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
         for i, part in enumerate(parts):
             ox, oy, w4, h4, pk, mode = part
             if mode == "DIRECT":
-                _set_direct(fr, refs0, refs1, mbx, mby, inference,
+                _set_direct(fr, refs0, refs1, mbx, mby, dctx,
                             quads=(pk,))
                 continue
             kind_arg = pk if isinstance(pk, str) else None
@@ -2684,7 +2688,11 @@ def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
                     px, py = 16 * mbx + 4 * ox, 16 * mby + 4 * oy
                     tgt = sy[py:py + 4 * h4,
                              px:px + 4 * w4].astype(np.int64)
-                    if wp0 is not None or wp1 is not None:
+                    if wimp is not None:
+                        w0, w1 = wimp[(b0[1], b1[1])]
+                        bi = np.clip((b0[4] * w0 + b1[4] * w1 + 32) >> 6,
+                                     0, 255)
+                    elif wp0 is not None or wp1 is not None:
                         e0 = wp0[b0[1]] if wp0 else (0, 1, 0, 0, 1, 0, 1, 0)
                         e1 = wp1[b1[1]] if wp1 else (0, 1, 0, 0, 1, 0, 1, 0)
                         bi = _apply_wp_bi(b0[4], b1[4], e0[1], e0[2],
@@ -2715,7 +2723,7 @@ def _encode_mb_bits_b(src, fr: _Frame, mbx: int, mby: int, qp: int,
             mb_type = 4 + 2 * _B_COMBO.index((modes[0], modes[1])) \
                 + (0 if kind == "b16x8" else 1)
         predY, predCb, predCr = _mc_mb(fr, refs0, mbx, mby, wp0,
-                                       refs1=refs1, wp1=wp1)
+                                       refs1=refs1, wp1=wp1, wimp=wimp)
     finally:
         (fr.mv[sl], fr.refi[sl], fr.mvdec[sl], fr.pid0[sl],
          fr.mv1[sl], fr.refi1[sl], fr.pid1[sl]) = save
@@ -2767,14 +2775,19 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
                         fr: "_Frame | None" = None,
                         deblock_idc: int = 1, nref0: int = 1,
                         nref1: int = 1, wp0: "list | None" = None,
-                        wp1: "list | None" = None) -> bytes:
-    """One non-IDR B slice RBSP (spatial direct).  ``kind_fn(mbx, mby) ->
-    'bdirect' | 'b16' | 'b16bi' | 'b16x8' | 'b8x16' | 'b8x8' | 'i16' |
-    'i4'``; 'bdirect' MBs collapse to B_Skip when the residual quantizes
-    to zero.  Same self-checking construction as the P writer: every
-    emitted span is immediately re-parsed by the real decoder
+                        wp1: "list | None" = None,
+                        direct: str = "spatial") -> bytes:
+    """One non-IDR B slice RBSP (``direct``: 'spatial' or 'temporal').
+    ``kind_fn(mbx, mby) -> 'bdirect' | 'b16' | 'b16bi' | 'b16x8' |
+    'b8x16' | 'b8x8' | 'i16' | 'i4'``; 'bdirect' MBs collapse to B_Skip
+    when the residual quantizes to zero.  ``poc_lsb`` carries the FULL
+    POC (masked on emission; the unmasked value drives temporal/implicit
+    POC scaling).  Same self-checking construction as the P writer:
+    every emitted span is immediately re-parsed by the real decoder
     (_decode_mb_b; skips advance through _recon_bskip at decision
     time)."""
+    if direct not in ("spatial", "temporal"):
+        raise ValueError(f"direct must be spatial|temporal, got {direct!r}")
     hb = _StrBits()
     hb.ue(first_mb)               # first_mb_in_slice
     hb.ue(6)                      # slice_type = B (all slices in pic)
@@ -2784,7 +2797,7 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
     if sps.get("poc_type", 2) == 0:
         hb.u(poc_lsb & ((1 << sps["log2_max_poc_lsb"]) - 1),
              sps["log2_max_poc_lsb"])
-    hb.u(1, 1)                    # direct_spatial_mv_pred_flag
+    hb.u(1 if direct == "spatial" else 0, 1)  # direct_spatial_mv_pred
     nref0 = max(1, min(nref0, len(refs0)))
     nref1 = max(1, min(nref1, len(refs1)))
     if (nref0, nref1) != (pps.get("num_ref_idx_l0_default", 1),
@@ -2796,7 +2809,11 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
         hb.u(0, 1)
     hb.u(0, 1)                    # ref_pic_list_modification_flag_l0
     hb.u(0, 1)                    # ref_pic_list_modification_flag_l1
-    if pps.get("weighted_bipred", 0) == 1:
+    wimp = None
+    if pps.get("weighted_bipred", 0) == 2:
+        wimp = _implicit_weights(refs0, refs1, poc_lsb)
+        wp0 = wp1 = None
+    elif pps.get("weighted_bipred", 0) == 1:
         if wp0 is None:
             wp0 = [(0, 1, 0, 0, 1, 0, 1, 0)] * nref0
         if wp1 is None:
@@ -2841,7 +2858,9 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
     total = sps["w_mbs"] * sps["h_mbs"]
     if n_mbs is None:
         n_mbs = total - first_mb
-    inference = bool(sps.get("direct_8x8_inference", 1))
+    dctx = {"mode": direct,
+            "inference": bool(sps.get("direct_8x8_inference", 1)),
+            "poc": poc_lsb}
     cur_qp = qp
     pending = 0
     coff = pps["chroma_qp_index_offset"]
@@ -2855,11 +2874,12 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
         else:
             mb_bits, skip_ok = _encode_mb_bits_b(
                 src, fr, mbx, mby, cur_qp, coff, kind, refs0, refs1,
-                inference, nref0=nref0, nref1=nref1, wp0=wp0, wp1=wp1)
+                dctx, nref0=nref0, nref1=nref1, wp0=wp0, wp1=wp1,
+                wimp=wimp)
         if skip_ok:
             pending += 1
-            _recon_bskip(fr, refs0, refs1, mbx, mby, cur_qp, inference,
-                         wp0, wp1)
+            _recon_bskip(fr, refs0, refs1, mbx, mby, cur_qp, dctx,
+                         wp0, wp1, wimp)
             continue
         run = _StrBits()
         run.ue(pending)
@@ -2870,8 +2890,8 @@ def encode_bframe_slice(src, sps: dict, pps: dict, qp: int, refs0: list,
         assert br.ue() == pending, "skip-run drift"
         pending = 0
         cur_qp = _decode_mb_b(br, fr, mbx, mby, cur_qp, coff, refs0,
-                              refs1, nref0, nref1, inference,
-                              wp0=wp0, wp1=wp1)
+                              refs1, nref0, nref1, dctx,
+                              wp0=wp0, wp1=wp1, wimp=wimp)
         assert br.pos == len(bits), (
             f"encoder/decoder bit drift at MB ({mbx},{mby}): "
             f"{br.pos} != {len(bits)}"
@@ -2977,7 +2997,8 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                        p_kinds: str = "pmix", n_refs: int = 1,
                        p_weights: "list | None" = None,
                        b_kinds: str = "bmix",
-                       b_weights: "tuple | None" = None,
+                       b_weights: "tuple | str | None" = None,
+                       b_direct: str = "spatial",
                        poc_bits: int = 8) -> bytes:
     """RGB frames -> Annex-B H.264 stream.  ``kinds`` (I pictures): 'pcm'
     (lossless planes), 'i16', 'i4', 'i8' (High-profile 8x8
@@ -3010,7 +3031,10 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
     (denY, wY, oY, denC, wCb, oCb, wCr, oCr) — sets the PPS
     weighted_pred flag and writes a pred_weight_table on every P slice.
     ``b_weights``: (wp_l0, wp_l1) per-list tuples — sets
-    weighted_bipred_idc 1 and writes both halves on every B slice."""
+    weighted_bipred_idc 1 and writes both halves on every B slice — or
+    the string 'implicit' for weighted_bipred_idc 2 (POC-distance
+    weights, no tables).  ``b_direct``: 'spatial' (§8.4.1.2.2) or
+    'temporal' (§8.4.1.2.3 POC-scaled co-located motion)."""
     if not frames:
         raise ValueError("need at least one frame")
     if entropy not in ("cavlc", "cabac"):
@@ -3037,10 +3061,12 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                          num_ref_frames=dpb_cap if has_ref_chain else 0,
                          poc_type=0 if has_b else 2,
                          log2_max_poc_lsb=poc_bits)
+    implicit_b = b_weights == "implicit"
     pps_rbsp = write_pps(entropy=1 if cabac else 0,
                          transform_8x8=1 if t8 else 0,
                          weighted_pred=1 if p_weights else 0,
-                         weighted_bipred=1 if b_weights else 0)
+                         weighted_bipred=2 if implicit_b
+                         else (1 if b_weights else 0))
     sps = parse_sps(sps_rbsp)
     pps = parse_pps(pps_rbsp)
     cycle = ("i16", "i4", "pcm")
@@ -3120,8 +3146,11 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
                     deblock_idc=deblock_idc,
                     nref0=min(n_refs, len(refs0)),
                     nref1=min(n_refs, len(refs1)),
-                    wp0=b_weights[0] if b_weights else None,
-                    wp1=b_weights[1] if b_weights else None)
+                    wp0=b_weights[0] if (b_weights and not implicit_b)
+                    else None,
+                    wp1=b_weights[1] if (b_weights and not implicit_b)
+                    else None,
+                    direct=b_direct)
                 fr.cur_slice += 1
                 out.append(b"\x00\x00\x00\x01" + _nal(1, rbsp, ref_idc=0))
         else:
@@ -3146,7 +3175,7 @@ def encode_h264_annexb(frames: list, qp: int = 26, kinds: str = "mixed",
             if ftype == "i":
                 dpb = []
             rp = _RefPic(fr.Y, fr.Cb, fr.Cr, poc=poc)
-            rp.attach_motion(fr)
+            rp.attach_motion(fr, l0s0=dpb[0].serial if dpb else None)
             dpb.insert(0, rp)
             del dpb[max(1, dpb_cap):]
             frame_num = (frame_num + 1) % (1 << sps["log2_max_frame_num"])
@@ -3417,8 +3446,7 @@ def deblock_picture(fr: _Frame, pps: dict) -> None:
 #   - CAVLC B slices live in their own section further down
 #     (bi-prediction + spatial direct; see the B header comment).
 #   - NOT here (raise into the documented PyAV seam): SP/SI slices,
-#     CABAC-coded P/B slices, temporal direct, implicit weighted
-#     bi-prediction, ref-list modification, adaptive marking,
+#     CABAC-coded P/B slices, ref-list modification, adaptive marking,
 #     8x8 transform on inter MBs, interlace.
 # Verification stance is the same as CAVLC-I: the fixture encoder drives
 # the decoder's own parse+recon body per MB, plus full-stream decode-back
@@ -3452,14 +3480,22 @@ class _RefPic:
         self.Cr = np.pad(np.asarray(Cr, dtype=np.int64), p // 2, mode="edge")
         self.poc = int(poc)
         self.mv0 = self.refi0 = self.mv1g = self.refi1g = None
+        self.pid0g = self.pid1g = None
+        # serial of this picture's own RefPicList0[0] (temporal direct's
+        # intra-co-located fallback refers to colPic's list-0 head)
+        self.l0s0 = None
         _RefPic._next_serial += 1
         self.serial = _RefPic._next_serial
 
-    def attach_motion(self, fr: "_Frame") -> None:
+    def attach_motion(self, fr: "_Frame",
+                      l0s0: "int | None" = None) -> None:
         self.mv0 = fr.mv.copy()
         self.refi0 = fr.refi.copy()
         self.mv1g = fr.mv1.copy()
         self.refi1g = fr.refi1.copy()
+        self.pid0g = fr.pid0.copy()
+        self.pid1g = fr.pid1.copy()
+        self.l0s0 = l0s0
 
 
 def _h6u(R: np.ndarray, w: int) -> np.ndarray:
@@ -3662,16 +3698,41 @@ def _apply_wp_bi(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int,
                    + ((o0 + o1 + 1) >> 1), 0, 255)
 
 
+def _implicit_weights(refs0: list, refs1: list, cur_poc: int) -> dict:
+    """§8.4.2.3.1 IMPLICIT bi-prediction weights per (refIdxL0, refIdxL1)
+    pair: w1 = DistScaleFactor >> 2, w0 = 64 - w1 at logWD 5, falling
+    back to 32/32 when the anchors share a POC or the scale leaves
+    [-64, 128] (all references here are short-term)."""
+    out = {}
+    for i0, r0 in enumerate(refs0):
+        for i1, r1 in enumerate(refs1):
+            td = max(-128, min(127, r1.poc - r0.poc))
+            tb = max(-128, min(127, cur_poc - r0.poc))
+            if td == 0:
+                out[(i0, i1)] = (32, 32)
+                continue
+            tx = _tdiv(16384 + abs(td) // 2, td)
+            dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+            w1 = dsf >> 2
+            if w1 < -64 or w1 > 128:
+                out[(i0, i1)] = (32, 32)
+            else:
+                out[(i0, i1)] = (64 - w1, w1)
+    return out
+
+
 def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int,
            wp: "list | None" = None, refs1: "list | None" = None,
-           wp1: "list | None" = None):
+           wp1: "list | None" = None, wimp: "dict | None" = None):
     """Motion-compensate one inter MB from its per-4x4 mv/refi grids
     (both lists when ``refs1`` is given — B slices; default BI prediction
     is the §8.4.2.3.1 rounding average of the two clipped single-list
     predictions).  Per-4x4 MC equals per-partition MC exactly —
     interpolation is per-sample separable — so partition shapes need no
     special casing.  ``wp``/``wp1``: per-ref explicit weights
-    (denY, wY, oY, denC, wCb, oCb, wCr, oCr) or None (default pred)."""
+    (denY, wY, oY, denC, wCb, oCb, wCr, oCr) or None (default pred).
+    ``wimp``: the IMPLICIT weight map from _implicit_weights — applies
+    to BI blocks only (single-list implicit prediction is default)."""
     bx0, by0 = 4 * mbx, 4 * mby
     predY = np.empty((16, 16), dtype=np.int64)
     predCb = np.empty((8, 8), dtype=np.int64)
@@ -3689,7 +3750,15 @@ def _mc_mb(fr: _Frame, refs: list, mbx: int, mby: int,
                 p1 = _pred_inter_block(refs1[r1], bx0 + xb, by0 + yb, 1, 1,
                                        fr.mv1[by0 + yb, bx0 + xb])
             if p0 is not None and p1 is not None:
-                if wp is not None or wp1 is not None:
+                if wimp is not None:
+                    w0, w1 = wimp[(r0, r1)]
+                    pY = np.clip((p0[0] * w0 + p1[0] * w1 + 32) >> 6,
+                                 0, 255)
+                    pCb = np.clip((p0[1] * w0 + p1[1] * w1 + 32) >> 6,
+                                  0, 255)
+                    pCr = np.clip((p0[2] * w0 + p1[2] * w1 + 32) >> 6,
+                                  0, 255)
+                elif wp is not None or wp1 is not None:
                     e0 = wp[r0] if wp is not None else (0, 1, 0, 0, 1, 0, 1, 0)
                     e1 = wp1[r1] if wp1 is not None else (0, 1, 0, 0, 1, 0, 1, 0)
                     pY = _apply_wp_bi(p0[0], p1[0], e0[1], e0[2],
@@ -3856,6 +3925,51 @@ def _col_zero(col: "_RefPic | None", gy: int, gx: int) -> bool:
     return rc == 0 and abs(int(mvc[0])) <= 1 and abs(int(mvc[1])) <= 1
 
 
+def _tdiv(a: int, b: int) -> int:
+    """C-style integer division truncating toward zero (the spec's '/')."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _temporal_block(col: "_RefPic", refs0: list, gy: int, gx: int,
+                    cur_poc: int):
+    """§8.4.1.2.3 temporal direct for one co-located 4x4: (refIdxL0,
+    mvL0, mvL1).  refIdxL0 maps the co-located block's reference PICTURE
+    into the current list 0 (lowest index); mvL0 scales mvCol by the POC
+    distance ratio, mvL1 = mvL0 - mvCol.  An intra (or motion-less)
+    co-located block falls back to colPic's own list-0 head with zero
+    mvCol, per the spec's refIdxCol = 0 rule."""
+    mvCol = _MV0
+    pid = -1
+    if col.refi0 is not None:
+        if int(col.refi0[gy, gx]) >= 0:
+            mvCol = col.mv0[gy, gx]
+            pid = int(col.pid0g[gy, gx])
+        elif int(col.refi1g[gy, gx]) >= 0:
+            mvCol = col.mv1g[gy, gx]
+            pid = int(col.pid1g[gy, gx])
+    if pid < 0:
+        pid = col.l0s0 if col.l0s0 is not None else -1
+        mvCol = _MV0
+    if pid < 0:
+        r0 = 0  # colPic had no list 0 (an intra anchor): zero-mv head
+    else:
+        r0 = next((i for i, r in enumerate(refs0) if r.serial == pid),
+                  None)
+        if r0 is None:
+            raise ValueError("temporal direct: co-located reference "
+                             "picture is not in the current list 0")
+    td = max(-128, min(127, col.poc - refs0[r0].poc))
+    tb = max(-128, min(127, cur_poc - refs0[r0].poc))
+    if td == 0:
+        return r0, np.array(mvCol, dtype=np.int32), np.zeros(2, np.int32)
+    tx = _tdiv(16384 + abs(td) // 2, td)
+    dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+    mvL0 = np.array([(dsf * int(mvCol[0]) + 128) >> 8,
+                     (dsf * int(mvCol[1]) + 128) >> 8], dtype=np.int32)
+    return r0, mvL0, mvL0 - np.asarray(mvCol, dtype=np.int32)
+
+
 def _direct_mb_base(fr: _Frame, mbx: int, mby: int):
     """MB-level part of §8.4.1.2.2: (refIdxL0, refIdxL1, mvpL0, mvpL1,
     zero_pred).  refIdxLX = MinPositive over the 16x16 neighbors A/B/C
@@ -3881,13 +3995,18 @@ def _direct_mb_base(fr: _Frame, mbx: int, mby: int):
 
 
 def _set_direct(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
-                inference: bool, quads: "tuple | None" = None) -> None:
+                dctx: dict, quads: "tuple | None" = None) -> None:
     """Fill the motion grids of the MB's direct-predicted region (whole
     MB for B_Skip / B_Direct_16x16; the listed 8x8 ``quads`` for
-    B_Direct_8x8).  With direct_8x8_inference each 8x8 takes the
-    colZeroFlag of its OUTER-CORNER co-located 4x4 (§8.4.1.2.2)."""
-    r0, r1, mvp0, mvp1, zero_pred = _direct_mb_base(fr, mbx, mby)
+    B_Direct_8x8).  ``dctx``: {'mode': 'spatial' | 'temporal',
+    'inference': bool, 'poc': current picture POC}.  With
+    direct_8x8_inference each 8x8 takes its OUTER-CORNER co-located 4x4
+    (§8.4.1.2.2 colZeroFlag / §8.4.1.2.3 mvCol alike)."""
+    temporal = dctx["mode"] == "temporal"
+    inference = dctx["inference"]
     col = refs1[0] if refs1 else None
+    if not temporal:
+        r0, r1, mvp0, mvp1, zero_pred = _direct_mb_base(fr, mbx, mby)
     bx0, by0 = 4 * mbx, 4 * mby
     for q in (quads if quads is not None else (0, 1, 2, 3)):
         qx, qy = 2 * (q & 1), 2 * (q >> 1)
@@ -3895,10 +4014,19 @@ def _set_direct(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
             for sx in range(2):
                 gx, gy = bx0 + qx + sx, by0 + qy + sy
                 if inference:
-                    czf = _col_zero(col, by0 + 3 * (q >> 1),
-                                    bx0 + 3 * (q & 1))
+                    cgy = by0 + 3 * (q >> 1)
+                    cgx = bx0 + 3 * (q & 1)
                 else:
-                    czf = _col_zero(col, gy, gx)
+                    cgy, cgx = gy, gx
+                if temporal:
+                    rt, mv0, mv1 = _temporal_block(col, refs0, cgy, cgx,
+                                                   dctx["poc"])
+                    _set_part(fr, gx, gy, 1, 1, rt, mv0,
+                              pid=refs0[rt].serial, lst=0)
+                    _set_part(fr, gx, gy, 1, 1, 0, mv1,
+                              pid=refs1[0].serial, lst=1)
+                    continue
+                czf = _col_zero(col, cgy, cgx)
                 if zero_pred:
                     _set_part(fr, gx, gy, 1, 1, 0, _MV0,
                               pid=refs0[0].serial, lst=0)
@@ -3916,14 +4044,16 @@ def _set_direct(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
 
 
 def _recon_bskip(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
-                 qp: int, inference: bool, wp0=None, wp1=None) -> None:
-    """Reconstruct one B_Skip MB (spatial direct motion, no residual;
-    explicit weighted prediction applies) — shared verbatim by the
+                 qp: int, dctx: dict, wp0=None, wp1=None,
+                 wimp=None) -> None:
+    """Reconstruct one B_Skip MB (direct motion, no residual; explicit
+    or implicit weighted prediction applies) — shared verbatim by the
     decoder loop and the fixture encoder."""
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby
-    _set_direct(fr, refs0, refs1, mbx, mby, inference)
-    pY, pCb, pCr = _mc_mb(fr, refs0, mbx, mby, wp0, refs1=refs1, wp1=wp1)
+    _set_direct(fr, refs0, refs1, mbx, mby, dctx)
+    pY, pCb, pCr = _mc_mb(fr, refs0, mbx, mby, wp0, refs1=refs1, wp1=wp1,
+                          wimp=wimp)
     px, py, cx, cy = 16 * mbx, 16 * mby, 8 * mbx, 8 * mby
     fr.Y[py:py + 16, px:px + 16] = pY
     fr.Cb[cy:cy + 8, cx:cx + 8] = pCb
@@ -3939,7 +4069,7 @@ def _recon_bskip(fr: _Frame, refs0: list, refs1: list, mbx: int, mby: int,
 
 def _parse_b_motion(br: BitReader, fr: _Frame, mbx: int, mby: int,
                     mb_type: int, refs0: list, refs1: list,
-                    nref0: int, nref1: int, inference: bool) -> None:
+                    nref0: int, nref1: int, dctx: dict) -> None:
     """Parse ref_idx/mvd for one non-direct, non-intra B macroblock in
     §7.3.5.1/.2 field order (all ref_idx_l0, all ref_idx_l1, all mvd_l0,
     all mvd_l1), then derive and assign MVs in partition order (the
@@ -3992,7 +4122,7 @@ def _parse_b_motion(br: BitReader, fr: _Frame, mbx: int, mby: int,
     # --- derive + assign phase, partition order ---
     for i, (ox, oy, w4, h4, pk, mode) in enumerate(parts):
         if mode == "DIRECT":
-            _set_direct(fr, refs0, refs1, mbx, mby, inference, quads=(pk,))
+            _set_direct(fr, refs0, refs1, mbx, mby, dctx, quads=(pk,))
             continue
         kind_arg = pk if isinstance(pk, str) else None
         key = pk if isinstance(pk, int) else (ox, oy)
@@ -4010,8 +4140,8 @@ def _parse_b_motion(br: BitReader, fr: _Frame, mbx: int, mby: int,
 
 def _decode_mb_b(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
                  coff: int, refs0: list, refs1: list, nref0: int,
-                 nref1: int, inference: bool, t8_allowed: bool = False,
-                 wp0=None, wp1=None) -> int:
+                 nref1: int, dctx: dict, t8_allowed: bool = False,
+                 wp0=None, wp1=None, wimp=None) -> int:
     """Parse + reconstruct one non-skip B-slice macroblock (§7.3.5,
     CAVLC).  Returns the updated QP."""
     mb_type = br.ue()
@@ -4026,12 +4156,12 @@ def _decode_mb_b(br: BitReader, fr: _Frame, mbx: int, mby: int, qp: int,
     fr.slice_no[mby, mbx] = fr.cur_slice
     bx0, by0 = 4 * mbx, 4 * mby
     if mb_type == 0:  # B_Direct_16x16 (residual follows)
-        _set_direct(fr, refs0, refs1, mbx, mby, inference)
+        _set_direct(fr, refs0, refs1, mbx, mby, dctx)
     else:
         _parse_b_motion(br, fr, mbx, mby, mb_type, refs0, refs1,
-                        nref0, nref1, inference)
+                        nref0, nref1, dctx)
     predY, predCb, predCr = _mc_mb(fr, refs0, mbx, mby, wp0,
-                                   refs1=refs1, wp1=wp1)
+                                   refs1=refs1, wp1=wp1, wimp=wimp)
     cbp = _map_cbp(CBP_INTER, br.ue())
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     if cbp:
@@ -4081,10 +4211,12 @@ def _parse_wp_list(br: BitReader, nref: int, ld: int, cd: int) -> list:
 
 def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
                         pps: dict, first_mb: int, refs0: list, refs1: list,
-                        nal_ref_idc: int) -> int:
+                        nal_ref_idc: int, cur_poc: int = 0) -> int:
     """Decode one non-IDR B slice (header tail + CAVLC slice data with
     mb_skip_run interleaving, §7.3.4).  ``refs0``/``refs1`` are the POC-
-    ordered reference lists built by the caller (§8.2.4.2.3)."""
+    ordered reference lists built by the caller (§8.2.4.2.3);
+    ``cur_poc`` is this picture's POC (temporal direct and implicit
+    weighting scale by POC distances)."""
     if pps.get("entropy"):
         raise ValueError("CABAC B slices not supported: needs the PyAV "
                          "seam")
@@ -4094,9 +4226,7 @@ def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
     br.u(sps["log2_max_frame_num"])  # frame_num
     if sps.get("poc_type", 2) == 0:
         br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    if not br.u(1):  # direct_spatial_mv_pred_flag
-        raise ValueError("temporal direct mode not supported: needs the "
-                         "PyAV seam")
+    spatial = bool(br.u(1))  # direct_spatial_mv_pred_flag
     nref0 = pps.get("num_ref_idx_l0_default", 1)
     nref1 = pps.get("num_ref_idx_l1_default", 1)
     if br.u(1):  # num_ref_idx_active_override_flag
@@ -4106,14 +4236,13 @@ def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
         raise ValueError("ref_pic_list_modification not supported")
     if br.u(1):  # ref_pic_list_modification_flag_l1
         raise ValueError("ref_pic_list_modification not supported")
-    wp0 = wp1 = None
+    wp0 = wp1 = wimp = None
     wbi = pps.get("weighted_bipred", 0)
     if wbi == 1:
         ld, cd, wp0 = _parse_pred_weight_table(br, nref0)
         wp1 = _parse_wp_list(br, nref1, ld, cd)
     elif wbi == 2:
-        raise ValueError("implicit weighted bi-prediction not supported: "
-                         "needs the PyAV seam")
+        wimp = _implicit_weights(refs0, refs1, cur_poc)
     if nal_ref_idc:
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("adaptive ref-pic marking (MMCO) not "
@@ -4129,7 +4258,9 @@ def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
             a_off = 2 * br.se()
             b_off = 2 * br.se()
     fr.deblock[fr.cur_slice] = (idc, a_off, b_off)
-    inference = bool(sps.get("direct_8x8_inference", 1))
+    dctx = {"mode": "spatial" if spatial else "temporal",
+            "inference": bool(sps.get("direct_8x8_inference", 1)),
+            "poc": cur_poc}
     total = sps["w_mbs"] * sps["h_mbs"]
     W = sps["w_mbs"]
     end = _rbsp_data_end(rbsp)
@@ -4139,16 +4270,16 @@ def _decode_bslice_into(fr: _Frame, br: BitReader, rbsp: bytes, sps: dict,
         for _ in range(skip_run):
             if mb >= total:
                 raise ValueError("mb_skip_run past end of picture")
-            _recon_bskip(fr, refs0, refs1, mb % W, mb // W, qp, inference,
-                         wp0, wp1)
+            _recon_bskip(fr, refs0, refs1, mb % W, mb // W, qp, dctx,
+                         wp0, wp1, wimp)
             mb += 1
         if mb >= total or br.pos >= end:
             break
         qp = _decode_mb_b(br, fr, mb % W, mb // W, qp,
                           pps["chroma_qp_index_offset"], refs0, refs1,
-                          nref0, nref1, inference,
+                          nref0, nref1, dctx,
                           t8_allowed=bool(pps.get("transform_8x8")),
-                          wp0=wp0, wp1=wp1)
+                          wp0=wp0, wp1=wp1, wimp=wimp)
         mb += 1
     fr.cur_slice += 1
     return first_mb

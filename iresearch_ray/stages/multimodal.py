@@ -672,8 +672,9 @@ class FrameSample:
     avc1 tracks with the from-scratch decoder (stages/h264.py: CAVLC and
     CABAC I pictures, 4x4 and High-profile 8x8 transforms, CAVLC
     P pictures — quarter-pel inter prediction, P_Skip, DPB — AND CAVLC
-    B pictures — bi-prediction, spatial direct, POC display-order
-    restore; CABAC-P/B samples are skipped without entropy decode);
+    B pictures — bi-prediction, spatial AND temporal direct,
+    explicit/implicit weighting, POC display-order restore; CABAC-P/B
+    samples are skipped without entropy decode);
     ``decoder="gif"`` REALLY
     decodes animated GIF (stages/gif.py: LZW, palettes, interlace,
     transparency + disposal composition — frames are deltas, so earlier

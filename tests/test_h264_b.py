@@ -130,6 +130,87 @@ def test_weighted_biprediction_crossfade_exact():
     assert (Cb == 128).all() and (Cr == 128).all()
 
 
+def test_temporal_direct_constant_velocity_exact():
+    """§8.4.1.2.3 temporal direct on a constant-velocity translation:
+    the co-located P block carries the full displacement MV, the POC
+    ratio tb/td = 2/4 scales it to exactly half (mvL0 = (128*mvCol+128)
+    >> 8), and mvL1 = mvL0 - mvCol points the mirrored half into the
+    future anchor — so every direct B MB has zero residual and B_Skips
+    to an EXACT reconstruction in the interior.  Spatial direct CANNOT
+    do this at the first MB (no neighbors -> directZeroPrediction), so
+    this pins the temporal path specifically."""
+    base = _noise_frame(48, 64, seed=7)
+    mid = np.roll(base, 1, axis=1)
+    mov = np.roll(base, 2, axis=1)
+    st = h264.encode_h264_annexb([base, mid, mov], qp=10, kinds="pcm",
+                                 gop="ibp", b_kinds="bdirect",
+                                 p_kinds="p16", b_direct="temporal")
+    out = h264.decode_annexb(st, rgb=False)
+    assert [i for i, _ in out] == [0, 1, 2]
+    Y, Cb, Cr = out[1][1]
+    src_y, src_cb, src_cr = h264.rgb_to_yuv420(mid)
+    # interior LUMA only: the roll wraps at the left edge (L0 side) and
+    # the mirrored mvL1 reads one past the right edge (clamped pad), so
+    # the outermost MB columns legitimately carry residual; chroma of a
+    # 1-luma-pel shift lands on a HALF chroma pel (bilinear ≠ the 2x2
+    # subsampling mean), so chroma is residual-coded — near, not equal
+    assert np.array_equal(Y[:, 16:48], src_y[:, 16:48])
+    assert np.abs(Cb[:, 8:24].astype(int)
+                  - src_cb[:, 8:24].astype(int)).max() <= 3
+
+
+def test_implicit_weights_unit():
+    """§8.4.2.3.1 implicit weights: equal POC distance -> 32/32; a B at
+    1/4 of the anchor gap weighs the NEAR anchor 48 and the far one 16;
+    coincident anchors fall back to 32/32."""
+    mk = lambda poc: h264._RefPic(np.zeros((16, 16)), np.zeros((8, 8)),
+                                  np.zeros((8, 8)), poc=poc)
+    w = h264._implicit_weights([mk(0)], [mk(4)], 2)
+    assert w[(0, 0)] == (32, 32)
+    w = h264._implicit_weights([mk(0)], [mk(8)], 2)
+    assert w[(0, 0)] == (48, 16)
+    w = h264._implicit_weights([mk(0)], [mk(8)], 6)
+    assert w[(0, 0)] == (16, 48)
+    w = h264._implicit_weights([mk(4)], [mk(4)], 2)
+    assert w[(0, 0)] == (32, 32)
+
+
+def test_implicit_weighted_biprediction_exact_ramp():
+    """Implicit weighting end-to-end: flat PCM anchors 96 (POC 0) and
+    160 (POC 8) with three B pictures between them.  The POC-distance
+    weights are (48,16)/(32,32)/(16,48), so the exact implicit
+    predictions are 112 / 128 / 144 — sources built to those values
+    decode byte-identical, and chroma 128 stays a fixed point for every
+    pair (w0 + w1 == 64)."""
+    mk = lambda v: np.full((48, 48, 3), v, np.uint8)
+    seq = [mk(96), mk(112), mk(128), mk(144), mk(160)]
+    st = h264.encode_h264_annexb(seq, qp=20, kinds="pcm", gop="ibbbp",
+                                 b_kinds="b16bi", p_kinds="i16",
+                                 b_weights="implicit")
+    out = h264.decode_annexb(st, rgb=False)
+    assert [i for i, _ in out] == [0, 1, 2, 3, 4]
+    for i, want in ((1, 112), (2, 128), (3, 144)):
+        Y, Cb, Cr = out[i][1]
+        assert (Y == want).all(), i
+        assert (Cb == 128).all() and (Cr == 128).all()
+
+
+@pytest.mark.parametrize("b_direct,b_weights", [
+    ("temporal", None), ("spatial", "implicit"), ("temporal", "implicit"),
+])
+def test_gop_roundtrip_direct_and_weight_modes(b_direct, b_weights):
+    frames = _gop_frames(5, seed=31)
+    st = h264.encode_h264_annexb(frames, qp=22, kinds="i16", gop="ibpbp",
+                                 b_kinds="bmix", p_kinds="p16",
+                                 b_direct=b_direct, b_weights=b_weights,
+                                 deblock_idc=0, n_refs=2)
+    out = h264.decode_annexb(st, rgb=False)
+    assert [i for i, _ in out] == [0, 1, 2, 3, 4]
+    for (i, (Y, _, _)), f in zip(out, frames):
+        src = h264.rgb_to_yuv420(f)[0].astype(int)
+        assert np.abs(Y.astype(int) - src).mean() < 4.5, i
+
+
 def test_flat_static_deblock_on_b_bs_zero():
     """Flat static scene with the loop filter ON and a B picture whose
     blocks all carry the same (picture, mv) prediction sets: §8.7.2.1
