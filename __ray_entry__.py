@@ -718,36 +718,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def mm_frame_sample(sf):
         # Real in-engine H.264 video decode as a driver surface (r5):
-        # four deterministic avc1 MP4s (IDR + CAVLC P pictures —
-        # quarter-pel MC, P_Skip, mixed partitions, one GOP with a
-        # non-IDR intra refresh) run through the FrameSample actor-pool
-        # stage (decoder='h264_mp4'), sampling every 2nd access unit
-        # while threading the P reference chain.  No SQL oracle (the
-        # decode is not SQL-expressible) — the driver records the
-        # rows-only check; determinism is pinned by the seeded encoder
-        # and integer per-frame pixel sums.
+        # four deterministic avc1 MP4s — IDR + CAVLC P pictures
+        # (quarter-pel MC, P_Skip, mixed partitions), one GOP with a
+        # non-IDR intra refresh, AND two GOPs with CAVLC B pictures
+        # (one spatial-direct, one temporal-direct with implicit
+        # weighting; decode order != display order) — run through the
+        # FrameSample actor-pool stage (decoder='h264_mp4'), sampling
+        # every 2nd access unit while threading the reference chain and
+        # restoring DISPLAY order per GOP.  No SQL oracle (the decode is
+        # not SQL-expressible) — the driver records the rows-only check;
+        # determinism is pinned by the seeded encoder and integer
+        # per-frame pixel sums.
         import ray.data as rd
 
         from iresearch_ray.stages.mp4 import encode_mp4_h264
         from iresearch_ray.stages.multimodal import FrameSample
 
         rng = np.random.default_rng(451)
+        gops = [("iprp", "spatial", None), ("ippp", "spatial", None),
+                ("ibp", "spatial", None), ("ibpbp", "temporal", "implicit")]
         payloads = []
         for vid in range(4):
             base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
             vf = [base]
-            for _ in range(3):
+            for _ in range(3 if vid < 2 else 4):
                 nxt = np.clip(np.roll(vf[-1], 1, axis=1).astype(int)
                               + rng.integers(-3, 4, base.shape), 0, 255)
                 vf.append(nxt.astype(np.uint8))
+            gop, bd, bw = gops[vid]
             payloads.append(encode_mp4_h264(
-                vf, fps=5, qp=18, kinds="i16",
-                gop="ippp" if vid % 2 else "iprp", p_kinds="pmix"))
+                vf, fps=5, qp=18, kinds="i16", gop=gop, p_kinds="pmix",
+                b_kinds="bmix", b_direct=bd, b_weights=bw))
         tbl = pa.table({
             "item_id": pa.array(range(4), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["video/mp4"] * 4),
-            "n_frames": pa.array([4] * 4, pa.int32()),
+            "n_frames": pa.array([4, 4, 5, 5], pa.int32()),
             "fps": pa.array([5.0] * 4, pa.float32()),
         })
         out = (rd.from_arrow(tbl)

@@ -381,7 +381,9 @@ def decode_mp4_h264(payload: bytes, every: int = 1, rgb: bool = True):
 def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
                     kinds: str = "mixed", deblock_idc: int = 1,
                     entropy: str = "cavlc", gop: str = "i",
-                    p_kinds: str = "pmix") -> bytes:
+                    p_kinds: str = "pmix", b_kinds: str = "bmix",
+                    b_direct: str = "spatial",
+                    b_weights=None) -> bytes:
     """(h, w, 3) uint8 frames → a minimal avc1 MP4 (one mdat, one chunk,
     4-byte-length-prefixed NALs, avcC with one SPS/PPS) through the
     from-scratch encoder — the REAL-fixture generator for
@@ -400,7 +402,8 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = 10, qp: int = 26,
             raise ValueError("all frames must share one shape")
     stream = h264.encode_h264_annexb(
         frames, qp=qp, kinds=kinds, deblock_idc=deblock_idc,
-        entropy=entropy, gop=gop, p_kinds=p_kinds)
+        entropy=entropy, gop=gop, p_kinds=p_kinds, b_kinds=b_kinds,
+        b_direct=b_direct, b_weights=b_weights)
     sps_nal = pps_nal = None
     profile = 66
     samples = []
