@@ -386,6 +386,39 @@ def test_mp4_avc1_b_frames_roundtrip_and_sampling():
             assert np.array_equal(a, b)
 
 
+def test_corrupt_b_stream_fuzz_raises_cleanly():
+    """Truncations and byte flips over a real IBP stream (both direct
+    modes, implicit weighting) must surface as ValueError (or decode
+    fine when the damage misses live bits) — never IndexError or another
+    internal crash.  The B layer adds new parse surfaces (POC fields,
+    direct flag, two ref lists, B mb/sub types, co-located lookups), so
+    it gets its own fuzz."""
+    frames = _gop_frames(4, h=32, w=32, seed=31)
+    streams = [
+        h264.encode_h264_annexb(frames, qp=22, kinds="i16", gop="ibp",
+                                b_kinds="bmix", p_kinds="p16",
+                                deblock_idc=0),
+        h264.encode_h264_annexb(frames, qp=24, kinds="i16", gop="ibpb",
+                                b_direct="temporal",
+                                b_weights="implicit"),
+    ]
+    rng = _rng(33)
+    for st in streams:
+        for cut in sorted(rng.integers(10, len(st), 25).tolist()):
+            try:
+                h264.decode_annexb(st[:cut], rgb=False)
+            except ValueError:
+                pass
+        for _ in range(60):
+            pos = int(rng.integers(8, len(st)))
+            bad = bytearray(st)
+            bad[pos] ^= int(rng.integers(1, 256))
+            try:
+                h264.decode_annexb(bytes(bad), rgb=False)
+            except ValueError:
+                pass
+
+
 def test_golden_b_stream_and_planes_pinned():
     """sha256-pinned B-stream golden: any change to the B bitstream
     layout, the two-list MV prediction, spatial direct, bi-prediction
