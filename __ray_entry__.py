@@ -772,6 +772,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
                ).to_pandas()
         return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
 
+    def mm_image_decode(sf):
+        # Real mixed-format IMAGE decode as a driver surface (r5): one
+        # deterministic 16x16 scene serialized into SIX real containers
+        # — PPM, full-spec PNG, baseline JPEG, GIF89a, BMP (RLE8) and
+        # TIFF (LZW + horizontal predictor, 2 strips) — plus one corrupt
+        # payload, run through the ImageDecode actor-pool stage with
+        # decoder='auto' (container-magic sniffing) and on_error='skip'.
+        # No SQL oracle (entropy decode is not SQL-expressible) — the
+        # driver records the rows-only check; determinism is pinned by
+        # the seeded scene and integer per-image pixel sums (lossless
+        # rows share ONE sum; JPEG differs only by quantization).
+        import ray.data as rd
+
+        from iresearch_ray.stages.gif import encode_gif
+        from iresearch_ray.stages.jpeg import encode_jpeg
+        from iresearch_ray.stages.multimodal import (ImageDecode,
+                                                     encode_png,
+                                                     encode_ppm)
+        from iresearch_ray.stages.tiffbmp import encode_bmp, encode_tiff
+
+        rng = np.random.default_rng(453)
+        cols = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250],
+                         [40, 40, 40]], np.uint8)
+        idx = rng.integers(0, 4, (16, 16)).astype(np.uint8)
+        img = cols[idx]
+        payloads = [
+            encode_ppm(img),
+            encode_png(img),
+            encode_jpeg(img, quality=95),
+            encode_gif([idx], cols),
+            encode_bmp(img, bpp=8, rle=True),
+            encode_tiff(img, compression="lzw", predictor=2,
+                        rows_per_strip=9),
+            b"\x00corrupt",  # dropped by on_error='skip'
+        ]
+        tbl = pa.table({
+            "item_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        out = (rd.from_arrow(tbl)
+               .map_batches(ImageDecode(height=16, width=16,
+                                        decoder="auto", on_error="skip"),
+                            batch_size=4, batch_format="pyarrow",
+                            concurrency=2)
+               .map_batches(lambda b: pa.table({
+                   "item_id": b["item_id"],
+                   "pix_sum": pa.array(
+                       np.asarray(b["pixels"].combine_chunks()
+                                  .flatten()).reshape(
+                           b.num_rows, -1).sum(axis=1, dtype=np.int64)),
+               }), batch_format="pyarrow")
+               ).to_pandas()
+        return out.sort_values("item_id").reset_index(drop=True)
+
     def mm_gif_frames(sf):
         # Real in-engine animated-GIF decode as a driver surface (r5):
         # four deterministic GIF89a animations (stages/gif.py — LZW,
@@ -1094,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": dd_minhash,
         "dd_simhash_pairs": dd_simhash,
         "mm_frame_sample": mm_frame_sample,
+        "mm_image_decode": mm_image_decode,
         "mm_gif_frames": mm_gif_frames,
         "mm_audio_band": mm_audio_band,
         "emb_topk": emb_topk,

@@ -527,7 +527,8 @@ class ImageDecode:
                     "real image decode needs Pillow; use decoder='fake' or "
                     "'ppm'/'png' (real, dependency-free) here"
                 ) from e
-        elif decoder not in ("fake", "ppm", "png", "jpeg", "gif"):
+        elif decoder not in ("fake", "ppm", "png", "jpeg", "gif", "bmp",
+                             "tiff", "auto"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -604,7 +605,47 @@ class ImageDecode:
                     f"GIF is {px.shape[:2]}, stage expects {(self.h, self.w)}"
                 )
             return px
+        if self.decoder in ("bmp", "tiff", "auto"):
+            # REAL BMP / baseline-TIFF decode (stages/tiffbmp.py); "auto"
+            # sniffs the container magic and routes to ANY of the real
+            # decoders — the shape a mixed-format corpus column needs
+            px = _decode_sniffed(payload or b"", self.decoder)
+            px = _to_rgb(px if px.ndim == 3 else px[:, :, None])
+            if px.shape != (self.h, self.w, 3):
+                raise ValueError(
+                    f"image is {px.shape[:2]}, stage expects "
+                    f"{(self.h, self.w)}"
+                )
+            return px
         raise NotImplementedError  # pragma: no cover
+
+
+def _decode_sniffed(payload: bytes, decoder: str) -> np.ndarray:
+    """Magic-sniffing image dispatch over the REAL in-engine codecs."""
+    from iresearch_ray.stages.tiffbmp import decode_bmp, decode_tiff
+
+    if decoder == "bmp":
+        return decode_bmp(payload)
+    if decoder == "tiff":
+        return decode_tiff(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return decode_tiff(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:4] in (b"GIF8",):
+        from iresearch_ray.stages.gif import decode_gif
+
+        frames = decode_gif(payload, limit=1)
+        if not frames:
+            raise ValueError("GIF has no frames")
+        return frames[0][1]
+    raise ValueError("unrecognized image container magic")
 
 
 class ImageResize:
