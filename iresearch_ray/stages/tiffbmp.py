@@ -511,7 +511,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if planar != 1:
         raise ValueError("planar TIFF (PlanarConfiguration=2) not "
                          "supported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if len(set(bps)) != 1:
         raise ValueError("mixed BitsPerSample not supported")
@@ -542,6 +542,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             data = raw[:want]
         elif comp == 32773:
             data = _packbits_decode(raw, want)
+        elif comp in (8, 32946):  # Deflate (8 = Adobe, 32946 = legacy)
+            import zlib
+
+            try:
+                data = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip: {exc}") from exc
+            if len(data) < want:
+                raise ValueError("TIFF deflate underrun")
+            data = data[:want]
         else:
             data = _tiff_lzw_decode(raw, want)
         rows.append(np.frombuffer(data, np.uint8).reshape(nrows, row_bytes))
@@ -613,7 +623,8 @@ def encode_tiff(px: np.ndarray, compression: str = "none",
         spp = px.shape[2]
         photo = 2
     h, w = px.shape[:2]
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5,
+               "deflate": 8}[compression]
     if depth not in (8, 16):
         raise ValueError("fixture depth is 8 or 16")
     samples = px.reshape(h, w, spp).astype(np.uint16)
@@ -638,6 +649,10 @@ def encode_tiff(px: np.ndarray, compression: str = "none",
             chunk = _packbits_encode(chunk)
         elif compression == "lzw":
             chunk = _tiff_lzw_encode(chunk)
+        elif compression == "deflate":
+            import zlib
+
+            chunk = zlib.compress(chunk, 6)
         strips.append(chunk)
 
     entries = []  # (tag, type, count, value-bytes or int)

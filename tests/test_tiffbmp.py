@@ -109,7 +109,23 @@ def test_bmp_corrupt_raises_cleanly():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_tiff_deflate_roundtrip_and_legacy_id():
+    rgb = _rgb(seed=23)
+    t = tb.encode_tiff(rgb, compression="deflate", predictor=2,
+                       rows_per_strip=4)
+    assert np.array_equal(tb.decode_tiff(t), rgb)
+    # legacy deflate id 32946 decodes identically: patch Compression
+    buf = bytearray(t)
+    ifd = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd : ifd + 2])[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 259:
+            struct.pack_into("<H", buf, off + 8, 32946)
+    assert np.array_equal(tb.decode_tiff(bytes(buf)), rgb)
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
 @pytest.mark.parametrize("pred", [1, 2])
 def test_tiff_rgb_roundtrip(comp, pred):
     rgb = _rgb()
