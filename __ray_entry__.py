@@ -716,6 +716,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_bpe(sf):
         return ops.bpe_token_stats(_docs_ds(sf)).to_pandas()
 
+    def geo_radius(sf):
+        # In-engine GEO: geopoint analyzer (geohash prefix terms at
+        # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
+        # (covering-cell term lookups, then exact vectorized haversine
+        # over the STORED lat,lon column), oracled by a DuckDB haversine
+        # scan.  The corpus has no geo column, so coordinates derive
+        # DETERMINISTICALLY from doc_id with arithmetic mirrored exactly
+        # in the SQL (int64 modular lattice at 0.01°, so no doc lands
+        # within float noise of the radius boundary).  Scale shape: the
+        # candidate stage is a handful of term lookups; the refine reads
+        # candidates only — work proportional to the circle, never the
+        # corpus.
+        from iresearch_ray import Searcher, build_index
+        from iresearch_ray.query import filters as F
+        from iresearch_ray.stages.segment import IndexConfig
+
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        did = tbl["doc_id"].to_numpy().astype(np.int64)
+        lat = ((did * 7919) % 17000) / 100.0 - 85.0
+        lon = ((did * 104729) % 36000) / 100.0 - 180.0
+        n = len(did)
+        src_tbl = pa.table({
+            "conv_id": pa.array([str(int(i)) for i in did]),
+            "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "text": pa.array(["_"] * n),
+            "role": pa.array(["doc"] * n),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(np.arange(n), pa.int64()).cast(
+                pa.timestamp("us")),
+            "geo": pa.array([f"{a},{b}" for a, b in zip(lat, lon)]),
+        })
+        root = os.path.join(
+            _CACHE_ROOT,
+            os.path.basename(os.path.normpath(sf)) + "-geo1")
+        os.makedirs(root, exist_ok=True)
+        src = os.path.join(root, "geo.parquet")
+        if not os.path.exists(src):
+            tmp = src + f".tmp.{os.getpid()}"
+            pq.write_table(src_tbl, tmp)
+            os.replace(tmp, src)
+        idx = os.path.join(root, "idx")
+        build_index(src, idx, cfg=IndexConfig(geo_fields=("geo",)),
+                    num_partitions=4, resume=True)
+        res = Searcher(idx).search_local(
+            F.GeoDistance("geo", 20.0, 40.0, 3000.0), k=n)
+        out = pd.DataFrame(
+            {"doc_id": sorted(int(c) for c in res["conv_id"])})
+        return out
+
     def mm_frame_sample(sf):
         # Real in-engine H.264 video decode as a driver surface (r5):
         # four deterministic avc1 MP4s — IDR + CAVLC P pictures
@@ -1130,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_offsets_first": ft_offsets_first,
         "ft_payload_topk": ft_payload_topk,
         "ft_view_topk": ft_view_topk,
+        "geo_radius": geo_radius,
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -1527,6 +1577,23 @@ FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN fs CROSS JOIN df
 ORDER BY {_IDF} * {_TFF} DESC,
          CASE WHEN tf.doc_id % 2 = 0 THEN 'docs_even' ELSE 'docs_odd' END ASC,
          tf.doc_id ASC LIMIT 10
+""",
+        # geo_radius: same derived-coordinate lattice and the SAME
+        # haversine expression shape as functions/geo.py (2R asin sqrt;
+        # R = 6371.0088) — both sides are float64, and the 0.01-degree
+        # lattice keeps every doc far from the radius boundary
+        "geo_radius": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ((doc_id * 7919) % 17000) / 100.0 - 85.0  AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)
+WHERE 2 * 6371.0088 * asin(sqrt(
+        sin(radians(20.0 - lat) / 2) * sin(radians(20.0 - lat) / 2)
+      + cos(radians(lat)) * cos(radians(20.0))
+        * sin(radians(40.0 - lon) / 2) * sin(radians(40.0 - lon) / 2)
+      )) <= 3000.0
+ORDER BY doc_id
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

@@ -806,6 +806,15 @@ class DelimitedPayloadAnalyzer:
 ANALYZERS["boolean"] = BooleanAnalyzer
 ANALYZERS["null"] = NullAnalyzer
 ANALYZERS["minhash"] = MinHashAnalyzer
+
+
+def _geopoint_factory(max_precision: int = 7, **kw):
+    from iresearch_ray.functions.geo import GeoPointAnalyzer
+
+    return GeoPointAnalyzer(max_precision=max_precision, **kw)
+
+
+ANALYZERS["geopoint"] = _geopoint_factory
 ANALYZERS["delimited_payload"] = DelimitedPayloadAnalyzer
 
 

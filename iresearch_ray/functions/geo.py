@@ -1,0 +1,211 @@
+"""Geo indexing and search: geohash cells + exact haversine refine.
+
+ArangoSearch's geo analyzers index a point as a set of containment cells
+and its filters run a cells-candidate → exact-predicate refine (S2 cells
+there).  This module reproduces that architecture on the public GEOHASH
+cell scheme (base-32 Morton interleave of lat/lon bisections) so it
+stays dependency-free and SQL-checkable:
+
+- ``geohash_encode`` — vectorized encode of (lat, lon) arrays;
+- ``GeoPointAnalyzer`` ("geopoint" in the registry) — tokenizes a
+  "lat,lon" string into its geohash PREFIXES at precisions 1..P — the
+  multi-resolution-terms idiom the numeric precision trie already uses,
+  so a radius query can pick the coarsest usable precision and match
+  with a handful of term lookups;
+- ``covering_cells`` — the cells of the query circle at an adaptively
+  chosen precision (bounding box enumeration with longitude-wrap split,
+  cell count capped);
+- ``haversine_km`` — the exact refine predicate (vectorized).
+
+Scale shape: the candidate stage is pure term lookups (no scan); the
+refine reads the stored lat/lon of CANDIDATE docs only and applies one
+vectorized haversine — at 100 TB the work is proportional to the
+circle, never the corpus.
+
+Correctness stance: geohash is pinned by the classic published test
+vector (57.64911, 10.40744 → "u4pruydqqvj"), covering is verified by a
+randomized containment property (every in-radius point's cell is in the
+covering), and the end-to-end filter is oracled against a DuckDB
+haversine query (driver: geo_radius).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", np.uint8)
+_B32_INV = {c: i for i, c in enumerate("0123456789bcdefghjkmnpqrstuvwxyz")}
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+
+
+def _quantize(lat: np.ndarray, lon: np.ndarray, precision: int):
+    """(lat_cells, lon_cells, lat_bits, lon_bits) integer cell coords."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # geohash starts with a longitude bit
+    lat_bits = nbits // 2
+    la = np.clip(((np.asarray(lat, np.float64) + 90.0) / 180.0)
+                 * (1 << lat_bits), 0, (1 << lat_bits) - 1).astype(np.int64)
+    lo = np.clip(((np.asarray(lon, np.float64) + 180.0) / 360.0)
+                 * (1 << lon_bits), 0, (1 << lon_bits) - 1).astype(np.int64)
+    return la, lo, lat_bits, lon_bits
+
+
+def _interleave(la: np.ndarray, lo: np.ndarray, lat_bits: int,
+                lon_bits: int) -> np.ndarray:
+    """Morton-interleave (lon first) -> geohash integer codes."""
+    nbits = lat_bits + lon_bits
+    code = np.zeros(la.shape, np.int64)
+    for k in range(nbits):
+        # bit k from the TOP of the code; even positions take lon bits
+        if k % 2 == 0:
+            src, width = lo, lon_bits - 1 - (k // 2)
+        else:
+            src, width = la, lat_bits - 1 - (k // 2)
+        code = (code << 1) | ((src >> width) & 1)
+    return code
+
+
+def _code_to_str(code: np.ndarray, precision: int) -> np.ndarray:
+    """int64 geohash codes -> array of precision-char strings."""
+    chars = np.empty((code.size, precision), np.uint8)
+    c = code.copy()
+    for k in range(precision - 1, -1, -1):
+        chars[:, k] = _B32[(c & 31).astype(np.int64)]
+        c >>= 5
+    return chars.view(f"S{precision}").reshape(code.shape).astype(str)
+
+
+def geohash_encode(lat, lon, precision: int = 11) -> np.ndarray:
+    """Vectorized geohash of (lat, lon) arrays -> str array."""
+    la, lo, lat_bits, lon_bits = _quantize(np.atleast_1d(lat),
+                                           np.atleast_1d(lon), precision)
+    return _code_to_str(_interleave(la, lo, lat_bits, lon_bits), precision)
+
+
+def geohash_bounds(gh: str) -> tuple[float, float, float, float]:
+    """(lat_min, lat_max, lon_min, lon_max) of one geohash cell."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True  # longitude first
+    for ch in gh:
+        v = _B32_INV[ch]
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in km (vectorized float64 haversine)."""
+    p1, p2 = np.radians(np.asarray(lat1, np.float64)), \
+        np.radians(np.asarray(lat2, np.float64))
+    dphi = p2 - p1
+    dlmb = np.radians(np.asarray(lon2, np.float64)
+                      - np.asarray(lon1, np.float64))
+    a = np.sin(dphi / 2.0) ** 2 \
+        + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def covering_cells(lat: float, lon: float, radius_km: float,
+                   max_cells: int = 64,
+                   max_precision: int = 7) -> tuple[int, list]:
+    """(precision, [geohash strings]) covering the query circle.
+
+    Picks the FINEST precision whose bounding-box enumeration stays
+    within ``max_cells`` (coarser cells = fewer term lookups but more
+    refine candidates).  The box is the circle's lat/lon extent with the
+    polar-cap and antimeridian cases handled by clamping/wrapping."""
+    if radius_km < 0:
+        raise ValueError("radius must be >= 0")
+    lat = float(lat)
+    lon = float(lon)
+    dlat = np.degrees(radius_km / EARTH_RADIUS_KM)
+    lat_lo = max(-90.0, lat - dlat)
+    lat_hi = min(90.0, lat + dlat)
+    # longitude extent blows up toward the poles; past the cap it wraps
+    cos_min = min(np.cos(np.radians(lat_lo)), np.cos(np.radians(lat_hi)))
+    if lat_lo <= -89.9 or lat_hi >= 89.9 or cos_min <= 1e-6:
+        dlon = 180.0
+    else:
+        dlon = min(180.0, np.degrees(radius_km / EARTH_RADIUS_KM)
+                   / cos_min)
+    for precision in range(max_precision, 0, -1):
+        nbits = 5 * precision
+        lon_bits = (nbits + 1) // 2
+        lat_bits = nbits // 2
+        cell_h = 180.0 / (1 << lat_bits)
+        cell_w = 360.0 / (1 << lon_bits)
+        n_lat = int(np.floor((lat_hi + 90.0) / cell_h)
+                    - np.floor((lat_lo + 90.0) / cell_h)) + 1
+        n_lon = int(np.ceil(2 * dlon / cell_w)) + 1
+        if n_lat * min(n_lon, 1 << lon_bits) <= max_cells:
+            break
+    la_idx = np.arange(int((lat_lo + 90.0) / cell_h),
+                       int(min((lat_hi + 90.0) / cell_h,
+                               (1 << lat_bits) - 1)) + 1, dtype=np.int64)
+    lon_lo = lon - dlon
+    lon_idx = (np.arange(0, n_lon, dtype=np.int64)
+               + int(np.floor((lon_lo + 180.0) / cell_w)))
+    lon_idx %= (1 << lon_bits)  # antimeridian wrap
+    lon_idx = np.unique(lon_idx)
+    la_g, lo_g = np.meshgrid(la_idx, lon_idx, indexing="ij")
+    code = _interleave(la_g.ravel(), lo_g.ravel(), lat_bits, lon_bits)
+    return precision, sorted(set(_code_to_str(code, precision).tolist()))
+
+
+def parse_latlon(values) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized parse of "lat,lon" strings (None/'' -> NaN)."""
+    n = len(values)
+    lat = np.full(n, np.nan)
+    lon = np.full(n, np.nan)
+    for i, v in enumerate(values):
+        if not v:
+            continue
+        try:
+            a, b = str(v).split(",", 1)
+            lat[i] = float(a)
+            lon[i] = float(b)
+        except ValueError as exc:
+            raise ValueError(f"bad geopoint {v!r}") from exc
+    ok = ~np.isnan(lat)
+    if (np.abs(lat[ok]) > 90).any() or (np.abs(lon[ok]) > 180).any():
+        raise ValueError("geopoint out of range")
+    return lat, lon
+
+
+class GeoPointAnalyzer:
+    """'lat,lon' strings -> geohash prefix terms at precisions 1..P (the
+    ArangoSearch GeoPointAnalyzer analog on geohash cells; multi-
+    resolution terms mirror the numeric precision trie)."""
+
+    def __init__(self, max_precision: int = 7):
+        if not 1 <= int(max_precision) <= 12:
+            raise ValueError("max_precision must be in 1..12")
+        self.max_precision = int(max_precision)
+
+    def __call__(self, values) -> list:
+        lat, lon = parse_latlon(values)
+        ok = ~np.isnan(lat)
+        full = np.empty(len(values), object)
+        full[ok] = geohash_encode(lat[ok], lon[ok], self.max_precision)
+        out = []
+        for i in range(len(values)):
+            if not ok[i]:
+                out.append([])
+                continue
+            g = full[i]
+            out.append([g[:p] for p in range(1, self.max_precision + 1)])
+        return out

@@ -99,7 +99,8 @@ def _expand_files(source) -> list[str]:
 
 
 def _input_columns(schema_names: list[str], cfg: IndexConfig) -> list[str]:
-    wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields, *cfg.numeric_fields, *cfg.json_fields, "ts"]
+    wanted = ["conv_id", "turn_idx", cfg.text_field, *cfg.keyword_fields,
+              *cfg.numeric_fields, *cfg.json_fields, *cfg.geo_fields, "ts"]
     return [c for c in wanted if c in schema_names]
 
 

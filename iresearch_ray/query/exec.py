@@ -275,6 +275,25 @@ def _merge_add(
     return uniq, summed
 
 
+def _geo_column(reader: SegmentReader, field: str):
+    """Parsed (lat, lon) float64 arrays of a stored geopoint column,
+    memoized per reader (parse once per segment per serving actor)."""
+    memo = getattr(reader, "_geo_cols", None)
+    if memo is None:
+        memo = reader._geo_cols = {}
+    hit = memo.get(field)
+    if hit is None:
+        from iresearch_ray.functions.geo import parse_latlon
+
+        if field not in reader.docs.column_names:
+            raise ValueError(
+                f"geo field {field!r} has no stored column (build with "
+                f"IndexConfig(geo_fields=({field!r},)))"
+            )
+        hit = memo[field] = parse_latlon(reader.docs[field].to_pylist())
+    return hit
+
+
 def eval_node(
     reader: SegmentReader, node: dict, scorer: dict, deleted: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -360,6 +379,30 @@ def eval_node(
         # several intervals — unique, not just sort
         docs = np.unique(docs)
         return docs, np.full(docs.size, float(node["weight"]), dtype=np.float64)
+
+    if op == "geo":
+        # covering-cell candidates (constant-score term union), then the
+        # exact vectorized haversine refine over the STORED geopoint
+        # column — work is proportional to the circle, not the corpus
+        docs_list = []
+        for t in node["terms"]:
+            cur = _TermCursor(reader, {"field": node["field"], "term": t})
+            if cur.present:
+                docs_list.append(cur.decode_all()[0])
+        if not docs_list:
+            return _EMPTY
+        docs = np.unique(np.concatenate(docs_list))
+        lat, lon = _geo_column(reader, node["field"])
+        plat = lat[docs - 1]
+        plon = lon[docs - 1]
+        from iresearch_ray.functions.geo import haversine_km
+
+        ok = ~np.isnan(plat)
+        ok[ok] = haversine_km(plat[ok], plon[ok], node["lat"],
+                              node["lon"]) <= node["radius_km"]
+        docs = docs[ok]
+        return docs, np.full(docs.size, float(node["weight"]),
+                             dtype=np.float64)
 
     if op == "phrase":
         return _eval_phrase(reader, node, scorer)

@@ -222,6 +222,26 @@ class Nested(Filter):
 
 
 @dataclass
+class GeoDistance(Filter):
+    """Match docs whose stored geopoint lies within ``radius_km`` of
+    (lat, lon) — the ArangoSearch GEO_DISTANCE analog.  Candidates come
+    from geohash covering-cell TERM lookups over the ``geopoint``-
+    analyzed field (functions/geo.py), then the exact vectorized
+    haversine over the stored "lat,lon" column refines them — constant
+    score = boost (geo matching is a predicate, not a relevance
+    signal)."""
+
+    field: str
+    lat: float
+    lon: float
+    radius_km: float
+    max_cells: int = 64
+    # must not exceed the build-side IndexConfig.geo_precision (finer
+    # cells than the index holds would match nothing); both default 7
+    max_precision: int = 7
+
+
+@dataclass
 class AllDocs(Filter):
     boost: float = 1.0
 
@@ -706,6 +726,23 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             "op": "filter_union",
             "field": flt.field,
             "terms": matched,
+            "weight": boost,
+        }
+    if isinstance(flt, GeoDistance):
+        from iresearch_ray.functions.geo import covering_cells
+
+        precision, cells = covering_cells(
+            flt.lat, flt.lon, flt.radius_km,
+            max_cells=int(flt.max_cells),
+            max_precision=int(flt.max_precision),
+        )
+        return {
+            "op": "geo",
+            "field": flt.field,
+            "terms": cells,
+            "lat": float(flt.lat),
+            "lon": float(flt.lon),
+            "radius_km": float(flt.radius_km),
             "weight": boost,
         }
     if isinstance(flt, Fuzzy):

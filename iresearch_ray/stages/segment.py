@@ -84,6 +84,12 @@ class IndexConfig:
     # columns holding a JSON document per row; every leaf becomes a dynamic
     # field "<col>.<path>" (SURVEY §1.1 dynamic schema / ArangoDB flattening)
     json_fields: tuple[str, ...] = ()
+    # columns holding "lat,lon" geopoints: indexed as geohash prefix terms
+    # at precisions 1..geo_precision (functions/geo.py — the ArangoSearch
+    # geo-analyzer architecture on geohash cells) and STORED so the
+    # GeoDistance filter can haversine-refine candidates exactly
+    geo_fields: tuple[str, ...] = ()
+    geo_precision: int = 7
     analyzer: str = "text"
     analyzer_opts: dict = field(default_factory=dict)
     positions: bool = True      # needed for phrase (SURVEY §2.5)
@@ -110,6 +116,8 @@ class IndexConfig:
             "keyword_fields": list(self.keyword_fields),
             "numeric_fields": list(self.numeric_fields),
             "json_fields": list(self.json_fields),
+            "geo_fields": list(self.geo_fields),
+            "geo_precision": self.geo_precision,
             "analyzer": self.analyzer,
             "analyzer_opts": self.analyzer_opts,
             "positions": self.positions,
@@ -125,6 +133,7 @@ class IndexConfig:
         d["keyword_fields"] = tuple(d.get("keyword_fields", ()))
         d["numeric_fields"] = tuple(d.get("numeric_fields", ()))
         d["json_fields"] = tuple(d.get("json_fields", ()))
+        d["geo_fields"] = tuple(d.get("geo_fields", ()))
         return IndexConfig(**d)
 
 
@@ -455,6 +464,23 @@ def build_segment_tables(
             "total_term_freq": int(valid.sum()),
         }
 
+    for f in cfg.geo_fields:
+        if f not in rows.column_names:
+            continue
+        from iresearch_ray.functions.geo import GeoPointAnalyzer
+
+        geo_lists = GeoPointAnalyzer(cfg.geo_precision)(rows[f].to_pylist())
+        geo_dls = np.fromiter(
+            (1 if t else 0 for t in geo_lists), dtype=np.int64, count=n
+        )  # one point per doc regardless of prefix fan-out
+        term_tables.append(
+            _postings_for_field(f, geo_lists, doc_ids, geo_dls, False)
+        )
+        field_stats[f] = {
+            "docs_with_field": int(geo_dls.sum()),
+            "total_term_freq": int(geo_dls.sum()),
+        }
+
     for f in cfg.json_fields:
         if f not in rows.column_names:
             continue
@@ -503,7 +529,8 @@ def build_segment_tables(
         "turn_idx": rows["turn_idx"],
         "dl": pa.array(dls, pa.int64()),
     }
-    for extra in (*cfg.keyword_fields, *cfg.numeric_fields, *cfg.json_fields, "ts"):
+    for extra in (*cfg.keyword_fields, *cfg.numeric_fields,
+                  *cfg.json_fields, *cfg.geo_fields, "ts"):
         if extra in rows.column_names:
             doc_cols[extra] = rows[extra]
     if cfg.store_text:
