@@ -716,7 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_bpe(sf):
         return ops.bpe_token_stats(_docs_ds(sf)).to_pandas()
 
-    def geo_radius(sf):
+    def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
         # (covering-cell term lookups, then exact vectorized haversine
@@ -737,8 +737,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lat = ((did * 7919) % 17000) / 100.0 - 85.0
         lon = ((did * 104729) % 36000) / 100.0 - 180.0
         n = len(did)
+        # zero-padded keys: the engine's equal-score tie-break orders by
+        # conv_id STRING, which must equal the oracle's numeric doc_id
+        # order for the nearest-k variant
         src_tbl = pa.table({
-            "conv_id": pa.array([str(int(i)) for i in did]),
+            "conv_id": pa.array([f"{int(i):09d}" for i in did]),
             "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
             "text": pa.array(["_"] * n),
             "role": pa.array(["doc"] * n),
@@ -749,7 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         root = os.path.join(
             _CACHE_ROOT,
-            os.path.basename(os.path.normpath(sf)) + "-geo1")
+            os.path.basename(os.path.normpath(sf)) + "-geo2")
         os.makedirs(root, exist_ok=True)
         src = os.path.join(root, "geo.parquet")
         if not os.path.exists(src):
@@ -759,8 +762,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = os.path.join(root, "idx")
         build_index(src, idx, cfg=IndexConfig(geo_fields=("geo",)),
                     num_partitions=4, resume=True)
-        res = Searcher(idx).search_local(
-            F.GeoDistance("geo", 20.0, 40.0, 3000.0), k=n)
+        s = Searcher(idx)
+        if nearest_k:
+            # GEO_DISTANCE-sorted shape: score = radius - dist, top-k =
+            # the k nearest docs within the radius, nearest first
+            res = s.search_local(
+                F.GeoDistance("geo", 20.0, 40.0, 6000.0,
+                              score_distance=True), k=nearest_k)
+            return pd.DataFrame(
+                {"doc_id": [int(c) for c in res["conv_id"]]})
+        res = s.search_local(F.GeoDistance("geo", 20.0, 40.0, 3000.0), k=n)
         out = pd.DataFrame(
             {"doc_id": sorted(int(c) for c in res["conv_id"])})
         return out
@@ -1180,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_payload_topk": ft_payload_topk,
         "ft_view_topk": ft_view_topk,
         "geo_radius": geo_radius,
+        "geo_nearest": lambda sf: geo_radius(sf, nearest_k=10),
         "dd_exact_dedup": dd_dedup,
         "dd_fingerprints": dd_fp,
         "dd_token_stats": dd_tokstats,
@@ -1594,6 +1606,27 @@ WHERE 2 * 6371.0088 * asin(sqrt(
         * sin(radians(40.0 - lon) / 2) * sin(radians(40.0 - lon) / 2)
       )) <= 3000.0
 ORDER BY doc_id
+""",
+        # geo_nearest: the 10 nearest docs within 6000 km, nearest first
+        # (doc_id breaks exact distance ties, matching the engine's
+        # zero-padded-key tie-break)
+        "geo_nearest": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ((doc_id * 7919) % 17000) / 100.0 - 85.0  AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)
+WHERE 2 * 6371.0088 * asin(sqrt(
+        sin(radians(20.0 - lat) / 2) * sin(radians(20.0 - lat) / 2)
+      + cos(radians(lat)) * cos(radians(20.0))
+        * sin(radians(40.0 - lon) / 2) * sin(radians(40.0 - lon) / 2)
+      )) <= 6000.0
+ORDER BY 2 * 6371.0088 * asin(sqrt(
+        sin(radians(20.0 - lat) / 2) * sin(radians(20.0 - lat) / 2)
+      + cos(radians(lat)) * cos(radians(20.0))
+        * sin(radians(40.0 - lon) / 2) * sin(radians(40.0 - lon) / 2)
+      )), doc_id
+LIMIT 10
 """,
         "dd_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
         "dd_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",

@@ -398,9 +398,15 @@ def eval_node(
         from iresearch_ray.functions.geo import haversine_km
 
         ok = ~np.isnan(plat)
-        ok[ok] = haversine_km(plat[ok], plon[ok], node["lat"],
-                              node["lon"]) <= node["radius_km"]
+        dist = haversine_km(plat[ok], plon[ok], node["lat"], node["lon"])
+        inside = dist <= node["radius_km"]
+        ok[ok] = inside
         docs = docs[ok]
+        if node.get("score_distance"):
+            # nearest-first: boost * (radius - dist), non-negative
+            scores = float(node["weight"]) \
+                * (node["radius_km"] - dist[inside])
+            return docs, scores.astype(np.float64)
         return docs, np.full(docs.size, float(node["weight"]),
                              dtype=np.float64)
 

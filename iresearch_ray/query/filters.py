@@ -239,6 +239,11 @@ class GeoDistance(Filter):
     # must not exceed the build-side IndexConfig.geo_precision (finer
     # cells than the index holds would match nothing); both default 7
     max_precision: int = 7
+    # score_distance=True scores matches by boost * (radius - dist_km)
+    # instead of the constant boost, so top-k returns the NEAREST docs
+    # within the radius (the GEO_DISTANCE-sorted query shape); the
+    # shift keeps scores non-negative, preserving merge tie-break order
+    score_distance: bool = False
 
 
 @dataclass
@@ -744,6 +749,7 @@ def _prepare_node(flt: Filter, stats: GlobalStats, scorer: ScorerCfg, boost: flo
             "lon": float(flt.lon),
             "radius_km": float(flt.radius_km),
             "weight": boost,
+            "score_distance": bool(flt.score_distance),
         }
     if isinstance(flt, Fuzzy):
         d = min(int(flt.max_distance), 4)

@@ -130,6 +130,15 @@ def test_geo_distance_filter_end_to_end(ray_session, tmp_path):
                F.Term("role", "agent"))), k=n)
     want = [c for c in brute(80.0, 10.0, 2500.0) if int(c[1:]) % 2 == 1]
     assert sorted(res["conv_id"].tolist()) == want
+    # nearest-k: score_distance orders by distance, nearest first
+    k = 25
+    res = s.search_local(
+        F.GeoDistance("geo", 48.85, 2.35, 8000.0, score_distance=True),
+        k=k)
+    d = geo.haversine_km(lat, lon, 48.85, 2.35)
+    order = np.argsort(d, kind="stable")
+    want_near = [f"c{i:05d}" for i in order[:k] if d[i] <= 8000.0]
+    assert res["conv_id"].tolist() == want_near
     # consolidation must not change geo results (stored column + terms
     # both splice through the merge)
     before = s.search_local(F.GeoDistance("geo", 48.85, 2.35, 1500.0), k=n)
