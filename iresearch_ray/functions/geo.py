@@ -32,6 +32,7 @@ haversine query (driver: geo_radius).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 _B32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", np.uint8)
 _B32_INV = {c: i for i, c in enumerate("0123456789bcdefghjkmnpqrstuvwxyz")}
@@ -167,19 +168,27 @@ def covering_cells(lat: float, lon: float, radius_km: float,
 
 
 def parse_latlon(values) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized parse of "lat,lon" strings (None/'' -> NaN)."""
-    n = len(values)
+    """Vectorized parse of "lat,lon" strings (None/'' -> NaN).
+
+    The hot caller is the per-segment refine-column load (exec._geo_column
+    parses a whole segment's stored column once per serving actor), so
+    the split/cast runs in pandas string kernels — no Python row loop."""
+    s = pd.Series(values, dtype="object")
+    present = s.notna() & (s != "")
+    parts = s[present].astype(str).str.partition(",")
+    if (parts[1] != ",").any():
+        bad = s[present][parts[1] != ","].iloc[0]
+        raise ValueError(f"bad geopoint {bad!r}")
+    lat_v = pd.to_numeric(parts[0], errors="coerce")
+    lon_v = pd.to_numeric(parts[2], errors="coerce")
+    if lat_v.isna().any() or lon_v.isna().any():
+        bad = s[present][lat_v.isna() | lon_v.isna()].iloc[0]
+        raise ValueError(f"bad geopoint {bad!r}")
+    n = len(s)
     lat = np.full(n, np.nan)
     lon = np.full(n, np.nan)
-    for i, v in enumerate(values):
-        if not v:
-            continue
-        try:
-            a, b = str(v).split(",", 1)
-            lat[i] = float(a)
-            lon[i] = float(b)
-        except ValueError as exc:
-            raise ValueError(f"bad geopoint {v!r}") from exc
+    lat[present.to_numpy()] = lat_v.to_numpy(np.float64)
+    lon[present.to_numpy()] = lon_v.to_numpy(np.float64)
     ok = ~np.isnan(lat)
     if (np.abs(lat[ok]) > 90).any() or (np.abs(lon[ok]) > 180).any():
         raise ValueError("geopoint out of range")
