@@ -440,7 +440,168 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         return decode_flac(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
-    raise ValueError("unsupported audio container (expected WAV or FLAC)")
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    raise ValueError(
+        "unsupported audio container (expected WAV, AIFF or FLAC)")
+
+
+def _f80_decode(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF COMM sampleRate field):
+    sign(1) + exponent(15, bias 16383) + explicit-integer-bit mantissa(64)."""
+    if len(b) != 10:
+        raise ValueError("bad 80-bit float")
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:])[0]
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _f80_encode(v: float) -> bytes:
+    """Inverse of _f80_decode for positive finite values (fixtures)."""
+    if v <= 0:
+        raise ValueError("fixture rate must be positive")
+    import math
+
+    m, e = math.frexp(v)  # v = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return struct.pack(">H", (e - 1) + 16383) + struct.pack(">Q", mant)
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C bytes → (float32 mono samples in [-1, 1],
+    sample_rate).  From-scratch IFF chunk walk (big-endian sizes,
+    word-aligned chunks): COMM (channels, frames, bits, 80-bit extended
+    sample rate, AIFC compression type) + SSND (offset/blockSize
+    header).  PCM 8/16/24/32-bit big-endian ('NONE'), little-endian
+    ('sowt' — the Mac byte-swap variant), float32/64 ('fl32'/'fl64'),
+    and G.711 ('ulaw'/'alaw' — the shared WAV expander tables).
+    Multi-channel downmixes by mean, matching decode_wav."""
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload")
+    kind = payload[8:12]
+    if kind not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"not an AIFF form: {kind!r}")
+    pos = 12
+    comm = None
+    ssnd = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack(">I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"AIFF chunk {cid!r} truncated")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks word-align
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND")
+    if len(comm) < 18:
+        raise ValueError("AIFF COMM too short")
+    channels, frames, bits = struct.unpack(">HIH", comm[:8])
+    sr = _f80_decode(comm[8:18])
+    if not (1 <= channels <= 64) or sr <= 0 or sr > 10_000_000:
+        raise ValueError("bad AIFF COMM")
+    comp = b"NONE"
+    if kind == b"AIFC":
+        if len(comm) < 22:
+            raise ValueError("AIFC COMM missing compression type")
+        comp = comm[18:22]
+    if len(ssnd) < 8:
+        raise ValueError("AIFF SSND too short")
+    off, _blk = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + off :]
+    if comp in (b"NONE", b"sowt", b"twos"):
+        bo = "<" if comp == b"sowt" else ">"
+        if bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+            x = np.frombuffer(data[: frames * channels], np.int8) \
+                .astype(np.float32) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data[: 2 * frames * channels], bo + "i2") \
+                .astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: 3 * frames * channels], np.uint8) \
+                .reshape(-1, 3).astype(np.int64)
+            if bo == ">":
+                v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+            else:
+                v = (raw[:, 2] << 16) | (raw[:, 1] << 8) | raw[:, 0]
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data[: 4 * frames * channels], bo + "i4") \
+                .astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported AIFF bit depth {bits}")
+    elif comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(data[: 4 * frames * channels], ">f4") \
+            .astype(np.float32)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(data[: 8 * frames * channels], ">f8") \
+            .astype(np.float32)
+    elif comp == b"ulaw":
+        x = _ULAW2LIN[np.frombuffer(data[: frames * channels], np.uint8)] \
+            .astype(np.float32) / 32768.0
+    elif comp == b"alaw":
+        x = _ALAW2LIN[np.frombuffer(data[: frames * channels], np.uint8)] \
+            .astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"unsupported AIFC compression {comp!r}")
+    if x.size < frames * channels:
+        raise ValueError("AIFF sample data truncated")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1).astype(np.float32)
+    return x, int(round(sr))
+
+
+def encode_aiff(samples: np.ndarray, sr: int, fmt: str = "pcm16") -> bytes:
+    """float samples in [-1, 1] → mono AIFF/AIFF-C bytes (fixture
+    partner of decode_aiff).  ``fmt``: pcm16 | pcm8 | pcm24 | sowt16 |
+    fl32 | ulaw."""
+    x = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    if fmt == "pcm16":
+        kind, comp, bits = b"AIFF", None, 16
+        data = np.round(x * 32767.0).astype(">i2").tobytes()
+    elif fmt == "pcm8":
+        kind, comp, bits = b"AIFF", None, 8
+        data = np.round(x * 127.0).astype(np.int8).tobytes()
+    elif fmt == "pcm24":
+        kind, comp, bits = b"AIFF", None, 24
+        v = np.round(x * 8388607.0).astype(np.int64) & 0xFFFFFF
+        raw = np.empty((v.size, 3), np.uint8)
+        raw[:, 0] = v >> 16
+        raw[:, 1] = (v >> 8) & 0xFF
+        raw[:, 2] = v & 0xFF
+        data = raw.tobytes()
+    elif fmt == "sowt16":
+        kind, comp, bits = b"AIFC", b"sowt", 16
+        data = np.round(x * 32767.0).astype("<i2").tobytes()
+    elif fmt == "fl32":
+        kind, comp, bits = b"AIFC", b"fl32", 32
+        data = x.astype(">f4").tobytes()
+    elif fmt == "ulaw":
+        kind, comp, bits = b"AIFC", b"ulaw", 8
+        pcm16 = np.round(x * 32767.0).astype(np.int64)
+        data = _g711_encode(pcm16, _ULAW_SORTED, _ULAW_ORDER).tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF fixture fmt {fmt!r}")
+    frames = len(x)
+    comm = struct.pack(">HIH", 1, frames, bits) + _f80_encode(float(sr))
+    if comp is not None:
+        comm += comp + b"\x00\x00"  # empty pstring name, padded even
+    ssnd = struct.pack(">II", 0, 0) + data
+    out = bytearray()
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        out += cid + struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(out)) + kind + bytes(out)
 
 
 def encode_wav(samples: np.ndarray, sr: int) -> bytes:

@@ -454,3 +454,53 @@ def test_adpcm_batch_through_decode_stage(ray_session):
         for f, p in zip(freqs[:2], payloads[:2]):
             exp = int(np.searchsorted(edges, f / bin_hz, side="right")) - 1
             assert abs(dominant_band(p) - exp) <= 1, fmt
+
+
+def test_aiff_roundtrip_all_formats():
+    """AIFF / AIFF-C decode across the COMM/SSND surface: big-endian PCM
+    8/16/24, the 'sowt' little-endian variant, 'fl32', and G.711 'ulaw'
+    (shared expander tables) — all through the container-magic dispatch,
+    with the 80-bit extended sample rate round-tripping exactly for the
+    real-world rates."""
+    from iresearch_ray.stages.audio import (_f80_decode, _f80_encode,
+                                            decode_audio, encode_aiff)
+
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    x = 0.6 * np.sin(2 * np.pi * 300 * t)
+    tol = {"pcm16": 1e-3, "pcm8": 2e-2, "pcm24": 1e-5,
+           "sowt16": 1e-3, "fl32": 1e-7, "ulaw": 0.016}
+    for fmt, bound in tol.items():
+        y, sr2 = decode_audio(encode_aiff(x, sr, fmt=fmt))
+        assert sr2 == sr and y.size == x.size, fmt
+        assert np.max(np.abs(y - x)) < bound, fmt
+    for r in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _f80_decode(_f80_encode(float(r))) == r
+    # stereo downmix matches the WAV convention (mean)
+    left = 0.25 * np.sin(2 * np.pi * 200 * t)
+    right = 0.75 * np.sin(2 * np.pi * 200 * t)
+    inter = np.empty(2 * t.size)
+    inter[0::2] = left
+    inter[1::2] = right
+    import struct as _s
+
+    mono = encode_aiff(inter, sr, fmt="pcm16")
+    pos = mono.index(b"COMM") + 8
+    stereo = mono[:pos] + _s.pack(">HI", 2, t.size) + mono[pos + 6:]
+    y, _ = decode_audio(stereo)
+    assert np.max(np.abs(y - (left + right) / 2)) < 1e-3
+
+
+def test_aiff_corrupt_raises_cleanly():
+    from iresearch_ray.stages.audio import decode_audio, encode_aiff
+
+    good = encode_aiff(np.zeros(100), 8000)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_audio(good[:20])
+    with _pt.raises(ValueError):
+        decode_audio(b"FORM\x00\x00\x00\x04QQQQ")
+    with _pt.raises(ValueError):  # unsupported AIFC compression
+        decode_audio(good.replace(b"COMM", b"COMM", 1)[:0]
+                     or b"FORM" + good[4:8] + b"AIFC" + good[12:])
