@@ -948,7 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def mm_audio_band(sf):
         # Real in-engine AUDIO decode as a driver surface (r5): a mixed
-        # WAV + native-FLAC corpus (stages/flac.py — from-scratch RFC 9639
+        # WAV + AIFF + native-FLAC corpus (stages/flac.py — RFC 9639
         # decoder: LPC/fixed subframes, rice partitions, CRC-8/16 + MD5
         # verified) runs through the AudioDecode → AudioFeatures actor-pool
         # stages; per item we report the dominant FFT band.  No SQL oracle
@@ -964,7 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             synth_audio_table,
         )
 
-        tbl = synth_audio_table(16, sr=8000, secs=0.4, fmt="mixed")
+        tbl = synth_audio_table(18, sr=8000, secs=0.4, fmt="mixed")
         out = (
             rd.from_arrow(tbl)
             .map_batches(AudioDecode(), batch_size=8, batch_format="pyarrow",

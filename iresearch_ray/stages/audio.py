@@ -816,8 +816,8 @@ def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
     """Deterministic REAL-audio corpus: per item a sine at a seeded
     frequency plus light noise.  ``fmt``: "wav" (16-bit PCM RIFF), "flac"
     (genuinely compressed native FLAC via stages/flac.py), "mixed"
-    (cycling PCM-WAV / FLAC / IMA-ADPCM / MS-ADPCM — exercises
-    AudioDecode's per-row container dispatch), or
+    (cycling PCM-WAV / FLAC / IMA-ADPCM / MS-ADPCM / AIFF / AIFF-C-sowt
+    — exercises AudioDecode's per-row container dispatch), or
     any ``encode_wav_fmt`` sample format ("mulaw", "alaw", "pcm24",
     "pcm32", "float32", "float64", "ima_adpcm", "ms_adpcm") for the
     non-PCM WAV decode paths."""
@@ -833,7 +833,14 @@ def synth_audio_table(n: int, sr: int = 8000, secs: float = 0.5, seed: int = 11,
         x = 0.7 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.size)
         row_fmt = fmt
         if fmt == "mixed":
-            row_fmt = ("wav", "flac", "ima_adpcm", "ms_adpcm")[i % 4]
+            row_fmt = ("wav", "flac", "ima_adpcm", "ms_adpcm",
+                       "aiff", "aifc_sowt")[i % 6]
+        if row_fmt in ("aiff", "aifc_sowt"):
+            payloads.append(encode_aiff(
+                x, sr, fmt="pcm16" if row_fmt == "aiff" else "sowt16"))
+            mimes.append("audio/aiff")
+            freqs.append(f)
+            continue
         if row_fmt == "flac":
             from iresearch_ray.stages.flac import encode_flac
 
