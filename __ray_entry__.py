@@ -716,6 +716,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dd_bpe(sf):
         return ops.bpe_token_stats(_docs_ds(sf)).to_pandas()
 
+    def _docs_text_ds(sf):
+        # pruned read: these ops touch only (doc_id, text)
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def dd_gopher(sf):
+        # Gopher-rule quality gate (Rae et al. 2021 table A1 subset,
+        # thresholds pinned in dataops.gopher_rules_batch)
+        return ops.gopher_rules(_docs_text_ds(sf)).to_pandas()
+
+    def dd_repetition(sf):
+        # intra-doc duplicate-2-gram occurrence fractions
+        return ops.repetition_stats(_docs_text_ds(sf)).to_pandas()
+
+    def dd_decontaminate(sf):
+        # benchmark decontamination: the "benchmark" is synthesized
+        # DETERMINISTICALLY from the corpus itself (docs with id%13==0
+        # contribute the four 5-gram windows starting at word 3..6) and
+        # broadcast once; any doc sharing a 5-gram is flagged.  Mirrors
+        # the SQL oracle exactly (string n-grams, not hashes).
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_numpy()
+        texts = tbl["text"].to_pylist()
+        bench: set[str] = set()
+        for i, t in zip(ids, texts):
+            if int(i) % 13 == 0:
+                ws = (t or "").split(" ")
+                for j in range(2, 6):
+                    if j + 5 <= len(ws):
+                        bench.add(" ".join(ws[j : j + 5]))
+        return ops.decontaminate(_docs_text_ds(sf), bench, n=5).to_pandas()
+
+    def dd_pii(sf):
+        # the synthetic corpus carries no PII, so deterministic e-mail /
+        # IPv4 suffixes are injected (same CASE arithmetic as the SQL),
+        # then counted and redacted with the shared RE2 patterns
+        def inject(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            base = b["text"].to_pandas().fillna("").to_numpy(dtype=object)
+            s7 = np.where(
+                did % 7 == 0,
+                np.array([f" contact user{i}@example.com now" for i in did], object),
+                "",
+            )
+            s11 = np.where(
+                did % 11 == 0,
+                np.array([f" host 10.{i % 256}.0.1 up" for i in did], object),
+                "",
+            )
+            return pa.table(
+                {"doc_id": b["doc_id"], "text": pa.array(list(base + s7 + s11), pa.string())}
+            )
+
+        return ops.pii_scrub(
+            _docs_text_ds(sf).map_batches(inject, batch_format="pyarrow")
+        ).to_pandas()
+
     def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
@@ -1198,6 +1256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_quality": dd_quality,
         "dd_lang_id": dd_langid,
         "dd_bpe_tokens": dd_bpe,
+        "dd_gopher_rules": dd_gopher,
+        "dd_repetition": dd_repetition,
+        "dd_decontaminate": dd_decontaminate,
+        "dd_pii_scrub": dd_pii,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
         "ev_type_stats": ev_type_stats,
@@ -1665,6 +1727,65 @@ SELECT doc_id, {pred_case} AS pred_lang FROM s
 SELECT doc_id,
        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens
 FROM documents
+""",
+        # Gopher-rule subset (thresholds pinned: 25<=words<=100000,
+        # 3<=mean len<=10, alpha frac>=0.8, stopword hits>=2; pass flag
+        # computed on UNROUNDED ratios)
+        "dd_gopher_rules": f"""
+WITH s AS (
+  SELECT doc_id, string_split(text,' ') AS w FROM documents
+), t AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_aggregate(list_transform(w, x -> len(x)), 'sum')::DOUBLE / len(w) AS ml,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w) AS af,
+         len(list_filter(w, x -> x IN ({stop_list}))) AS stop_hits
+  FROM s)
+SELECT doc_id, n_words, round(ml,4) AS mean_word_len, round(af,4) AS alpha_frac, stop_hits,
+  CASE WHEN n_words BETWEEN 25 AND 100000 AND ml>=3.0 AND ml<=10.0 AND af>=0.8 AND stop_hits>=2
+       THEN 1 ELSE 0 END AS pass_gopher
+FROM t
+""",
+        # duplicate word-2-gram occurrence fractions per doc
+        "dd_repetition": """
+WITH s AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gr FROM s),
+c AS (SELECT doc_id, gr, count(*) AS n FROM g GROUP BY doc_id, gr),
+a AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total,
+             sum(CASE WHEN n>1 THEN n ELSE 0 END) AS dup_n
+      FROM c GROUP BY doc_id)
+SELECT s2.doc_id, coalesce(a.total,0)::BIGINT AS n_ngrams,
+       round(coalesce(a.top_n/a.total::DOUBLE,0),4) AS top_ngram_frac,
+       round(coalesce(a.dup_n/a.total::DOUBLE,0),4) AS dup_ngram_frac
+FROM (SELECT doc_id FROM documents) s2 LEFT JOIN a USING (doc_id)
+""",
+        # benchmark decontamination: benchmark = 5-gram windows starting at
+        # words 3..6 of every doc with id%13==0; count DISTINCT shared 5-grams
+        "dd_decontaminate": """
+WITH s AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+b AS (SELECT DISTINCT unnest(list_transform(range(3, 7),
+        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gr
+      FROM s WHERE doc_id % 13 = 0),
+dg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-3),
+        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gr FROM s),
+m AS (SELECT doc_id, count(*) AS n FROM dg JOIN b USING (gr) GROUP BY doc_id)
+SELECT s2.doc_id, coalesce(m.n,0) AS n_contaminated,
+       CASE WHEN coalesce(m.n,0)>0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM documents) s2 LEFT JOIN m USING (doc_id)
+""",
+        # PII scrub over deterministically injected e-mail / IPv4 suffixes;
+        # both sides run RE2 with identical patterns, so replace parity is exact
+        "dd_pii_scrub": r"""
+WITH s AS (SELECT doc_id,
+  text || CASE WHEN doc_id%7=0 THEN ' contact user'||doc_id||'@example.com now' ELSE '' END
+       || CASE WHEN doc_id%11=0 THEN ' host 10.'||(doc_id%256)||'.0.1 up' ELSE '' END AS itext
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(itext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(itext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  regexp_replace(regexp_replace(itext,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM s
 """,
         "ev_type_stats": """
 WITH g AS (

@@ -2164,3 +2164,216 @@ def embedding_lsh_topk(
         .groupby("query_idx")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation rules (Gopher-style), repetition, decontamination,
+# PII scrubbing.  Reference semantics: the rule families published with
+# Gopher (Rae et al. 2021, "Scaling Language Models", table A1) and C4
+# (Raffel et al. 2020) — pinned here to exact thresholds documented in the
+# SQL oracles.  All four are narrow single-pass map_batches stages: no
+# shuffle, no materialization; the only non-streaming input is the
+# decontamination benchmark set, which is SMALL by definition and rides the
+# object store as one broadcast (`ray.put` once, read per task).
+# ---------------------------------------------------------------------------
+
+
+def gopher_rules_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """Pinned Gopher-rule subset over whitespace words (the corpus has no
+    newlines, so the line-shape rules are omitted rather than vacuously
+    true): word-count bounds, mean word length bounds, alphabetic-word
+    fraction, and a stopword requirement (total occurrences of the pinned
+    STOPWORDS set).  `pass_gopher` is computed on UNROUNDED ratios; the
+    reported ratio columns are round-half-away(4) to match DuckDB."""
+    flat, parent, n_tok = _explode_tokens(batch[text_col])
+    n_rows = batch.num_rows
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    char_sum = np.bincount(parent, weights=tok_lens, minlength=n_rows)
+    nt = np.maximum(n_tok, 1).astype(np.float64)
+    mean_len = char_sum / nt
+    has_alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+    alpha_frac = np.bincount(parent, weights=has_alpha.astype(np.float64), minlength=n_rows) / nt
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    stop_hits = np.bincount(parent, weights=is_stop.astype(np.float64), minlength=n_rows).astype(
+        np.int64
+    )
+    ok = (
+        (n_tok >= min_words)
+        & (n_tok <= max_words)
+        & (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_tok),
+            "mean_word_len": pa.array(round_half_away(mean_len, 4)),
+            "alpha_frac": pa.array(round_half_away(alpha_frac, 4)),
+            "stop_hits": pa.array(stop_hits),
+            "pass_gopher": pa.array(ok.astype(np.int64)),
+        }
+    )
+
+
+def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id", **thresholds):
+    return ds.map_batches(
+        lambda b: gopher_rules_batch(b, text_col, id_col, **thresholds),
+        batch_format="pyarrow",
+    )
+
+
+def repetition_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> pa.Table:
+    """Intra-document repetition (Gopher's duplicate-n-gram family, pinned
+    to occurrence fractions): per doc over word n-grams,
+    `top_ngram_frac`   = count(most frequent n-gram) / total n-grams and
+    `dup_ngram_frac`   = occurrences belonging to any n-gram seen >1 time
+                         / total n-grams  (both 0.0 when the doc has fewer
+                         than n words).  Vectorized: token hashes mixed
+    pairwise, lexsort + run-length per (row, gram) — no Python loop."""
+    flat, parent, n_tok = _explode_tokens(batch[text_col])
+    n_rows = batch.num_rows
+    tg = np.maximum(n_tok - (n - 1), 0).astype(np.int64)  # grams per row
+    top = np.zeros(n_rows, dtype=np.int64)
+    dup = np.zeros(n_rows, dtype=np.int64)
+    if len(flat) >= n:
+        h = _hash_strings(flat).astype(np.uint64)
+        key = h[: len(h) - n + 1].copy()
+        for j in range(1, n):
+            key = key * np.uint64(0x9E3779B97F4A7C15) ^ h[j : len(h) - n + 1 + j]
+        gp = parent[: len(h) - n + 1]
+        valid = gp == parent[n - 1 :]  # gram stays inside one row
+        key, gp = key[valid], gp[valid]
+        if len(key):
+            order = np.lexsort((key, gp))
+            ks, gs = key[order], gp[order]
+            brk = np.empty(len(ks), dtype=bool)
+            brk[0] = True
+            brk[1:] = (ks[1:] != ks[:-1]) | (gs[1:] != gs[:-1])
+            starts = np.flatnonzero(brk)
+            counts = np.diff(np.append(starts, len(ks)))
+            grp_row = gs[starts]
+            np.maximum.at(top, grp_row, counts)
+            dup_counts = np.where(counts > 1, counts, 0)
+            np.add.at(dup, grp_row, dup_counts)
+    tgf = np.maximum(tg, 1).astype(np.float64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_ngrams": pa.array(tg),
+            "top_ngram_frac": pa.array(
+                round_half_away(np.where(tg > 0, top / tgf, 0.0), 4)
+            ),
+            "dup_ngram_frac": pa.array(
+                round_half_away(np.where(tg > 0, dup / tgf, 0.0), 4)
+            ),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 2):
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col, n), batch_format="pyarrow"
+    )
+
+
+def decontaminate(
+    ds,
+    benchmark_ngrams,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination (GPT-3 appendix C / Gopher style): flag
+    every document sharing at least one word n-gram with a benchmark set.
+    `benchmark_ngrams` is a set[str] of space-joined n-grams or a
+    `ray.ObjectRef` to one — the benchmark side is SMALL by definition, so
+    it is broadcast once via the object store and each task reads it
+    zero-copy; the corpus side streams through one map_batches with no
+    shuffle.  Returns (id, n_contaminated = DISTINCT matched n-grams,
+    contaminated 0/1).  Membership is on exact strings (no hash-collision
+    caveat)."""
+    import ray
+
+    ref = benchmark_ngrams if isinstance(benchmark_ngrams, ray.ObjectRef) else ray.put(
+        frozenset(benchmark_ngrams)
+    )
+
+    def f(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import pandas as pd
+
+        bench = ray.get(_ref)
+        flat, parent, n_tok = _explode_tokens(batch[text_col])
+        n_rows = batch.num_rows
+        hits = np.zeros(n_rows, dtype=np.int64)
+        if len(flat) >= n and len(bench):
+            toks = np.asarray(flat.to_pylist(), dtype=object)
+            m = len(toks) - n + 1
+            grams = toks[:m].copy()
+            for j in range(1, n):
+                grams = grams + " "
+                grams = grams + toks[j : m + j]
+            gp = parent[:m]
+            valid = gp == parent[n - 1 :]
+            grams, gp = grams[valid], gp[valid]
+            matched = pd.Series(grams).isin(bench).to_numpy()
+            if matched.any():
+                mg, mp = grams[matched], gp[matched]
+                # distinct (row, gram) pairs
+                codes, _ = pd.factorize(pd.Series(mg), sort=False)
+                pair = mp.astype(np.int64) * (codes.max() + 1) + codes
+                upair = np.unique(pair)
+                rows = (upair // (codes.max() + 1)).astype(np.int64)
+                hits = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_contaminated": pa.array(hits),
+                "contaminated": pa.array((hits > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# RE2 patterns shared verbatim by the engine (pyarrow::compute, RE2) and the
+# DuckDB oracle (also RE2) — identical engines, so replace/count parity is
+# exact, not approximate.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Count and redact e-mail addresses and IPv4 literals: one RE2 count +
+    one RE2 replace kernel per pattern, all Arrow-native."""
+    txt = pc.fill_null(batch[text_col], "")
+    n_email = pc.count_substring_regex(txt, PII_EMAIL).cast(pa.int64())
+    n_ip = pc.count_substring_regex(txt, PII_IPV4).cast(pa.int64())
+    red = pc.replace_substring_regex(txt, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_IPV4, "<IP>")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_emails": n_email,
+            "n_ipv4": n_ip,
+            "redacted": red,
+        }
+    )
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda b: pii_scrub_batch(b, text_col, id_col), batch_format="pyarrow")
