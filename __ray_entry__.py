@@ -774,6 +774,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_text_ds(sf).map_batches(inject, batch_format="pyarrow")
         ).to_pandas()
 
+    def dd_html_strip(sf):
+        # HTML boilerplate stripping: the synthetic corpus is plain text, so
+        # deterministic HTML wrappers are injected (same CASE arithmetic as
+        # the SQL oracle — one third full-page with script/style/comment
+        # containers, one third inline tags + entities, one third untouched),
+        # then stripped with the shared RE2 patterns.  Both engines are RE2,
+        # so replace/count parity is exact.
+        def inject(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            base = b["text"].to_pandas().fillna("").to_numpy(dtype=object)
+            m = did % 3
+            page = (
+                np.array(
+                    [
+                        '<html><head><script type="x">var q=1 &amp;&amp; 2;</script>'
+                        "<style>p { color: red }</style></head><body><h1>Title %d</h1><p>" % i
+                        for i in did
+                    ],
+                    object,
+                )
+                + base
+                + '</p><!-- footer --><div class="nav">home &nbsp; about</div></body></html>'
+            )
+            inline = (
+                "<p>" + base + " &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;</p><br/>"
+            )
+            out = np.where(m == 0, page, np.where(m == 1, inline, base))
+            return pa.table({"doc_id": b["doc_id"], "text": pa.array(list(out), pa.string())})
+
+        return ops.html_strip(
+            _docs_text_ds(sf).map_batches(inject, batch_format="pyarrow")
+        ).to_pandas()
+
+    def dd_chunk_windows(sf):
+        # context-window chunking: 64-token windows advancing by 48 (16-token
+        # overlap), vectorized explode — the standard LM sample-prep layout
+        return ops.chunk_windows(_docs_text_ds(sf), window=64, stride=48).to_pandas()
+
+    def dd_seq_pack(sf):
+        # concat-and-chunk sequence packing into 2048-token bins via the
+        # distributed prefix-sum (bucketed groupby, driver scans only the
+        # tiny per-bucket sums); oracle is a single SQL window function
+        return ops.sequence_pack(_docs_text_ds(sf), capacity=2048, bucket_size=512).to_pandas()
+
     def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
@@ -1260,6 +1304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_repetition": dd_repetition,
         "dd_decontaminate": dd_decontaminate,
         "dd_pii_scrub": dd_pii,
+        "dd_html_strip": dd_html_strip,
+        "dd_chunk_windows": dd_chunk_windows,
+        "dd_seq_pack": dd_seq_pack,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
         "ev_type_stats": ev_type_stats,
@@ -1786,6 +1833,60 @@ SELECT doc_id,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
 FROM s
+""",
+        # HTML boilerplate strip over deterministically injected wrappers;
+        # same RE2 patterns verbatim on both sides (dataops.HTML_*)
+        "dd_html_strip": r"""
+WITH s AS (SELECT doc_id,
+  CASE WHEN doc_id%3=0 THEN
+    '<html><head><script type="x">var q=1 &amp;&amp; 2;</script><style>p { color: red }</style></head><body><h1>Title '
+    || doc_id || '</h1><p>' || text
+    || '</p><!-- footer --><div class="nav">home &nbsp; about</div></body></html>'
+  WHEN doc_id%3=1 THEN
+    '<p>' || text || ' &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;</p><br/>'
+  ELSE text END AS itext FROM documents),
+t1 AS (SELECT doc_id, itext,
+  regexp_replace(regexp_replace(regexp_replace(itext,
+    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g') AS s1 FROM s),
+t2 AS (SELECT doc_id, itext, len(regexp_extract_all(s1, '<[^>]*>'))::BIGINT AS n_tags,
+  regexp_replace(s1, '<[^>]*>', ' ', 'g') AS s2 FROM t1),
+t3 AS (SELECT doc_id, itext, n_tags,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(s2,
+      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+    '\s+', ' ', 'g'), ' ') AS s3 FROM t2)
+SELECT doc_id, s3 AS clean_text, n_tags,
+       len(itext)::BIGINT AS raw_len, len(s3)::BIGINT AS clean_len
+FROM t3
+""",
+        # 64-token windows, stride 48: n_chunks = 1 if n<=64 else ceil((n-64)/48)+1
+        "dd_chunk_windows": """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS ws, len(string_split(text,' ')) AS n
+           FROM documents),
+c AS (SELECT doc_id, ws, n,
+      unnest(range(CASE WHEN n <= 64 THEN 1
+                        ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+      FROM t)
+SELECT doc_id, chunk_idx,
+       least(n - chunk_idx*48, 64)::BIGINT AS chunk_n_tokens,
+       array_to_string(ws[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
+FROM c
+""",
+        # concat-and-chunk packing: exclusive prefix sum of token counts in
+        # doc_id order, bins of 2048 tokens (docs may span bins)
+        "dd_seq_pack": """
+WITH t AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+      FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 2048 AS bin_first,
+       (tok_start + n_tokens - 1) // 2048 AS bin_last,
+       ((tok_start + n_tokens - 1) // 2048) - (tok_start // 2048) + 1 AS n_bins
+FROM p
 """,
         "ev_type_stats": """
 WITH g AS (

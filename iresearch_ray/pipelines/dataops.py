@@ -2377,3 +2377,207 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_
 
 def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(lambda b: pii_scrub_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (Common-Crawl-style text extraction)
+# ---------------------------------------------------------------------------
+
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines are RE2,
+# so replace/count parity is exact).  RE2 has no backreferences, hence one
+# pattern per container tag instead of <(script|style)>.*?</\1>.
+HTML_SCRIPT = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT = r"(?s)<!--.*?-->"
+HTML_TAG = r"<[^>]*>"
+# entity decode order matters: &amp; LAST so "&amp;lt;" decodes to "&lt;"
+# (literal), not "<" — the HTML5 non-double-decode rule, mirrored in SQL.
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_strip_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Strip HTML to clean text, vectorized Arrow-native: drop
+    script/style/comment containers (content included), count then remove
+    the remaining tags, decode the six core entities, collapse whitespace.
+    Emits integer length/count columns (no floats — value-hash-stable
+    across engines) plus the cleaned text."""
+    raw = pc.fill_null(batch[text_col], "")
+    s = pc.replace_substring_regex(raw, HTML_SCRIPT, " ")
+    s = pc.replace_substring_regex(s, HTML_STYLE, " ")
+    s = pc.replace_substring_regex(s, HTML_COMMENT, " ")
+    n_tags = pc.count_substring_regex(s, HTML_TAG).cast(pa.int64())
+    s = pc.replace_substring_regex(s, HTML_TAG, " ")
+    for ent, ch in HTML_ENTITIES:
+        s = pc.replace_substring(s, ent, ch)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, " ")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "clean_text": s,
+            "n_tags": n_tags,
+            "raw_len": pc.utf8_length(raw).cast(pa.int64()),
+            "clean_len": pc.utf8_length(s).cast(pa.int64()),
+        }
+    )
+
+
+def html_strip(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One narrow ``map_batches`` — no shuffle, no state; at 100 TB this is
+    embarrassingly parallel and IO-bound on the pruned (id, text) read."""
+    return ds.map_batches(lambda b: html_strip_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (training-sample windowing with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows_batch(
+    batch: pa.Table,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Explode each document into overlapping token windows of `window`
+    tokens advancing by `stride` (stride < window ⇒ window-stride token
+    overlap, the standard LM context-window prep).  n_chunks =
+    1 if n<=window else ceil((n-window)/stride)+1, so the final window is
+    the (possibly short) tail.  Fully vectorized: one split, one ragged
+    arange gather, one list-join — no Python loop over rows or chunks."""
+    flat, _parent, n_tok = _explode_tokens(batch[text_col])
+    n_rows = batch.num_rows
+    n_chunks = np.where(
+        n_tok <= window, 1, ((n_tok - window + stride - 1) // stride) + 1
+    ).astype(np.int64)
+    # token offset of each row inside `flat`
+    row_off = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    doc_rep = np.repeat(np.arange(n_rows), n_chunks)
+    # chunk_idx within each doc: ragged arange over n_chunks
+    total_chunks = int(n_chunks.sum())
+    chunk_idx = np.arange(total_chunks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_chunks)))[:-1], n_chunks
+    )
+    start = chunk_idx * stride  # token start within the doc
+    clen = np.minimum(window, n_tok[doc_rep] - start)
+    # ragged arange gather into `flat`: absolute token index per output token
+    out_off = np.concatenate(([0], np.cumsum(clen)))
+    tot = int(out_off[-1])
+    idx = (
+        np.arange(tot)
+        - np.repeat(out_off[:-1], clen)
+        + np.repeat(row_off[doc_rep] + start, clen)
+    )
+    toks = pc.take(flat, pa.array(idx, pa.int64()))
+    lists = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), toks)
+    return pa.table(
+        {
+            id_col: pc.take(batch[id_col], pa.array(doc_rep, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_n_tokens": pa.array(clen.astype(np.int64)),
+            "chunk_text": pc.binary_join(lists, " "),
+        }
+    )
+
+
+def chunk_windows(ds, window: int = 64, stride: int = 48, text_col: str = "text", id_col: str = "doc_id"):
+    """Narrow flat-map-shaped ``map_batches`` (rows out > rows in).  Scale
+    note: output blocks grow by ~window/stride×; Ray's dynamic block
+    splitting re-targets block size downstream, so no repartition needed."""
+    return ds.map_batches(
+        lambda b: chunk_windows_batch(b, window, stride, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (concat-and-chunk, distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def sequence_pack(
+    ds,
+    capacity: int = 2048,
+    bucket_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    the corpus is one global token stream ordered by `id_col`, cut into
+    fixed `capacity`-token bins; documents may span bin boundaries.  Emits
+    per doc: n_tokens, tok_start (global exclusive prefix sum), bin_first,
+    bin_last, n_bins.
+
+    Scale design — a DISTRIBUTED PREFIX SUM, not a global sort:
+      1. one narrow map_batches computes (doc_id, n_tokens,
+         bucket = doc_id // bucket_size); the token counts are materialized
+         (3 int64 columns — ~24 B/doc, metadata-scale, NOT the corpus);
+      2. per-bucket token sums are pre-aggregated INSIDE map_batches
+         (one partial row per bucket per batch), so the driver reduces
+         n_buckets×tasks tiny rows and runs the exclusive scan over
+         n_buckets offsets locally — O(N / bucket_size), never O(N);
+      3. one groupby(bucket) shuffle co-locates each bucket;
+         map_groups sorts the bucket by id (bounded: ≤ bucket_size rows)
+         and adds the broadcast bucket offset to a local cumsum.
+    Total: two passes over the narrow projection, ONE keyed shuffle of
+    24 B/doc rows.  At 10^12 turns the shuffled payload is ~24 TB/1000
+    (counts only), and no stage holds more than one bucket.
+
+    Requires non-negative integer ids (true for doc_id and for the dense
+    turn remap used by the transcript tables)."""
+    import ray
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        _f, _p, n_tok = _explode_tokens(b[text_col])
+        did = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(did),
+                "n_tokens": pa.array(n_tok),
+                "bucket": pa.array(did // bucket_size),
+            }
+        )
+
+    counts = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+
+    def partial_bucket_sums(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {"bucket": b["bucket"].to_numpy(), "s": b["n_tokens"].to_numpy()}
+        ).groupby("bucket", sort=False)["s"].sum()
+        return pa.table({"bucket": pa.array(g.index.to_numpy()), "s": pa.array(g.to_numpy())})
+
+    import pandas as pd
+
+    parts = counts.map_batches(partial_bucket_sums, batch_format="pyarrow").to_pandas()
+    sums = parts.groupby("bucket")["s"].sum().sort_index()
+    offsets = dict(zip(sums.index.to_numpy(), np.concatenate(([0], np.cumsum(sums.to_numpy())))[:-1]))
+    off_ref = ray.put(offsets)
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = int(off[int(g["bucket"].iloc[0])]) + np.concatenate(([0], np.cumsum(n)))[:-1]
+        end = start + np.maximum(n, 1) - 1  # 0-token docs occupy their start bin
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "n_tokens": n,
+                "tok_start": start,
+                "bin_first": start // capacity,
+                "bin_last": end // capacity,
+                "n_bins": end // capacity - start // capacity + 1,
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(pack_group)

@@ -497,3 +497,74 @@ def test_kmeans_codebook_recovers_clusters(ray_session):
     )
     assert ivf[["query_idx", "vec_id", "cosine"]].equals(
         brute[["query_idx", "vec_id", "cosine"]])
+
+
+# ---------------------------------------------------------------------------
+# HTML strip / context-window chunking / sequence packing
+
+
+def test_html_strip_brute(ray_session):
+    import pyarrow as pa
+
+    raw = [
+        '<html><head><script a=1>var x = "</p>";</script><style>b{}</style></head>'
+        "<body><p>hello &amp; world</p><!-- hidden --><br/></body></html>",
+        "plain text no markup",
+        "a &lt;b&gt; c &amp;amp; d &nbsp; e",
+        None,
+        "<P CLASS='x'>case   insensitive</P>",
+    ]
+    tbl = pa.table({"doc_id": list(range(5)), "text": raw})
+    out = ops.html_strip(_ds(tbl, ray_session)).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == [
+        "hello & world",
+        "plain text no markup",
+        'a <b> c &amp; d e',  # no double-decode: &amp;amp; -> &amp;
+        "",
+        "case insensitive",
+    ]
+    assert out["n_tags"].tolist() == [9, 0, 0, 0, 2]
+    assert (out["clean_len"] == out["clean_text"].str.len()).all()
+
+
+def test_chunk_windows_brute(docs_tbl, ray_session):
+    W, S = 7, 5
+    out = (
+        ops.chunk_windows(_ds(docs_tbl, ray_session), window=W, stride=S)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for r in docs_tbl.select(["doc_id", "text"]).to_pylist():
+        ws = (r["text"] or "").split(" ")
+        n = len(ws)
+        k = 1 if n <= W else -(-(n - W) // S) + 1
+        for i in range(k):
+            rows.append((r["doc_id"], i, min(W, n - i * S), " ".join(ws[i * S : i * S + W])))
+    assert len(out) == len(rows)
+    got = list(out[["doc_id", "chunk_idx", "chunk_n_tokens", "chunk_text"]].itertuples(index=False, name=None))
+    assert sorted(got) == sorted(rows)
+
+
+def test_sequence_pack_brute(docs_tbl, ray_session):
+    C = 257  # prime capacity to exercise span boundaries
+    out = (
+        ops.sequence_pack(_ds(docs_tbl, ray_session), capacity=C, bucket_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    recs = sorted(docs_tbl.select(["doc_id", "text"]).to_pylist(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r, (_, o) in zip(recs, out.iterrows()):
+        n = len((r["text"] or "").split(" "))
+        assert o["doc_id"] == r["doc_id"]
+        assert o["n_tokens"] == n
+        assert o["tok_start"] == pos
+        assert o["bin_first"] == pos // C
+        assert o["bin_last"] == (pos + n - 1) // C
+        assert o["n_bins"] == (pos + n - 1) // C - pos // C + 1
+        pos += n
+    # a doc that spans a bin boundary must report n_bins > 1
+    assert (out["n_bins"] > 1).any()
