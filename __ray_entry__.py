@@ -818,6 +818,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tiny per-bucket sums); oracle is a single SQL window function
         return ops.sequence_pack(_docs_text_ds(sf), capacity=2048, bucket_size=512).to_pandas()
 
+    def dd_vocab_topk(sf):
+        # global term frequencies (map-side value_counts partials, one
+        # token-keyed groupby-sum), deterministic top-100 via the partial
+        # top-k idiom — never a global sort
+        return ops.vocab_topk(_docs_text_ds(sf), k=100).to_pandas()
+
+    def dd_unigram_nll(sf):
+        # unigram-LM surprisal (CCNet-style perplexity filter skeleton):
+        # model = corpus top-4096 tokens, OOV floor 1/N; score = mean NLL
+        return ops.unigram_surprisal(_docs_text_ds(sf), vocab_size=4096).to_pandas()
+
     def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
@@ -1307,6 +1318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_html_strip": dd_html_strip,
         "dd_chunk_windows": dd_chunk_windows,
         "dd_seq_pack": dd_seq_pack,
+        "dd_vocab_topk": dd_vocab_topk,
+        "dd_unigram_nll": dd_unigram_nll,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
         "ev_type_stats": ev_type_stats,
@@ -1887,6 +1900,25 @@ SELECT doc_id, n_tokens, tok_start,
        (tok_start + n_tokens - 1) // 2048 AS bin_last,
        ((tok_start + n_tokens - 1) // 2048) - (tok_start // 2048) + 1 AS n_bins
 FROM p
+""",
+        # top-100 corpus vocabulary; tie-break (freq DESC, token ASC) pinned
+        # on both sides
+        "dd_vocab_topk": """
+WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+g AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY token)
+SELECT token, freq FROM g ORDER BY freq DESC, token LIMIT 100
+""",
+        # unigram surprisal: model = top-4096 tokens by corpus frequency,
+        # p = freq/N with OOV floor 1/N; score = mean NLL per doc
+        "dd_unigram_nll": """
+WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+g AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY token),
+tot AS (SELECT sum(freq)::DOUBLE AS n FROM g),
+v AS (SELECT token, freq FROM g ORDER BY freq DESC, token LIMIT 4096),
+s AS (SELECT t.doc_id, ln((SELECT n FROM tot)) - ln(COALESCE(v.freq, 1)::DOUBLE) AS nll
+      FROM t LEFT JOIN v USING (token))
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 4) AS avg_nll
+FROM s GROUP BY doc_id
 """,
         "ev_type_stats": """
 WITH g AS (

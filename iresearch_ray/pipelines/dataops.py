@@ -2581,3 +2581,105 @@ def sequence_pack(
         )
 
     return counts.groupby("bucket").map_groups(pack_group)
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary (global term frequencies) + unigram-LM surprisal scoring
+# ---------------------------------------------------------------------------
+
+
+def _token_counts(ds, text_col: str):
+    """Global (token, freq) table: per-batch ``pc.value_counts`` partials
+    (map-side combine — each batch emits its DISTINCT tokens once, not every
+    occurrence), then ONE token-keyed groupby-sum.  The shuffled payload is
+    the per-batch vocabulary, typically 100-1000× smaller than the token
+    stream; classic word-count shape."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _p, _n = _explode_tokens(b[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"), "freq": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("freq")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"], "freq": b["sum(freq)"].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _topk_by_freq(counts_ds, k: int) -> pa.Table:
+    """Deterministic top-k (freq DESC, token ASC) without a global sort:
+    per-block partial top-k inside map_batches, tiny driver merge over
+    k×n_blocks rows — the ft_collation_sort idiom."""
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"token": b["token"].to_pandas(), "freq": b["freq"].to_numpy()})
+        df = df.sort_values(["freq", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    import pandas as pd
+
+    tops = counts_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    tops = tops.sort_values(["freq", "token"], ascending=[False, True], kind="mergesort").head(k)
+    return pa.Table.from_pandas(tops.reset_index(drop=True), preserve_index=False)
+
+
+def vocab_topk(ds, k: int = 100, text_col: str = "text") -> pa.Table:
+    """Top-k corpus vocabulary by global frequency (ties broken by token
+    ascending, pinned on both sides).  Small result — returns a pa.Table."""
+    return _topk_by_freq(_token_counts(ds, text_col), k)
+
+
+def unigram_surprisal(
+    ds,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Unigram-LM quality score (the CCNet / KenLM-style perplexity filter,
+    reduced to its scalable skeleton): train a unigram model on the corpus
+    itself — top-`vocab_size` tokens by global frequency (freq DESC, token
+    ASC ties), p(tok) = freq / N_total with an OOV floor of 1/N_total — and
+    score each document by its mean negative log-likelihood.  High avg_nll
+    = far from the corpus distribution (the CCNet tail bucket).
+
+    Scale shape: ONE token-keyed shuffle of per-batch vocabulary partials
+    (map-side combined) trains the model; the top-V cut uses the partial
+    top-k idiom (no global sort); the model (V entries + one scalar) is
+    ray.put-broadcast; scoring is one narrow vectorized pass.  The corpus
+    token stream itself is never shuffled."""
+    import math
+
+    import ray
+
+    counts = _token_counts(ds, text_col).materialize()
+    n_total = int(counts.sum("freq"))
+    vocab_tbl = _topk_by_freq(counts, vocab_size)
+    vocab = dict(
+        zip(vocab_tbl["token"].to_pylist(), vocab_tbl["freq"].to_numpy().astype(np.int64))
+    )
+    model_ref = ray.put((vocab, n_total))
+
+    def score(b: pa.Table, *, _ref=model_ref) -> pa.Table:
+        import pandas as pd
+
+        voc, n_tot = ray.get(_ref)
+        flat, parent, n_tok = _explode_tokens(b[text_col])
+        log_n = math.log(n_tot)
+        freqs = flat.to_pandas().map(voc).fillna(1.0).to_numpy(dtype=np.float64)
+        nll = log_n - np.log(freqs)
+        tot = np.bincount(parent, weights=nll, minlength=b.num_rows)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(n_tok),
+                "avg_nll": pa.array(np.round(tot / np.maximum(n_tok, 1), 4)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -568,3 +568,38 @@ def test_sequence_pack_brute(docs_tbl, ray_session):
         pos += n
     # a doc that spans a bin boundary must report n_bins > 1
     assert (out["n_bins"] > 1).any()
+
+
+def test_vocab_topk_and_unigram_nll_vs_duckdb(docs_tbl, ray_session):
+    con = duckdb.connect()
+    con.register("documents", docs_tbl)
+    v = ops.vocab_topk(_ds(docs_tbl, ray_session), k=10).to_pandas()
+    ov = con.sql(
+        "WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),"
+        "g AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY token)"
+        "SELECT token, freq FROM g ORDER BY freq DESC, token LIMIT 10"
+    ).df()
+    assert v["token"].tolist() == ov["token"].tolist()
+    assert v["freq"].tolist() == ov["freq"].tolist()
+
+    # small vocab_size forces real OOV traffic through the 1/N floor
+    u = (
+        ops.unigram_surprisal(_ds(docs_tbl, ray_session), vocab_size=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ou = con.sql(
+        "WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),"
+        "g AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY token),"
+        "tot AS (SELECT sum(freq)::DOUBLE AS n FROM g),"
+        "v AS (SELECT token, freq FROM g ORDER BY freq DESC, token LIMIT 5),"
+        "s AS (SELECT t.doc_id, ln((SELECT n FROM tot)) - ln(COALESCE(v.freq,1)::DOUBLE) AS nll"
+        "     FROM t LEFT JOIN v USING (token))"
+        "SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll),4) AS avg_nll "
+        "FROM s GROUP BY doc_id ORDER BY doc_id"
+    ).df()
+    assert u["n_tokens"].tolist() == ou["n_tokens"].tolist()
+    assert np.allclose(u["avg_nll"].to_numpy(), ou["avg_nll"].to_numpy(), atol=1e-4)
+    # an all-OOV doc scores exactly ln(N)
+    assert (u["avg_nll"] > 0).all()
