@@ -829,6 +829,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model = corpus top-4096 tokens, OOV floor 1/N; score = mean NLL
         return ops.unigram_surprisal(_docs_text_ds(sf), vocab_size=4096).to_pandas()
 
+    def _docs_meta_ds(sf):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def dd_lang_topn(sf):
+        # per-language quota selection (25 longest docs per lang): per-batch
+        # partial top-n (≤ strata×n rows out per batch), one stratum-keyed
+        # shuffle of candidates only, final in-group top-n
+        return ops.stratified_topn(
+            _docs_meta_ds(sf), by="lang", order_col="n_chars", k=25
+        ).to_pandas()
+
+    def dd_hash_sample(sf):
+        # deterministic Bernoulli sample (Knuth multiplicative hash on the
+        # id, rate 0.1): idempotent across re-runs/resumes, SQL-reproducible
+        out = ops.hash_sample(_docs_meta_ds(sf), rate=0.1).to_pandas()
+        return out[["doc_id", "n_chars"]]
+
     def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
@@ -1320,6 +1339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_seq_pack": dd_seq_pack,
         "dd_vocab_topk": dd_vocab_topk,
         "dd_unigram_nll": dd_unigram_nll,
+        "dd_lang_topn": dd_lang_topn,
+        "dd_hash_sample": dd_hash_sample,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
         "ev_type_stats": ev_type_stats,
@@ -1900,6 +1921,20 @@ SELECT doc_id, n_tokens, tok_start,
        (tok_start + n_tokens - 1) // 2048 AS bin_last,
        ((tok_start + n_tokens - 1) // 2048) - (tok_start // 2048) + 1 AS n_bins
 FROM p
+""",
+        # per-language quota: 25 longest docs per lang, ties by doc_id ASC
+        "dd_lang_topn": """
+WITH r AS (SELECT doc_id, lang, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 25
+""",
+        # deterministic Knuth-hash Bernoulli sample at rate 0.1; HUGEINT
+        # keeps the reduced product exact for any int64 id (engine mirrors
+        # with uint64 after the same mod-2^32 reduction)
+        "dd_hash_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 429496729
 """,
         # top-100 corpus vocabulary; tie-break (freq DESC, token ASC) pinned
         # on both sides

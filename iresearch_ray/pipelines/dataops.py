@@ -2683,3 +2683,71 @@ def unigram_surprisal(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stratified selection: per-stratum top-n and deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_topn(
+    ds,
+    by: str = "lang",
+    order_col: str = "n_chars",
+    k: int = 25,
+    id_col: str = "doc_id",
+):
+    """Per-stratum top-n (quota sampling — e.g. the n longest documents per
+    language).  Scale shape: a per-batch PARTIAL top-n per stratum inside
+    map_batches (each batch emits ≤ strata×n rows, bounded regardless of
+    batch size), then one groupby(stratum) shuffle of those partials and a
+    final in-group top-n.  The corpus never shuffles — only the candidate
+    rows do.  Order is (order_col DESC, id ASC), pinned on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {id_col: b[id_col], by: b[by], order_col: b[order_col]}
+        ).to_pandas()
+        df = df.sort_values([order_col, id_col], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(by, sort=False).head(k), preserve_index=False)
+
+    def final(g) -> "pd.DataFrame":
+        g = g.sort_values([order_col, id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final)
+    )
+
+
+# Knuth multiplicative constant — shared verbatim with the SQL oracle; pure
+# int arithmetic, so the "hash" is engine-independent by construction.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 4294967296
+
+
+def hash_sample(ds, rate: float = 0.1, id_col: str = "doc_id"):
+    """Deterministic Bernoulli sampling: keep rows where
+    (id * 2654435761) mod 2^32 < rate·2^32.  No RNG state — the sample is a
+    pure function of the id, so a resumed or re-run 100 TB job selects the
+    SAME rows (idempotent sampling), and any engine (SQL included) can
+    reproduce the selection exactly.  One narrow filter pass."""
+    thresh = int(rate * _SAMPLE_MOD)
+
+    def f(b: pa.Table) -> pa.Table:
+        did = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # reduce mod 2^32 BEFORE multiplying: (a mod m · c) mod m ≡ (a·c) mod m,
+        # and the reduced product fits uint64 exactly — no silent 2^64 wrap,
+        # so the engine matches the SQL HUGEINT arithmetic for ANY int64 id.
+        keep = ((did % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(
+            _SAMPLE_MOD
+        ) < np.uint64(thresh)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -603,3 +603,93 @@ def test_vocab_topk_and_unigram_nll_vs_duckdb(docs_tbl, ray_session):
     assert np.allclose(u["avg_nll"].to_numpy(), ou["avg_nll"].to_numpy(), atol=1e-4)
     # an all-OOV doc scores exactly ln(N)
     assert (u["avg_nll"] > 0).all()
+
+
+def test_stratified_topn_and_hash_sample_vs_duckdb(docs_tbl, ray_session):
+    con = duckdb.connect()
+    con.register("documents", docs_tbl)
+    t = (
+        ops.stratified_topn(_ds(docs_tbl, ray_session), by="lang", order_col="n_chars", k=7)
+        .to_pandas()
+        .sort_values(["lang", "n_chars", "doc_id"])
+        .reset_index(drop=True)
+    )
+    ot = con.sql(
+        "WITH r AS (SELECT doc_id, lang, n_chars,"
+        " row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn"
+        " FROM documents)"
+        "SELECT doc_id, lang, n_chars FROM r WHERE rn <= 7 "
+        "ORDER BY lang, n_chars, doc_id"
+    ).df()
+    assert t[["doc_id", "lang", "n_chars"]].astype(str).values.tolist() == ot.astype(str).values.tolist()
+
+    s = ops.hash_sample(_ds(docs_tbl, ray_session), rate=0.25).to_pandas()
+    osamp = con.sql(
+        "SELECT doc_id FROM documents WHERE"
+        " ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 1073741824"
+        " ORDER BY doc_id"
+    ).df()
+    assert sorted(s["doc_id"].tolist()) == osamp["doc_id"].tolist()
+    assert 0 < len(s) < len(docs_tbl["doc_id"])
+    # idempotence: a huge id must not silently wrap differently than SQL
+    import pyarrow as pa
+
+    big = pa.table({"doc_id": [2**62 + 12345, 7]})
+    eng = ops.hash_sample(_ds(big, ray_session), rate=0.5).to_pandas()["doc_id"].tolist()
+    osql = con.sql(
+        "SELECT doc_id FROM big WHERE"
+        " ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 2147483648"
+    ).df()["doc_id"].tolist() if con.register("big", big) or True else []
+    assert sorted(eng) == sorted(osql)
+
+
+def test_chunk_windows_edge_shapes(ray_session):
+    import pyarrow as pa
+
+    # n==W (exactly one chunk), n==W+1 (two chunks: full + 1-token tail at
+    # start=S), n<W, empty text (one ''-token), null text, and W==S
+    texts = {
+        1: " ".join(f"t{i}" for i in range(5)),      # n == W
+        2: " ".join(f"t{i}" for i in range(6)),      # n == W+1
+        3: "a b",                                     # n < W
+        4: "",                                        # 1 empty token
+        5: None,                                      # null ≡ empty
+        6: " ".join(f"t{i}" for i in range(9)),      # n = W + 2S → 3 chunks
+    }
+    tbl = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    for W, S in [(5, 2), (5, 5), (3, 1)]:
+        out = (
+            ops.chunk_windows(_ds(tbl, ray_session), window=W, stride=S)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+        )
+        for did, txt in texts.items():
+            ws = (txt or "").split(" ")
+            n = len(ws)
+            k = 1 if n <= W else -(-(n - W) // S) + 1
+            sub = out[out.doc_id == did]
+            assert len(sub) == k, (W, S, did)
+            assert sub.chunk_idx.tolist() == list(range(k))
+            for i, row in zip(range(k), sub.itertuples()):
+                assert row.chunk_text == " ".join(ws[i * S : i * S + W])
+                assert row.chunk_n_tokens == min(W, n - i * S)
+
+
+def test_sequence_pack_sparse_ids(ray_session):
+    """Non-contiguous, non-zero-based ids across many buckets must still
+    produce a gap-free global prefix sum in id order."""
+    import pyarrow as pa
+
+    ids = [3, 70, 71, 999, 100000, 2**33]  # spans 5 distinct buckets @ 64
+    tbl = pa.table(
+        {"doc_id": ids, "text": [" ".join(["w"] * (3 * (i + 1))) for i in range(len(ids))]}
+    )
+    out = (
+        ops.sequence_pack(_ds(tbl, ray_session), capacity=7, bucket_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == sorted(ids)
+    assert out.tok_start.tolist() == [0, 3, 9, 18, 30, 45]
+    assert out.n_bins.tolist() == [1, 2, 2, 3, 3, 3]
