@@ -18,6 +18,7 @@ lineage and build metrics for resumable builds").
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -31,8 +32,16 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+_TMP_SEQ = itertools.count()
+
+
 def _atomic_write_json(path: str, obj: dict, exclusive: bool = False) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # tmp name must be unique PER CALL, not per process: two threads of one
+    # committer process sharing a pid-only tmp can interleave — the winner
+    # may hard-link the loser's half-written bytes into the published
+    # generation file.  pid + in-process counter makes each call's staging
+    # file private.
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
         f.flush()

@@ -137,3 +137,40 @@ def test_live_doc_annotation_vectorized_at_scale(ray_session, tmp_path):
     # purges: the merged index serves exactly the live rows
     man2 = consolidate(d, policy="count", policy_kwargs={"threshold": 1})
     assert sum(s["docs_count"] for s in man2["segments"]) == tbl.num_rows - n_dead_expect
+
+
+def test_exclusive_publish_race_and_gen_recovery(tmp_path):
+    """Single-writer discipline: racing committers to one generation file
+    must yield EXACTLY one winner (hard-link create is the arbiter), and a
+    stray on-disk generation file (crash between g-file and pointer) must
+    push the next commit PAST it, never re-claim it."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iresearch_ray.state.manifest import _atomic_write_json, commit_manifest
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    seg = {"name": "s0", "docs_count": 1}
+    m1 = commit_manifest(d, [seg], config={})
+    assert m1["generation"] == 1
+
+    # crash artifact: g2 exists on disk but the pointer still says 1
+    with open(os.path.join(d, "manifest-g2.json"), "w") as f:
+        json.dump({"generation": 2, "segments": []}, f)
+    m3 = commit_manifest(d, [seg], config={})
+    assert m3["generation"] == 3  # skipped the orphaned 2, no conflict
+
+    # true race on one generation path: exactly one hard-link create wins
+    target = os.path.join(d, "manifest-g9.json")
+    def attempt(i):
+        try:
+            _atomic_write_json(target, {"writer": i}, exclusive=True)
+            return "ok"
+        except RuntimeError:
+            return "conflict"
+    with ThreadPoolExecutor(8) as ex:
+        outcomes = list(ex.map(attempt, range(8)))
+    assert outcomes.count("ok") == 1 and outcomes.count("conflict") == 7
+    # no stray tmp files leaked by the losers
+    assert [f for f in os.listdir(d) if ".tmp." in f] == []
