@@ -12,6 +12,7 @@ swap keeps serving its snapshot (segment dirs are immutable).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 
@@ -33,6 +34,12 @@ WIDE_BYTES_THRESHOLD = 1 << 30
 # several rounds back-to-back — the export round-trips were pure
 # scheduling overhead in the consolidate wall/CPU gap)
 _REMOTE_CACHE: dict = {}
+
+
+# staging-name uniqueness: pid alone is not enough — same-process
+# concurrent writers to one target would share (and interleave in) a
+# pid-only staging path; see state/manifest.py:_atomic_write_json
+_STAGE_SEQ = itertools.count()
 
 
 def _remote(fn):
@@ -165,7 +172,7 @@ def import_index(index_dir: str, other_index_dir: str) -> dict:
         s_dir = os.path.join(other_index_dir, "segments", name)
         d_dir = os.path.join(index_dir, "segments", name)
         if not os.path.isdir(d_dir):
-            tmp = d_dir + f".tmp.{os.getpid()}"
+            tmp = d_dir + f".tmp.{os.getpid()}.{next(_STAGE_SEQ)}"
             shutil.copytree(s_dir, tmp)
             os.rename(tmp, d_dir)
         imported.append(sm)

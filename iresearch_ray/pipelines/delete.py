@@ -12,6 +12,7 @@ the stored doc rows instead of blob-concat (requires ``store_text=True``).
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import numpy as np
@@ -21,6 +22,12 @@ import pyarrow.parquet as pq
 from iresearch_ray.state.manifest import commit_manifest, load_manifest
 
 TOMBSTONE_SCHEMA = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
+
+
+# staging-name uniqueness: pid alone is not enough — same-process
+# concurrent writers to one target would share (and interleave in) a
+# pid-only staging path; see state/manifest.py:_atomic_write_json
+_STAGE_SEQ = itertools.count()
 
 
 def _keys_table(keys: pa.Table | list[tuple[str, int]]) -> pa.Table:
@@ -55,7 +62,7 @@ def _write_tombstone(index_dir: str, t: pa.Table) -> str:
     name = f"ts-{h.hexdigest()[:16]}.parquet"
     path = os.path.join(tdir, name)
     if not os.path.exists(path):  # idempotent (content name)
-        tmp = f"{path}.tmp.{os.getpid()}"
+        tmp = f"{path}.tmp.{os.getpid()}.{next(_STAGE_SEQ)}"
         pq.write_table(t, tmp)
         # fsync file + dir before/after the publishing rename: the manifest
         # commit is fsynced, so a committed generation must never reference

@@ -37,6 +37,7 @@ tables).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -58,6 +59,10 @@ _TEXT_ANALYZERS = {
     "icu_collation",
 }
 _KEYWORD_ANALYZERS = {"keyword", "identity"}  # identity = ArangoDB's default
+
+
+# per-call-unique staging suffix (see state/manifest.py rationale)
+_STAGE_SEQ = itertools.count()
 
 
 @dataclass
@@ -205,7 +210,7 @@ def link_config(link: LinkDef) -> IndexConfig:
 
 def _publish(view_dir: str, view: dict) -> dict:
     os.makedirs(view_dir, exist_ok=True)
-    tmp = os.path.join(view_dir, f"{VIEW_JSON}.tmp.{os.getpid()}")
+    tmp = os.path.join(view_dir, f"{VIEW_JSON}.tmp.{os.getpid()}.{next(_STAGE_SEQ)}")
     with open(tmp, "w") as f:
         json.dump(view, f, indent=1, sort_keys=True)
         f.flush()

@@ -30,6 +30,7 @@ re-expressed as a single vectorized factorize/lexsort pass over the exploded
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import zlib
@@ -71,6 +72,12 @@ TERMS_SCHEMA = pa.schema(
         ("pay_off", pa.list_(pa.int64())),
     ]
 )
+
+
+# staging-name uniqueness: pid alone is not enough — same-process
+# concurrent writers to one target would share (and interleave in) a
+# pid-only staging path; see state/manifest.py:_atomic_write_json
+_STAGE_SEQ = itertools.count()
 
 
 @dataclass
@@ -679,7 +686,7 @@ def write_segment(
     if os.path.isdir(seg_dir) and os.path.exists(os.path.join(seg_dir, "meta.json")):
         with open(os.path.join(seg_dir, "meta.json")) as f:
             return json.load(f)  # idempotent retry / resume hit
-    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}")
+    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}-{next(_STAGE_SEQ)}")
     os.makedirs(tmp_dir, exist_ok=True)
     if crypto is not None:
         crypto.write_table(terms, os.path.join(tmp_dir, "terms.parquet"))

@@ -58,6 +58,7 @@ shard's blob volume stays bounded.
 
 from __future__ import annotations
 
+import itertools
 import json
 import math
 import os
@@ -94,6 +95,12 @@ _STATS_OUT_SCHEMA = pa.schema(
 )
 
 
+# staging-name uniqueness: pid alone is not enough — same-process
+# concurrent writers to one target would share (and interleave in) a
+# pid-only staging path; see state/manifest.py:_atomic_write_json
+_STAGE_SEQ = itertools.count()
+
+
 def _combined_key(field_col, term_col):
     """field + \\x00 + term — one binary key whose byte order equals the
     (field, term) tuple order (utf-8 is order-preserving, \\x00 sorts below
@@ -105,7 +112,7 @@ def _atomic_part_write(table: pa.Table, path: str) -> int:
     """Write + fsync a part file via tmp+rename (task-retry idempotent:
     the content is deterministic per shard, so a re-run overwrites with
     identical bytes).  Returns the file size."""
-    tmp = f"{path}.inprog.{os.getpid()}"
+    tmp = f"{path}.inprog.{os.getpid()}.{next(_STAGE_SEQ)}"
     # same write profile as write_segment: blobs are unique (dictionary
     # encoding is pure CPU loss) and segment parts are never predicate-pushed
     pq.write_table(table, tmp, use_dictionary=False, write_statistics=False)
@@ -246,7 +253,7 @@ def merge_segments_shuffle(
     rank_ref = ray.put(rank_of)
     off_ref = ray.put(off_of)
 
-    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}")
+    tmp_dir = os.path.join(index_dir, "_tmp", f"{name}-{os.getpid()}-{next(_STAGE_SEQ)}")
     terms_dir = os.path.join(tmp_dir, "terms")
     docs_dir = os.path.join(tmp_dir, "docs")
     os.makedirs(terms_dir, exist_ok=True)

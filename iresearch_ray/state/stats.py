@@ -32,6 +32,7 @@ the two modes is asserted in tests/test_stats_lazy.py.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import numpy as np
@@ -63,6 +64,10 @@ _CACHE_MAX = 8
 import collections as _collections
 
 _cache: "_collections.OrderedDict[tuple[str, int], GlobalStats]" = _collections.OrderedDict()
+
+
+# per-call-unique staging suffix (see state/manifest.py rationale)
+_STAGE_SEQ = itertools.count()
 
 
 class GlobalStats:
@@ -412,7 +417,7 @@ def _merge_with_ray_to_dir(paths: list[str], out_dir: str) -> None:
 
     ds = rd.read_parquet(paths, columns=_STATS_COLS)
     ds = ds.groupby(["field", "term"]).aggregate(*_ray_aggs())
-    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    tmp = f"{out_dir}.tmp.{os.getpid()}.{next(_STAGE_SEQ)}"
     ds.write_parquet(tmp)
     os.replace(tmp, out_dir)
 
@@ -478,7 +483,7 @@ def build_global_stats(
             term_table = _merge_term_tables(
                 [read_parquet_any(p, crypto, columns=_STATS_COLS) for p in paths]
             )
-            tmp = f"{cache_file}.tmp.{os.getpid()}"
+            tmp = f"{cache_file}.tmp.{os.getpid()}.{next(_STAGE_SEQ)}"
             if crypto is not None:
                 crypto.write_table(term_table, tmp, row_group_size=STATS_ROW_GROUP)
             else:
