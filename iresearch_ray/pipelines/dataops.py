@@ -18,6 +18,13 @@ minhash_lsh_pairs    MinHash → LSH band buckets → verified pairs (band shuff
 simhash64            64-bit SimHash + hamming-bucket near-dup (chunk shuffle)
 embedding ops        brute-force cosine top-k (broadcast queries),
                      cosine near-dup pairs, LSH-bucketed scale path
+html_strip           container/tag/entity strip, shared-RE2 parity (narrow)
+chunk_windows        overlapping token windows, ragged-arange gather (narrow)
+sequence_pack        concat-and-chunk bins via distributed prefix sum (1 shuffle)
+vocab_topk           word-count with map-side combine + partial top-k (1 shuffle)
+unigram_surprisal    broadcast top-V unigram LM, mean-NLL scoring    (1 shuffle)
+stratified_topn      per-stratum quota, candidates-only shuffle      (1 shuffle)
+hash_sample          deterministic Knuth-hash Bernoulli filter       (narrow)
 
 Scale notes are inline per op.  All text ops assume the pinned tokenizer
 (SURVEY §2.1.1): documents are space-joined lowercase tokens, so
