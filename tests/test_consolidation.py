@@ -174,3 +174,28 @@ def test_exclusive_publish_race_and_gen_recovery(tmp_path):
     assert outcomes.count("ok") == 1 and outcomes.count("conflict") == 7
     # no stray tmp files leaked by the losers
     assert [f for f in os.listdir(d) if ".tmp." in f] == []
+
+
+def test_searcher_snapshot_survives_gc(tmp_path):
+    """Point-in-time isolation (the directory_reader refcount analog): a
+    constructed Searcher holds its generation's files via open memory maps,
+    so consolidate+gc unlinking those segment dirs must not break it — for
+    terms it already served (warm caches) NOR for terms it never touched
+    (cold file reads through retained maps).  A fresh Searcher sees the new
+    generation."""
+    d = str(tmp_path / "idx")
+    build_index_local(gen_transcripts(80), d, num_partitions=5)
+    g0 = load_manifest(d)["generation"]
+    old = Searcher(d)
+    warm = old.search_local(F.Term("text", "agent"), k=5)
+
+    consolidate(d, policy="count", policy_kwargs={"threshold": 2}, gc=True)
+    assert load_manifest(d)["generation"] > g0
+
+    # warm path: identical frames
+    again = old.search_local(F.Term("text", "agent"), k=5)
+    assert warm.reset_index(drop=True).equals(again.reset_index(drop=True))
+    # cold path: a term the old snapshot never served still resolves
+    cold_old = old.search_local(F.Term("text", "error"), k=5)
+    cold_new = Searcher(d).search_local(F.Term("text", "error"), k=5)
+    assert cold_old.reset_index(drop=True).equals(cold_new.reset_index(drop=True))
