@@ -282,3 +282,63 @@ def _run_merges(
 
         out.append(merge_segments_shuffle(index_dir, s, generation))
     return out
+
+
+def snapshot_index(index_dir: str, dest_dir: str, hardlink: bool = True) -> dict:
+    """Consistent point-in-time copy of the CURRENT generation (the
+    iresearch/ArangoSearch directory-snapshot analog): read the manifest
+    once, then materialize exactly the files that generation references —
+    live segment dirs, its tombstone parquets, its stats cache — plus the
+    generation file and pointer, into ``dest_dir`` (a fully functional
+    standalone index).
+
+    Every referenced file is IMMUTABLE once published (segments and
+    tombstones are content-named, manifests are publish-once), so the copy
+    is consistent without locking against concurrent WRITERS; only
+    concurrent ``gc_segments`` can race it (same grace discipline as
+    readers — SURVEY §3.3).  With ``hardlink=True`` (same filesystem) the
+    snapshot is metadata-only — O(#files) link calls, zero data copied —
+    which is what makes per-epoch snapshots of a 100 TB index affordable;
+    ``hardlink=False`` falls back to byte copies (cross-device)."""
+    import shutil
+
+    from iresearch_ray.pipelines.delete import _entries
+    from iresearch_ray.state.manifest import _atomic_write_json
+
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if os.path.exists(os.path.join(dest_dir, "manifest.json")):
+        raise FileExistsError(f"{dest_dir} already holds an index")
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def _put(src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if hardlink:
+            try:
+                os.link(src, dst)
+                return
+            except OSError:  # cross-device / fs without hard links
+                pass
+        shutil.copyfile(src, dst)
+
+    for sm in man["segments"]:
+        s_dir = os.path.join(index_dir, "segments", sm["name"])
+        for f in os.listdir(s_dir):
+            _put(os.path.join(s_dir, f), os.path.join(dest_dir, "segments", sm["name"], f))
+    for e in _entries(man):
+        sp = os.path.join(index_dir, "tombstones", e["file"])
+        if os.path.exists(sp):
+            _put(sp, os.path.join(dest_dir, "tombstones", e["file"]))
+    gen = man["generation"]
+    stats = os.path.join(index_dir, f"stats-g{gen}.parquet")
+    if os.path.exists(stats):
+        _put(stats, os.path.join(dest_dir, f"stats-g{gen}.parquet"))
+    statsd = os.path.join(index_dir, f"stats-g{gen}.statsd")  # sharded variant
+    if os.path.isdir(statsd):
+        for f in os.listdir(statsd):
+            _put(os.path.join(statsd, f), os.path.join(dest_dir, f"stats-g{gen}.statsd", f))
+    # publish LAST, after every referenced byte exists in the snapshot
+    _atomic_write_json(os.path.join(dest_dir, f"manifest-g{gen}.json"), man, exclusive=True)
+    _atomic_write_json(os.path.join(dest_dir, "manifest.json"), man)
+    return man

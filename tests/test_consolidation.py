@@ -199,3 +199,41 @@ def test_searcher_snapshot_survives_gc(tmp_path):
     cold_old = old.search_local(F.Term("text", "error"), k=5)
     cold_new = Searcher(d).search_local(F.Term("text", "error"), k=5)
     assert cold_old.reset_index(drop=True).equals(cold_new.reset_index(drop=True))
+
+
+def test_snapshot_index_isolated_copy(tmp_path):
+    """snapshot_index materializes a standalone, point-in-time index: same
+    results as the source at snapshot time, immune to later deletes /
+    consolidations / gc of the source (content-named files are immutable,
+    so hard links share bytes without sharing fate)."""
+    from iresearch_ray.pipelines.consolidate import snapshot_index
+    from iresearch_ray.pipelines.delete import delete_by_filter
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    build_index_local(gen_transcripts(100), src, num_partitions=6)
+    q = F.Or((F.Term("text", "agent"), F.Term("text", "error")))
+    before = Searcher(src).search_local(q, k=30)
+
+    man = snapshot_index(src, snap)
+    assert load_manifest(snap)["generation"] == man["generation"]
+    got = Searcher(snap).search_local(q, k=30)
+    assert before.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+    # mutate the SOURCE: delete every 'error' doc, consolidate, gc
+    delete_by_filter(src, F.Term("text", "error"))
+    consolidate(src, policy="count", policy_kwargs={"threshold": 2}, gc=True)
+    assert len(Searcher(src).search_local(F.Term("text", "error"), k=10)) == 0
+    # the snapshot still serves the pre-delete view
+    again = Searcher(snap).search_local(q, k=30)
+    assert before.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+    # double-snapshot into the same dest refuses loudly
+    with pytest.raises(FileExistsError):
+        snapshot_index(src, snap)
+    # copy mode (no hard links) is equivalent
+    snap2 = str(tmp_path / "snap2")
+    snapshot_index(src, snap2, hardlink=False)
+    a = Searcher(src).search_local(q, k=30)
+    b = Searcher(snap2).search_local(q, k=30)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
