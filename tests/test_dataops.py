@@ -693,3 +693,38 @@ def test_sequence_pack_sparse_ids(ray_session):
     assert out.doc_id.tolist() == sorted(ids)
     assert out.tok_start.tolist() == [0, 3, 9, 18, 30, 45]
     assert out.n_bins.tolist() == [1, 2, 2, 3, 3, 3]
+
+
+def test_html_strip_pathological(ray_session):
+    import pyarrow as pa
+
+    raw = [
+        "<script>unclosed container to EOF",   # no </script>: lone tag, text kept
+        "a < b and c > d",                      # bare < swallows to the next > (RE2, both engines)
+        "<div <div>> nested-ish",               # first > closes the tag
+        "text<!-- unterminated comment",        # no -->: comment opener survives as text
+    ]
+    tbl = pa.table({"doc_id": list(range(len(raw))), "text": raw})
+    out = ops.html_strip(_ds(tbl, ray_session)).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == [
+        "unclosed container to EOF",
+        "a d",
+        "> nested-ish",
+        "text<!-- unterminated comment",
+    ]
+    # parity: the SAME inputs through the SQL pipeline agree exactly
+    con = duckdb.connect()
+    con.register("t", tbl)
+    o = con.sql(r"""
+WITH t1 AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g') AS s1 FROM t),
+t2 AS (SELECT doc_id, regexp_replace(s1, '<[^>]*>', ' ', 'g') AS s2 FROM t1)
+SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(s2,
+      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+    '\s+', ' ', 'g'), ' ') AS clean FROM t2 ORDER BY doc_id
+""").df()
+    assert out["clean_text"].tolist() == o["clean"].tolist()
