@@ -1196,6 +1196,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ev.props_k_stats(_events_ds(sf)).to_pandas()
 
+    def ev_funnel(sf):
+        # first-touch funnel view→click→purchase: pruned+filtered read,
+        # one user-keyed shuffle, map-side histogram reduce
+        import ray.data as rd
+
+        from iresearch_ray.pipelines import events as ev
+
+        ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type", "ts"])
+        return ev.funnel(ds, ("view", "click", "purchase")).to_pandas()
+
     def ev_asof(sf):
         from iresearch_ray.pipelines import events as ev
 
@@ -1347,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_agg": ev_window,
         "ev_sessionize": ev_sessions,
         "ev_props_k_stats": ev_props,
+        "ev_funnel": ev_funnel,
         "ev_asof_join": ev_asof,
         "ev_range_join": ev_range_join,
         "dd_near_dedup": dd_near_dedup,
@@ -1954,6 +1965,18 @@ s AS (SELECT t.doc_id, ln((SELECT n FROM tot)) - ln(COALESCE(v.freq, 1)::DOUBLE)
       FROM t LEFT JOIN v USING (token))
 SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 4) AS avg_nll
 FROM s GROUP BY doc_id
+""",
+        # first-touch funnel: step i's timestamp = min ts of its type
+        # STRICTLY AFTER step i-1's counted ts; n_users per step
+        "ev_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type='click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT 1::BIGINT AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
+UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3
 """,
         "ev_type_stats": """
 WITH g AS (

@@ -356,3 +356,72 @@ def range_join_count(
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered first-touch step sequence per user)
+# ---------------------------------------------------------------------------
+
+
+def funnel(ds, steps: tuple[str, ...], user_col: str = "user_id"):
+    """First-touch funnel: for each user, step i counts iff an event of
+    ``steps[i]`` occurs STRICTLY AFTER the user's counted occurrence of
+    step i-1 (the classic product-analytics funnel; ties on ts do not
+    advance).  Returns one row per step: (step, event_type, n_users).
+
+    Scale shape: the read is pruned to (user, type, ts) and filtered to
+    the step types BEFORE the shuffle, then ONE user-keyed groupby
+    co-locates each user's (tiny) step-event history; per-user work is a
+    len(steps)-iteration numpy chain.  The per-user results reduce via a
+    map-side histogram of ``steps_reached`` — the driver sums len(steps)
+    integers, never user rows."""
+    import pandas as pd
+
+    step_list = list(steps)
+    sset = pa.array(step_list, pa.string())
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=sset)
+        t = b.filter(keep)
+        return pa.table({user_col: t[user_col], "event_type": t["event_type"], "ts": t["ts"]})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        reached = 0
+        cur = None
+        for s in step_list:
+            mask = et == s if cur is None else (et == s) & (ts > cur)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                break
+            cur = ts[idx[0]]
+            reached += 1
+        return pd.DataFrame({"steps_reached": [reached]})
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        r = b["steps_reached"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.bincount(r, minlength=len(step_list) + 1)
+        return pa.table(
+            {
+                "step": pa.array(np.arange(len(step_list) + 1)),
+                "n": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    per = ds.map_batches(prune, batch_format="pyarrow").groupby(user_col).map_groups(per_user)
+    hist = per.map_batches(partial_hist, batch_format="pyarrow").to_pandas()
+    h = hist.groupby("step")["n"].sum()
+    # n_users at step i = users with steps_reached >= i (suffix sum)
+    total = np.zeros(len(step_list) + 1, dtype=np.int64)
+    for s, n in h.items():
+        total[int(s)] += int(n)
+    suffix = np.cumsum(total[::-1])[::-1]
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, len(step_list) + 1)),
+            "event_type": pa.array(step_list, pa.string()),
+            "n_users": pa.array(suffix[1:].astype(np.int64)),
+        }
+    )

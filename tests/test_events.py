@@ -170,3 +170,43 @@ def test_range_join_count_vs_brute(events_tbl, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_funnel_first_touch_semantics(ray_session):
+    """Strictly-after chaining: out-of-order steps don't count, ties on ts
+    don't advance, and the chain anchors on the FIRST qualifying
+    occurrence of each step (first-touch), not any later one."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from iresearch_ray.pipelines.events import funnel
+
+    T = lambda s: pd.Timestamp(f"2025-01-01 00:00:{s:02d}")
+    rows = [
+        # u1: clean view(1) -> click(2) -> purchase(3): reaches 3
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2: click BEFORE view, purchase after: view(2) -> purchase(5) but
+        # no click after the view => reaches 1
+        (2, "click", 1), (2, "view", 2), (2, "purchase", 5),
+        # u3: tie between view and click => click does NOT advance; a later
+        # click(4) does; purchase tie with that click(4) doesn't => reaches 2
+        (3, "view", 3), (3, "click", 3), (3, "click", 4), (3, "purchase", 4),
+        # u4: first view(1); an early purchase(2) then click(5): purchase
+        # must be strictly after the click => reaches 2
+        (4, "view", 1), (4, "purchase", 2), (4, "click", 5),
+        # u5: only noise
+        (5, "signup", 1), (5, "error", 2),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": [T(r[2]) for r in rows],
+        }
+    )
+    out = funnel(rd.from_arrow(tbl), ("view", "click", "purchase")).to_pandas()
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["event_type"].tolist() == ["view", "click", "purchase"]
+    # reached>=1: u1,u2,u3,u4; >=2: u1,u3,u4; >=3: u1
+    assert out["n_users"].tolist() == [4, 3, 1]
