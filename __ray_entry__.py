@@ -336,6 +336,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ft_term(sf):
         return _topk(sf, F.Term("text", "key"))
 
+    def ft_count(sf):
+        # exact scoreless hit count (COUNT collector analog): per-segment
+        # boolean evaluation, one int per segment to the driver
+        s = _searcher(sf)
+        n = s.count(F.Or((F.Term("text", "join"), F.Term("text", "merge"))))
+        return pd.DataFrame({"n_hits": [n]})
+
     def ft_or(sf):
         return _topk(sf, F.Or(tuple(F.Term("text", t) for t in ("join", "merge", "window"))))
 
@@ -1305,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "ft_term_topk": ft_term,
+        "ft_count": ft_count,
         "ft_or_topk": ft_or,
         "ft_and_topk": ft_and,
         "ft_andnot_topk": ft_andnot,
@@ -1932,6 +1940,12 @@ SELECT doc_id, n_tokens, tok_start,
        (tok_start + n_tokens - 1) // 2048 AS bin_last,
        ((tok_start + n_tokens - 1) // 2048) - (tok_start // 2048) + 1 AS n_bins
 FROM p
+""",
+        # exact scoreless hit count over the same tokenized corpus
+        "ft_count": """
+SELECT count(*)::BIGINT AS n_hits FROM documents
+WHERE list_contains(string_split(text,' '), 'join')
+   OR list_contains(string_split(text,' '), 'merge')
 """,
         # per-language quota: 25 longest docs per lang, ties by doc_id ASC
         "dd_lang_topn": """

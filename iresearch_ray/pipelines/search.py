@@ -104,6 +104,18 @@ class Searcher:
         merged.insert(0, "query_id", "q")
         return merge_topk(merged, k).drop(columns=["query_id"])
 
+    def count(self, flt: Filter, scorer: ScorerCfg | None = None) -> int:
+        """Exact hit count without scoring output (the COUNT collector
+        analog): per-segment full boolean evaluation summed on the driver —
+        one integer per segment crosses, never doc rows."""
+        from iresearch_ray.query.exec import segment_count
+
+        plan = self.prepare(flt, scorer).plan
+        return sum(
+            segment_count(r, plan, deleted=self._deleted_for(i, r))
+            for i, r in enumerate(self._local_readers())
+        )
+
     def highlights(self, flt: Filter, k: int = 10, scorer: ScorerCfg | None = None,
                    field: str = "text", source: str = "stored") -> pd.DataFrame:
         """Top-k with character highlight spans — recomputed from the stored

@@ -883,3 +883,15 @@ def segment_topk(
             "score": pa.array(scores_s[order], pa.float64()),
         }
     )
+
+
+def segment_count(reader: SegmentReader, plan: dict, deleted: np.ndarray | None = None) -> int:
+    """Scoreless hit count for one segment (the COUNT collector analog —
+    ArangoSearch `COUNT`): full boolean evaluation of the prepared plan,
+    no top-k reduction, no doc-key gather, mask applied.  Same matching
+    semantics as segment_topk with wand off (WAND can't help a count — it
+    prunes by score threshold, and a count needs every match)."""
+    docs, _ = eval_node(reader, plan["root"], plan["scorer"], deleted)
+    if deleted is not None and docs.size:
+        docs = docs[~deleted[docs - 1]]
+    return int(docs.size)

@@ -237,3 +237,30 @@ def test_snapshot_index_isolated_copy(tmp_path):
     a = Searcher(src).search_local(q, k=30)
     b = Searcher(snap2).search_local(q, k=30)
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_count_collector_matches_full_search(tmp_path):
+    """Searcher.count == number of rows a full (k=∞) search returns, for
+    compound filters, before and after tombstones."""
+    from iresearch_ray.pipelines.delete import delete_by_filter
+
+    d = str(tmp_path / "idx")
+    build_index_local(gen_transcripts(60), d, num_partitions=4)
+    s = Searcher(d)
+    for q in (
+        F.Term("text", "agent"),
+        F.Or((F.Term("text", "error"), F.Term("text", "plan"))),
+        F.And((F.Term("text", "the"), F.Term("text", "a"))),
+        F.Not(F.Term("text", "the"), F.Term("text", "agent")),
+        F.Prefix("text", "w00"),
+    ):
+        assert s.count(q) == len(s.search_local(q, k=10**9, wand=False))
+    n_err = s.count(F.Term("text", "error"))
+    assert n_err > 0
+    delete_by_filter(d, F.Term("text", "error"))
+    s2 = Searcher(d)
+    assert s2.count(F.Term("text", "error")) == 0
+    # unaffected docs keep counting
+    assert s2.count(F.Term("text", "agent")) == len(
+        s2.search_local(F.Term("text", "agent"), k=10**9, wand=False)
+    )
