@@ -104,13 +104,24 @@ class Searcher:
         merged.insert(0, "query_id", "q")
         return merge_topk(merged, k).drop(columns=["query_id"])
 
-    def count(self, flt: Filter, scorer: ScorerCfg | None = None) -> int:
+    def count(self, flt: Filter, scorer: ScorerCfg | None = None,
+              pooled: bool = False, num_actors: int = 8) -> int:
         """Exact hit count without scoring output (the COUNT collector
-        analog): per-segment full boolean evaluation summed on the driver —
-        one integer per segment crosses, never doc rows."""
+        analog): per-segment full boolean evaluation — one integer per
+        segment/actor crosses, never doc rows.  ``pooled=True`` fans the
+        count across the cached QueryPool's shard-owning actors (the 100 TB
+        path; the driver sums num_actors ints); default counts over local
+        readers."""
         from iresearch_ray.query.exec import segment_count
 
         plan = self.prepare(flt, scorer).plan
+        if pooled:
+            import ray as _ray
+
+            if self._pool is None:
+                self._pool = QueryPool(self.index_dir, num_actors=num_actors, searcher=self)
+            pj = json.dumps(plan)
+            return sum(_ray.get([a.count.remote(pj) for a in self._pool.actors]))
         return sum(
             segment_count(r, plan, deleted=self._deleted_for(i, r))
             for i, r in enumerate(self._local_readers())
@@ -331,6 +342,19 @@ class _PoolWorker:
         if not out:
             return RESULT_SCHEMA.empty_table()
         return _pa.concat_tables(out).cast(RESULT_SCHEMA)
+
+    def count(self, plan_json: str) -> int:
+        """Shard-local scoreless hit count (COUNT collector): one int
+        leaves the actor."""
+        import json as _json
+
+        from iresearch_ray.query.exec import segment_count
+
+        plan = _json.loads(plan_json)
+        return sum(
+            segment_count(r, plan, deleted=d)
+            for r, d in zip(self.readers, self.deleted)
+        )
 
     def highlight(self, plans: dict[str, str], k: int, wand: bool,
                   field: str, source: str):

@@ -241,3 +241,22 @@ def test_pool_result_cache(ray_built):
         assert len(bigger) >= len(first)
     finally:
         pool.shutdown()
+
+
+def test_pooled_count_parity(ray_session, tmp_path):
+    """count(pooled=True) fans across the QueryPool's shard actors and must
+    equal the local count and the full-search row count."""
+    from iresearch_ray.pipelines.build import build_index_local
+    from iresearch_ray.pipelines.search import Searcher
+    from iresearch_ray.query import filters as F
+    from iresearch_ray.sources.transcripts import gen_transcripts
+
+    d = str(tmp_path / "idx")
+    build_index_local(gen_transcripts(80), d, num_partitions=6)
+    s = Searcher(d)
+    q = F.Or((F.Term("text", "agent"), F.Term("text", "error")))
+    local = s.count(q)
+    pooled = s.count(q, pooled=True, num_actors=3)
+    full = len(s.search_local(q, k=10**9, wand=False))
+    assert local == pooled == full > 0
+    s.close()
