@@ -855,6 +855,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ops.hash_sample(_docs_meta_ds(sf), rate=0.1).to_pandas()
         return out[["doc_id", "n_chars"]]
 
+    def dd_bpe_train(sf):
+        # BPE tokenizer training (Sennrich et al. 2016): corpus-scale work
+        # is ONE word-count exchange (map-side value_counts partials); the
+        # greedy merge learning runs over the bounded (word, freq)
+        # vocabulary with incremental pair counts.  Iterative + tie-broken
+        # greedy = not SQL-expressible; rows-only here, exact-vs-brute
+        # (recount-from-scratch reference) in tests/test_dataops.py.
+        return ops.train_bpe(_docs_ds(sf), num_merges=200).to_pandas()
+
+    def dd_substring_dedup(sf):
+        # ExactSubstr span stats (Lee et al. 2022 formulation at fixed L=8):
+        # every 8-token window whose exact token sequence occurs >= 2 times
+        # anywhere in the corpus is duplicated; overlapping windows merge
+        # into maximal spans.  Engine: 128-bit window poly-hashes, ONE
+        # hash-keyed exchange finds duplicated occurrences (all occurrences
+        # of a key co-locate, so "count >= 2" is a local run-length test),
+        # ONE doc-keyed exchange merges spans.  The SQL oracle materializes
+        # the window STRINGS — exact by construction — so a hash collision
+        # or a span-merge bug in the engine would hash-mismatch.
+        return ops.substring_dedup(_docs_ds(sf), L=8).to_pandas()
+
     def geo_radius(sf, nearest_k: int = 0):
         # In-engine GEO: geopoint analyzer (geohash prefix terms at
         # precisions 1..7 — the numeric-trie idiom) + GeoDistance filter
@@ -1359,6 +1380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_unigram_nll": dd_unigram_nll,
         "dd_lang_topn": dd_lang_topn,
         "dd_hash_sample": dd_hash_sample,
+        "dd_substring_dedup": dd_substring_dedup,
+        "dd_bpe_train": dd_bpe_train,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
         "ev_type_stats": ev_type_stats,
@@ -1960,6 +1983,37 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= 25
         "dd_hash_sample": """
 SELECT doc_id, n_chars FROM documents
 WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 429496729
+""",
+        # ExactSubstr duplicated-8-gram span stats: windows via list slices
+        # (the oracle compares exact window STRINGS, no hashing), dup =
+        # corpus count >= 2, span break at a start-gap > 8 (gap == 8 means
+        # the covered intervals touch), covered = last_start - first_start
+        # + 8 per span (contiguous within a span by the break rule)
+        "dd_substring_dedup": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), win AS (
+  SELECT doc_id, p, array_to_string(tok[p:p+7], ' ') AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tok) - 7, 0))) AS p) u
+), dup AS (
+  SELECT w FROM win GROUP BY w HAVING count(*) >= 2
+), occ AS (
+  SELECT doc_id, p FROM win WHERE w IN (SELECT w FROM dup)
+), brkd AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM occ
+), grp AS (
+  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span_id FROM brkd
+), per_span AS (
+  SELECT doc_id, max(p) - min(p) + 8 AS covered FROM grp GROUP BY doc_id, span_id
+)
+SELECT s.doc_id, len(t.tok)::BIGINT AS n_tokens,
+       sum(s.covered)::BIGINT AS dup_tokens, count(*)::BIGINT AS dup_spans
+FROM per_span s JOIN toks t USING (doc_id)
+GROUP BY s.doc_id, len(t.tok)
 """,
         # top-100 corpus vocabulary; tie-break (freq DESC, token ASC) pinned
         # on both sides

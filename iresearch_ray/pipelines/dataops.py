@@ -2758,3 +2758,473 @@ def hash_sample(ds, rate: float = 0.1, id_col: str = "doc_id"):
         return b.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated L-gram span) dedup
+# ---------------------------------------------------------------------------
+# The ExactSubstr formulation of Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better"): any token window of length L whose
+# exact token sequence occurs >= 2 times ANYWHERE in the corpus (across or
+# within documents) is duplicated text; overlapping duplicated windows merge
+# into maximal spans.  The paper builds one corpus-wide suffix array — a
+# global sorted structure no 100 TB pipeline wants.  The window-hash
+# formulation below is exactly equivalent for a FIXED L (the suffix array
+# finds all L' >= L matches at once; a fixed-L scan finds the same covered
+# positions, since any longer match is a union of overlapping L-windows) and
+# needs only keyed shuffles:
+#
+#   1. map_batches: every L-window -> (h1, h2, doc, pos) with two
+#      independent 64-bit polynomial hashes over siphashed tokens (128 bits
+#      of key: at 10^12 windows the expected number of colliding PAIRS is
+#      ~10^24/2^129 ~ 10^-15 — exactness holds at any realistic scale,
+#      without shipping the L-token window text through the shuffle).
+#   2. ONE hash-keyed exchange: shard by h1, and inside each shard group
+#      every occurrence of a key is present, so "key occurs >= 2 times" is a
+#      local vectorized run-length test — no join, no second pass over the
+#      corpus.  Only duplicated occurrences (the candidate set, typically a
+#      tiny fraction of windows) leave this stage.
+#   3. ONE doc-keyed exchange merges each document's duplicated windows into
+#      maximal spans (vectorized gap scan; a gap > L between window starts
+#      breaks a span) and emits per-doc span stats.
+
+_WIN_MULT_A = np.uint64(0x9E3779B97F4A7C15)
+_WIN_MULT_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+_OCC_SCHEMA = pa.schema(
+    [
+        ("h1", pa.int64()),
+        ("h2", pa.int64()),
+        ("doc", pa.int64()),
+        ("pos", pa.int64()),
+        ("ntok", pa.int64()),
+    ]
+)
+
+
+def _window_poly(tok_hash: np.ndarray, L: int, mult: np.uint64) -> np.ndarray:
+    """Degree-(L-1) polynomial hash of every length-L window of ``tok_hash``
+    (uint64, wrapping).  L vectorized passes over the array — no per-window
+    Python work."""
+    n = tok_hash.size - L + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(L):
+            acc = acc * mult + tok_hash[i : i + n]
+    return acc
+
+
+def window_occurrences_batch(
+    batch: pa.Table, L: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """One row per L-token window occurrence: (h1, h2, doc, pos, ntok).
+    ``pos`` is the 0-based token index of the window start; ``ntok`` carries
+    the document's token count so the final stage needs no extra join."""
+    flat, parent, n_tok = _explode_tokens(batch[text_col])
+    th = _hash_strings(flat)
+    h1 = _window_poly(th, L, _WIN_MULT_A)
+    n = h1.size
+    if n == 0:
+        return _OCC_SCHEMA.empty_table()
+    h2 = _window_poly(th, L, _WIN_MULT_B)
+    # a window is real only when it lies entirely inside one document: the
+    # flat token array concatenates every row of the batch
+    keep = parent[:n] == parent[L - 1 : L - 1 + n]
+    idx = np.nonzero(keep)[0]
+    if idx.size == 0:
+        return _OCC_SCHEMA.empty_table()
+    row_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.int64)
+    par = parent[idx]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "h1": pa.array(h1[idx].view(np.int64)),
+            "h2": pa.array(h2[idx].view(np.int64)),
+            "doc": pa.array(ids[par]),
+            "pos": pa.array(idx - row_start[par]),
+            "ntok": pa.array(n_tok[par]),
+        },
+        schema=_OCC_SCHEMA,
+    )
+
+
+def substring_dedup(
+    ds,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 1024,
+):
+    """Per-doc duplicated-substring span stats: (doc_id, n_tokens,
+    dup_tokens, dup_spans) for every document containing at least one
+    corpus-duplicated L-gram (docs with zero duplicated windows are simply
+    absent).  ALL occurrences are marked, including the "first" one — the
+    symmetric formulation (the keep-one-copy policy is a downstream choice;
+    marking every occurrence is what the span statistics measure)."""
+
+    occ = ds.map_batches(
+        lambda b: window_occurrences_batch(b, L, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
+        sh = (t["h1"].to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(shards)).astype(
+            np.int64
+        )
+        return t.append_column("shard", pa.array(sh))
+
+    def dup_occurrences(g: pa.Table) -> pa.Table:
+        # every occurrence of a (h1, h2) key is in this group; duplicated
+        # keys = runs of length >= 2 in the lexsorted key array
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        s1, s2 = h1[order], h2[order]
+        new_run = np.empty(order.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2
+        sel = order[dup]
+        return pa.table(
+            {
+                "doc": pa.array(g["doc"].to_numpy(zero_copy_only=False)[sel]),
+                "pos": pa.array(g["pos"].to_numpy(zero_copy_only=False)[sel]),
+                "ntok": pa.array(g["ntok"].to_numpy(zero_copy_only=False)[sel]),
+            }
+        )
+
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
+        sh = (
+            t["doc"].to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(shards)
+        ).astype(np.int64)
+        return t.append_column("dshard", pa.array(sh))
+
+    def doc_spans(g: pa.Table) -> pa.Table:
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        ntok = g["ntok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        doc, pos, ntok = doc[order], pos[order], ntok[order]
+        # span break: new doc, or a start gap > L (gap == L means the two
+        # windows' covered intervals touch — still one contiguous span)
+        brk = np.empty(doc.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > L)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [doc.size]]) - 1
+        covered = pos[ends] - pos[starts] + L  # contiguous within a span
+        span_doc = doc[starts]
+        # reduce spans -> per-doc rows (spans are doc-sorted)
+        dbrk = np.empty(span_doc.size, dtype=bool)
+        dbrk[0] = True
+        dbrk[1:] = span_doc[1:] != span_doc[:-1]
+        dstarts = np.nonzero(dbrk)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(span_doc[dstarts]),
+                "n_tokens": pa.array(ntok[starts][dstarts]),
+                "dup_tokens": pa.array(np.add.reduceat(covered, dstarts)),
+                "dup_spans": pa.array(
+                    np.diff(np.concatenate([dstarts, [span_doc.size]]))
+                ),
+            }
+        )
+
+    return (
+        occ.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dup_occurrences, batch_format="pyarrow")
+        .map_batches(add_doc_shard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(doc_spans, batch_format="pyarrow")
+    )
+
+
+def remove_duplicate_substrings(
+    ds,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 1024,
+):
+    """Cleaned corpus: every token covered by a corpus-duplicated L-gram is
+    dropped and the survivors re-joined with single spaces -> (doc_id,
+    clean_text, n_tokens, dup_tokens).  Docs with no duplicated window pass
+    through verbatim.  Plan = substring_dedup's two keyed exchanges to find
+    duplicated occurrences, then ONE more doc-keyed exchange co-locating
+    each doc's text row with its duplicated window starts (union + sharded
+    groupby — the join idiom used by the jaccard/minhash verify stages)."""
+    import ray  # noqa: F401
+
+    occ = ds.map_batches(
+        lambda b: window_occurrences_batch(b, L, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
+        sh = (t["h1"].to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(shards)).astype(
+            np.int64
+        )
+        return t.append_column("shard", pa.array(sh))
+
+    def dup_starts(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        s1, s2 = h1[order], h2[order]
+        new_run = np.empty(order.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        run_id = np.cumsum(new_run) - 1
+        dup = np.bincount(run_id)[run_id] >= 2
+        sel = order[dup]
+        return pa.table(
+            {
+                "doc": pa.array(g["doc"].to_numpy(zero_copy_only=False)[sel]),
+                "pos": pa.array(g["pos"].to_numpy(zero_copy_only=False)[sel]),
+                "txt": pa.array([None] * sel.size, type=pa.string()),
+                "side": pa.array(np.ones(sel.size, dtype=np.int32)),
+            }
+        )
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(ids),
+                "pos": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "txt": pc.fill_null(b[text_col].combine_chunks().cast(pa.string()), ""),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int32)),
+            }
+        )
+
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        t = bare_schema(t)
+        sh = (
+            t["doc"].to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(shards)
+        ).astype(np.int64)
+        return t.append_column("dshard", pa.array(sh))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        tg = g.filter(pa.array(side == 0))
+        og = g.filter(pa.array(side == 1))
+        texts = tg["txt"].combine_chunks()
+        docs = tg["doc"].to_numpy(zero_copy_only=False)
+        flat, parent, n_tok = _explode_tokens(texts)
+        row_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.int64)
+        # mark covered flat-token positions from the duplicated window starts
+        covered = np.zeros(len(flat), dtype=bool)
+        if og.num_rows:
+            # docs may be unsorted in the group — map doc id -> row index
+            order = np.argsort(docs, kind="mergesort")
+            dpos = order[np.searchsorted(docs[order], og["doc"].to_numpy(zero_copy_only=False))]
+            base = row_start[dpos] + og["pos"].to_numpy(zero_copy_only=False)
+            for off in range(L):  # L vectorized scatters, not a row loop
+                covered[base + off] = True
+        kept = ~covered
+        new_counts = np.bincount(parent[kept], minlength=len(docs)).astype(np.int32)
+        kept_flat = pa.chunked_array([flat]).combine_chunks().filter(pa.array(kept))
+        offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
+        clean = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "clean_text": clean,
+                "n_tokens": pa.array(n_tok),
+                "dup_tokens": pa.array(n_tok - np.bincount(parent[kept], minlength=len(docs))),
+            }
+        )
+
+    dups = (
+        occ.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dup_starts, batch_format="pyarrow")
+    )
+    texts = ds.map_batches(text_rows, batch_format="pyarrow")
+    return (
+        dups.union(texts)
+        .map_batches(add_doc_shard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (byte-pair merge learning from distributed counts)
+# ---------------------------------------------------------------------------
+# Classic Sennrich et al. 2016 BPE.  The scalable decomposition is the one
+# every production tokenizer trainer uses: the corpus-sized work is ONE
+# word-count aggregation (map-side value_counts partials + one token-keyed
+# groupby-sum — the corpus token stream never shuffles), and the merge
+# learning then runs over the compact (word, freq) vocabulary, which is
+# corpus-size-independent (bounded further by ``max_words``).  The driver
+# holds only that bounded table; the 100 TB corpus is touched exactly once.
+
+
+def _bpe_merges_from_counts(words: list, freqs: np.ndarray, num_merges: int) -> list:
+    """Greedy BPE merge learning over a (word, freq) vocabulary with
+    incremental pair-count maintenance (only words containing the merged
+    pair are re-scanned).  Deterministic: best pair = (count DESC, pair
+    lexicographic ASC); merges stop early when no pair repeats."""
+    from collections import defaultdict
+
+    syms = [tuple(w) + ("</w>",) for w in words]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for wi, s in enumerate(syms):
+        f = int(freqs[wi])
+        for p in zip(s, s[1:]):
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+
+    merges = []
+    for _rank in range(num_merges):
+        live = [(c, p) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
+        best_count = pair_counts[best]
+        merges.append((best[0], best[1], int(best_count)))
+        new_sym = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            s = syms[wi]
+            f = int(freqs[wi])
+            changed = False
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(new_sym)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not changed:
+                # stale index entry (the pair was merged away by an earlier
+                # round's rewrite of this word) — nothing to do
+                continue
+            for p in zip(s, s[1:]):
+                pair_counts[p] -= f
+            s2 = tuple(out)
+            syms[wi] = s2
+            for p in zip(s2, s2[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges
+
+
+def train_bpe(
+    ds,
+    num_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+):
+    """Learn a BPE merge table from the corpus -> pa.Table (rank, left,
+    right, freq).  ``max_words`` bounds the driver-side vocabulary via the
+    partial-top-k idiom (freq DESC, word ASC — no global sort); words below
+    the cut contribute nothing, the standard frequency-floor approximation.
+    """
+    counts = _token_counts(ds, text_col).materialize()
+    vocab_tbl = _topk_by_freq(counts, max_words)
+    words = vocab_tbl["token"].to_pylist()
+    freqs = vocab_tbl["freq"].to_numpy().astype(np.int64)
+    # drop the empty-string token null texts pin to — it has no characters
+    keep = [i for i, w in enumerate(words) if w]
+    merges = _bpe_merges_from_counts(
+        [words[i] for i in keep], freqs[keep], num_merges
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+            "freq": pa.array([m[2] for m in merges], type=pa.int64()),
+        }
+    )
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Greedy BPE segmentation of one word: repeatedly merge ALL
+    occurrences of the lowest-rank adjacent pair (the canonical apply
+    rule matching the training loop's all-occurrences merge)."""
+    s = list(word) + ["</w>"]
+    while len(s) >= 2:
+        best_rank = None
+        best = None
+        for p in zip(s, s[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, p
+        if best is None:
+            break
+        out = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                out.append(best[0] + best[1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def bpe_apply(ds, merges: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
+    """Segment the corpus with a learned merge table -> (doc_id, n_tokens,
+    n_pieces, fertility).  The merge table is ray.put-broadcast once; each
+    batch encodes only its DISTINCT words (value_counts first), so the
+    per-word Python segmentation runs on the batch vocabulary, not the
+    token stream, and the counts expand back vectorized."""
+    import ray
+
+    ranks_ref = ray.put(
+        {
+            (l, r): i
+            for i, (l, r) in enumerate(
+                zip(merges["left"].to_pylist(), merges["right"].to_pylist())
+            )
+        }
+    )
+
+    def f(b: pa.Table, *, _ref=ranks_ref) -> pa.Table:
+        ranks = ray.get(_ref)
+        flat, parent, n_tok = _explode_tokens(b[text_col])
+        enc = pc.dictionary_encode(flat)
+        dict_vals = enc.dictionary.to_pylist() if len(flat) else []
+        pieces_per = np.array(
+            [len(bpe_encode_word(w, ranks)) for w in dict_vals], dtype=np.int64
+        )
+        codes = (
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat)
+            else np.empty(0, dtype=np.int64)
+        )
+        per_tok = pieces_per[codes] if codes.size else codes
+        n_pieces = np.bincount(parent, weights=per_tok, minlength=b.num_rows).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(n_tok),
+                "n_pieces": pa.array(n_pieces),
+                "fertility": pa.array(
+                    round_half_away(n_pieces / np.maximum(n_tok, 1), 4)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

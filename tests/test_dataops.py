@@ -728,3 +728,139 @@ SELECT doc_id, trim(regexp_replace(
     '\s+', ' ', 'g'), ' ') AS clean FROM t2 ORDER BY doc_id
 """).df()
     assert out["clean_text"].tolist() == o["clean"].tolist()
+
+
+def _brute_substring_dedup(texts: dict[int, str], L: int):
+    """Python oracle: exact window strings, corpus-wide count >= 2, merged
+    covered-position sets per doc."""
+    from collections import Counter
+
+    wins = Counter()
+    per_doc = {}
+    for d, t in texts.items():
+        tok = (t or "").split(" ")
+        ws = [" ".join(tok[p : p + L]) for p in range(len(tok) - L + 1)]
+        per_doc[d] = (tok, ws)
+        wins.update(ws)
+    out = {}
+    for d, (tok, ws) in per_doc.items():
+        covered = set()
+        for p, w in enumerate(ws):
+            if wins[w] >= 2:
+                covered.update(range(p, p + L))
+        if not covered:
+            continue
+        spans = 1
+        srt = sorted(covered)
+        prev = srt[0]
+        for q in srt[1:]:
+            if q - prev > 1:
+                spans += 1
+            prev = q
+        out[d] = (len(tok), len(covered), spans, srt)
+    return out
+
+
+def test_substring_dedup_vs_brute(docs_tbl, ray_session):
+    import pyarrow as pa
+
+    L = 5
+    tbl = docs_tbl.slice(0, 200).select(["doc_id", "text"])
+    texts = {r["doc_id"]: r["text"] for r in tbl.to_pylist()}
+    brute = _brute_substring_dedup(texts, L)
+    assert brute, "fixture corpus must contain duplicated 5-grams"
+
+    out = (
+        ops.substring_dedup(_ds(tbl, ray_session), L=L)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == set(brute)
+    for d, (ntok, cov, spans, _) in brute.items():
+        row = out.loc[d]
+        assert (row["n_tokens"], row["dup_tokens"], row["dup_spans"]) == (ntok, cov, spans)
+
+
+def test_remove_duplicate_substrings_vs_brute(docs_tbl, ray_session):
+    L = 5
+    tbl = docs_tbl.slice(0, 120).select(["doc_id", "text"])
+    texts = {r["doc_id"]: r["text"] for r in tbl.to_pylist()}
+    brute = _brute_substring_dedup(texts, L)
+
+    out = (
+        ops.remove_duplicate_substrings(_ds(tbl, ray_session), L=L)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # every input doc comes back exactly once, clean docs verbatim
+    assert set(out.index) == set(texts)
+    for d, t in texts.items():
+        row = out.loc[d]
+        tok = (t or "").split(" ")
+        if d not in brute:
+            assert row["clean_text"] == t and row["dup_tokens"] == 0
+        else:
+            _, cov, _, covered = brute[d]
+            keep = [w for i, w in enumerate(tok) if i not in set(covered)]
+            assert row["clean_text"] == " ".join(keep)
+            assert row["dup_tokens"] == cov
+
+
+def _brute_bpe(word_freqs: dict, num_merges: int):
+    """Recount-from-scratch reference BPE (no incremental bookkeeping)."""
+    from collections import Counter
+
+    syms = {w: tuple(w) + ("</w>",) for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        pc_ = Counter()
+        for w, s in syms.items():
+            for p in zip(s, s[1:]):
+                pc_[p] += word_freqs[w]
+        live = [(c, p) for p, c in pc_.items() if c > 0]
+        if not live:
+            break
+        best = min(live, key=lambda cp: (-cp[0], cp[1]))[1]
+        merges.append((best[0], best[1], pc_[best]))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms
+
+
+def test_train_bpe_matches_brute(docs_tbl, ray_session):
+    tbl = docs_tbl.slice(0, 150).select(["doc_id", "text"])
+    # reference word counts
+    from collections import Counter
+
+    wf = Counter()
+    for r in tbl.to_pylist():
+        wf.update((r["text"] or "").split(" "))
+    wf.pop("", None)
+
+    merges = ops.train_bpe(_ds(tbl, ray_session), num_merges=60)
+    brute, brute_syms = _brute_bpe(dict(wf), 60)
+    got = list(
+        zip(merges["left"].to_pylist(), merges["right"].to_pylist(), merges["freq"].to_pylist())
+    )
+    assert got == brute
+
+    # apply: fertility per doc matches per-word reference segmentation
+    out = (
+        ops.bpe_apply(_ds(tbl, ray_session), merges)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for r in tbl.slice(0, 25).to_pylist():
+        toks = (r["text"] or "").split(" ")
+        n_pieces = sum(len(brute_syms.get(t, tuple(t) + ("</w>",))) for t in toks)
+        assert out.loc[r["doc_id"], "n_pieces"] == n_pieces
