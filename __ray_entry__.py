@@ -1331,6 +1331,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb_ds(sf), _qmat(sf), k=10, n_centroids=16, nprobe=4
         ).to_pandas()[["query_idx", "vec_id", "cosine"]]
 
+    def emb_semantic_dedup(sf):
+        """SemDeDup: in-engine k-means clusters + within-cluster greedy
+        cosine dedup (keep the lowest id of each near-identical set).
+        k-means is iterative (not SQL-expressible) -> rows-only; the greedy
+        semantics are pinned vs a brute python oracle in tests."""
+        # t=0.4 matches emb_neardup_pairs' near-dup band on this corpus
+        # (synthetic embeddings have no 0.9-cosine twins; at 0.4 the op
+        # actually drops rows, so the greedy path is load-bearing)
+        out = ops.semantic_dedup(_emb_ds(sf), n_clusters=8, threshold=0.4).to_pandas()
+        return out[["vec_id", "cluster", "kept", "dup_of", "max_sim"]]
+
     return {
         "ft_term_topk": ft_term,
         "ft_count": ft_count,
@@ -1404,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_lsh": emb_neardup_lsh,
         "emb_lsh_topk": emb_lsh,
         "emb_ivf_topk": emb_ivf,
+        "emb_semantic_dedup": emb_semantic_dedup,
     }
 
 

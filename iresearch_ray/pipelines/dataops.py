@@ -3228,3 +3228,108 @@ def bpe_apply(ds, merges: pa.Table, text_col: str = "text", id_col: str = "doc_i
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    n_iters: int = 10,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int = 50_000,
+):
+    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding space,
+    then WITHIN each cluster greedily drop every vector whose cosine to an
+    already-kept lower-id vector is >= ``threshold``.  The defining scale
+    property: candidate pairs only ever form inside a cluster, so the
+    quadratic pair work is bounded per cluster and the corpus-wide cost is
+    one codebook training (narrow Lloyd passes), one assignment pass, and
+    ONE cluster-keyed shuffle — never an all-pairs exchange.
+
+    Deterministic: the in-engine codebook (pinned smallest-id init, lowest-
+    index argmax ties) + id-ascending greedy keep order.  Clusters larger
+    than ``cluster_cap`` process their id-sorted head exactly and pass the
+    overflow through as survivors with a logged warning (the hot-bucket cap
+    idiom — a cluster that big means K is undersized for the corpus).
+
+    Returns (vec_id, cluster, kept, dup_of, max_sim): ``dup_of`` = the kept
+    id that shadowed a dropped row (-1 for survivors), ``max_sim`` = its
+    cosine to that id (survivors: max cosine to any kept lower-id member,
+    0.0 for the cluster's first row)."""
+    import logging
+
+    import ray
+
+    if centroids is None:
+        centroids = train_kmeans_codebook(
+            ds, n_centroids=n_clusters, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    cn_ref = ray.put(cn)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cmat = ray.get(cn_ref)
+        b = bare_schema(b)
+        vecs = _normalize(_vec_matrix(b, vec_col))
+        cl = np.argmax(vecs @ cmat.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                vec_col: b[vec_col],
+                "cluster": pa.array(cl),
+            }
+        )
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        g = g.take(pa.array(order))
+        ids = ids[order]
+        n = len(ids)
+        head = min(n, cluster_cap)
+        if head < n:
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: cluster %s has %d rows > cap %d; overflow kept",
+                int(g["cluster"][0].as_py()),
+                n,
+                cluster_cap,
+            )
+        vecs = _normalize(_vec_matrix(g.slice(0, head), vec_col))
+        sims = vecs @ vecs.T
+        kept_mask = np.ones(head, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        max_sim = np.zeros(n, dtype=np.float64)
+        for i in range(1, head):
+            prior = np.nonzero(kept_mask[:i])[0]
+            if prior.size == 0:
+                continue
+            s = sims[i, prior]
+            j = int(np.argmax(s))
+            max_sim[i] = float(s[j])
+            if s[j] >= threshold:
+                kept_mask[i] = False
+                dup_of[i] = ids[prior[j]]
+        kept = np.ones(n, dtype=bool)
+        kept[:head] = kept_mask
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": g["cluster"],
+                "kept": pa.array(kept),
+                "dup_of": pa.array(dup_of),
+                "max_sim": pa.array(round_half_away(max_sim, 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

@@ -864,3 +864,55 @@ def test_train_bpe_matches_brute(docs_tbl, ray_session):
         toks = (r["text"] or "").split(" ")
         n_pieces = sum(len(brute_syms.get(t, tuple(t) + ("</w>",))) for t in toks)
         assert out.loc[r["doc_id"], "n_pieces"] == n_pieces
+
+
+def test_semantic_dedup_vs_brute(emb_tbl, ray_session):
+    import numpy as np
+
+    tbl = emb_tbl.select(["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    # fixed centroids so the brute oracle needs no kmeans: 4 smallest-id rows
+    order = np.argsort(ids)
+    cent = vn[order[:4]]
+    out = (
+        ops.semantic_dedup(_ds(tbl, ray_session), centroids=cent, threshold=0.8)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == len(ids)
+
+    # brute: same assignment + greedy keep in id order
+    cl = np.argmax(vn @ cent.T, axis=1)
+    exp_kept, exp_dup = {}, {}
+    for c in range(4):
+        members = ids[cl == c]
+        mv = vn[cl == c]
+        srt = np.argsort(members)
+        kept_idx = []
+        for i in srt:
+            drop = None
+            best = -1.0
+            for j in kept_idx:
+                s = float(mv[i] @ mv[j])
+                if s > best:
+                    best, drop = s, j
+            if best >= 0.8:
+                exp_kept[members[i]] = False
+                exp_dup[members[i]] = members[drop]
+            else:
+                exp_kept[members[i]] = True
+                exp_dup[members[i]] = -1
+                kept_idx.append(i)
+    for v in ids:
+        assert bool(out.loc[v, "kept"]) == exp_kept[v], v
+        assert out.loc[v, "dup_of"] == exp_dup[v], v
+
+    # determinism of the full kmeans path
+    a = ops.semantic_dedup(_ds(tbl, ray_session), n_clusters=4, threshold=0.8).to_pandas()
+    b = ops.semantic_dedup(_ds(tbl, ray_session), n_clusters=4, threshold=0.8).to_pandas()
+    key = lambda df: df.sort_values("vec_id").reset_index(drop=True)
+    assert key(a).equals(key(b))
