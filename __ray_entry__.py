@@ -855,6 +855,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ops.hash_sample(_docs_meta_ds(sf), rate=0.1).to_pandas()
         return out[["doc_id", "n_chars"]]
 
+    def dd_temperature_sample(sf):
+        # temperature mixing (mC4/XLM-R rule): stratum weight n^0.5
+        # renormalized, per-stratum keep prob q = min(1, target*w/n), row
+        # survives iff knuth_hash(id) < floor(round(q,6)*2^32) — counts,
+        # powers and the hash all SQL-reproducible; ONE tiny stratum-count
+        # groupby + one narrow filter pass, the corpus never shuffles
+        out = ops.temperature_sample(
+            _docs_meta_ds(sf), by="lang", alpha=0.5, rate=0.5
+        ).to_pandas()
+        return out[["doc_id", "lang"]]
+
     def dd_bpe_train(sf):
         # BPE tokenizer training (Sennrich et al. 2016): corpus-scale work
         # is ONE word-count exchange (map-side value_counts partials); the
@@ -1392,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_lang_topn": dd_lang_topn,
         "dd_hash_sample": dd_hash_sample,
         "dd_substring_dedup": dd_substring_dedup,
+        "dd_temperature_sample": dd_temperature_sample,
         "dd_bpe_train": dd_bpe_train,
         "dd_cjk_tokens": dd_cjk_tokens,
         "dd_jaccard_pairs": dd_jaccard,
@@ -1995,6 +2007,26 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= 25
         "dd_hash_sample": """
 SELECT doc_id, n_chars FROM documents
 WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 429496729
+""",
+        # temperature mixing: same arithmetic as the engine — n^0.5 weights,
+        # q rounded to 6 decimals BEFORE the 2^32 floor (ulp-flip guard),
+        # identical Knuth-hash HUGEINT reduction as dd_hash_sample
+        "dd_temperature_sample": """
+WITH c AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n, pow(n, 0.5) AS pw FROM c
+), tot AS (
+  SELECT sum(pw) AS s, sum(n) AS nt FROM w
+), q AS (
+  SELECT lang,
+         CAST(floor(round(least(1.0, (0.5 * tot.nt) * (pw / tot.s) / n), 6)
+                    * 4294967296) AS HUGEINT) AS lim
+  FROM w, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN q USING (lang)
+WHERE ((d.doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < q.lim
 """,
         # ExactSubstr duplicated-8-gram span stats: windows via list slices
         # (the oracle compares exact window STRINGS, no hashing), dup =

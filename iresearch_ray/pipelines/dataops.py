@@ -2783,7 +2783,10 @@ def hash_sample(ds, rate: float = 0.1, id_col: str = "doc_id"):
 #      every occurrence of a key is present, so "key occurs >= 2 times" is a
 #      local vectorized run-length test — no join, no second pass over the
 #      corpus.  Only duplicated occurrences (the candidate set, typically a
-#      tiny fraction of windows) leave this stage.
+#      tiny fraction of windows) leave this stage.  ``shards`` bounds group
+#      size (~|windows|/shards rows per group); size it so a group stays
+#      well under Arrow's 2 GB single-array limit — 1024 suits up to
+#      ~10^11 windows, raise proportionally beyond.
 #   3. ONE doc-keyed exchange merges each document's duplicated windows into
 #      maximal spans (vectorized gap scan; a gap > L between window starts
 #      breaks a span) and emits per-doc span stats.
@@ -3030,10 +3033,12 @@ def remove_duplicate_substrings(
             for off in range(L):  # L vectorized scatters, not a row loop
                 covered[base + off] = True
         kept = ~covered
-        new_counts = np.bincount(parent[kept], minlength=len(docs)).astype(np.int32)
+        new_counts = np.bincount(parent[kept], minlength=len(docs)).astype(np.int64)
         kept_flat = pa.chunked_array([flat]).combine_chunks().filter(pa.array(kept))
-        offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
+        # 64-bit offsets: a doc-shard group's token total is unbounded by
+        # any single doc, so don't let int32 cumsum be the silent ceiling
+        offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), kept_flat)
         clean = pc.binary_join(lists, " ")
         return pa.table(
             {
@@ -3333,3 +3338,59 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (multilingual / multi-source rebalance)
+# ---------------------------------------------------------------------------
+
+
+def temperature_sample(
+    ds,
+    by: str = "lang",
+    alpha: float = 0.5,
+    rate: float = 0.5,
+    id_col: str = "doc_id",
+):
+    """Deterministic temperature sampling (the mC4 / XLM-R mixing rule):
+    stratum s gets mixture weight w_s = n_s^alpha / sum_t n_t^alpha (alpha<1
+    upweights tail strata), target output size = rate * N_total, and a row
+    survives iff knuth_hash(id) < q_s * 2^32 where q_s = min(1, target *
+    w_s / n_s).  No RNG state — the sample is a pure function of (id,
+    stratum counts), so re-runs/resumes select identical rows and any SQL
+    engine reproduces the selection exactly.
+
+    Scale shape: ONE tiny stratum-count groupby (result is |strata| rows on
+    the driver — bounded by construction), per-stratum thresholds broadcast,
+    then one narrow vectorized filter pass; the corpus never shuffles.
+    ``q_s`` is rounded to 6 decimals BEFORE the 2^32 floor on both the
+    engine and SQL sides so float ulps can't flip a boundary row."""
+    import ray
+
+    counts = ds.groupby(by).count().to_pandas()
+    n = counts["count()"].to_numpy().astype(np.float64)
+    strata = counts[by].astype(str).tolist()
+    w = np.power(n, alpha)
+    w = w / w.sum()
+    target = rate * n.sum()
+    q = np.minimum(1.0, np.round(target * w / n, 6))
+    thresh = {s: np.uint64(np.floor(qq * _SAMPLE_MOD)) for s, qq in zip(strata, q)}
+    thr_ref = ray.put(thresh)
+
+    def f(b: pa.Table, *, _ref=thr_ref) -> pa.Table:
+        th = ray.get(_ref)
+        did = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(
+            _SAMPLE_MOD
+        )
+        # dictionary-encode the stratum column: thresholds resolve once per
+        # DISTINCT stratum in the batch and expand by code (no row loop)
+        enc = pc.dictionary_encode(b[by].combine_chunks())
+        per_dict = np.array(
+            [th.get(str(s), np.uint64(0)) for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        lim = per_dict[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return b.filter(pa.array(h < lim))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -916,3 +916,77 @@ def test_semantic_dedup_vs_brute(emb_tbl, ray_session):
     b = ops.semantic_dedup(_ds(tbl, ray_session), n_clusters=4, threshold=0.8).to_pandas()
     key = lambda df: df.sort_values("vec_id").reset_index(drop=True)
     assert key(a).equals(key(b))
+
+
+def test_substring_dedup_edge_shapes(ray_session):
+    import pyarrow as pa
+
+    # docs shorter than L, empty text, nulls, L=2, window crossing
+    # doc boundaries must never form
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(["a b", "", None, "x y x y", "y x y"], type=pa.string()),
+        }
+    )
+    out = (
+        ops.substring_dedup(_ds(tbl, ray_session), L=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # windows of 2: doc4 has (x y),(y x),(x y) — "x y" dups internally and
+    # with doc5's (y x),(x y); doc5 likewise.  docs 1-3 have no dup windows
+    # (doc1's single window "a b" occurs once corpus-wide).
+    assert set(out.index) == {4, 5}
+    assert out.loc[4, "n_tokens"] == 4 and out.loc[4, "dup_tokens"] == 4
+    assert out.loc[5, "n_tokens"] == 3 and out.loc[5, "dup_tokens"] == 3
+    assert out.loc[4, "dup_spans"] == 1 and out.loc[5, "dup_spans"] == 1
+
+    clean = (
+        ops.remove_duplicate_substrings(_ds(tbl, ray_session), L=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(clean.index) == {1, 2, 3, 4, 5}
+    assert clean.loc[1, "clean_text"] == "a b"
+    assert clean.loc[2, "clean_text"] == ""
+    assert clean.loc[3, "clean_text"] == ""  # null pinned == empty
+    assert clean.loc[4, "clean_text"] == "" and clean.loc[5, "clean_text"] == ""
+
+
+def test_temperature_sample_vs_duckdb(docs_tbl, ray_session):
+    out = (
+        ops.temperature_sample(_ds(docs_tbl, ray_session), by="lang", alpha=0.5, rate=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    con = duckdb.connect()
+    con.register("documents", docs_tbl)
+    oracle = con.sql(
+        """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, pow(n, 0.5) AS pw FROM c),
+tot AS (SELECT sum(pw) AS s, sum(n) AS nt FROM w),
+q AS (SELECT lang,
+             CAST(floor(round(least(1.0, (0.5 * tot.nt) * (pw / tot.s) / n), 6)
+                        * 4294967296) AS HUGEINT) AS lim
+      FROM w, tot)
+SELECT d.doc_id, d.lang FROM documents d JOIN q USING (lang)
+WHERE ((d.doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < q.lim
+ORDER BY doc_id
+        """
+    ).df()
+    assert out["doc_id"].tolist() == oracle["doc_id"].tolist()
+    assert out["lang"].tolist() == oracle["lang"].tolist()
+    # the rebalance property: tail strata keep a HIGHER fraction than head
+    import pandas as pd
+
+    full = docs_tbl.to_pandas().groupby("lang").size()
+    kept = out.groupby("lang").size().reindex(full.index).fillna(0)
+    frac = (kept / full).to_dict()
+    if len(full) >= 2:
+        head, tail = full.idxmax(), full.idxmin()
+        if full[head] > full[tail]:
+            assert frac[tail] >= frac[head]
