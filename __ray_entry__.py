@@ -1245,6 +1245,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type", "ts"])
         return ev.funnel(ds, ("view", "click", "purchase")).to_pandas()
 
+    def ev_retention(sf):
+        # weekly cohort retention matrix: map-side (user, period) distinct
+        # compression, one user-keyed shuffle, tiny (cohort, offset) count
+        import ray.data as rd
+
+        from iresearch_ray.pipelines import events as ev
+
+        ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+        return ev.retention_cohorts(ds).to_pandas()
+
     def ev_asof(sf):
         from iresearch_ray.pipelines import events as ev
 
@@ -1412,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize": ev_sessions,
         "ev_props_k_stats": ev_props,
         "ev_funnel": ev_funnel,
+        "ev_retention": ev_retention,
         "ev_asof_join": ev_asof,
         "ev_range_join": ev_range_join,
         "dd_near_dedup": dd_near_dedup,
@@ -2077,6 +2088,21 @@ s AS (SELECT t.doc_id, ln((SELECT n FROM tot)) - ln(COALESCE(v.freq, 1)::DOUBLE)
       FROM t LEFT JOIN v USING (token))
 SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 4) AS avg_nll
 FROM s GROUP BY doc_id
+""",
+        # weekly cohort retention: cohort = period of the user's first
+        # event (integer division of epoch microseconds — exact on both
+        # sides), cell = distinct users from that cohort active at offset
+        "ev_retention": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events
+), f AS (
+  SELECT DISTINCT user_id, period FROM e
+), c AS (
+  SELECT user_id, period, min(period) OVER (PARTITION BY user_id) AS cohort FROM f
+)
+SELECT cohort AS cohort_period, period - cohort AS period_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM c GROUP BY 1, 2
 """,
         # first-touch funnel: step i's timestamp = min ts of its type
         # STRICTLY AFTER step i-1's counted ts; n_users per step

@@ -425,3 +425,51 @@ def funnel(ds, steps: tuple[str, ...], user_col: str = "user_id"):
             "n_users": pa.array(suffix[1:].astype(np.int64)),
         }
     )
+
+
+def retention_cohorts(ds, period_secs: int = 604_800, user_col: str = "user_id"):
+    """Cohort retention matrix: cohort(user) = the period (floor of epoch
+    microseconds / period) of the user's FIRST event; for every (cohort,
+    offset) cell, n_users = users from that cohort active (>= 1 event) in
+    cohort+offset.  Offset 0 is the cohort size itself.
+
+    Scale shape: the read prunes to (user, ts); each batch distinct-compresses
+    to (user, period) rows (map-side combine — at most users x periods rows
+    leave the map side, not the event stream); ONE user-keyed groupby
+    computes cohort = min(period) and emits the user's distinct offsets; a
+    tiny (cohort, offset)-keyed count finishes.  No driver-side user state."""
+
+    period_us = int(period_secs) * 1_000_000
+
+    def prune(b: pa.Table) -> pa.Table:
+        per = _epoch_us(b["ts"]) // period_us
+        t = pa.table({user_col: b[user_col], "period": pa.array(per.astype(np.int64))})
+        return t.group_by([user_col, "period"]).aggregate([])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        per = np.unique(g["period"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cohort = int(per[0])
+        return pa.table(
+            {
+                "cohort_period": pa.array(np.full(per.size, cohort, dtype=np.int64)),
+                "period_offset": pa.array(per - cohort),
+            }
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_period": b["cohort_period"],
+                "period_offset": b["period_offset"],
+                "n_users": b["count()"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_period", "period_offset"])
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -210,3 +210,33 @@ def test_funnel_first_touch_semantics(ray_session):
     assert out["event_type"].tolist() == ["view", "click", "purchase"]
     # reached>=1: u1,u2,u3,u4; >=2: u1,u3,u4; >=3: u1
     assert out["n_users"].tolist() == [4, 3, 1]
+
+
+def test_retention_cohorts_vs_brute(events_tbl, ray_session):
+    # daily periods so the 5-day fixture spans several offsets
+    out = (
+        ev.retention_cohorts(_ds(events_tbl, ray_session), period_secs=86400)
+        .to_pandas()
+        .sort_values(["cohort_period", "period_offset"])
+        .reset_index(drop=True)
+    )
+    df = events_tbl.to_pandas()
+    df["period"] = df["ts"].astype("int64") // (86400 * 1_000_000)
+    first = df.groupby("user_id")["period"].min().rename("cohort")
+    j = df.merge(first, on="user_id")
+    cells = (
+        j.assign(period_offset=j["period"] - j["cohort"])
+        .groupby(["cohort", "period_offset"])["user_id"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"cohort": "cohort_period", "user_id": "n_users"})
+        .sort_values(["cohort_period", "period_offset"])
+        .reset_index(drop=True)
+    )
+    assert out["cohort_period"].tolist() == cells["cohort_period"].tolist()
+    assert out["period_offset"].tolist() == cells["period_offset"].tolist()
+    assert out["n_users"].tolist() == cells["n_users"].tolist()
+    # offset-0 cell equals cohort size; retention never exceeds it
+    m = out.pivot(index="cohort_period", columns="period_offset", values="n_users")
+    base = m[0]
+    assert ((m.le(base, axis=0)) | m.isna()).all().all()
